@@ -1,0 +1,41 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for correctness-at-scale defaults: AQE on (runtime re-planning +
+skew-join splitting), Arrow transfer for every pandas UDF stage, and
+shuffle-partition counts sized by the caller (tests use small counts so
+60k-row inputs don't fragment into thousands of empty tasks; the 100 TB
+deployment sets this to ~2-3x total cores via spark-submit conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "openapi-to-rdf-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None,
+              master: str | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        # local mode: match cores; cluster deployments override via conf
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
