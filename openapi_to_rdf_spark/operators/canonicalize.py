@@ -1,0 +1,149 @@
+"""Entity canonicalization: MinHash signatures -> LSH banding -> candidate
+pairs -> Jaccard verification -> connected components -> canonical remap.
+
+The scale path (north_star): signatures are computed in one Arrow-vectorized
+pandas UDF (numpy matrix ops, no per-row Python); banding is a JVM-side
+explode; the candidate join is a self-equi-join on (band, band_hash) — the
+classic shuffle-on-bucket pattern whose cost is O(candidates), not O(n^2).
+Verification re-checks exact shingle Jaccard so LSH false positives never
+reach the graph. Components come from operators.components (salted,
+checkpointed). Everything is deterministic (fixed hash seeds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+from .components import connected_components
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def _shingles(text: str, n: int) -> np.ndarray:
+    import zlib
+
+    s = "".join(ch for ch in text.lower() if ch.isalnum())
+    if len(s) < n:
+        s = s.ljust(n, "_")
+    return np.unique(np.fromiter(
+        (zlib.crc32(s[i:i + n].encode()) for i in range(len(s) - n + 1)),
+        dtype=np.int64))
+
+
+def minhash_udf(k: int = 32, shingle: int = 3, seed: int = 7):
+    a, b = _hash_params(k, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash(col: pd.Series) -> pd.Series:
+        out = []
+        for text in col:
+            sh = _shingles(text or "", shingle)
+            # (k, n_shingles) matrix of permuted hashes -> row-min
+            hashes = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+            out.append(hashes.min(axis=1))
+        return pd.Series(out)
+
+    return minhash
+
+
+def jaccard_udf(shingle: int = 3):
+    @pandas_udf(DoubleType())
+    def jac(left: pd.Series, right: pd.Series) -> pd.Series:
+        out = np.empty(len(left))
+        for i, (x, y) in enumerate(zip(left, right)):
+            sx = set(_shingles(x or "", shingle).tolist())
+            sy = set(_shingles(y or "", shingle).tolist())
+            u = len(sx | sy)
+            out[i] = (len(sx & sy) / u) if u else 1.0
+        return pd.Series(out)
+
+    return jac
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 32, bands: int = 8, shingle: int = 3,
+                        seed: int = 7) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band."""
+    rows = k // bands
+    sigs = df.select(id_col, text_col).withColumn(
+        "sig", minhash_udf(k, shingle, seed)(F.col(text_col)))
+    banded = sigs.select(
+        F.col(id_col), F.col(text_col),
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.element_at("sig", i * rows + j + 1) for j in range(rows)])
+            for i in range(bands)
+        ])).alias("band", "band_hash"),
+    )
+    left = banded.select(F.col("band"), F.col("band_hash"),
+                         F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    right = banded.select(F.col("band"), F.col("band_hash"),
+                          F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    return (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
+                         text_col: str = "surface", threshold: float = 0.6,
+                         k: int = 32, bands: int = 8, shingle: int = 3) -> DataFrame:
+    """(ent, surface) -> (ent, canonical) covering every input entity.
+
+    Pipeline: LSH candidates -> exact-Jaccard filter -> connected components
+    -> min-id per component; singletons map to themselves.
+    """
+    pairs = lsh_candidate_pairs(entities, id_col, text_col, k=k, bands=bands,
+                                shingle=shingle)
+    edges = (
+        pairs.withColumn("jaccard", jaccard_udf(shingle)(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comps = connected_components(edges)
+    return (
+        entities.select(F.col(id_col).alias("node")).dropDuplicates(["node"])
+        .join(comps, on="node", how="left")
+        .select(F.col("node").alias(id_col),
+                F.coalesce("component", F.col("node")).alias("canonical"))
+    )
+
+
+def remap_triples(triples: DataFrame, ent_map: DataFrame,
+                  ent_prefix: str) -> DataFrame:
+    """Rewrite s and (iri-kind) o through the canonical entity map.
+
+    The map is usually much smaller than the triple table but can itself be
+    large at 10^12 scale, so this is a plain equi-join (sort-merge / AQE
+    decides); only filtered entity-namespace rows participate.
+    """
+    smap = ent_map.select(F.col("ent").alias("s"), F.col("canonical").alias("s_canon"))
+    omap = ent_map.select(F.col("ent").alias("o"), F.col("canonical").alias("o_canon"))
+    return (
+        triples
+        .join(smap, on="s", how="left")
+        .join(omap, on="o", how="left")
+        .select(
+            "file", "graph",
+            F.when(F.col("s").startswith(ent_prefix), F.coalesce("s_canon", F.col("s")))
+            .otherwise(F.col("s")).alias("s"),
+            "p", "o_kind",
+            F.when((F.col("o_kind") == "iri") & F.col("o").startswith(ent_prefix),
+                   F.coalesce("o_canon", F.col("o"))).otherwise(F.col("o")).alias("o"),
+            "o_datatype",
+        )
+        .dropDuplicates(["file", "graph", "s", "p", "o_kind", "o", "o_datatype"])
+    )

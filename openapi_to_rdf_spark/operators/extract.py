@@ -1,0 +1,238 @@
+"""Distributed triple extraction stages.
+
+Two extractors share the triple-table schema:
+
+1. ``convert_specs_df`` — the reference converter (convert/shacl.py pure
+   function) run inside ``mapInPandas``: one Arrow batch of (path, content)
+   rows in, exploded triples out. Per-file failure isolation lands in a
+   ``status`` sidecar instead of aborting the job (reference main.py:56-77).
+
+2. ``extract_transcript_triples`` — the transcript triple factory
+   (BASELINE.json north_star): batched mention detection over conversation
+   turns with vectorized pandas regex, emitting (subj, pred, obj) triples
+   typed against the converted vocabulary. No per-row Python UDFs anywhere.
+
+Triple-table layout (SURVEY.md section 1.2): bnode subjects/objects are
+encoded ``_:file-scoped-label``; ``o_kind`` in {iri,bnode,literal};
+``o_datatype`` is the XSD datatype URI for literals, null otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+TRIPLES_SCHEMA = StructType([
+    StructField("file", StringType(), False),
+    StructField("graph", StringType(), False),   # 'rdf' | 'shacl' | 'owl'
+    StructField("s", StringType(), False),
+    StructField("p", StringType(), False),
+    StructField("o_kind", StringType(), False),  # iri | bnode | literal
+    StructField("o", StringType(), False),       # IRI / bnode label / lexical
+    StructField("o_datatype", StringType(), True),
+])
+
+STATUS_SCHEMA = StructType([
+    StructField("file", StringType(), False),
+    StructField("status", StringType(), False),  # 'ok' | 'error'
+    StructField("error", StringType(), True),
+    StructField("rdf_triples", LongType(), False),
+    StructField("shacl_triples", LongType(), False),
+])
+
+
+def _term_to_cols(term: tuple) -> tuple[str, str, str | None]:
+    kind = {"i": "iri", "b": "bnode", "l": "literal"}[term[0]]
+    if term[0] == "l":
+        return kind, term[1], term[2]
+    return kind, term[1], None
+
+
+def _subj_to_str(term: tuple) -> str:
+    return term[1] if term[0] == "i" else "_:" + term[1]
+
+
+def convert_specs_df(specs: DataFrame, base_namespace: str | None = None,
+                     prefix: str | None = None, fmt: str = "shacl") -> DataFrame:
+    """(path, content[, read_error]) -> exploded triple DataFrame.
+
+    The conversion itself is the proven pure function; Spark's only job here
+    is partition parallelism + Arrow batching. Output is hash-partitioned by
+    file via the engine's downstream groupBy(file) sinks.
+    """
+    from ..convert.shacl import DEFAULT_PREFIX, convert_shacl
+    from ..convert.owl import convert_owl
+
+    use_prefix = prefix or DEFAULT_PREFIX
+
+    def run(iterator):
+        import pandas as pd
+        import posixpath
+
+        cols = [f.name for f in TRIPLES_SCHEMA.fields]
+        for pdf in iterator:
+            rows = []
+            for _, rec in pdf.iterrows():
+                path, content = rec["path"], rec["content"]
+                if content is None:
+                    continue
+                fname = posixpath.basename(path)
+                try:
+                    if fmt == "owl":
+                        conv = convert_owl(fname, content,
+                                           base_namespace or f"{use_prefix}rdf/")
+                        graphs = {"owl": conv.g}
+                    else:
+                        conv = convert_shacl(fname, content, base_namespace, use_prefix)
+                        graphs = {"rdf": conv.rdf, "shacl": conv.sh}
+                except Exception:
+                    continue  # status stage reports errors
+                for gname, triples in graphs.items():
+                    for s, p, o in triples:
+                        ok, ov, odt = _term_to_cols(o)
+                        rows.append((fname, gname, _subj_to_str(s), p[1], ok, ov, odt))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return specs.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def convert_status_df(specs: DataFrame, base_namespace: str | None = None,
+                      prefix: str | None = None) -> DataFrame:
+    """Per-file ok/error + triple counts (replaces the reference's
+    driver-side success/failure summary and sys.exit)."""
+    from ..convert.shacl import DEFAULT_PREFIX, convert_shacl
+
+    use_prefix = prefix or DEFAULT_PREFIX
+
+    def run(iterator):
+        import pandas as pd
+        import posixpath
+
+        for pdf in iterator:
+            rows = []
+            for _, rec in pdf.iterrows():
+                fname = posixpath.basename(rec["path"])
+                if rec["content"] is None:
+                    rows.append((fname, "error", rec.get("read_error") or "unreadable", 0, 0))
+                    continue
+                try:
+                    conv = convert_shacl(fname, rec["content"], base_namespace, use_prefix)
+                    rows.append((fname, "ok", None, len(conv.rdf), len(conv.sh)))
+                except Exception as e:
+                    rows.append((fname, "error", f"{type(e).__name__}: {e}", 0, 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in STATUS_SCHEMA.fields])
+
+    return specs.mapInPandas(run, STATUS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Transcript triple factory (the graft axis)
+# --------------------------------------------------------------------------
+
+KG_NS = "http://ericsson.com/models/3gpp/kg#"
+ENT_NS = "http://ericsson.com/models/3gpp/entity#"
+TURN_NS = "http://ericsson.com/models/3gpp/turn#"
+CONV_NS = "http://ericsson.com/models/3gpp/conv#"
+
+# surface mention syntax embedded by the synthetic generator AND matched by
+# the extractor: "ClassName#entity-key". The pattern is anchored on the
+# class-vocabulary token so extraction has schema-typed ground truth.
+MENTION_RE = r"([A-Z][A-Za-z0-9_]+)#([a-z0-9][a-z0-9_.-]{0,40}[a-z0-9])"
+
+
+def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None = None) -> DataFrame:
+    """Turns (conv_id, turn_idx, role, text, tool, ts) -> typed triples.
+
+    All heavy lifting is JVM-side: ``regexp_extract_all`` tokenizes mentions,
+    ``explode`` fans them out, and typing joins against the (broadcast) class
+    vocabulary. Per-turn text is consumed exactly as stored — the stable
+    (conv_id, turn_idx) ordering invariant holds because nothing here
+    reorders or mutates ``text`` (BASELINE.json input_hint).
+
+    Returns the triple table with graph='kg'. Mentions whose class token is
+    not in the vocabulary are typed rdfs:Resource (open-world default).
+    """
+    mentions = (
+        turns
+        .select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)").alias("raw_mentions"),
+        )
+        .withColumn("mention", F.explode_outer("raw_mentions"))
+        .withColumn("m_class", F.regexp_extract("mention", MENTION_RE, 1))
+        .withColumn("m_key", F.regexp_extract("mention", MENTION_RE, 2))
+    )
+
+    turn_iri = F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
+                        F.col("turn_idx").cast("string"))
+    conv_iri = F.concat(F.lit(CONV_NS), F.col("conv_id"))
+    # entity IRI from the RAW surface key (charset is already IRI-safe):
+    # alias spellings stay distinct here — canonicalization unifies them later
+    ent_iri = F.concat(F.lit(ENT_NS), F.col("m_key"))
+
+    def t(s, p, o_kind, o, o_datatype=None):
+        return F.struct(
+            s.alias("s"), F.lit(p).alias("p"), F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            (F.lit(o_datatype) if o_datatype else F.lit(None).cast("string")).alias("o_datatype"),
+        )
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    per_turn = (
+        turns.select(
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            F.array(
+                t(F.concat(F.lit(CONV_NS), F.col("conv_id")), KG_NS + "hasTurn", "iri",
+                  F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
+                           F.col("turn_idx").cast("string"))),
+                t(F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
+                           F.col("turn_idx").cast("string")), KG_NS + "role", "literal",
+                  F.col("role"), xsd + "string"),
+                t(F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
+                           F.col("turn_idx").cast("string")), KG_NS + "atTime", "literal",
+                  F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"), xsd + "dateTime"),
+            ).alias("triples"),
+        )
+        .select("conv_id", F.explode("triples").alias("tr"))
+        .select(F.col("conv_id").alias("file"), F.lit("kg").alias("graph"),
+                F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
+                F.col("tr.o_kind").alias("o_kind"), F.col("tr.o").alias("o"),
+                F.col("tr.o_datatype").alias("o_datatype"))
+    )
+
+    mention_rows = mentions.filter(F.col("mention").isNotNull())
+    if class_vocab is not None:
+        # broadcast dictionary join: class token -> class IRI (small dim table)
+        mention_rows = mention_rows.join(
+            F.broadcast(class_vocab.select(F.col("class_name").alias("m_class"),
+                                           F.col("class_iri"))),
+            on="m_class", how="left")
+    else:
+        mention_rows = mention_rows.withColumn("class_iri", F.lit(None).cast("string"))
+
+    typed = mention_rows.withColumn(
+        "class_iri",
+        F.coalesce("class_iri", F.lit("http://www.w3.org/2000/01/rdf-schema#Resource")))
+
+    mention_triples = (
+        typed.select(
+            "conv_id",
+            F.array(
+                t(turn_iri, KG_NS + "mentions", "iri", ent_iri),
+                t(ent_iri, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri",
+                  F.col("class_iri")),
+                t(ent_iri, KG_NS + "surfaceForm", "literal", F.col("m_key"),
+                  xsd + "string"),
+            ).alias("triples"))
+        .select("conv_id", F.explode("triples").alias("tr"))
+        .select(F.col("conv_id").alias("file"), F.lit("kg").alias("graph"),
+                F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
+                F.col("tr.o_kind").alias("o_kind"), F.col("tr.o").alias("o"),
+                F.col("tr.o_datatype").alias("o_datatype"))
+    )
+
+    return per_turn.unionByName(mention_triples).dropDuplicates(
+        ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"])
