@@ -1,0 +1,106 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Everything here is a pure ``pyspark.sql.functions`` Column expression — JVM
+whole-stage-codegen, no Python in the hot path — so a 100 TB documents scan
+stays a single codegen'd stage with full predicate pushdown. Each function has
+an exact ANSI-SQL twin used as its DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword inventory: enough for a deterministic n-gram /
+# stopword language-ID heuristic (the operator pattern; swap in a real list at
+# deploy time). Ordered dict → deterministic tie-breaking.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den", "von", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que", "dans", "pour"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (not [''])."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND on letter/digit/
+    punctuation boundaries (the regex stand-in for a BPE tokenizer)."""
+    return F.size(F.filter(
+        F.split(col, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[^\w\s])|(?<=[^\w\s])"),
+        lambda t: t != ""))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    punct = F.length(F.regexp_replace(col, r"[\w\s]", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic doc-quality in [0,1]: length band + low punctuation +
+    stopword presence (the C4/Gopher-style filter shape)."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return F.round((len_ok + punct_ok + stop_ok) / 3, 6)
+
+
+def lang_scores(col: Column) -> Column:
+    """Per-language stopword hit counts as a struct (the n-gram heuristic)."""
+    toks = tokens(F.lower(col))
+    fields = []
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(w) for w in words])
+        fields.append(
+            F.size(F.filter(toks, lambda t, s=stops: F.array_contains(s, t)))
+            .alias(lang))
+    return F.struct(*fields)
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no hits.
+    Ties break by STOPWORDS key order (deterministic)."""
+    s = lang_scores(col)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[s[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(s[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip non-alnum."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " ")
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint of the normalized text (exact-dup key)."""
+    return F.md5(normalized_text(col))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (distinct, for Jaccard)."""
+    toks = tokens(normalized_text(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])))

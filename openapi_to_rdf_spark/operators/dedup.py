@@ -1,0 +1,180 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five near/exact-dup strategies over a documents table (id, text) — all
+shuffle-on-bucket designs whose cost at 100 TB is O(candidate pairs), never
+O(n^2):
+
+- exact_dedup_map: hash-groupBy on a normalized-content fingerprint.
+- ngram_jaccard_pairs: inverted-index self-join on word n-gram shingles with
+  count-based Jaccard (|A∩B| / (|A|+|B|-|A∩B|)) — exact, SQL-expressible.
+- minhash_dedup_map: MinHash+LSH banding (operators.canonicalize machinery)
+  → exact-Jaccard verify → connected components → cluster map.
+- simhash_pairs: 64-bit SimHash (vectorized numpy pandas UDF), banded into
+  4×16-bit chunks; Hamming-distance verify on candidates (a pair within
+  Hamming k<=3 shares at least one of 4 chunks exactly — pigeonhole).
+- embedding_dup_pairs: cosine-similarity pairs over an embedding column;
+  exact blocked product at test scale, LSH-bucketed in operators.similarity
+  for the 100 TB path.
+
+Hot-shingle skew: ngram/minhash joins cap posting-list length per key
+(frequent-shingle stop-list, the standard suffix-array-dedup trick) so one
+viral shingle cannot force a quadratic reducer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from ..functions.text import doc_fingerprint, word_ngrams
+
+
+def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, fingerprint, canonical_id, is_duplicate): canonical = min id per
+    fingerprint group. Map-side partial agg; fingerprints are uniform so no
+    skew handling needed."""
+    fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return (fp.join(canon, "fingerprint")
+            .select(id_col, "fingerprint", "canonical_id",
+                    (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_posting: int = 1000) -> DataFrame:
+    """Exact n-gram-Jaccard pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted index: explode distinct shingles, drop shingles shared by more
+    than ``max_posting`` docs (stop-list — skew cap), self-join on shingle,
+    count co-occurrences, then Jaccard from per-doc shingle counts.
+    """
+    sh = (docs.select(F.col(id_col).alias("id"),
+                      F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    posting = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+          .filter(F.col("df") <= max_posting),
+        "shingle")
+    pairs = (
+        posting.alias("a").join(posting.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common")))
+    return (
+        pairs
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("sh_a") + F.col("sh_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_dedup_map(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.8,
+                      k: int = 64, bands: int = 16) -> DataFrame:
+    """MinHash-LSH near-dup clustering -> (doc_id, canonical) total map."""
+    from .canonicalize import canonical_entity_map
+
+    ents = docs.select(F.col(id_col).cast("string").alias("ent"),
+                       F.col(text_col).alias("surface"))
+    m = canonical_entity_map(ents, threshold=threshold, k=k, bands=bands, shingle=4)
+    return m.select(F.col("ent").cast("long").alias(id_col),
+                    F.col("canonical").cast("long").alias("canonical"))
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash over whitespace tokens (numpy bit-voting)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        # blake2b, not builtin hash(): per-process salting would make the
+        # signature differ between executors
+        import hashlib
+
+        hashes = np.fromiter(
+            (np.frombuffer(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                           dtype=np.uint64)[0] for tok in set(toks)),
+            dtype=np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+        votes = bits.sum(axis=0) * 2 - len(hashes)  # +1/-1 vote per bit
+        out[i] = np.packbits((votes > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: 4 chunks of 16 bits; any pair within Hamming 3 collides on >=1
+    chunk (pigeonhole), so the candidate join is equi on (chunk_idx, chunk).
+    """
+    sigs = docs.select(F.col(id_col).alias("id"),
+                       simhash64(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        "id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("sig", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk"))
+    cand = (chunks.alias("a").join(chunks.alias("b"), ["chunk_idx", "chunk"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand
+            .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def _cosine(a, b) -> F.Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    JVM-side higher-order functions (zip_with/aggregate) — no Python. The
+    full product is blocked per-partition by Catalyst (BNLJ at local scale);
+    the 100 TB path uses similarity.ann_lsh_topk's hyperplane buckets as the
+    pre-filter instead of the full product.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def dedup_keep_best(docs: DataFrame, cluster_map: DataFrame,
+                    id_col: str = "doc_id",
+                    order_col: str = "n_chars") -> DataFrame:
+    """Keep one representative per near-dup cluster (max order_col, ties ->
+    min id) — the filter stage a training-data pipeline ends with."""
+    joined = docs.join(cluster_map, id_col)
+    w = Window.partitionBy("canonical").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc())
+    return (joined.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk", "canonical"))

@@ -1,0 +1,184 @@
+"""SHACL shapes re-expressed as DataFrame schema rules + triple validation.
+
+north_star: triples are "typed against SHACL-style node/property shapes (the
+repo's rdfs:Class / sh:NodeShape / sh:property patterns reimplemented as
+DataFrame schema rules)". Two entry points:
+
+- ``shape_rules_from_shacl``: pivots a SHACL triple table (as produced by
+  operators.extract.convert_specs_df, graph='shacl') into a relational rules
+  table (target_class, path, datatype, min_count, max_count, in_values,
+  node_kind) — pure DataFrame self-joins on the property-shape bnode, with
+  rdf:first/rdf:rest list reconstruction for sh:in. Reference shape emission:
+  shacl_converter.py:616-654 (property shapes), :344-353 (sh:in lists).
+
+- ``validate_triples``: checks a kg triple table against a rules table and
+  returns a violations DataFrame (quarantine); rules are broadcast (tiny dim
+  vs 10^12 triples), counting checks aggregate per (s, p) with map-side
+  partial aggregation — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST, RDF_REST, RDF_NIL = RDF + "first", RDF + "rest", RDF + "nil"
+RDF_TYPE = RDF + "type"
+
+
+def _po(triples: DataFrame, pred: str, out: str, kind: str | None = None) -> DataFrame:
+    # subjects encode bnodes as "_:label" while bnode objects are bare labels
+    # (extract.TRIPLES_SCHEMA) — strip the prefix so shape-to-shape joins line up
+    d = triples.filter(F.col("p") == pred)
+    if kind:
+        d = d.filter(F.col("o_kind") == kind)
+    return d.select(F.col("file"),
+                    F.regexp_replace("s", "^_:", "").alias("shape"),
+                    F.col("o").alias(out))
+
+
+def _rdf_lists(triples: DataFrame, max_len: int = 64) -> DataFrame:
+    """Reconstruct rdf:first/rdf:rest cons lists -> (file, head, values).
+
+    Iterative fixed-depth join: list cells are a tiny fraction of the shapes
+    graph, and enum lists in the corpus are short; each round advances every
+    open list one cell, so rounds = longest list, data stays bnode-sized.
+    """
+    first = (triples.filter(F.col("p") == RDF_FIRST)
+             .select("file", F.regexp_replace("s", "^_:", "").alias("cell"),
+                     F.col("o").alias("value")))
+    rest = (triples.filter(F.col("p") == RDF_REST)
+            .select("file", F.regexp_replace("s", "^_:", "").alias("cell"),
+                    F.col("o").alias("next")))
+
+    frontier = first.join(rest, ["file", "cell"]).select(
+        "file", F.col("cell").alias("head"), F.lit(0).alias("pos"),
+        "value", "next")
+    out = frontier.select("file", "head", "pos", "value")
+    for i in range(1, max_len):
+        frontier = (
+            frontier.filter(F.col("next") != RDF_NIL)
+            .select("file", "head", F.lit(i).alias("pos"),
+                    F.col("next").alias("cell"))
+            .join(first, ["file", "cell"]).join(rest, ["file", "cell"])
+            .select("file", "head", "pos", "value", "next"))
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier.select("file", "head", "pos", "value"))
+    return (out.groupBy("file", "head")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
+            .select("file", "head", F.col("pv.value").alias("values")))
+
+
+def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
+    """SHACL triple table -> rules(target_class, path, datatype, min_count,
+    max_count, in_values, node_kind)."""
+    node_shape = _po(shacl, SH + "targetClass", "target_class")
+    prop_link = _po(shacl, SH + "property", "prop_shape").withColumnRenamed("shape", "node")
+    path = _po(shacl, SH + "path", "path", kind="iri")
+    datatype = _po(shacl, SH + "datatype", "datatype")
+    min_c = _po(shacl, SH + "minCount", "min_count")
+    max_c = _po(shacl, SH + "maxCount", "max_count")
+    node_kind = _po(shacl, SH + "nodeKind", "node_kind")
+    in_head = _po(shacl, SH + "in", "head")
+    lists = _rdf_lists(shacl)
+
+    prop = (
+        node_shape.join(prop_link, on=[node_shape.file == prop_link.file,
+                                       node_shape.shape == prop_link.node])
+        .select(node_shape.file, "target_class", F.col("prop_shape").alias("shape"))
+        .join(path, ["file", "shape"])
+        .join(datatype, ["file", "shape"], "left")
+        .join(min_c, ["file", "shape"], "left")
+        .join(max_c, ["file", "shape"], "left")
+        .join(node_kind, ["file", "shape"], "left")
+        .join(in_head, ["file", "shape"], "left")
+        .join(lists, ["file", "head"], "left")
+    )
+    return prop.select(
+        "file", "target_class", "path", "datatype",
+        F.col("min_count").cast("int").alias("min_count"),
+        F.col("max_count").cast("int").alias("max_count"),
+        F.col("values").alias("in_values"),
+        "node_kind",
+    )
+
+
+def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
+    """Shape rules for the transcript KG vocabulary (the DataFrame-native
+    equivalent of hand-written sh:PropertyShapes for the kg namespace)."""
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # (target_class=None → applies to any subject), path, datatype,
+        # min_count, max_count, in_values, node_kind
+        (None, kg_ns + "role", xsd + "string", 1, 1,
+         ["user", "assistant", "tool", "system"], None),
+        (None, kg_ns + "atTime", xsd + "dateTime", 1, 1, None, None),
+        (None, kg_ns + "mentions", None, None, None, None, SH + "IRI"),
+        (None, kg_ns + "hasTurn", None, 1, None, None, SH + "IRI"),
+        (None, kg_ns + "surfaceForm", xsd + "string", None, None, None, None),
+        (None, RDF_TYPE, None, None, None, None, SH + "IRI"),
+    ]
+    return spark.createDataFrame(
+        [("kg", *r) for r in rows],
+        "file string, target_class string, path string, datatype string, "
+        "min_count int, max_count int, in_values array<string>, node_kind string")
+
+
+def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
+    """Triple table vs rules -> violations(s, p, o, violation, detail).
+
+    Per-triple checks (datatype / sh:in / nodeKind) are a broadcast join;
+    cardinality checks aggregate counts per (s, p). Subjects with no matching
+    rule pass (open-world, as SHACL semantics dictate).
+    """
+    r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
+
+    # class-scoped rules (target_class set) apply only to subjects typed with
+    # that class: resolve subject types once, then a broadcast semi-filter.
+    s_types = (triples.filter(F.col("p") == RDF_TYPE)
+               .select(F.col("s").alias("ts"), F.col("o").alias("stype"))
+               .dropDuplicates())
+    joined = triples.join(r, on="p", how="inner")
+    scoped = joined.filter(F.col("target_class").isNotNull()).join(
+        s_types, (F.col("s") == F.col("ts")) & (F.col("target_class") == F.col("stype")),
+        "left_semi")
+    per_triple = joined.filter(F.col("target_class").isNull()).unionByName(scoped)
+    dt_viol = (
+        per_triple
+        .filter(F.col("datatype").isNotNull() & (F.col("o_kind") == "literal")
+                & (F.col("o_datatype") != F.col("datatype")))
+        .select("s", "p", "o", F.lit("datatypeMismatch").alias("violation"),
+                F.concat(F.lit("expected "), "datatype", F.lit(" got "),
+                         F.coalesce("o_datatype", F.lit("null"))).alias("detail")))
+    in_viol = (
+        per_triple
+        .filter(F.col("in_values").isNotNull()
+                & ~F.array_contains(F.col("in_values"), F.col("o")))
+        .select("s", "p", "o", F.lit("notInList").alias("violation"),
+                F.concat_ws(",", "in_values").alias("detail")))
+    kind_viol = (
+        per_triple
+        .filter((F.col("node_kind") == SH + "IRI") & (F.col("o_kind") != "iri"))
+        .select("s", "p", "o", F.lit("nodeKindViolation").alias("violation"),
+                F.concat(F.lit("expected IRI got "), "o_kind").alias("detail")))
+
+    # cardinality over the already rule-scoped rows: partial (map-side)
+    # aggregation handles the fan-in; (s, p) keys are near-unique so no skew.
+    counts = (
+        per_triple.filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
+        .groupBy("s", "p", "min_count", "max_count")
+        .agg(F.count(F.lit(1)).alias("n")))
+    card_viol = (
+        counts.filter((F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))) |
+                      (F.col("min_count").isNotNull() & (F.col("n") < F.col("min_count"))))
+        .select("s", "p", F.lit(None).cast("string").alias("o"),
+                F.lit("cardinalityViolation").alias("violation"),
+                F.concat(F.lit("count="), F.col("n").cast("string"),
+                         F.lit(" min="), F.coalesce(F.col("min_count").cast("string"), F.lit("-")),
+                         F.lit(" max="), F.coalesce(F.col("max_count").cast("string"), F.lit("-")))
+                .alias("detail")))
+
+    return dt_viol.unionByName(in_viol).unionByName(kind_viol).unionByName(card_viol)

@@ -1,0 +1,103 @@
+"""The transcript → knowledge-graph pipeline (north_star), checkpoint-resumable.
+
+Stage DAG (each stage committed as a snapshot via plans.snapshot, with a
+fingerprint chained from its upstream stage + params, so a killed run resumes
+at the first uncommitted stage and recomputes nothing before it):
+
+    transcripts ──► extract ──► entities ──► canonical_map ──► graph
+                         └──────────────────────────────────────┤
+                                                                └► violations
+
+- transcripts: deterministic synthetic table (sources.transcripts) or any
+  DataFrame with the input_hint schema (conv_id, turn_idx, role, text, tool, ts)
+- extract:     mention detection + typed triple emission (operators.extract)
+- entities:    distinct entity IRIs + surface forms (projection of extract)
+- canonical_map: MinHash-LSH + exact-Jaccard + connected components
+- graph:       triples remapped through the canonical map, materialized as a
+               predicate-partitioned table (vertical partitioning — the
+               subject/predicate/object layout RDF stores use; partition
+               pruning makes single-predicate scans at 10^12 scale cheap)
+- violations:  SHACL-rule quarantine (operators.shapes)
+
+Every stage stays DataFrame/SQL + Arrow-vectorized UDFs (input_hint: no
+per-row Python).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import canonical_entity_map, remap_triples
+from ..operators.extract import ENT_NS, KG_NS, extract_transcript_triples
+from ..operators.shapes import kg_shape_rules, validate_triples
+from ..sources.transcripts import class_vocab_df, synth_transcripts
+from .snapshot import fingerprint, materialize, read_manifest
+
+TRIPLE_KEY = ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"]
+
+
+def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
+                 n_convs: int = 1000, seed: int = 42,
+                 transcripts: DataFrame | None = None,
+                 input_fp: str | None = None,
+                 jaccard_threshold: float = 0.9) -> dict:
+    """Run (or resume) the full pipeline; returns per-stage manifests."""
+    wd = pathlib.Path(workdir)
+    manifests: dict[str, dict] = {}
+
+    def stage(name, fp, thunk, partition_by=None, count_by=None):
+        df = materialize(thunk, spark, wd / name, fp,
+                         partition_by=partition_by, count_by=count_by)
+        manifests[name] = read_manifest(wd / name, fp)
+        return df
+
+    # -- transcripts ---------------------------------------------------------
+    if transcripts is None:
+        fp_t = fingerprint("transcripts", n_convs, seed)
+        turns = stage("transcripts", fp_t,
+                      lambda: synth_transcripts(spark, n_convs, seed))
+    else:
+        fp_t = input_fp or fingerprint("transcripts-external", str(transcripts.schema))
+        ext = transcripts
+        turns = stage("transcripts", fp_t, lambda: ext)
+
+    # -- extract -------------------------------------------------------------
+    fp_e = fingerprint(fp_t, "extract", "v1")
+    triples = stage(
+        "extract", fp_e,
+        lambda: extract_transcript_triples(turns, class_vocab_df(spark)),
+        count_by=["graph"])
+
+    # -- entities (projection; tiny vs the triple table) ---------------------
+    fp_ent = fingerprint(fp_e, "entities")
+    entities = stage(
+        "entities", fp_ent,
+        lambda: (triples
+                 .filter((F.col("p") == KG_NS + "surfaceForm"))
+                 .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+                 .dropDuplicates(["ent"])))
+
+    # -- canonical map -------------------------------------------------------
+    fp_c = fingerprint(fp_ent, "canonical_map", jaccard_threshold)
+    cmap = stage(
+        "canonical_map", fp_c,
+        lambda: canonical_entity_map(entities, threshold=jaccard_threshold))
+
+    # -- final graph table (vertical predicate partitioning) -----------------
+    fp_g = fingerprint(fp_e, fp_c, "graph")
+    graph = stage(
+        "graph", fp_g,
+        lambda: (remap_triples(triples, cmap, ENT_NS)
+                 .withColumn("pred", F.regexp_extract("p", r"([A-Za-z0-9_]+)$", 1))),
+        partition_by=["pred"], count_by=["pred"])
+
+    # -- violations quarantine ----------------------------------------------
+    fp_v = fingerprint(fp_g, "violations")
+    stage("violations", fp_v,
+          lambda: validate_triples(graph, kg_shape_rules(spark, KG_NS)),
+          count_by=["violation"])
+
+    return manifests

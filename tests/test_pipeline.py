@@ -1,0 +1,163 @@
+"""Pipeline-layer tests: snapshots/resume, Turtle sink, shape validation,
+canonicalization ground truth, end-to-end run."""
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
+from openapi_to_rdf_spark.operators.components import connected_components
+from openapi_to_rdf_spark.operators.extract import (
+    ENT_NS, KG_NS, extract_transcript_triples,
+)
+from openapi_to_rdf_spark.operators.shapes import (
+    kg_shape_rules, shape_rules_from_shacl, validate_triples,
+)
+from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+from openapi_to_rdf_spark.plans.snapshot import (
+    fingerprint, materialize, read_manifest, read_snapshot, write_snapshot,
+)
+from openapi_to_rdf_spark.sources.transcripts import class_vocab_df, synth_transcripts
+
+
+def test_snapshot_roundtrip_and_lineage(spark, tmp_path):
+    df = spark.range(0, 1000, 1, 4).withColumn("g", F.pmod("id", F.lit(3)))
+    fp = fingerprint("t", 1)
+    man = write_snapshot(df, tmp_path / "t", fp, count_by=["g"])
+    assert man["metrics"]["rows"] == 1000
+    assert sum(man["lineage"].values()) == 1000
+    assert len(man["lineage"]) >= 1
+    assert sum(man["metrics"]["counts"].values()) == 1000
+    back = read_snapshot(spark, tmp_path / "t", fp)
+    assert back.count() == 1000
+    assert read_manifest(tmp_path / "t")["fingerprint"] == fp
+
+
+def test_materialize_skips_committed_stage(spark, tmp_path):
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        return spark.range(10)
+
+    fp = fingerprint("stage", "a")
+    materialize(thunk, spark, tmp_path / "s", fp)
+    materialize(thunk, spark, tmp_path / "s", fp)
+    assert len(calls) == 1  # second call resumed from the committed snapshot
+
+
+def test_turtle_sink_roundtrip(spark, tmp_path):
+    from openapi_to_rdf_spark.convert.shacl import convert_shacl
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.sinks import write_turtle
+    from openapi_to_rdf_spark.triplecore.turtle import parse_turtle
+    from openapi_to_rdf_spark.triplecore.canon import canonicalize_bnodes
+
+    src = pathlib.Path("/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI/TS28623_GenericNrm.yaml")
+    specs = spark.createDataFrame([(src.name, src.read_text())], ["path", "content"])
+    triples = convert_specs_df(specs)
+    res = {(r.graph): r for r in write_turtle(triples, str(tmp_path / "out")).collect()}
+    assert set(res) == {"rdf", "shacl"}
+    conv = convert_shacl(src.name, src.read_text())
+    for gname, expected in [("rdf", conv.rdf), ("shacl", conv.sh)]:
+        written = parse_turtle(pathlib.Path(res[gname].out_path).read_text())
+        assert canonicalize_bnodes(written) == canonicalize_bnodes(expected)
+
+
+def test_shape_rules_from_converted_spec(spark):
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      required: [severity]
+      properties:
+        severity:
+          type: string
+          enum: [CRITICAL, MAJOR, MINOR]
+        count:
+          type: integer
+"""
+    specs = spark.createDataFrame([("alarms.yaml", yaml_text)], ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = {r["path"].rsplit("#", 1)[-1]: r
+             for r in shape_rules_from_shacl(shacl).collect()}
+    assert sorted(rules["severity"]["in_values"]) == ["CRITICAL", "MAJOR", "MINOR"]
+    assert rules["severity"]["min_count"] == 1 and rules["severity"]["max_count"] == 1
+    assert rules["count"]["datatype"].endswith("integer")
+    assert rules["count"]["min_count"] is None
+
+
+def test_validate_triples_catches_violations(spark):
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rows = [
+        # role not in the allowed list
+        ("c0", "kg", "t#1", KG_NS + "role", "literal", "alien", xsd + "string"),
+        # atTime with wrong datatype
+        ("c0", "kg", "t#1", KG_NS + "atTime", "literal", "x", xsd + "string"),
+        # duplicate role (maxCount 1)
+        ("c0", "kg", "t#2", KG_NS + "role", "literal", "user", xsd + "string"),
+        ("c0", "kg", "t#2", KG_NS + "role", "literal", "tool", xsd + "string"),
+        # mentions must be an IRI
+        ("c0", "kg", "t#3", KG_NS + "mentions", "literal", "oops", xsd + "string"),
+        # clean row
+        ("c0", "kg", "t#4", KG_NS + "role", "literal", "user", xsd + "string"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "file string, graph string, s string, p string, o_kind string, "
+              "o string, o_datatype string")
+    v = validate_triples(triples, kg_shape_rules(spark, KG_NS))
+    kinds = {r.violation for r in v.collect()}
+    assert kinds == {"notInList", "datatypeMismatch", "cardinalityViolation",
+                     "nodeKindViolation"}
+    assert v.filter(F.col("s") == "t#4").count() == 0
+
+
+def test_connected_components_salted(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "a")],
+        ["src", "dst"])
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["p"] == comp["q"] == comp["r"]
+    assert comp["x"] == comp["y"] != comp["a"]
+
+
+def test_canonicalization_ground_truth(spark):
+    turns = synth_transcripts(spark, 300, 42)
+    tr = extract_transcript_triples(turns, class_vocab_df(spark))
+    ents = (tr.filter(F.col("p") == KG_NS + "surfaceForm")
+            .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+            .dropDuplicates(["ent"]))
+    cmap = canonical_entity_map(ents, threshold=0.9)
+    j = cmap.withColumn("true_id", F.regexp_extract("ent", r"(\d{4})$", 1))
+    missed = (j.groupBy("true_id")
+              .agg(F.countDistinct("canonical").alias("n")).filter("n > 1").count())
+    over = (j.groupBy("canonical")
+            .agg(F.countDistinct("true_id").alias("n")).filter("n > 1").count())
+    assert missed == 0 and over == 0
+    assert cmap.count() == ents.count()  # total map: every entity covered
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    m1 = run_pipeline(spark, tmp_path / "wd", n_convs=200, seed=42)
+    assert set(m1) == {"transcripts", "extract", "entities", "canonical_map",
+                       "graph", "violations"}
+    assert m1["violations"]["metrics"]["rows"] == 0
+    assert m1["graph"]["metrics"]["rows"] > 0
+    assert "role" in m1["graph"]["metrics"]["counts"]
+    # second run resumes every stage (identical commit timestamps)
+    m2 = run_pipeline(spark, tmp_path / "wd", n_convs=200, seed=42)
+    assert all(m1[k]["committed_at"] == m2[k]["committed_at"] for k in m1)
+
+
+def test_transcripts_deterministic_across_parallelism(spark):
+    """Same (seed, n) at different partition counts -> identical rows; this is
+    what makes the N-vs-4N scaling benchmark run on identical input."""
+    a = synth_transcripts(spark, 100, 42, partitions=2)
+    b = synth_transcripts(spark, 100, 42, partitions=16)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # stable turn ordering invariant: text depends only on (conv_id, turn_idx)
+    assert a.groupBy("conv_id", "turn_idx").count().filter("count > 1").isEmpty()
