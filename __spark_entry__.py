@@ -1,38 +1,466 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship transcript→KG pipeline (extract →
+canonicalize → remap) plus a document-node stage over the sf0.001 tables.
+``queries()`` exposes every operator family from SURVEY.md §2 and the
+training-data-pipeline extensions; each oracle-checkable entry has an exact
+DuckDB twin in ``oracle_sql()`` (float columns are scaled to *_e6 BIGINT on
+both sides so value hashes compare integer-exactly).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _e6(col):
+    return F.round(col * 1000000).cast("long")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Transcript KG factory + document nodes over /root/testdata/sf0.001."""
+    from openapi_to_rdf_spark.operators.canonicalize import (
+        canonical_entity_map, remap_triples,
+    )
+    from openapi_to_rdf_spark.operators.extract import (
+        ENT_NS, KG_NS, extract_transcript_triples,
+    )
+    from openapi_to_rdf_spark.sources.transcripts import (
+        class_vocab_df, synth_transcripts,
+    )
 
+    turns = synth_transcripts(spark, 300, seed=42)
+    triples = extract_transcript_triples(turns, class_vocab_df(spark))
+    ents = (triples.filter(F.col("p") == KG_NS + "surfaceForm")
+            .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+            .dropDuplicates(["ent"]))
+    cmap = canonical_entity_map(ents, threshold=0.9)
+    kg = remap_triples(triples, cmap, ENT_NS)
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    doc_ns = "http://ericsson.com/models/3gpp/doc#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    doc_triples = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("file"),
+        F.lit("kg").alias("graph"),
+        F.concat(F.lit(doc_ns), F.col("doc_id").cast("string")).alias("s"),
+        F.lit(doc_ns + "lang").alias("p"),
+        F.lit("literal").alias("o_kind"),
+        F.col("lang").alias("o"),
+        F.lit(xsd + "string").alias("o_datatype"),
+    )
+    return kg.unionByName(doc_triples)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from openapi_to_rdf_spark.functions.text import (
+        doc_fingerprint, lang_id, punct_ratio, quality_score, stopword_ratio,
+        token_count,
+    )
+    from openapi_to_rdf_spark.operators.dedup import (
+        embedding_dup_pairs, exact_dedup_map, minhash_dedup_map,
+        ngram_jaccard_pairs, simhash_pairs,
+    )
+    from openapi_to_rdf_spark.operators.similarity import ann_lsh_topk, cosine_topk
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core (scan/filter/agg/join/window/distinct/sort) ----
+
+    def q_pricing_summary(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+                     _e6(F.sum("l_extendedprice")).alias("sum_base_price_e6"),
+                     _e6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                     .alias("sum_disc_price_e6"),
+                     _e6(F.avg("l_discount")).alias("avg_disc_e6"),
+                     F.count(F.lit(1)).alias("count_order"))
+                .orderBy("l_returnflag", "l_linestatus"))
+
+    def q_revenue_by_nation(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return (orders
+                .join(cust, orders.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                .groupBy("n_name")
+                .agg(_e6(F.sum("o_totalprice")).alias("revenue_e6"),
+                     F.countDistinct("o_custkey").alias("n_customers"))
+                .orderBy("n_name"))
+
+    def q_latest_event_per_user(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (ev.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_id", "event_type",
+                        _e6(F.col("value")).alias("value_e6")))
+
+    def q_event_type_stats(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct("user_id").alias("n_users"),
+                     _e6(F.sum("value")).alias("sum_value_e6")))
+
+    def q_top_parts(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        top = (li.groupBy("l_partkey")
+               .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+               .orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
+               .limit(10))
+        return (top.join(F.broadcast(part), top.l_partkey == part.p_partkey)
+                .select(F.col("l_partkey").alias("partkey"), "p_name", "total_qty")
+                .orderBy(F.col("total_qty").desc(), F.col("partkey").asc()))
+
+    # ---- text analysis ----
+
+    def q_doc_tokens(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id",
+                        token_count(F.col("text")).cast("long").alias("n_tokens"),
+                        F.length("text").cast("long").alias("n_chars_text"))
+
+    def q_doc_quality(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return d.select(
+            "doc_id",
+            _e6(punct_ratio(F.col("text"))).alias("punct_e6"),
+            _e6(stopword_ratio(F.col("text"))).alias("stopword_e6"),
+            _e6(quality_score(F.col("text"))).alias("quality_e6"))
+
+    def q_doc_langid(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        return (d.select(lang_id(F.col("text")).alias("pred_lang"))
+                .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs")))
+
+    def q_exact_dedup(spark, sf_dir):
+        return (exact_dedup_map(_docs(spark, sf_dir))
+                .select("doc_id", "fingerprint", "canonical_id", "is_duplicate"))
+
+    def q_ngram_dup_pairs(spark, sf_dir):
+        return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+                .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
+
+    def q_doc_mentions(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        pat = "(spark|query|join|window|stream|filter|merge)"
+        return (d.select(F.explode(
+                    F.expr(f"regexp_extract_all(text, '{pat}', 1)")).alias("term"))
+                .groupBy("term").agg(F.count(F.lit(1)).alias("n_mentions")))
+
+    # ---- embeddings ----
+
+    def q_cosine_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        q = (e.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("vector")))
+        r = cosine_topk(e, q, k=10)
+        return r.select("query_id", "neighbor_id",
+                        _e6(F.col("cosine")).alias("cosine_e6"),
+                        F.col("rank").cast("long").alias("rank"))
+
+    def q_embedding_dup_pairs(spark, sf_dir):
+        return (embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+                .select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6")))
+
+    # ---- rows-only (not ANSI-SQL-expressible) ----
+
+    def q_minhash_clusters(spark, sf_dir):
+        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.5)
+        return (m.filter(F.col("doc_id") != F.col("canonical"))
+                .orderBy("doc_id"))
+
+    def q_simhash_pairs(spark, sf_dir):
+        return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("id_a", "id_b")
+
+    def q_ann_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        q = (e.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("vector")))
+        r = ann_lsh_topk(e, q, k=10)
+        return r.select("query_id", "neighbor_id",
+                        _e6(F.col("cosine")).alias("cosine_e6"), "rank")
+
+    def q_convert_specs(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.extract import convert_specs_df
+        from openapi_to_rdf_spark.sources.specs import spec_paths_df, with_content
+
+        fixture_dir = "/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI"
+        paths = [f"{fixture_dir}/TS28623_ComDefs.yaml",
+                 f"{fixture_dir}/TS28532_HeartbeatNtf.yaml"]
+        specs = with_content(spec_paths_df(spark, paths))
+        return (convert_specs_df(specs)
+                .groupBy("file", "graph").agg(F.count(F.lit(1)).alias("n_triples"))
+                .orderBy("file", "graph"))
+
+    def q_kg_extract(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.extract import extract_transcript_triples
+        from openapi_to_rdf_spark.sources.transcripts import (
+            class_vocab_df, synth_transcripts,
+        )
+
+        turns = synth_transcripts(spark, 300, seed=42)
+        tr = extract_transcript_triples(turns, class_vocab_df(spark))
+        return (tr.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
+                .orderBy("p"))
+
+    def q_kg_canonicalize(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
+        from openapi_to_rdf_spark.operators.extract import (
+            KG_NS, extract_transcript_triples,
+        )
+        from openapi_to_rdf_spark.sources.transcripts import (
+            class_vocab_df, synth_transcripts,
+        )
+
+        turns = synth_transcripts(spark, 300, seed=42)
+        tr = extract_transcript_triples(turns, class_vocab_df(spark))
+        ents = (tr.filter(F.col("p") == KG_NS + "surfaceForm")
+                .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+                .dropDuplicates(["ent"]))
+        cmap = canonical_entity_map(ents, threshold=0.9)
+        return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
+                .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
+
+    def q_media_features(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.multimodal import (
+            decode_image_features, synth_media,
+        )
+
+        media = synth_media(_docs(spark, sf_dir))
+        feats = decode_image_features(media, fake=True)
+        return (feats.agg(F.count(F.lit(1)).alias("n_images"),
+                          F.sum(F.size("features")).cast("long").alias("n_features")))
+
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "latest_event_per_user": q_latest_event_per_user,
+        "event_type_stats": q_event_type_stats,
+        "top_parts": q_top_parts,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "exact_dedup": q_exact_dedup,
+        "ngram_dup_pairs": q_ngram_dup_pairs,
+        "doc_mentions": q_doc_mentions,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "convert_specs": q_convert_specs,
+        "kg_extract": q_kg_extract,
+        "kg_canonicalize": q_kg_canonicalize,
+        "media_features": q_media_features,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+_NORM = ("list_filter(string_split_regex(regexp_replace(regexp_replace(lower(text), "
+         "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), '\\s+'), x -> x != '')")
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
+
+_STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
+_STOP = {
+    "en": _STOP_EN,
+    "de": "['der','die','und','das','ist','ein','zu','den','von','mit']",
+    "es": "['el','la','de','que','y','en','un','es','por','los']",
+    "fr": "['le','la','et','les','des','un','est','que','dans','pour']",
+}
+
+
+def _sql_hits(lang: str) -> str:
+    return (f"len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"x -> x != ''), t -> list_contains({_STOP[lang]}, t)))")
+
+
+_PUNCT = ("case when length(regexp_replace(text, '\\s', '', 'g')) > 0 then "
+          "length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / "
+          "length(regexp_replace(text, '\\s', '', 'g')) else 0.0 end")
+
+_STOPRATIO = (f"case when len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')) > 0 "
+              f"then {_sql_hits('en')} * 1.0 / "
+              f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')) else 0.0 end")
+
+_QUALITY = (f"round(((case when len({_TOKS}) between 10 and 100000 then 1.0 else 0.0 end) "
+            f"+ (1.0 - least(({_PUNCT}) * 4, 1.0)) "
+            f"+ least(({_STOPRATIO}) * 5, 1.0)) / 3, 6)")
+
+_LANGID = (
+    f"case when greatest({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('es')}, {_sql_hits('fr')}) = 0 then 'und' "
+    f"when {_sql_hits('en')} = greatest({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('es')}, {_sql_hits('fr')}) then 'en' "
+    f"when {_sql_hits('de')} = greatest({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('es')}, {_sql_hits('fr')}) then 'de' "
+    f"when {_sql_hits('es')} = greatest({_sql_hits('en')}, {_sql_hits('de')}, {_sql_hits('es')}, {_sql_hits('fr')}) then 'es' "
+    f"else 'fr' end")
+
+_FINGERPRINT = ("md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+                "'\\s+', ' ', 'g'))")
+
+_SHINGLES = (f"list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+             f"for i in range(1, greatest(len(toks) - 1, 1))])")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 1e6) AS BIGINT) AS sum_base_price_e6,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT) AS sum_disc_price_e6,
+                   CAST(ROUND(AVG(l_discount) * 1e6) AS BIGINT) AS avg_disc_e6,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(ROUND(SUM(o_totalprice) * 1e6) AS BIGINT) AS revenue_e6,
+                   COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS value_e6
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
+        "event_type_stats": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   CAST(ROUND(SUM(value) * 1e6) AS BIGINT) AS sum_value_e6
+            FROM events GROUP BY event_type
+        """,
+        "top_parts": """
+            WITH top AS (
+              SELECT l_partkey AS partkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY total_qty DESC, partkey ASC LIMIT 10)
+            SELECT partkey, p_name, total_qty
+            FROM top JOIN part ON partkey = p_partkey
+            ORDER BY total_qty DESC, partkey ASC
+        """,
+        "doc_tokens": f"""
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_text
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(ROUND(({_PUNCT}) * 1e6) AS BIGINT) AS punct_e6,
+                   CAST(ROUND(({_STOPRATIO}) * 1e6) AS BIGINT) AS stopword_e6,
+                   CAST(ROUND(({_QUALITY}) * 1e6) AS BIGINT) AS quality_e6
+            FROM documents
+        """,
+        "doc_langid": f"""
+            SELECT {_LANGID} AS pred_lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "exact_dedup": f"""
+            WITH fp AS (SELECT doc_id, {_FINGERPRINT} AS fingerprint FROM documents),
+            canon AS (SELECT fingerprint, MIN(doc_id) AS canonical_id FROM fp GROUP BY 1)
+            SELECT doc_id, fp.fingerprint, canonical_id,
+                   doc_id != canonical_id AS is_duplicate
+            FROM fp JOIN canon ON fp.fingerprint = canon.fingerprint
+        """,
+        "ngram_dup_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, {_SHINGLES} AS sh
+              FROM (SELECT doc_id, {_NORM} AS toks, text FROM documents)),
+            ex AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM d WHERE len(sh) > 0),
+            sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+              FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
+            FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+            WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+        """,
+        "doc_mentions": """
+            SELECT term, COUNT(*) AS n_mentions
+            FROM (SELECT unnest(regexp_extract_all(text,
+                     '(spark|query|join|window|stream|filter|merge)', 1)) AS term
+                  FROM documents)
+            GROUP BY term
+        """,
+        # cosine is recomputed in double precision with Spark's exact formula
+        # (dot / (sqrt(na)*sqrt(nb))) — list_cosine_similarity is float32 and
+        # drifts in the 6th decimal
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+              FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id,
+                   CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_dup_pairs": """
+            WITH scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
+            FROM scored WHERE cosine >= 0.4
+        """,
+        # minhash_clusters / simhash_pairs / ann_topk / convert_specs /
+        # kg_extract / kg_canonicalize / media_features: non-SQL-expressible
+        # (LSH banding, pandas-UDF signatures, recursive spec conversion,
+        # synthetic transcript generator) → rows-only driver check.
+    }
+
+
+if __name__ == "__main__":
+    from openapi_to_rdf_spark.session import get_spark
+
+    spark = get_spark(cores=8, shuffle_partitions=8)
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(5, truncate=90)
+    spark.stop()

@@ -1,0 +1,109 @@
+"""spark-submit entrypoint.
+
+Two subcommands:
+
+- ``convert`` — the reference CLI re-expressed (reference main.py:89-145):
+  positional YAML files/dirs, --base-namespace, --format {shacl,owl},
+  --namespace-prefix, plus Spark-era flags --parallelism and --output-dir.
+  Per-file ✓/✗ summary and exit code 1 on any failure (main.py:79-86), but
+  computed from the distributed status table instead of a driver loop.
+
+- ``kg`` — the transcript→knowledge-graph pipeline (checkpoint-resumable;
+  plans.pipeline). --workdir is the snapshot root: re-running with the same
+  inputs resumes at the first uncommitted stage.
+
+Run as:  spark-submit --py-files openapi_to_rdf_spark.zip -m ... or
+         python -m openapi_to_rdf_spark.cli <subcommand> ...
+(in local mode the module builds its own session; under spark-submit the
+existing session/conf is reused by getOrCreate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+VERSION = "0.1.0"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="openapi-to-rdf-spark")
+    p.add_argument("--version", action="version", version=f"%(prog)s {VERSION}")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="convert OpenAPI YAML specs to RDF/SHACL Turtle")
+    c.add_argument("input", nargs="+", help="YAML files or directories")
+    c.add_argument("--base-namespace", default=None)
+    c.add_argument("--format", choices=["shacl", "owl"], default="shacl")
+    c.add_argument("--namespace-prefix", default=None,
+                   help="base URI prefix (default mirrors the reference)")
+    c.add_argument("--output-dir", default="output")
+    c.add_argument("--parallelism", type=int, default=None)
+    c.add_argument("--cores", type=int, default=None)
+
+    k = sub.add_parser("kg", help="run the transcript→KG pipeline")
+    k.add_argument("--workdir", required=True, help="snapshot/checkpoint root")
+    k.add_argument("--n-convs", type=int, default=10_000)
+    k.add_argument("--seed", type=int, default=42)
+    k.add_argument("--input-table", default=None,
+                   help="parquet path of a transcript table (conv_id, turn_idx, "
+                        "role, text, tool, ts); default: deterministic synthetic")
+    k.add_argument("--jaccard-threshold", type=float, default=0.9)
+    k.add_argument("--cores", type=int, default=None)
+    return p
+
+
+def cmd_convert(args) -> int:
+    from .operators.extract import convert_specs_df, convert_status_df
+    from .session import get_spark
+    from .sinks import write_turtle
+    from .sources.specs import spec_paths_df, with_content
+
+    spark = get_spark(app_name="openapi-to-rdf-convert", cores=args.cores)
+    specs = with_content(spec_paths_df(spark, args.input, args.parallelism))
+    specs = specs.cache()
+
+    triples = convert_specs_df(specs, base_namespace=args.base_namespace,
+                               prefix=args.namespace_prefix, fmt=args.format)
+    results = write_turtle(triples, args.output_dir).collect()
+    status = convert_status_df(specs, base_namespace=args.base_namespace,
+                               prefix=args.namespace_prefix).collect()
+
+    ok = [r for r in status if r.status == "ok"]
+    bad = [r for r in status if r.status != "ok"]
+    for r in ok:
+        print(f"  ✓ {r.file}: {r.rdf_triples} rdf + {r.shacl_triples} shacl triples")
+    for r in bad:
+        print(f"  ✗ {r.file}: {r.error}", file=sys.stderr)
+    print(f"\n{len(ok)} succeeded, {len(bad)} failed; "
+          f"{len(results)} Turtle files → {args.output_dir}")
+    return 1 if bad else 0
+
+
+def cmd_kg(args) -> int:
+    from .plans.pipeline import run_pipeline
+    from .session import get_spark
+
+    spark = get_spark(app_name="kg-pipeline", cores=args.cores)
+    transcripts = None
+    if args.input_table:
+        transcripts = spark.read.parquet(args.input_table)
+    manifests = run_pipeline(
+        spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
+        transcripts=transcripts, jaccard_threshold=args.jaccard_threshold)
+    for name, m in manifests.items():
+        extra = ""
+        if m["metrics"].get("counts"):
+            top = sorted(m["metrics"]["counts"].items())[:4]
+            extra = " (" + ", ".join(f"{k}={v}" for k, v in top) + ")"
+        print(f"  {name}: {m['metrics']['rows']} rows, snap {m['fingerprint']}{extra}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    return cmd_convert(args) if args.cmd == "convert" else cmd_kg(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,13 +66,13 @@ def quality_score(col: Column) -> Column:
 def lang_scores(col: Column) -> Column:
     """Per-language stopword hit counts as a struct (the n-gram heuristic)."""
     toks = tokens(F.lower(col))
-    fields = []
-    for lang, words in STOPWORDS.items():
+
+    def hit_counter(words):
         stops = F.array(*[F.lit(w) for w in words])
-        fields.append(
-            F.size(F.filter(toks, lambda t, s=stops: F.array_contains(s, t)))
-            .alias(lang))
-    return F.struct(*fields)
+        return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+    return F.struct(*[hit_counter(words).alias(lang)
+                      for lang, words in STOPWORDS.items()])
 
 
 def lang_id(col: Column) -> Column:
@@ -101,6 +101,10 @@ def doc_fingerprint(col: Column) -> Column:
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct, for Jaccard)."""
     toks = tokens(normalized_text(col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.array_distinct(F.transform(
+    # guard: sequence(0, -1) would COUNT DOWN in Spark, so short docs need an
+    # explicit empty-array branch
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))

@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths per the training-data-pipeline charter:
+
+- cosine_topk: exact brute-force top-k — the small-query-set baseline. The
+  query side is broadcast (a handful of vectors vs the full corpus), cosine
+  is computed with JVM higher-order functions (zip_with + aggregate, fully
+  codegen'd), top-k via a per-query window. Linear scan of the corpus: at
+  100 TB this is one pass, no shuffle of the big side at all.
+
+- ann_lsh_topk: approximate path — random-hyperplane LSH (sign bits of dot
+  products with R fixed Gaussian vectors, seeded → deterministic) buckets the
+  corpus; each query probes only its own bucket(s), so per-query cost drops
+  from |corpus| to |bucket|. Multi-probe (flip one bit) bounds recall loss.
+  The hyperplanes are literal columns, so bucketing is also pure JVM.
+
+An IVF variant is bucket-by-nearest-centroid with the same probe-join shape;
+hyperplane LSH is chosen here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries: (query_id, vector) — small; broadcast against the corpus scan.
+    Returns (query_id, neighbor_id, cosine, rank), excluding self-matches.
+    """
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col("query_id"),
+                       F.col("vector").cast("array<double>").alias("qv"))
+    scored = (corpus.join(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def hyperplane_bucket(vec_col, planes: np.ndarray):
+    """LSH bucket id = sign-bit string of <v, plane_i> — pure JVM expression."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 8, seed: int = 13,
+                 multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH buckets + (optional) 1-bit probes.
+
+    Corpus is bucketed once (reusable across query batches — materialize the
+    bucketed table); each query joins only matching buckets. Equi-join on
+    bucket → hash shuffle on the corpus side only at first build.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+              .withColumn("bucket", hyperplane_bucket(F.col("v"), planes)))
+    q = (queries.select("query_id", F.col("vector").cast("array<double>").alias("qv"))
+         .withColumn("qbucket", hyperplane_bucket(F.col("qv"), planes)))
+    if multiprobe:
+        # probe home bucket + each 1-bit-flip neighbor bucket
+        probes = F.array(F.col("qbucket"), *[
+            F.concat(
+                F.substring("qbucket", 1, i),
+                F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("qbucket", i + 2, n_planes - i - 1))
+            for i in range(n_planes)])
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    else:
+        q = q.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+
+    scored = (corpus.join(F.broadcast(q), "bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "neighbor_id"])
+              .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

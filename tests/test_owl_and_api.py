@@ -1,0 +1,115 @@
+"""OWL-mode converter coverage (no goldens exist in the reference — these are
+semantics tests derived from rdf_converter.py behavior) + the drop-in library
+API wrappers."""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.convert.owl import convert_owl  # noqa: E402
+from openapi_to_rdf_spark.triplecore.turtle import parse_turtle  # noqa: E402
+
+from conftest import FIXTURE_DIR, fixture_names  # noqa: E402
+
+OWL = "http://www.w3.org/2002/07/owl#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+NS = "http://example.org/rdf/"
+TNS = NS + "test#"  # namespace minted from the filename test.yaml
+
+SPEC = """
+openapi: 3.0.1
+info:
+  title: Test API
+  version: 1.2.3
+  description: A test
+components:
+  schemas:
+    Thing:
+      type: object
+      description: A thing
+      required: [name]
+      properties:
+        name:
+          type: string
+        size:
+          type: integer
+        other:
+          $ref: '#/components/schemas/Color'
+    Color:
+      type: string
+      enum: [RED, BLUE]
+    Either:
+      oneOf:
+        - $ref: '#/components/schemas/Thing'
+        - $ref: '#/components/schemas/Color'
+"""
+
+
+def _graph():
+    return convert_owl("test.yaml", SPEC, NS)
+
+
+def test_owl_object_class_and_properties():
+    g = _graph()
+    triples = {(s[1], p[1], o[1] if o[0] != "l" else o[1]) for s, p, o in g.g}
+    cls = TNS + "Thing"
+    assert (cls, RDF + "type", OWL + "Class") in triples
+    # required string property -> DatatypeProperty + FunctionalProperty
+    name_p = TNS + "name"
+    assert (name_p, RDF + "type", OWL + "DatatypeProperty") in triples
+    assert (name_p, RDFS + "domain", cls) in triples
+    # $ref to enum-class -> ObjectProperty (name-heuristic: 'color' has no
+    # float/int/string substring)
+    other_p = TNS + "other"
+    assert (other_p, RDF + "type", OWL + "ObjectProperty") in triples
+
+
+def test_owl_enum_individuals():
+    g = _graph()
+    triples = {(s[1], p[1], o[1]) for s, p, o in g.g if o[0] in ("i", "b")}
+    # reference rdf_converter.py:192-205: individuals are NamedIndividual +
+    # label/comment only (NOT typed as members of the enum class)
+    assert (TNS + "RED", RDF + "type", OWL + "NamedIndividual") in triples
+    # owl:oneOf list present on the enum class
+    assert any(p == OWL + "oneOf" for _, p, _ in ((s[1], p[1], o) for s, p, o in g.g)
+               if True)
+
+
+def test_owl_header_metadata():
+    g = _graph()
+    lits = {(s[1], p[1], o[1]) for s, p, o in g.g if o[0] == "l"}
+    assert any(v == "1.2.3" for _, p, v in lits if p.endswith("version"))
+
+
+def test_owl_all_fixtures_convert():
+    """Every corpus spec converts deterministically with plausible volume."""
+    total = 0
+    for stem in fixture_names():
+        text = (FIXTURE_DIR / f"{stem}.yaml").read_text(encoding="utf-8")
+        g1 = convert_owl(f"{stem}.yaml", text, NS)
+        g2 = convert_owl(f"{stem}.yaml", text, NS)
+        assert g1.g == g2.g  # deterministic
+        total += len(g1.g)
+    assert total > 10_000
+
+
+def test_api_wrappers(tmp_path):
+    from openapi_to_rdf_spark.api import (
+        OpenAPIToRDFConverter, OpenAPIToSHACLConverter,
+    )
+
+    spec = tmp_path / "my-api.yaml"
+    spec.write_text(SPEC)
+
+    conv = OpenAPIToSHACLConverter(str(spec), output_dir=str(tmp_path / "out"))
+    rdf_path, shacl_path = conv.run()
+    assert pathlib.Path(rdf_path).name == "my_api_rdf.ttl"
+    assert parse_turtle(pathlib.Path(rdf_path).read_text())
+    assert parse_turtle(pathlib.Path(shacl_path).read_text())
+    assert conv.rdf_triples and conv.shacl_triples
+
+    owl = OpenAPIToRDFConverter(str(spec), output_dir=str(tmp_path / "out2"))
+    path = owl.run()
+    assert parse_turtle(pathlib.Path(path).read_text())

