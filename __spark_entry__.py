@@ -161,7 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "fingerprint", "canonical_id", "is_duplicate"))
 
     def q_ngram_dup_pairs(spark, sf_dir):
-        return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+        return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
                 .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
 
     def q_doc_mentions(spark, sf_dir):
@@ -408,7 +408,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
             FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-            WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.5
+            WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
         """,
         "doc_mentions": """
             SELECT term, COUNT(*) AS n_mentions

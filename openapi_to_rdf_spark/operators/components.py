@@ -59,9 +59,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             )
         ).localCheckpoint()
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        # projection of the already-checkpointed `updated` — lineage stays
+        # O(1) without a second materialization per round
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
-        labels = labels.localCheckpoint()
 
     return labels

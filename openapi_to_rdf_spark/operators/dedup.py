@@ -47,34 +47,51 @@ def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8,
-                        max_posting: int = 1000) -> DataFrame:
-    """Exact n-gram-Jaccard pairs (id_a < id_b, jaccard >= threshold).
+                        threshold: float = 0.8) -> DataFrame:
+    """EXACT n-gram-Jaccard pairs (id_a < id_b, jaccard >= threshold) via
+    prefix filtering (AllPairs/PPJoin).
 
-    Inverted index: explode distinct shingles, drop shingles shared by more
-    than ``max_posting`` docs (stop-list — skew cap), self-join on shingle,
-    count co-occurrences, then Jaccard from per-doc shingle counts.
+    Under a global shingle order (rarity-ascending), two sets with
+    J >= t MUST collide within their first ``|S| - ceil(t*|S|) + 1``
+    shingles — so only that prefix is indexed. Candidate volume drops from
+    O(sum df^2) (full inverted index; quadratic on low-entropy corpora) to
+    the prefix postings, with zero false negatives. Verification computes
+    true Jaccard with array_intersect on the per-doc shingle arrays — all
+    JVM, no Python. Rarity ordering doubles as skew handling: the hottest
+    shingles sit at the END of every prefix, so posting lists stay short.
     """
-    sh = (docs.select(F.col(id_col).alias("id"),
-                      F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    posting = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-          .filter(F.col("df") <= max_posting),
-        "shingle")
-    pairs = (
-        posting.alias("a").join(posting.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common")))
-    return (
-        pairs
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("sh_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("sh_b")), "id_b")
-        .withColumn("jaccard", F.round(
-            F.col("common") / (F.col("sh_a") + F.col("sh_b") - F.col("common")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard"))
+    base = (docs.select(F.col(id_col).alias("id"),
+                        word_ngrams(F.col(text_col), n).alias("grams"))
+            .filter(F.size("grams") > 0))
+
+    ex = base.select("id", F.size("grams").alias("n_sh"),
+                     F.explode("grams").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (ex.join(df_tbl, "shingle")
+              .withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= F.col("n_sh")
+                      - F.ceil(F.lit(threshold) * F.col("n_sh") - 1e-9) + 1)
+              .select("id", "n_sh", "shingle"))
+
+    # length filter (necessary condition for J >= t: t*|B| <= |A| <= |B|/t)
+    # applied inside the candidate join — prunes before the dedup shuffle
+    cand = (prefix.alias("a").join(prefix.alias("b"), "shingle")
+            .filter((F.col("a.id") < F.col("b.id"))
+                    & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+                    & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    a_side = (base.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a")))
+    b_side = (base.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b")))
+    return (cand.join(a_side, "id_a").join(b_side, "id_b")
+            .withColumn("common", F.size(F.array_intersect("grams_a", "grams_b")))
+            .withColumn("jaccard", F.round(
+                F.col("common") /
+                (F.size("grams_a") + F.size("grams_b") - F.col("common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def minhash_dedup_map(docs: DataFrame, id_col: str = "doc_id",

@@ -204,35 +204,49 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
     )
 
     mention_rows = mentions.filter(F.col("mention").isNotNull())
+
+    # dedup happens on NARROW key columns BEFORE URI strings are minted —
+    # the wide 7-column global dropDuplicates this replaces was the dominant
+    # shuffle (full triple rows); the three emission branches produce
+    # disjoint predicates so no global dedup is needed afterwards.
+    turn_mentions = mention_rows.dropDuplicates(["conv_id", "turn_idx", "m_key"])
+    entity_rows = mention_rows.select("m_class", "m_key").dropDuplicates()
+
     if class_vocab is not None:
         # broadcast dictionary join: class token -> class IRI (small dim table)
-        mention_rows = mention_rows.join(
+        entity_rows = entity_rows.join(
             F.broadcast(class_vocab.select(F.col("class_name").alias("m_class"),
                                            F.col("class_iri"))),
             on="m_class", how="left")
     else:
-        mention_rows = mention_rows.withColumn("class_iri", F.lit(None).cast("string"))
-
-    typed = mention_rows.withColumn(
+        entity_rows = entity_rows.withColumn("class_iri", F.lit(None).cast("string"))
+    entity_rows = entity_rows.withColumn(
         "class_iri",
         F.coalesce("class_iri", F.lit("http://www.w3.org/2000/01/rdf-schema#Resource")))
 
-    mention_triples = (
-        typed.select(
-            "conv_id",
-            F.array(
-                t(turn_iri, KG_NS + "mentions", "iri", ent_iri),
-                t(ent_iri, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri",
-                  F.col("class_iri")),
-                t(ent_iri, KG_NS + "surfaceForm", "literal", F.col("m_key"),
-                  xsd + "string"),
-            ).alias("triples"))
-        .select("conv_id", F.explode("triples").alias("tr"))
-        .select(F.col("conv_id").alias("file"), F.lit("kg").alias("graph"),
-                F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
-                F.col("tr.o_kind").alias("o_kind"), F.col("tr.o").alias("o"),
-                F.col("tr.o_datatype").alias("o_datatype"))
-    )
+    def as_triples(df, conv_col, triples_col):
+        return (df.select(conv_col.alias("file"), F.explode(triples_col).alias("tr"))
+                .select("file", F.lit("kg").alias("graph"),
+                        F.col("tr.s").alias("s"), F.col("tr.p").alias("p"),
+                        F.col("tr.o_kind").alias("o_kind"), F.col("tr.o").alias("o"),
+                        F.col("tr.o_datatype").alias("o_datatype")))
 
-    return per_turn.unionByName(mention_triples).dropDuplicates(
-        ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"])
+    mention_triples = as_triples(
+        turn_mentions, F.col("conv_id"),
+        F.array(t(turn_iri, KG_NS + "mentions", "iri", ent_iri)))
+
+    # entity-level facts carry no conversation provenance: file='entities'
+    # (they are global assertions deduplicated across the whole corpus).
+    # type is per (class, key); surfaceForm per key alone (a key mentioned
+    # under two classes still has ONE surface form).
+    type_triples = as_triples(
+        entity_rows, F.lit("entities"),
+        F.array(t(ent_iri, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                  "iri", F.col("class_iri"))))
+    surface_triples = as_triples(
+        entity_rows.select("m_key").dropDuplicates(), F.lit("entities"),
+        F.array(t(ent_iri, KG_NS + "surfaceForm", "literal", F.col("m_key"),
+                  xsd + "string")))
+
+    return (per_turn.unionByName(mention_triples)
+            .unionByName(type_triples).unionByName(surface_triples))

@@ -1,0 +1,79 @@
+"""Structured-Streaming ingest for the transcript → triple factory.
+
+The reference is batch-only (SURVEY.md §2.4: streaming absent); this is the
+engine extension for continuously-arriving transcripts. Design:
+
+- the micro-batch path (``foreachBatch``) reuses the *batch* extractor
+  verbatim, so streaming and batch emission semantics are identical by
+  construction; per-turn/entity dedup applies within each micro-batch, and
+  global set semantics land in the downstream snapshot merge (exactly like
+  re-running the batch pipeline over an appended partition).
+- exactly-once: the sink appends Parquet keyed by ``batch_id`` under the
+  output dir and Spark's streaming checkpoint (WAL + committed offsets)
+  guarantees a batch is either fully reprocessed or skipped on restart —
+  re-delivered batches overwrite their own partition (idempotent).
+- a pure-streaming variant (``stream_turn_triples``) exposes the stateless
+  transform chain directly (regex/explode/joins are all streaming-safe) with
+  watermarked within-watermark dedup for pipelines that want a true
+  continuous query instead of micro-batch commits.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_transcript_triples
+
+
+def stream_turn_triples(stream: DataFrame, class_vocab: DataFrame | None = None,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Continuous-query variant: stateless emission + watermarked dedup.
+
+    Input: a STREAMING DataFrame with the transcript schema. Output: a
+    streaming triple DataFrame. Mention/entity dedup here is scoped to the
+    watermark window (state is bounded); use the foreachBatch path when
+    corpus-global dedup is required.
+    """
+    wm = stream.withWatermark("ts", watermark)
+    return extract_transcript_triples(wm, class_vocab)
+
+
+def start_stream_pipeline(stream: DataFrame, output_dir: str,
+                          class_vocab: DataFrame | None = None,
+                          trigger_once: bool = True):
+    """foreachBatch micro-batch pipeline: batch extractor + idempotent
+    per-batch Parquet commit + per-batch metrics sidecar.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    out = pathlib.Path(output_dir)
+    data_dir = out / "triples"
+    metrics_dir = out / "_batch_metrics"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = extract_transcript_triples(batch_df, class_vocab)
+        # partition-by-batch overwrite => replayed batches are idempotent
+        (triples.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(str(data_dir / f"batch_id={batch_id}")))
+        n = spark.read.parquet(str(data_dir / f"batch_id={batch_id}")).count()
+        (spark.createDataFrame([(batch_id, n)], "batch_id long, triples long")
+         .write.mode("overwrite")
+         .parquet(str(metrics_dir / f"batch_id={batch_id}")))
+
+    writer = (stream.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", str(out / "_checkpoint")))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_triples(spark, output_dir: str) -> DataFrame:
+    """Read back everything the streaming pipeline has committed."""
+    return spark.read.option("basePath", str(pathlib.Path(output_dir) / "triples")) \
+        .parquet(str(pathlib.Path(output_dir) / "triples" / "batch_id=*"))
