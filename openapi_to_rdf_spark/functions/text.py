@@ -109,6 +109,22 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalized_text(col))
 
 
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of the alnum-normalized, lowercased
+    text (array<string>, JVM-side) — the exact-Jaccard verification basis for
+    MinHash candidates. Short strings are right-padded with '_' to n."""
+    norm = F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+    # NB: Spark's rpad TRUNCATES strings longer than the target length —
+    # pad only the short case
+    s = F.when(F.length(norm) < n, F.rpad(norm, n, "_")).otherwise(norm)
+
+    def grams_of(t):  # bound once — see word_ngrams
+        idx = F.sequence(F.lit(1), F.length(t) - n + 1)
+        return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+    return F.element_at(F.transform(F.array(s), grams_of), 1)
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct, for Jaccard)."""
     toks = tokens(normalized_text(col))
