@@ -135,6 +135,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("l_partkey").alias("partkey"), "p_name", "total_qty")
                 .orderBy(F.col("total_qty").desc(), F.col("partkey").asc()))
 
+    def q_sessionize(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.events import session_stats
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return session_stats(ev, gap_minutes=30)
+
+    def q_asof_join(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.events import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+        left = ev.filter(F.col("event_type") == types[0]) \
+            .select("event_id", "user_id", "ts")
+        # right pre-aggregated to one row per (user, ts) → deterministic as-of
+        right = (ev.filter(F.col("event_type") == types[1])
+                 .groupBy("user_id", "ts")
+                 .agg(_e6(F.max("value")).alias("ref_value_e6")))
+        r = asof_join(left, right, on="user_id",
+                      left_ts="ts", right_ts="ts", right_cols=["ref_value_e6"])
+        return r.select("event_id", "user_id", "ref_value_e6")
+
+    def q_event_rollup(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.events import event_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return event_rollup(ev)
+
+    def q_user_setops(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+        a = ev.filter(F.col("event_type") == types[0]).select("user_id").distinct()
+        b = ev.filter(F.col("event_type") == types[1]).select("user_id").distinct()
+        return (a.intersect(b).withColumn("relation", F.lit("both"))
+                .unionByName(a.exceptAll(b).withColumn("relation", F.lit("only_first"))))
+
     # ---- text analysis ----
 
     def q_doc_tokens(spark, sf_dir):
@@ -263,6 +298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "event_type_stats": q_event_type_stats,
         "top_parts": q_top_parts,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "event_rollup": q_event_rollup,
+        "user_setops": q_user_setops,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -371,6 +410,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT partkey, p_name, total_qty
             FROM top JOIN part ON partkey = p_partkey
             ORDER BY total_qty DESC, partkey ASC
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w IS NULL
+                       OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 30*60
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            sess AS (
+              SELECT user_id, ts, value,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                    ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(MAX(floor(epoch(ts))) - MIN(floor(epoch(ts))) AS BIGINT) AS span_sec,
+                   CAST(ROUND(SUM(value) * 1e6) AS BIGINT) AS sum_value_e6
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        # same union+carry-forward algorithm as operators/events.asof_join —
+        # native ASOF JOIN has different tie semantics, so the oracle mirrors
+        # the implementation's definition (latest right_ts <= left_ts)
+        "asof_join": """
+            WITH types AS (SELECT DISTINCT event_type FROM events ORDER BY event_type),
+            t0 AS (SELECT event_type FROM types LIMIT 1),
+            t1 AS (SELECT event_type FROM types LIMIT 1 OFFSET 1),
+            l AS (SELECT event_id, user_id, ts, 1 AS tag,
+                         CAST(NULL AS BIGINT) AS ref_value_e6
+                  FROM events WHERE event_type = (SELECT * FROM t0)),
+            r AS (SELECT CAST(NULL AS BIGINT) AS event_id, user_id, ts, 0 AS tag,
+                         CAST(ROUND(MAX(value) * 1e6) AS BIGINT) AS ref_value_e6
+                  FROM events WHERE event_type = (SELECT * FROM t1)
+                  GROUP BY user_id, ts),
+            u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            carried AS (
+              SELECT event_id, user_id, tag,
+                LAST_VALUE(CASE WHEN tag = 0 THEN ref_value_e6 END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, tag ASC
+                        ROWS UNBOUNDED PRECEDING) AS ref_value_e6
+              FROM u)
+            SELECT event_id, user_id, ref_value_e6 FROM carried WHERE tag = 1
+        """,
+        "event_rollup": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(value) * 1e6) AS BIGINT) AS sum_value_e6,
+                   CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS grp
+            FROM events
+            GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "user_setops": """
+            WITH types AS (SELECT DISTINCT event_type FROM events ORDER BY event_type),
+            a AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = (SELECT event_type FROM types LIMIT 1)),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = (SELECT event_type FROM types LIMIT 1 OFFSET 1))
+            SELECT user_id, 'both' AS relation FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+            UNION ALL
+            SELECT user_id, 'only_first' AS relation FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
         """,
         "doc_tokens": f"""
             SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

@@ -1,0 +1,85 @@
+"""Event-stream batch operators: sessionization, as-of join, rollup.
+
+These cover the generic-engine categories SURVEY.md §2.4 lists beyond the
+reference's own surface (windows, grouping sets, temporal joins) — the ops a
+transcript/event pipeline needs at 100 TB. All pure DataFrame; shuffles are
+keyed on user_id (high cardinality, no skew) or broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    user's previous event exceeds ``gap_minutes``.
+
+    One shuffle (partition by user), two window passes over it — the
+    classic lag → boundary-flag → running-sum pattern; both windows share
+    the same partitioning so Catalyst plans a single exchange.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)))
+    return with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).drop("new_session")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates (events, span seconds, value sum)."""
+    s = sessionize(events, gap_minutes)
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(F.col("ts").cast("timestamp").cast("long"))
+                  - F.min(F.col("ts").cast("timestamp").cast("long")))
+                 .alias("span_sec"),
+                 F.round(F.sum("value") * 1000000).cast("long").alias("sum_value_e6")))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
+              right_ts: str, right_cols: list[str]) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key.
+
+    Implemented as union → single window pass (the sort-based as-of):
+    tag rows, order by (key, ts, tag), carry the last right value forward
+    with last_value(ignoreNulls). One shuffle on the key — no range-join
+    explosion, no per-key loop; this is the scalable form of the operator
+    (a broadcast-range join would blow up at 10^12 rows).
+    """
+    lt = left.withColumn("_tag", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"),
+        *[F.col(c) for c in right_cols]).withColumn("_tag", F.lit(0))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # NB: determinism requires right unique per (key, right_ts) — pre-agg the
+    # right side if it isn't (multiple right rows at one ts would carry an
+    # arbitrary one)
+    w = (Window.partitionBy(on).orderBy(F.col("_ts").asc(), F.col("_tag").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.select(
+        "*", *[F.last(F.when(F.col("_tag") == 0, F.col(c)), ignorenulls=True)
+               .over(w).alias(f"_asof_{c}") for c in right_cols])
+    return (carried.filter(F.col("_tag") == 1)
+            .drop("_tag", "_ts", *right_cols)
+            .select("*", *[F.col(f"_asof_{c}").alias(c) for c in right_cols])
+            .drop(*[f"_asof_{c}" for c in right_cols]))
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """ROLLUP (event_type, event day) — grouping-sets coverage; partial
+    aggregation handles the fan-in, grouping_id disambiguates levels."""
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (events.select("event_type", day, "value")
+            .rollup("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value") * 1000000).cast("long").alias("sum_value_e6"),
+                 F.grouping_id().alias("grp")))

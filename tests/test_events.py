@@ -1,0 +1,58 @@
+"""Event operators: sessionization, as-of join, rollup — crafted-row
+semantics tests (the DuckDB oracles cover them at table scale)."""
+
+import datetime as dt
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.operators.events import (  # noqa: E402
+    asof_join, event_rollup, sessionize,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 0, minute)
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, _ts(0)), (2, 100, _ts(10)),   # session 1 (gap 10m < 30m)
+        (3, 100, _ts(50)),                     # session 2 (gap 40m)
+        (4, 200, _ts(5)),                      # other user -> own session 1
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]) \
+        .withColumn("value", F.lit(1.0))
+    got = {r.event_id: r.session_seq for r in sessionize(ev, 30).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(10, 1, _ts(5)), (11, 1, _ts(20)), (12, 1, _ts(2)), (13, 2, _ts(9))],
+        ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, _ts(3), 30), (1, _ts(20), 200), (2, _ts(50), 999)],
+        ["user_id", "ts", "ref"])
+    got = {r.event_id: r.ref for r in
+           asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                     right_cols=["ref"]).collect()}
+    assert got[10] == 30      # latest right at/before 00:05 is 00:03
+    assert got[11] == 200     # equal timestamp counts (<=)
+    assert got[12] is None    # nothing before 00:02
+    assert got[13] is None    # user 2's only right row is later
+
+
+def test_event_rollup_levels(spark):
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(0), 1.0), (2, "a", _ts(1), 2.0), (3, "b", _ts(2), 4.0)],
+        ["event_id", "event_type", "ts", "value"])
+    rows = event_rollup(ev).collect()
+    total = [r for r in rows if r.grp == 3]
+    assert len(total) == 1 and total[0].n == 3
+    assert total[0].sum_value_e6 == 7_000_000
+    by_type = {r.event_type: r.n for r in rows if r.grp == 1}
+    assert by_type == {"a": 2, "b": 1}
