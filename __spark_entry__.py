@@ -282,6 +282,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
                 .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
 
+    def q_value_percentiles(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy("event_type")
+                .agg(_e6(F.expr("percentile(value, 0.5)")).alias("p50_e6"),
+                     _e6(F.expr("percentile(value, 0.9)")).alias("p90_e6"),
+                     _e6(F.min("value")).alias("min_e6"),
+                     _e6(F.max("value")).alias("max_e6")))
+
+    def q_shacl_rules(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.extract import convert_specs_df
+        from openapi_to_rdf_spark.operators.shapes import shape_rules_from_shacl
+
+        fixture = ("/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI/"
+                   "TS28623_ComDefs.yaml")
+        import pathlib as _pl
+
+        specs = spark.createDataFrame(
+            [("TS28623_ComDefs.yaml", _pl.Path(fixture).read_text())],
+            ["path", "content"])
+        shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+        rules = shape_rules_from_shacl(shacl)
+        return (rules.agg(
+            F.count(F.lit(1)).alias("n_rules"),
+            F.count("datatype").alias("n_datatype"),
+            F.count("min_count").alias("n_min"),
+            F.count("max_count").alias("n_max"),
+            F.count("in_values").alias("n_in")))
+
     def q_media_features(spark, sf_dir):
         from openapi_to_rdf_spark.operators.multimodal import (
             decode_image_features, synth_media,
@@ -313,6 +341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "value_percentiles": q_value_percentiles,
+        "shacl_rules": q_shacl_rules,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
@@ -548,6 +578,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM scored WHERE cosine >= 0.4
         """,
+        "value_percentiles": """
+            SELECT event_type,
+                   CAST(ROUND(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS p50_e6,
+                   CAST(ROUND(quantile_cont(value, 0.9) * 1e6) AS BIGINT) AS p90_e6,
+                   CAST(ROUND(MIN(value) * 1e6) AS BIGINT) AS min_e6,
+                   CAST(ROUND(MAX(value) * 1e6) AS BIGINT) AS max_e6
+            FROM events GROUP BY event_type
+        """,
+        # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs /
         # kg_extract / kg_canonicalize / media_features: non-SQL-expressible
         # (LSH banding, pandas-UDF signatures, recursive spec conversion,

@@ -39,37 +39,48 @@ def _po(triples: DataFrame, pred: str, out: str, kind: str | None = None) -> Dat
                     F.col("o").alias(out))
 
 
-def _rdf_lists(triples: DataFrame, max_len: int = 64) -> DataFrame:
+def _rdf_lists(triples: DataFrame) -> DataFrame:
     """Reconstruct rdf:first/rdf:rest cons lists -> (file, head, values).
 
-    Iterative fixed-depth join: list cells are a tiny fraction of the shapes
-    graph, and enum lists in the corpus are short; each round advances every
-    open list one cell, so rounds = longest list, data stays bnode-sized.
+    One ``applyInPandas`` chain-walk per file: a shapes graph is per-file
+    METADATA (bounded by schema size, ~10^4 triples), so each file's cons
+    cells fit one Arrow batch and a linear dict-walk beats an iterative
+    join loop (which costs one Spark job per list element).
     """
-    first = (triples.filter(F.col("p") == RDF_FIRST)
-             .select("file", F.regexp_replace("s", "^_:", "").alias("cell"),
-                     F.col("o").alias("value")))
-    rest = (triples.filter(F.col("p") == RDF_REST)
-            .select("file", F.regexp_replace("s", "^_:", "").alias("cell"),
-                    F.col("o").alias("next")))
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    frontier = first.join(rest, ["file", "cell"]).select(
-        "file", F.col("cell").alias("head"), F.lit(0).alias("pos"),
-        "value", "next")
-    out = frontier.select("file", "head", "pos", "value")
-    for i in range(1, max_len):
-        frontier = (
-            frontier.filter(F.col("next") != RDF_NIL)
-            .select("file", "head", F.lit(i).alias("pos"),
-                    F.col("next").alias("cell"))
-            .join(first, ["file", "cell"]).join(rest, ["file", "cell"])
-            .select("file", "head", "pos", "value", "next"))
-        if frontier.isEmpty():
-            break
-        out = out.unionByName(frontier.select("file", "head", "pos", "value"))
-    return (out.groupBy("file", "head")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
-            .select("file", "head", F.col("pv.value").alias("values")))
+    cells = (triples.filter(F.col("p").isin(RDF_FIRST, RDF_REST))
+             .select("file", F.regexp_replace("s", "^_:", "").alias("cell"),
+                     "p", "o"))
+
+    schema = StructType([
+        StructField("file", StringType(), False),
+        StructField("head", StringType(), False),
+        StructField("values", ArrayType(StringType()), False),
+    ])
+
+    def walk(pdf):
+        import pandas as pd
+
+        first, rest = {}, {}
+        for cell, p, o in zip(pdf["cell"], pdf["p"], pdf["o"]):
+            (first if p == RDF_FIRST else rest)[cell] = o
+        heads = set(first) - {nxt for nxt in rest.values() if nxt != RDF_NIL}
+        rows = []
+        fname = pdf["file"].iloc[0]
+        for head in heads:
+            values, cell, seen = [], head, set()
+            while cell in first and cell not in seen:
+                seen.add(cell)
+                values.append(first[cell])
+                nxt = rest.get(cell, RDF_NIL)
+                if nxt == RDF_NIL:
+                    break
+                cell = nxt
+            rows.append((fname, head, values))
+        return pd.DataFrame(rows, columns=["file", "head", "values"])
+
+    return cells.groupBy("file").applyInPandas(walk, schema)
 
 
 def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
