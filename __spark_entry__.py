@@ -225,7 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- rows-only (not ANSI-SQL-expressible) ----
 
     def q_minhash_clusters(spark, sf_dir):
-        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.5)
+        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.8)
         return (m.filter(F.col("doc_id") != F.col("canonical"))
                 .orderBy("doc_id"))
 

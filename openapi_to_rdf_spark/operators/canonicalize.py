@@ -120,8 +120,13 @@ def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
         bands = 4 if threshold >= 0.85 else 8
     pairs = lsh_candidate_pairs(entities, id_col, text_col, k=k, bands=bands,
                                 shingle=shingle)
-    sh = entities.select(F.col(id_col).alias("id"),
-                         char_ngrams(F.col(text_col), shingle).alias("sh"))
+    # grams hashed to int64 before the verify join: candidate rows carry
+    # 8-byte elements instead of strings (matters when texts are documents,
+    # not short entity keys)
+    sh = entities.select(
+        F.col(id_col).alias("id"),
+        F.transform(char_ngrams(F.col(text_col), shingle),
+                    lambda g: F.xxhash64(g)).alias("sh"))
     a_sh = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b_sh = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     edges = (

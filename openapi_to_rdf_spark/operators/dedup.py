@@ -96,10 +96,18 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_dedup_map(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.8,
-                      k: int = 64, bands: int = 16) -> DataFrame:
-    """MinHash-LSH near-dup clustering -> (doc_id, canonical) total map."""
+                      k: int = 64, bands: int | None = None) -> DataFrame:
+    """MinHash-LSH near-dup clustering -> (doc_id, canonical) total map.
+
+    Banding is threshold-aware (8 rows/band at t>=0.7, else 4): documents
+    sharing a vocabulary saturate their shingle sets, so short bands at a
+    low threshold flood the candidate join — longer bands keep candidates
+    near the true-pair set and verification (exact Jaccard) stays cheap.
+    """
     from .canonicalize import canonical_entity_map
 
+    if bands is None:
+        bands = k // 8 if threshold >= 0.7 else k // 4
     ents = docs.select(F.col(id_col).cast("string").alias("ent"),
                        F.col(text_col).alias("surface"))
     m = canonical_entity_map(ents, threshold=threshold, k=k, bands=bands, shingle=4)
