@@ -161,3 +161,18 @@ def test_transcripts_deterministic_across_parallelism(spark):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
     # stable turn ordering invariant: text depends only on (conv_id, turn_idx)
     assert a.groupBy("conv_id", "turn_idx").count().filter("count > 1").isEmpty()
+
+
+def test_pipeline_quarantines_corrupt_transcripts(spark, tmp_path):
+    """Mutated input (invalid role) must land in the violations quarantine,
+    not crash the pipeline (reference per-file error isolation, main.py:56-77,
+    re-expressed as row-level quarantine)."""
+    turns = synth_transcripts(spark, 50, seed=3)
+    corrupt = turns.withColumn(
+        "role", F.when(F.col("turn_idx") == 0, F.lit("alien"))
+        .otherwise(F.col("role")))
+    m = run_pipeline(spark, tmp_path / "wd", transcripts=corrupt,
+                     input_fp="corrupt-50-3")
+    assert m["violations"]["metrics"]["rows"] > 0
+    assert "notInList" in m["violations"]["metrics"]["counts"]
+    assert m["graph"]["metrics"]["rows"] > 0  # conforming triples still land

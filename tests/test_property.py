@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): Turtle round-trip, bnode
+canonicalization invariance, converter totality over generated specs."""
+
+import pathlib
+import sys
+
+from hypothesis import given, settings, strategies as st
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.triplecore.canon import canonicalize_bnodes  # noqa: E402
+from openapi_to_rdf_spark.triplecore.terms import (  # noqa: E402
+    bnode, iri, literal, typed_literal,
+)
+from openapi_to_rdf_spark.triplecore.turtle import (  # noqa: E402
+    parse_turtle, serialize_turtle,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+iris = st.builds(
+    lambda a, b: iri(f"http://example.org/{a}#{b}"),
+    st.text(st.characters(categories=("Lu", "Ll", "Nd")), min_size=1, max_size=8),
+    st.text(st.characters(categories=("Lu", "Ll", "Nd")), min_size=1, max_size=8))
+bnodes = st.builds(lambda x: bnode(f"b{x}"), st.integers(0, 5))
+plain_texts = st.text(max_size=40)
+literals = st.one_of(
+    st.builds(literal, plain_texts),
+    st.builds(literal, st.integers(-10**9, 10**9)),
+    st.builds(literal, st.booleans()),
+    st.builds(lambda s: typed_literal(s, XSD + "dateTime"), plain_texts),
+)
+subjects = st.one_of(iris, bnodes)
+objects = st.one_of(iris, bnodes, literals)
+triples = st.sets(st.tuples(subjects, iris, objects), min_size=0, max_size=25)
+
+
+@settings(max_examples=60, deadline=None)
+@given(triples)
+def test_turtle_roundtrip(ts):
+    """serialize -> parse recovers the triple set up to bnode relabeling."""
+    text = serialize_turtle(ts)
+    back = parse_turtle(text)
+    assert canonicalize_bnodes(back) == canonicalize_bnodes(ts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(triples, st.permutations(list(range(6))))
+def test_bnode_canonicalization_invariant_to_relabeling(ts, perm):
+    """Renaming bnodes consistently never changes the canonical form."""
+    def rename(term):
+        if term[0] == "b" and term[1].startswith("b") and term[1][1:].isdigit():
+            return bnode(f"b{perm[int(term[1][1:])]}")
+        return term
+
+    renamed = {(rename(s), p, rename(o) if o[0] == "b" else o) for s, p, o in ts}
+    assert canonicalize_bnodes(renamed) == canonicalize_bnodes(ts)
+
+
+schema_defs = st.deferred(lambda: st.one_of(
+    st.fixed_dictionaries({"type": st.just("string")},
+                          optional={"enum": st.lists(st.sampled_from(["A", "B", None]), max_size=3),
+                                    "pattern": st.just("^[a-z]+$"),
+                                    "maxLength": st.integers(1, 99)}),
+    st.fixed_dictionaries({"type": st.just("integer")},
+                          optional={"minimum": st.integers(-5, 5)}),
+    st.fixed_dictionaries({"type": st.just("boolean")}),
+    st.fixed_dictionaries({"$ref": st.sampled_from(
+        ["#/components/schemas/Other", "ext.yaml#/components/schemas/Int32"])}),
+    st.fixed_dictionaries(
+        {"type": st.just("object")},
+        optional={"properties": st.dictionaries(
+            st.sampled_from(["alpha", "beta-x", "gamma"]), schema_defs, max_size=2),
+            "required": st.lists(st.sampled_from(["alpha", "gamma"]), max_size=2)}),
+    st.fixed_dictionaries({"type": st.just("array")},
+                          optional={"items": schema_defs,
+                                    "minItems": st.integers(0, 3)}),
+    st.fixed_dictionaries({"anyOf": st.lists(schema_defs, min_size=1, max_size=2)}),
+))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(st.sampled_from(["Alpha", "Beta", "Other"]),
+                       schema_defs, min_size=1, max_size=3))
+def test_converter_total_and_deterministic(schemas):
+    """convert_shacl never crashes on generated spec trees and is a pure
+    function of its input."""
+    import yaml
+
+    from openapi_to_rdf_spark.convert.shacl import convert_shacl
+
+    text = yaml.safe_dump(
+        {"openapi": "3.0.1", "components": {"schemas": schemas}})
+    a = convert_shacl("gen.yaml", text)
+    b = convert_shacl("gen.yaml", text)
+    assert (a.rdf, a.sh) == (b.rdf, b.sh)
+    # every emitted triple is well-formed (3 terms, tagged kinds)
+    for s, p, o in a.rdf | a.sh:
+        assert s[0] in ("i", "b") and p[0] == "i" and o[0] in ("i", "b", "l")
