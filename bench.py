@@ -196,7 +196,7 @@ def main() -> None:
         # /proc/stat; see BENCH.md), so 8 is the largest honest level.
         lo_cores = _argval("scale-lo", 2)
         hi_cores = _argval("scale-hi", max(lo_cores * 4, 4))
-        n_scale = _argval("n-convs", 400_000)
+        n_scale = _argval("n-convs", 1_000_000)
         lo = _subprocess_kg(lo_cores, n_scale)
         hi = _subprocess_kg(hi_cores, n_scale)
         t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]

@@ -71,6 +71,25 @@ def cmd_convert(args) -> int:
 
     ok = [r for r in status if r.status == "ok"]
     bad = [r for r in status if r.status != "ok"]
+
+    # empty graphs still get a (1-byte) output file, like the reference's
+    # unconditional serializer call (shacl_converter.py:945-975)
+    import os as _os
+
+    from .sinks import _SUBDIR, _SUFFIX
+
+    written = {(r.file, r.graph) for r in results}
+    graphs = ["owl"] if args.format == "owl" else ["rdf", "shacl"]
+    for r in ok:
+        stem = r.file.rsplit(".", 1)[0].replace("-", "_")
+        for g in graphs:
+            if (r.file, g) not in written:
+                sub = _SUBDIR.get(g, g)
+                d = _os.path.join(args.output_dir, sub) if sub else args.output_dir
+                _os.makedirs(d, exist_ok=True)
+                with open(_os.path.join(d, f"{stem}{_SUFFIX.get(g, '')}.ttl"),
+                          "w", encoding="utf-8") as fh:
+                    fh.write("\n")
     for r in ok:
         print(f"  ✓ {r.file}: {r.rdf_triples} rdf + {r.shacl_triples} shacl triples")
     for r in bad:

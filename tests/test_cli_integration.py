@@ -1,0 +1,38 @@
+"""End-to-end CLI integration: convert the full 38-spec corpus through the
+distributed path (spec source → mapInPandas converter → Turtle sink) and
+compare every output file against the reference goldens as bnode-canonical
+triple sets. This is the whole-system parity gate; the pure-function gate is
+tests/test_convert_golden.py."""
+
+import pathlib
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from conftest import FIXTURE_DIR, GOLDEN_RDF, GOLDEN_SHACL, fixture_names  # noqa: E402
+
+
+@pytest.mark.skipif(not FIXTURE_DIR.exists(), reason="reference unavailable")
+def test_cli_convert_full_corpus_matches_goldens(spark, tmp_path):
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.triplecore.canon import canonicalize_bnodes
+    from openapi_to_rdf_spark.triplecore.turtle import parse_turtle
+
+    out = tmp_path / "out"
+    rc = main(["convert", str(FIXTURE_DIR), "--output-dir", str(out)])
+    assert rc == 0
+
+    stems = fixture_names()
+    assert len(stems) == 38
+    for stem in stems:
+        fstem = stem.replace("-", "_")
+        for sub, golden_dir, suffix in [("rdf", GOLDEN_RDF, "_rdf"),
+                                        ("shacl", GOLDEN_SHACL, "_shacl")]:
+            ours_path = out / sub / f"{fstem}{suffix}.ttl"
+            golden_path = golden_dir / f"{fstem}{suffix}.ttl"
+            assert ours_path.exists(), f"missing output {ours_path}"
+            ours = canonicalize_bnodes(parse_turtle(ours_path.read_text()))
+            golden = canonicalize_bnodes(parse_turtle(golden_path.read_text()))
+            assert ours == golden, f"triple mismatch for {fstem} {sub}"

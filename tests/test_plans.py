@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the optimizer properties the engine relies on
+at 100 TB (broadcast joins, parquet pushdown, no Python in JVM-only paths).
+These catch silent plan regressions that row-count tests never would."""
+
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_extraction_is_jvm_only_with_broadcast_vocab(spark):
+    from openapi_to_rdf_spark.operators.extract import extract_transcript_triples
+    from openapi_to_rdf_spark.sources.transcripts import (
+        class_vocab_df, synth_transcripts,
+    )
+
+    plan = _plan(extract_transcript_triples(synth_transcripts(spark, 10),
+                                            class_vocab_df(spark)))
+    assert "BroadcastHashJoin" in plan          # vocab dim is broadcast
+    assert "SortMergeJoin" not in plan          # never shuffles the dim join
+    assert "EvalPython" not in plan             # no Python UDFs in this path
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "de").select("doc_id", "n_chars")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]" in plan
+    # column pruning: text (the wide column) must NOT be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    from openapi_to_rdf_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter("vec_id < 2")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("vector")))
+    plan = _plan(cosine_topk(emb, q, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan       # corpus is never shuffled NxM
+
+
+def test_shape_validation_broadcasts_rules(spark):
+    from openapi_to_rdf_spark.operators.extract import (
+        KG_NS, extract_transcript_triples,
+    )
+    from openapi_to_rdf_spark.operators.shapes import (
+        kg_shape_rules, validate_triples,
+    )
+    from openapi_to_rdf_spark.sources.transcripts import synth_transcripts
+
+    triples = extract_transcript_triples(synth_transcripts(spark, 10))
+    plan = _plan(validate_triples(triples, kg_shape_rules(spark, KG_NS)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["pricing_summary"](spark, SF))
+    # partial (map-side) then final aggregate — one exchange on the group key
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
