@@ -51,3 +51,32 @@ def test_stream_matches_batch(spark, tmp_path):
     q2 = start_stream_pipeline(stream2, str(out), class_vocab_df(spark))
     q2.awaitTermination(120)
     assert read_stream_triples(spark, str(out)).count() == n_before
+
+
+def test_stateful_conversation_tracking(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running summaries accumulate
+    across micro-batches (update mode, state survives between batches)."""
+    from openapi_to_rdf_spark.streaming.stateful import track_conversations
+
+    src = tmp_path / "src"
+    turns = synth_transcripts(spark, 30, seed=11)
+    # two chunks SPLIT BY TURN: the same conversation appears in both batches,
+    # so correct totals require state carry-over
+    turns.filter(F.col("turn_idx") < 2).coalesce(1).write.parquet(str(src / "c0"))
+    turns.filter(F.col("turn_idx") >= 2).coalesce(1).write.parquet(str(src / "c1"))
+
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (track_conversations(stream).writeStream
+         .format("memory").queryName("convs").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # last update per conversation must equal the batch ground truth
+    got = (spark.table("convs")
+           .groupBy("conv_id").agg(F.max("n_turns").alias("n_turns")))
+    expected = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
