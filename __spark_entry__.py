@@ -282,6 +282,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
                 .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
 
+    def q_doc_winnowing(spark, sf_dir):
+        from openapi_to_rdf_spark.functions.text import winnowing_fingerprints
+
+        d = _docs(spark, sf_dir)
+        fps = d.select("doc_id",
+                       winnowing_fingerprints(F.col("text"), k=5, window=4).alias("fps"))
+        return fps.select("doc_id",
+                          F.size("fps").cast("long").alias("n_fingerprints"),
+                          F.element_at("fps", 1).alias("min_fp"))
+
+    def q_bpe_tokens(spark, sf_dir):
+        from openapi_to_rdf_spark.functions.text import bpe_ish_token_count
+
+        d = _docs(spark, sf_dir)
+        return d.select("doc_id",
+                        bpe_ish_token_count(F.col("text")).cast("long")
+                        .alias("n_bpe_tokens"))
+
+    def q_embedding_dups_lsh(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.dedup import embedding_dup_pairs_lsh
+
+        return (embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4)
+                .select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6"))
+                .orderBy("id_a", "id_b"))
+
     def q_value_percentiles(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (ev.groupBy("event_type")
@@ -341,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "doc_winnowing": q_doc_winnowing,
+        "bpe_tokens": q_bpe_tokens,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "value_percentiles": q_value_percentiles,
         "shacl_rules": q_shacl_rules,
         "convert_specs": q_convert_specs,
@@ -578,6 +606,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM scored WHERE cosine >= 0.4
         """,
+        # winnowing (MOSS): positional 5-gram md5 hashes over normalized
+        # text, min per sliding window of 4, distinct+sorted
+        "doc_winnowing": f"""
+            WITH fps AS (
+              SELECT doc_id,
+                list_sort(list_distinct(
+                  [list_aggregate(hashes[w : w + 3], 'min')
+                   for w in range(1, greatest(len(hashes) - 3, 1) + 1)])) AS fp
+              FROM (
+                SELECT doc_id,
+                  [md5(substr(t, i, 5))
+                   for i in range(1, greatest(length(t) - 4, 1) + 1)] AS hashes
+                FROM (SELECT doc_id,
+                        regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g') AS t
+                      FROM documents)))
+            SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+                   fp[1] AS min_fp
+            FROM fps
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT)
+                   AS n_bpe_tokens
+            FROM documents
+        """,
+        # embedding_dups_lsh: rows-only (hyperplane bucketing)
         "value_percentiles": """
             SELECT event_type,
                    CAST(ROUND(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS p50_e6,

@@ -32,11 +32,12 @@ def token_count(col: Column) -> Column:
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Sub-word-ish token estimate: split on whitespace AND on letter/digit/
-    punctuation boundaries (the regex stand-in for a BPE tokenizer)."""
-    return F.size(F.filter(
-        F.split(col, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[^\w\s])|(?<=[^\w\s])"),
-        lambda t: t != ""))
+    """Sub-word-ish token count: runs of letters, runs of digits, and single
+    punctuation marks each count as one token (the regex stand-in for a BPE
+    tokenizer). Extraction-based (RE2-compatible — no lookarounds), so the
+    DuckDB oracle can run the identical pattern."""
+    return F.size(F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -107,6 +108,36 @@ def normalized_text(col: Column) -> Column:
 def doc_fingerprint(col: Column) -> Column:
     """Content fingerprint of the normalized text (exact-dup key)."""
     return F.md5(normalized_text(col))
+
+
+def winnowing_fingerprints(col: Column, k: int = 5, window: int = 4) -> Column:
+    """MOSS-style winnowing: hash every k-gram of the normalized text, then
+    keep the MIN hash of each sliding window of ``window`` consecutive
+    k-grams (distinct, sorted). Robust document fingerprints — two documents
+    sharing any sufficiently long passage share fingerprints regardless of
+    position. Pure JVM (array slicing + aggregate), oracle-expressible.
+    """
+    # positional k-gram hashes (char_ngrams dedups, so hash positionally);
+    # md5 hex as the hash so the DuckDB oracle computes identical values —
+    # window-min is then lexicographic over hex strings in both engines
+    norm = normalized_text(col)
+
+    def fps_of(t):
+        n_grams = F.length(t) - k + 1
+        hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                             lambda i: F.md5(F.substring(t, i, k)))
+
+        # second binding level: without it, the full `hashes` expression tree
+        # is re-inlined into every window slice → O(n²) md5 calls per row
+        def mins_of(hs):
+            n_windows = F.size(hs) - window + 1
+            return F.array_sort(F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda w: F.array_min(F.slice(hs, w, window)))))
+
+        return F.element_at(F.transform(F.array(hashes), mins_of), 1)
+
+    return F.element_at(F.transform(F.array(norm), fps_of), 1)
 
 
 def char_ngrams(col: Column, n: int = 3) -> Column:

@@ -193,6 +193,50 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cosine"))
 
 
+def embedding_dup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95, n_planes: int = 8,
+                            seed: int = 13, multiprobe: bool = True) -> DataFrame:
+    """Approximate cosine near-dup pairs — the 100 TB path.
+
+    Random-hyperplane buckets (similarity.hyperplane_bucket) prefilter the
+    pair space to same-bucket (+ optional 1-bit-flip probe) collisions, then
+    exact cosine verifies — so precision is 1.0 and recall follows the
+    hyperplane collision curve (~(1-θ/π)^planes + probes; high for genuine
+    near-dups). Equi-join on bucket replaces the O(n²) product of
+    embedding_dup_pairs.
+    """
+    from .similarity import _cosine, _hyperplanes, hyperplane_bucket
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = (emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("bucket", hyperplane_bucket(F.col("v"), planes)))
+
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[
+            F.concat(
+                F.substring("bucket", 1, i),
+                F.when(F.substring("bucket", i + 1, 1) == "1",
+                       F.lit("0")).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, n_planes - i - 1))
+            for i in range(n_planes)])
+        left = base.select(F.explode(probes).alias("bucket"),
+                           F.col("id").alias("id_a"), F.col("v").alias("va"))
+    else:
+        left = base.select("bucket", F.col("id").alias("id_a"),
+                           F.col("v").alias("va"))
+    right = base.select("bucket", F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    return (left.join(right, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def dedup_keep_best(docs: DataFrame, cluster_map: DataFrame,
                     id_col: str = "doc_id",
                     order_col: str = "n_chars") -> DataFrame:

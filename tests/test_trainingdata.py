@@ -173,3 +173,44 @@ def test_entry_contract(spark):
     for name in ["pricing_summary", "doc_quality", "cosine_topk", "kg_extract"]:
         out = qs[name](spark, SF)
         assert out.count() >= 0
+
+
+def test_winnowing_shared_passage(spark):
+    """Docs sharing a long passage share winnowing fingerprints; unrelated
+    docs share (nearly) none."""
+    from openapi_to_rdf_spark.functions.text import winnowing_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, "PREFIX one " + passage),
+            (2, passage + " SUFFIX two"),
+            (3, "completely different content with no overlap whatsoever xyz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id", winnowing_fingerprints(F.col("text")).alias("fps")).collect()}
+    shared_12 = len(fps[1] & fps[2])
+    assert shared_12 >= 5                      # passage fingerprints overlap
+    assert len(fps[1] & fps[3]) <= 1           # unrelated ≈ disjoint
+
+
+def test_embedding_lsh_dedup_recall_on_planted_dups(emb, spark):
+    """Scale path vs brute force: planted near-dups (vector + tiny noise)
+    must be recovered with good recall and perfect precision."""
+    from openapi_to_rdf_spark.operators.dedup import (
+        embedding_dup_pairs, embedding_dup_pairs_lsh,
+    )
+
+    base = emb.filter("vec_id < 60").select("vec_id", "embedding")
+    twins = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.02).alias("embedding"))
+    corpus = base.select("vec_id", F.col("embedding").cast("array<double>")
+                         .alias("embedding")).unionByName(twins)
+
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_dup_pairs(corpus, threshold=0.999).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in embedding_dup_pairs_lsh(corpus, threshold=0.999).collect()}
+    assert len(exact) >= 60                    # the planted twins
+    assert approx <= exact                     # perfect precision (verified)
+    assert len(approx & exact) / len(exact) >= 0.95  # scaled twin = identical
