@@ -282,6 +282,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
                 .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
 
+    def q_doc_split(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.sampling import train_val_test_split
+
+        d = _docs(spark, sf_dir)
+        return (train_val_test_split(d, "doc_id", val=0.1, test=0.1)
+                .groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars")))
+
+    def q_doc_sample(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.sampling import deterministic_sample
+
+        d = _docs(spark, sf_dir)
+        return (deterministic_sample(d, 0.05, "doc_id")
+                .select("doc_id", "source").orderBy("doc_id"))
+
     def q_doc_winnowing(spark, sf_dir):
         from openapi_to_rdf_spark.functions.text import winnowing_fingerprints
 
@@ -366,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "doc_split": q_doc_split,
+        "doc_sample": q_doc_sample,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -605,6 +623,20 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM scored WHERE cosine >= 0.4
+        """,
+        "doc_split": """
+            WITH h AS (
+              SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS f
+              FROM documents)
+            SELECT CASE WHEN f < 0.1 THEN 'test'
+                        WHEN f < 0.2 THEN 'val' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM h GROUP BY 1
+        """,
+        "doc_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < 0.05
         """,
         # winnowing (MOSS): positional 5-gram md5 hashes over normalized
         # text, min per sliding window of 4, distinct+sorted
