@@ -351,6 +351,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("max_count").alias("n_max"),
             F.count("in_values").alias("n_in")))
 
+    def q_kg_graph_stats(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.extract import (
+            KG_NS, extract_transcript_triples,
+        )
+        from openapi_to_rdf_spark.operators.graphq import (
+            class_histogram, co_mention_edges, entity_degree,
+        )
+        from openapi_to_rdf_spark.sources.transcripts import (
+            class_vocab_df, synth_transcripts,
+        )
+
+        turns = synth_transcripts(spark, 300, seed=42)
+        g = extract_transcript_triples(turns, class_vocab_df(spark))
+        co = co_mention_edges(g, KG_NS).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_cooccur").alias("m")).select(
+            F.lit("co_mention").alias("stat"), "n", "m")
+        deg = entity_degree(g, KG_NS).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_mentions").alias("m")).select(
+            F.lit("entity_degree").alias("stat"), "n", "m")
+        cls = class_histogram(g).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_entities").alias("m")).select(
+            F.lit("class_histogram").alias("stat"), "n", "m")
+        return co.unionByName(deg).unionByName(cls).orderBy("stat")
+
     def q_media_features(spark, sf_dir):
         from openapi_to_rdf_spark.operators.multimodal import (
             decode_image_features, synth_media,
@@ -392,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
+        "kg_graph_stats": q_kg_graph_stats,
         "media_features": q_media_features,
     }
 
