@@ -1,0 +1,78 @@
+"""Entity-scale canonicalization stress: N true entities x 3 alias spellings
+-> MinHash-LSH + CC + total map, with exact ground-truth scoring.
+
+The transcript pipeline caps distinct entities at its pool size; this bench
+scales the ENTITY dimension itself (the axis that explodes at 10^12 turns:
+~10^9 distinct entities). Usage:
+
+    python scripts/canon_bench.py [n_entities] [cores]
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def entity_table(spark, n_entities: int):
+    """3 alias rows per true entity, surfaces like the transcript generator's
+    (word-word-id with separator variants) but with an unbounded id space."""
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.sources.transcripts import ALIAS_SEPS, ENTITY_WORDS
+
+    words = F.array(*[F.lit(w) for w in ENTITY_WORDS])
+    nw = len(ENTITY_WORDS)
+    base = spark.range(0, n_entities, 1,
+                       spark.sparkContext.defaultParallelism * 2)
+    aliased = base.select(
+        F.col("id"), F.explode(F.array(*[F.lit(s) for s in ALIAS_SEPS])).alias("sep"))
+    w1 = F.element_at(words, F.pmod("id", F.lit(nw)).cast("int") + 1)
+    w2 = F.element_at(words, (F.pmod(F.floor(F.col("id") / nw), F.lit(nw)) + 1).cast("int"))
+    w3 = F.element_at(words, (F.pmod(F.floor(F.col("id") / (nw * nw)), F.lit(nw)) + 1).cast("int"))
+    surface = F.concat(w1, F.col("sep"), w2, F.col("sep"), w3, F.col("sep"),
+                       F.format_string("%07d", F.col("id")))
+    return aliased.select(
+        F.concat(F.lit("ent:"), surface).alias("ent"),
+        surface.alias("surface"),
+        F.col("id").alias("true_id"))
+
+
+def main(n_entities: int = 1_000_000, cores: int = 8) -> None:
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
+    from openapi_to_rdf_spark.session import get_spark
+
+    spark = get_spark(app_name="canon-bench", cores=cores,
+                      shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ents = entity_table(spark, n_entities).localCheckpoint()
+    n_rows = ents.count()
+
+    t0 = time.time()
+    cmap = canonical_entity_map(ents.select("ent", "surface"),
+                                threshold=0.9).localCheckpoint()
+    n_map = cmap.count()
+    elapsed = time.time() - t0
+
+    joined = cmap.join(ents.select("ent", "true_id"), "ent")
+    missed = (joined.groupBy("true_id")
+              .agg(F.countDistinct("canonical").alias("n"))
+              .filter("n > 1").count())
+    over = (joined.groupBy("canonical")
+            .agg(F.countDistinct("true_id").alias("n"))
+            .filter("n > 1").count())
+
+    print(f"entities={n_rows} (x3 aliases of {n_entities}) map={n_map} "
+          f"canon_sec={elapsed:.1f} ents_per_sec={n_rows/elapsed:.0f} "
+          f"missed={missed} bad={over}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    main(n, c)
