@@ -170,7 +170,8 @@ def main() -> None:
         print(json.dumps({**kg, "cores": cores}))
         return
 
-    res = run_once(cpus, sf_dir, n_convs, with_queries=True)
+    res = run_once(cpus, sf_dir, n_convs, with_queries=True, warmup=True,
+                   trials=2)
     queries = dict(res["queries"])
     kg = res["kg"]
     queries["kg_extract"] = kg["sec_extract"]
@@ -186,6 +187,9 @@ def main() -> None:
         "n_turns": kg["n_turns"],
         "n_kg_triples": kg["n_kg_triples"],
         "cores": cpus,
+        # per-trial wall + hypervisor-steal fraction (shared-VM transparency;
+        # see BENCH.md "hardware reality")
+        "kg_trials": kg["trials"],
     }
 
     if scaling:
