@@ -241,6 +241,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("query_id", "neighbor_id",
                         _e6(F.col("cosine")).alias("cosine_e6"), "rank")
 
+    def q_ivf_topk(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.similarity import ivf_topk
+
+        e = _emb(spark, sf_dir)
+        q = (e.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("vector")))
+        r = ivf_topk(e, q, k=10)
+        return r.select("query_id", "neighbor_id",
+                        _e6(F.col("cosine")).alias("cosine_e6"), "rank")
+
     def q_convert_specs(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import convert_specs_df
         from openapi_to_rdf_spark.sources.specs import spec_paths_df, with_content
@@ -409,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "doc_split": q_doc_split,
         "doc_sample": q_doc_sample,
         "doc_winnowing": q_doc_winnowing,

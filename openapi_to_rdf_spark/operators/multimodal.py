@@ -85,6 +85,70 @@ def decode_image_features(media: DataFrame, fake: bool = False,
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("duration_ms", IntegerType(), True),
+    StructField("mfcc", ArrayType(DoubleType()), True),
+])
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("payload_len", LongType(), False),
+])
+
+
+def extract_audio_features(media: DataFrame, fake: bool = False,
+                           n_mfcc: int = 4) -> DataFrame:
+    """mapInPandas audio decode + MFCC-shaped features. Real path needs
+    librosa/soundfile (absent) — NotImplementedError unless fake=True; the
+    fake derives duration and coefficients deterministically from payload
+    bytes, preserving batch shape and schema."""
+    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires librosa/soundfile; not installed — "
+                    "pass fake=True for the deterministic stub")
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload[:n_mfcc * 2], dtype=np.uint8)
+                mfcc = (buf[:n_mfcc].astype(np.float64) - 128.0).tolist()
+                rows.append((mid, len(payload) * 8, mfcc))
+            yield pd.DataFrame(rows, columns=["media_id", "duration_ms", "mfcc"])
+
+    return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = False) -> DataFrame:
+    """mapInPandas image resize. Real path needs Pillow (absent) —
+    NotImplementedError unless fake=True; the fake emits a payload-length
+    proportional to the target dimensions (deterministic)."""
+    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires Pillow; not installed — pass "
+                    "fake=True for the deterministic stub")
+            rows = [(mid, width, height, min(len(p), width * height))
+                    for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                              "payload_len"])
+
+    return pruned.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 4,
                         fake: bool = False) -> DataFrame:
     """mapInPandas frame sampler: one output row per sampled frame.

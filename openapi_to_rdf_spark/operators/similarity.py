@@ -71,6 +71,54 @@ def hyperplane_bucket(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, n_probe: int = 2, seed: int = 29) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the train-free variant.
+
+    Coarse centroids are a deterministic hash-sample of the corpus itself
+    (no k-means pass needed for a coarse quantizer); every corpus vector is
+    assigned to its nearest centroid (one broadcast pass), and each query
+    scans only its ``n_probe`` nearest cells. Per-query cost drops from
+    |corpus| to n_probe/n_cells of it; the cell assignment materializes once
+    and is reusable across query batches, exactly like the LSH buckets.
+    """
+    # deterministic coarse centroids: the n_cells corpus vectors with the
+    # smallest md5-derived key (content-addressed, partition-invariant)
+    cent_rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+                 .withColumn("hk", F.md5(F.col(id_col).cast("string")))
+                 .orderBy("hk").limit(n_cells)
+                 .select(F.col(id_col).alias("cell_id"), F.col("v").alias("cv"))
+                 .collect())
+    cents = [(int(r["cell_id"]), list(r["cv"])) for r in cent_rows]
+
+    def nearest_cells(vec, n):
+        scored = F.array(*[
+            F.struct(
+                (-_cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("negcos"),
+                F.lit(cid).alias("cell"))
+            for cid, cv in cents])
+        return F.slice(F.array_sort(scored), 1, n)
+
+    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("v"))
+              .withColumn("cell", nearest_cells(F.col("v"), 1)[0]["cell"]))
+    q = (queries.select("query_id", F.col("vector").cast("array<double>").alias("qv"))
+         .withColumn("probe", F.explode(
+             F.transform(nearest_cells(F.col("qv"), n_probe), lambda s: s["cell"])))
+         .withColumnRenamed("probe", "cell"))
+
+    scored = (corpus.join(F.broadcast(q), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "neighbor_id"])
+              .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 13,

