@@ -12,6 +12,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ntz_epoch(ts_col: str):
+    """Wall-clock seconds since 1970 for a TIMESTAMP_NTZ column — computed
+    with timestampdiff so the result is independent of the session timezone
+    (a `cast('timestamp').cast('long')` would shift by the session offset
+    and, worse, non-uniformly across DST transitions)."""
+    return F.expr(
+        f"timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        f"cast({ts_col} as timestamp_ntz))")
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30,
                user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since the
@@ -22,7 +32,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     the same partitioning so Catalyst plans a single exchange.
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    epoch = _ntz_epoch(ts_col)
     gap = epoch - F.lag(epoch).over(w)
     with_flag = events.withColumn(
         "new_session",
@@ -38,8 +48,7 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     s = sessionize(events, gap_minutes)
     return (s.groupBy("user_id", "session_seq")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 (F.max(F.col("ts").cast("timestamp").cast("long"))
-                  - F.min(F.col("ts").cast("timestamp").cast("long")))
+                 (F.max(_ntz_epoch("ts")) - F.min(_ntz_epoch("ts")))
                  .alias("span_sec"),
                  F.round(F.sum("value") * 1000000).cast("long").alias("sum_value_e6")))
 
