@@ -178,10 +178,17 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
 
     # cardinality over the already rule-scoped rows: partial (map-side)
     # aggregation handles the fan-in; (s, p) keys are near-unique so no skew.
+    # countDistinct over the triple identity, NOT count(1): a subject typed
+    # with two classes whose shapes both constrain this path joins one row
+    # per matching rule, and raw counts would double.
     counts = (
         per_triple.filter(F.col("min_count").isNotNull() | F.col("max_count").isNotNull())
         .groupBy("s", "p", "min_count", "max_count")
-        .agg(F.count(F.lit(1)).alias("n")))
+        .agg(F.countDistinct(
+            # concat_ws, not multi-col countDistinct: the latter silently
+            # drops rows where ANY column is null (o_datatype is null for IRIs)
+            F.concat_ws("\x01", "file", "graph", "o", "o_kind",
+                        F.coalesce("o_datatype", F.lit("\x02")))).alias("n")))
     card_viol = (
         counts.filter((F.col("max_count").isNotNull() & (F.col("n") > F.col("max_count"))) |
                       (F.col("min_count").isNotNull() & (F.col("n") < F.col("min_count"))))
@@ -192,4 +199,6 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                          F.lit(" max="), F.coalesce(F.col("max_count").cast("string"), F.lit("-")))
                 .alias("detail")))
 
-    return dt_viol.unionByName(in_viol).unionByName(kind_viol).unionByName(card_viol)
+    # dedupe: a triple matched by several rules reports each violation once
+    return (dt_viol.unionByName(in_viol).unionByName(kind_viol)
+            .unionByName(card_viol).dropDuplicates())

@@ -176,3 +176,22 @@ def test_pipeline_quarantines_corrupt_transcripts(spark, tmp_path):
     assert m["violations"]["metrics"]["rows"] > 0
     assert "notInList" in m["violations"]["metrics"]["counts"]
     assert m["graph"]["metrics"]["rows"] > 0  # conforming triples still land
+
+
+def test_validate_no_double_count_across_classes(spark):
+    """A subject typed with two classes whose shapes both constrain the same
+    path must not double-count its single value (maxCount 1 satisfied)."""
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = spark.createDataFrame([
+        ("f", "g", "e1", rdf_type, "iri", "ClassA", None),
+        ("f", "g", "e1", rdf_type, "iri", "ClassB", None),
+        ("f", "g", "e1", "p:name", "literal", "x", xsd + "string"),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    rules = spark.createDataFrame([
+        ("f", "ClassA", "p:name", xsd + "string", None, 1, None, None),
+        ("f", "ClassB", "p:name", xsd + "string", None, 1, None, None),
+    ], "file string, target_class string, path string, datatype string, "
+       "min_count int, max_count int, in_values array<string>, node_kind string")
+    assert validate_triples(triples, rules).count() == 0
