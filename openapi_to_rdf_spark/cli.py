@@ -104,12 +104,19 @@ def cmd_kg(args) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="kg-pipeline", cores=args.cores)
-    transcripts = None
+    transcripts, input_fp = None, None
     if args.input_table:
+        from .plans.snapshot import fingerprint
+
         transcripts = spark.read.parquet(args.input_table)
+        # fingerprint = path + row count (metadata-only): same-path
+        # in-place edits that keep the row count need a fresh workdir,
+        # documented; schema alone would silently resume over new data
+        input_fp = fingerprint("external", args.input_table, transcripts.count())
     manifests = run_pipeline(
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
-        transcripts=transcripts, jaccard_threshold=args.jaccard_threshold)
+        transcripts=transcripts, input_fp=input_fp,
+        jaccard_threshold=args.jaccard_threshold)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

@@ -60,7 +60,11 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
         turns = stage("transcripts", fp_t,
                       lambda: synth_transcripts(spark, n_convs, seed))
     else:
-        fp_t = input_fp or fingerprint("transcripts-external", str(transcripts.schema))
+        # default external fingerprint mixes in the row count (one metadata
+        # action) — schema alone would resume over changed data
+        fp_t = input_fp or fingerprint("transcripts-external",
+                                       str(transcripts.schema),
+                                       transcripts.count())
         ext = transcripts
         turns = stage("transcripts", fp_t, lambda: ext)
 
