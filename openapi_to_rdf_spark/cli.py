@@ -67,7 +67,8 @@ def cmd_convert(args) -> int:
                                prefix=args.namespace_prefix, fmt=args.format)
     results = write_turtle(triples, args.output_dir).collect()
     status = convert_status_df(specs, base_namespace=args.base_namespace,
-                               prefix=args.namespace_prefix).collect()
+                               prefix=args.namespace_prefix,
+                               fmt=args.format).collect()
 
     ok = [r for r in status if r.status == "ok"]
     bad = [r for r in status if r.status != "ok"]

@@ -100,9 +100,11 @@ def convert_specs_df(specs: DataFrame, base_namespace: str | None = None,
 
 
 def convert_status_df(specs: DataFrame, base_namespace: str | None = None,
-                      prefix: str | None = None) -> DataFrame:
+                      prefix: str | None = None, fmt: str = "shacl") -> DataFrame:
     """Per-file ok/error + triple counts (replaces the reference's
-    driver-side success/failure summary and sys.exit)."""
+    driver-side success/failure summary and sys.exit). In OWL mode the
+    single graph's count lands in rdf_triples and shacl_triples is 0."""
+    from ..convert.owl import convert_owl
     from ..convert.shacl import DEFAULT_PREFIX, convert_shacl
 
     use_prefix = prefix or DEFAULT_PREFIX
@@ -119,8 +121,13 @@ def convert_status_df(specs: DataFrame, base_namespace: str | None = None,
                     rows.append((fname, "error", rec.get("read_error") or "unreadable", 0, 0))
                     continue
                 try:
-                    conv = convert_shacl(fname, rec["content"], base_namespace, use_prefix)
-                    rows.append((fname, "ok", None, len(conv.rdf), len(conv.sh)))
+                    if fmt == "owl":
+                        conv = convert_owl(fname, rec["content"],
+                                           base_namespace or f"{use_prefix}rdf/")
+                        rows.append((fname, "ok", None, len(conv.g), 0))
+                    else:
+                        conv = convert_shacl(fname, rec["content"], base_namespace, use_prefix)
+                        rows.append((fname, "ok", None, len(conv.rdf), len(conv.sh)))
                 except Exception as e:
                     rows.append((fname, "error", f"{type(e).__name__}: {e}", 0, 0))
             yield pd.DataFrame(rows, columns=[f.name for f in STATUS_SCHEMA.fields])
