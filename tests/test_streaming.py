@@ -80,3 +80,24 @@ def test_stateful_conversation_tracking(spark, tmp_path):
     expected = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_continuous_variant_runs(spark, tmp_path):
+    """stream_turn_triples: the pure-streaming path (watermarked stateful
+    dedup) executes and emits the same per-turn triples as batch for a
+    single-batch input."""
+    from openapi_to_rdf_spark.streaming.ingest import stream_turn_triples
+
+    turns = synth_transcripts(spark, 20, seed=9)
+    turns.coalesce(1).write.parquet(str(tmp_path / "src" / "c0"))
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true").parquet(str(tmp_path / "src")))
+    q = (stream_turn_triples(stream, class_vocab_df(spark))
+         .writeStream.format("memory").queryName("cont_t").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("cont_t").dropDuplicates()
+    expected = extract_transcript_triples(turns, class_vocab_df(spark))
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
