@@ -33,10 +33,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .dropDuplicates(["a", "b"])
         .localCheckpoint()
     )
+    # seed labels with one neighbor-min pass (salted like the loop): cliques
+    # and stars — the dominant shapes for alias clusters — converge here in
+    # round zero, so the loop usually runs only its convergence-verify round
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .dropDuplicates(["node"])
-        .withColumn("component", F.col("node"))
+        sym.select("a", "b",
+                   F.pmod(F.xxhash64("b"), F.lit(SALT_BUCKETS)).alias("salt"))
+        .groupBy("a", "salt").agg(F.min("b").alias("mb"))
+        .groupBy("a").agg(F.min("mb").alias("nbr_min"))
+        .select(F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("nbr_min")).alias("component"))
         .localCheckpoint()
     )
 
