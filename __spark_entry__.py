@@ -342,6 +342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      _e6(F.min("value")).alias("min_e6"),
                      _e6(F.max("value")).alias("max_e6")))
 
+    def q_value_histogram(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("event_type").alias("n_types")))
+
     def q_shacl_rules(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import convert_specs_df
         from openapi_to_rdf_spark.operators.shapes import shape_rules_from_shacl
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "value_percentiles": q_value_percentiles,
+        "value_histogram": q_value_histogram,
         "shacl_rules": q_shacl_rules,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
@@ -713,6 +720,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(MIN(value) * 1e6) AS BIGINT) AS min_e6,
                    CAST(ROUND(MAX(value) * 1e6) AS BIGINT) AS max_e6
             FROM events GROUP BY event_type
+        """,
+        "value_histogram": """
+            SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+                   COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs /
