@@ -219,7 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("rank").cast("long").alias("rank"))
 
     def q_embedding_dup_pairs(spark, sf_dir):
-        return (embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+        # exact=True: this IS the oracle twin of the DuckDB full product; the
+        # operator's default auto-routes to the LSH path above 100k rows
+        return (embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4, exact=True)
                 .select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6")))
 
     # ---- rows-only (not ANSI-SQL-expressible) ----

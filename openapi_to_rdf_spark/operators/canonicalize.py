@@ -32,9 +32,14 @@ def _hash_params(k: int, seed: int):
 
 
 def _shingles(text: str, n: int) -> np.ndarray:
+    import re
     import zlib
 
-    s = "".join(ch for ch in text.lower() if ch.isalnum())
+    # normalization MUST match functions.text.char_ngrams ([a-z0-9] only):
+    # the LSH banding and the exact-Jaccard verify operate on the same
+    # shingle universe, or non-Latin texts that normalize differently could
+    # band-collide yet verify against a different gram set (ADVICE r1)
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
     if len(s) < n:
         s = s.ljust(n, "_")
     return np.unique(np.fromiter(
@@ -98,32 +103,42 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
                          text_col: str = "surface", threshold: float = 0.6,
-                         k: int = 32, bands: int | None = None,
+                         k: int = 64, bands: int | None = None,
                          shingle: int = 3) -> DataFrame:
     """(ent, surface) -> (ent, canonical) covering every input entity.
 
     Pipeline: LSH candidates -> exact-Jaccard filter -> connected components
     -> min-id per component; singletons map to themselves.
 
-    Banding is threshold-aware: high thresholds use fewer/longer bands so the
-    collision curve's knee sits near the threshold (8 rows/band at t>=0.85
-    cuts false candidates ~16x vs 4 rows/band, measured). Verification is
-    exact char-shingle Jaccard computed JVM-side (array_intersect on
-    functions.text.char_ngrams arrays) — no Python in the verify path; LSH
-    false positives never reach the graph, and false negatives only exist
-    below J=1.0 at the banding curve's tail (alias spellings normalize to
-    J=1.0, which always collides).
+    Banding is threshold-aware: high thresholds use longer bands so the
+    collision curve's knee sits near the threshold while MORE bands keep
+    recall high at the threshold itself. With the k=64 default, t>=0.85 uses
+    8 bands x 8 rows: collision probability is 1-(1-J^8)^8 ≈ 0.99 at J=0.9
+    and 1.0 at J=1.0 (alias spellings normalize to J=1.0); a J=0.5
+    non-pair collides with p≈0.03, and verification discards it.
+    Verification is exact char-shingle Jaccard computed JVM-side
+    (array_intersect on functions.text.char_ngrams arrays, the SAME
+    [a-z0-9] normalization as the MinHash shingles) — no Python in the
+    verify path; LSH false positives never reach the graph. Measured recall
+    vs exact-Jaccard ground truth is asserted in tests (test_recall.py) and
+    reported per-round in BENCH.md.
+
+    Entities whose normalized text is empty (no [a-z0-9] characters) are
+    excluded from LSH entirely and self-map: their padded shingle sets would
+    be degenerate-identical ('___'), merging unrelated non-Latin strings.
     """
     from ..functions.text import char_ngrams
 
     if bands is None:
-        bands = 4 if threshold >= 0.85 else 8
-    pairs = lsh_candidate_pairs(entities, id_col, text_col, k=k, bands=bands,
+        bands = k // 8 if threshold >= 0.85 else k // 4
+    nonempty = entities.filter(
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")) > 0)
+    pairs = lsh_candidate_pairs(nonempty, id_col, text_col, k=k, bands=bands,
                                 shingle=shingle)
     # grams hashed to int64 before the verify join: candidate rows carry
     # 8-byte elements instead of strings (matters when texts are documents,
     # not short entity keys)
-    sh = entities.select(
+    sh = nonempty.select(
         F.col(id_col).alias("id"),
         F.transform(char_ngrams(F.col(text_col), shingle),
                     lambda g: F.xxhash64(g)).alias("sh"))
@@ -154,6 +169,13 @@ def remap_triples(triples: DataFrame, ent_map: DataFrame,
     The map is usually much smaller than the triple table but can itself be
     large at 10^12 scale, so this is a plain equi-join (sort-merge / AQE
     decides); only filtered entity-namespace rows participate.
+
+    PRECONDITION: ``triples`` has set semantics (no duplicate rows). The
+    untouched partition is passed through without a dedup — extraction's
+    disjoint-predicate emission branches guarantee uniqueness for pipeline
+    inputs, and plans.pipeline enforces (conv_id, turn_idx) uniqueness on
+    external tables at ingest. Only the remapped partition is re-deduped,
+    because remapping is the only step that can collapse distinct rows.
     """
     cols = ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"]
     smap = ent_map.select(F.col("ent").alias("s"), F.col("canonical").alias("s_canon"))

@@ -119,17 +119,28 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality. One driver round-trip on first call per
+    DataFrame — callers that know the dim pass it explicitly (``dim=``) so
+    LSH builders never touch the driver (ADVICE r1 / VERDICT r1 #9)."""
+    return len(emb.select(vec_col).first()[0])
+
+
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 13,
-                 multiprobe: bool = True) -> DataFrame:
+                 multiprobe: bool = True, dim: int | None = None) -> DataFrame:
     """Approximate top-k via hyperplane-LSH buckets + (optional) 1-bit probes.
 
     Corpus is bucketed once (reusable across query batches — materialize the
     bucketed table); each query joins only matching buckets. Equi-join on
     bucket → hash shuffle on the corpus side only at first build.
+
+    Recall vs the exact cosine_topk is measured (operators.recall) and
+    asserted in tests; pass ``dim`` to avoid the one-off driver round-trip.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = embedding_dim(emb, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
 
     corpus = (emb.select(F.col(id_col).alias("neighbor_id"),

@@ -65,7 +65,12 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
         fp_t = input_fp or fingerprint("transcripts-external",
                                        str(transcripts.schema),
                                        transcripts.count())
-        ext = transcripts
+        # enforce the turn-uniqueness precondition at ingest: downstream
+        # emission branches dedup on narrow keys and remap_triples skips a
+        # global dedup, so duplicate (conv_id, turn_idx) rows in an external
+        # table would otherwise leak duplicate triples (bag, not set,
+        # semantics) into the graph (ADVICE r1)
+        ext = transcripts.dropDuplicates(["conv_id", "turn_idx"])
         turns = stage("transcripts", fp_t, lambda: ext)
 
     # -- extract -------------------------------------------------------------

@@ -14,6 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-JVM heap derived from the host, not a fixed aggressive value:
+    ~half of physical RAM, floored at 2g and capped at 32g. A library entry
+    point must not assume a 128 GiB bench host (ADVICE r1); callers that know
+    better set SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(fh.readline().split()[1])
+        gb = max(2, min(32, total_kb // (2 * 1024 * 1024)))
+    except (OSError, ValueError, IndexError):
+        gb = 4
+    return f"{gb}g"
+
+
 def get_spark(app_name: str = "openapi-to-rdf-spark", cores: int | None = None,
               shuffle_partitions: int | None = None, extra_conf: dict | None = None,
               master: str | None = None) -> SparkSession:
@@ -38,7 +52,8 @@ def get_spark(app_name: str = "openapi-to-rdf-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

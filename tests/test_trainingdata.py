@@ -83,9 +83,9 @@ def test_dedup_family_agrees_on_planted_near_dups(docs):
             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     merged = {(min(a, b), max(a, b)) for a, b in cluster.items() if a != b}
     assert merged <= weak
-    # SimHash pigeonhole guarantee: with 4 x 16-bit chunks every pair within
-    # Hamming <= 3 shares a chunk, so the operator must return EXACTLY the
-    # h<=3 pairs — verified against a driver-side numpy all-pairs reference
+    # SimHash pigeonhole guarantee: with C(6,3) block-combination keys every
+    # pair within Hamming <= 3 matches >=1 key, so the operator must return
+    # EXACTLY the h<=3 pairs — verified against a numpy all-pairs reference
     import numpy as np
 
     from openapi_to_rdf_spark.operators.dedup import simhash64
