@@ -150,7 +150,8 @@ CONV_NS = "http://ericsson.com/models/3gpp/conv#"
 MENTION_RE = r"([A-Z][A-Za-z0-9_]+)#([a-z0-9][a-z0-9_.-]{0,40}[a-z0-9])"
 
 
-def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None = None) -> DataFrame:
+def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None = None,
+                               within_watermark: bool = False) -> DataFrame:
     """Turns (conv_id, turn_idx, role, text, tool, ts) -> typed triples.
 
     All heavy lifting is JVM-side: ``regexp_extract_all`` tokenizes mentions,
@@ -161,7 +162,20 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
 
     Returns the triple table with graph='kg'. Mentions whose class token is
     not in the vocabulary are typed rdfs:Resource (open-world default).
+
+    ``within_watermark=True`` (streaming callers, see streaming.ingest):
+    every dedup becomes ``dropDuplicatesWithinWatermark`` so state is evicted
+    as event time advances — plain ``dropDuplicates`` on keys that exclude
+    the event-time column would grow state without bound in a continuous
+    query (ADVICE r1). Duplicate keys recurring AFTER watermark eviction
+    re-emit; global set semantics land in the downstream snapshot merge.
+    Requires ``withWatermark`` already applied to ``turns``.
     """
+
+    def dd(df: DataFrame, keys: list[str]) -> DataFrame:
+        if within_watermark:
+            return df.dropDuplicatesWithinWatermark(keys)
+        return df.dropDuplicates(keys)
     mentions = (
         turns
         .select(
@@ -188,6 +202,7 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
         )
 
     xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     per_turn = (
         turns.select(
             "conv_id", "turn_idx", "role", "tool", "ts",
@@ -195,6 +210,13 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
                 t(F.concat(F.lit(CONV_NS), F.col("conv_id")), KG_NS + "hasTurn", "iri",
                   F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
                            F.col("turn_idx").cast("string"))),
+                # turn nodes are explicitly typed so class-scoped SHACL rules
+                # (sh:targetClass kg:Turn) have focus nodes to enumerate —
+                # without types, minCount-for-absent-property can never fire
+                # (ADVICE r1 on shapes.validate_triples)
+                t(F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
+                           F.col("turn_idx").cast("string")), rdf_type, "iri",
+                  F.lit(KG_NS + "Turn")),
                 t(F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
                            F.col("turn_idx").cast("string")), KG_NS + "role", "literal",
                   F.col("role"), xsd + "string"),
@@ -210,14 +232,28 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
                 F.col("tr.o_datatype").alias("o_datatype"))
     )
 
+    # conversation nodes typed once each (narrow-key dedup before minting);
+    # rdf:type spans three branches but their subject namespaces are disjoint
+    # (conv#/turn#/entity#), preserving the no-global-dedup invariant
+    conv_types = (
+        dd(turns.select("conv_id", "ts"), ["conv_id"])
+        .select(F.col("conv_id").alias("file"), F.lit("kg").alias("graph"),
+                F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("s"),
+                F.lit(rdf_type).alias("p"), F.lit("iri").alias("o_kind"),
+                F.lit(KG_NS + "Conversation").alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+    )
+
     mention_rows = mentions.filter(F.col("mention").isNotNull())
 
     # dedup happens on NARROW key columns BEFORE URI strings are minted —
     # the wide 7-column global dropDuplicates this replaces was the dominant
     # shuffle (full triple rows); the three emission branches produce
-    # disjoint predicates so no global dedup is needed afterwards.
-    turn_mentions = mention_rows.dropDuplicates(["conv_id", "turn_idx", "m_key"])
-    entity_rows = mention_rows.select("m_class", "m_key").dropDuplicates()
+    # disjoint predicates so no global dedup is needed afterwards. ts rides
+    # along (8 bytes) so the streaming variant can evict state by watermark.
+    turn_mentions = dd(mention_rows, ["conv_id", "turn_idx", "m_key"])
+    entity_rows = dd(mention_rows.select("m_class", "m_key", "ts"),
+                     ["m_class", "m_key"])
 
     if class_vocab is not None:
         # broadcast dictionary join: class token -> class IRI (small dim table)
@@ -251,9 +287,9 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
         F.array(t(ent_iri, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
                   "iri", F.col("class_iri"))))
     surface_triples = as_triples(
-        entity_rows.select("m_key").dropDuplicates(), F.lit("entities"),
+        dd(entity_rows.select("m_key", "ts"), ["m_key"]), F.lit("entities"),
         F.array(t(ent_iri, KG_NS + "surfaceForm", "literal", F.col("m_key"),
                   xsd + "string")))
 
-    return (per_turn.unionByName(mention_triples)
+    return (per_turn.unionByName(conv_types).unionByName(mention_triples)
             .unionByName(type_triples).unionByName(surface_triples))

@@ -119,16 +119,24 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
 
 def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
     """Shape rules for the transcript KG vocabulary (the DataFrame-native
-    equivalent of hand-written sh:PropertyShapes for the kg namespace)."""
+    equivalent of hand-written sh:PropertyShapes for the kg namespace).
+
+    minCount rules are class-scoped (sh:targetClass semantics): SHACL
+    enumerates focus nodes by class, and only a scoped rule lets
+    validate_triples fire count=0 violations for a wholly absent property
+    (ADVICE r1 — the unscoped variants were dead rules). Extraction emits
+    rdf:type kg:Turn / kg:Conversation for exactly this reason.
+    """
     xsd = "http://www.w3.org/2001/XMLSchema#"
+    turn_cls, conv_cls = kg_ns + "Turn", kg_ns + "Conversation"
     rows = [
-        # (target_class=None → applies to any subject), path, datatype,
-        # min_count, max_count, in_values, node_kind
-        (None, kg_ns + "role", xsd + "string", 1, 1,
+        # (target_class — None applies to any subject with the path), path,
+        # datatype, min_count, max_count, in_values, node_kind
+        (turn_cls, kg_ns + "role", xsd + "string", 1, 1,
          ["user", "assistant", "tool", "system"], None),
-        (None, kg_ns + "atTime", xsd + "dateTime", 1, 1, None, None),
-        (None, kg_ns + "mentions", None, None, None, None, SH + "IRI"),
-        (None, kg_ns + "hasTurn", None, 1, None, None, SH + "IRI"),
+        (turn_cls, kg_ns + "atTime", xsd + "dateTime", 1, 1, None, None),
+        (turn_cls, kg_ns + "mentions", None, None, None, None, SH + "IRI"),
+        (conv_cls, kg_ns + "hasTurn", None, 1, None, None, SH + "IRI"),
         (None, kg_ns + "surfaceForm", xsd + "string", None, None, None, None),
         (None, RDF_TYPE, None, None, None, None, SH + "IRI"),
     ]
@@ -144,6 +152,12 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     Per-triple checks (datatype / sh:in / nodeKind) are a broadcast join;
     cardinality checks aggregate counts per (s, p). Subjects with no matching
     rule pass (open-world, as SHACL semantics dictate).
+
+    minCount for a wholly ABSENT property fires only for class-scoped rules:
+    focus nodes are enumerated from rdf:type (SHACL target semantics), then
+    anti-joined against observed (s, p) to emit count=0 violations. An
+    unscoped (target_class null) min_count rule has no focus-node universe
+    and is checked only for present-but-undercounted values.
     """
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
@@ -199,6 +213,31 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                          F.lit(" max="), F.coalesce(F.col("max_count").cast("string"), F.lit("-")))
                 .alias("detail")))
 
+    # count=0 minCount violations: focus nodes (subjects typed with the
+    # rule's target class) that carry NO triple for the constrained path.
+    # s_types is one row per (subject, class); min_rules is broadcast-tiny,
+    # and the observed side is pre-filtered to constrained paths only, so
+    # the anti-join shuffles the focus-node set, not the triple table.
+    min_rules = (rules.filter(F.col("min_count").isNotNull()
+                              & (F.col("min_count") >= 1)
+                              & F.col("target_class").isNotNull())
+                 .select("target_class", F.col("path").alias("mp"), "min_count")
+                 .dropDuplicates())
+    focus = s_types.join(F.broadcast(min_rules),
+                         F.col("stype") == F.col("target_class"))
+    observed = (triples.join(F.broadcast(min_rules.select("mp").dropDuplicates()),
+                             triples.p == F.col("mp"), "left_semi")
+                .select(F.col("s").alias("os"), F.col("p").alias("op"))
+                .dropDuplicates())
+    absent_viol = (
+        focus.join(observed, (F.col("ts") == F.col("os")) & (F.col("mp") == F.col("op")),
+                   "left_anti")
+        .select(F.col("ts").alias("s"), F.col("mp").alias("p"),
+                F.lit(None).cast("string").alias("o"),
+                F.lit("cardinalityViolation").alias("violation"),
+                F.concat(F.lit("count=0 min="), F.col("min_count").cast("string"),
+                         F.lit(" max=-")).alias("detail")))
+
     # dedupe: a triple matched by several rules reports each violation once
     return (dt_viol.unionByName(in_viol).unionByName(kind_viol)
-            .unionByName(card_viol).dropDuplicates())
+            .unionByName(card_viol).unionByName(absent_viol).dropDuplicates())

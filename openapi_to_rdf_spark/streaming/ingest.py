@@ -33,12 +33,17 @@ def stream_turn_triples(stream: DataFrame, class_vocab: DataFrame | None = None,
     """Continuous-query variant: stateless emission + watermarked dedup.
 
     Input: a STREAMING DataFrame with the transcript schema. Output: a
-    streaming triple DataFrame. Mention/entity dedup here is scoped to the
-    watermark window (state is bounded); use the foreachBatch path when
-    corpus-global dedup is required.
+    streaming triple DataFrame. Every dedup in the extractor runs as
+    ``dropDuplicatesWithinWatermark`` here (within_watermark=True), so the
+    dedup state is EVICTED as event time advances — state stays bounded by
+    the watermark delay, not the corpus (ADVICE r1: plain dropDuplicates on
+    keys without the event-time column never evicts). Keys recurring after
+    eviction re-emit; use the foreachBatch path when corpus-global dedup is
+    required (the downstream snapshot merge restores set semantics either
+    way).
     """
     wm = stream.withWatermark("ts", watermark)
-    return extract_transcript_triples(wm, class_vocab)
+    return extract_transcript_triples(wm, class_vocab, within_watermark=True)
 
 
 def start_stream_pipeline(stream: DataFrame, output_dir: str,

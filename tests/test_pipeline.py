@@ -93,7 +93,15 @@ components:
 
 def test_validate_triples_catches_violations(spark):
     xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    iso = "2026-01-01T00:00:00Z"
     rows = [
+        # focus-node types (class-scoped rules need them)
+        *[("c0", "kg", f"t#{i}", rdf_type, "iri", KG_NS + "Turn", None)
+          for i in (1, 2, 3, 4)],
+        *[("c0", "kg", f"t#{i}", KG_NS + "atTime", "literal", iso,
+           xsd + "dateTime") for i in (2, 3, 4)],
+        ("c0", "kg", "t#3", KG_NS + "role", "literal", "user", xsd + "string"),
         # role not in the allowed list
         ("c0", "kg", "t#1", KG_NS + "role", "literal", "alien", xsd + "string"),
         # atTime with wrong datatype
@@ -103,7 +111,7 @@ def test_validate_triples_catches_violations(spark):
         ("c0", "kg", "t#2", KG_NS + "role", "literal", "tool", xsd + "string"),
         # mentions must be an IRI
         ("c0", "kg", "t#3", KG_NS + "mentions", "literal", "oops", xsd + "string"),
-        # clean row
+        # clean turn: typed + role + atTime present and conforming
         ("c0", "kg", "t#4", KG_NS + "role", "literal", "user", xsd + "string"),
     ]
     triples = spark.createDataFrame(
@@ -114,6 +122,31 @@ def test_validate_triples_catches_violations(spark):
     assert kinds == {"notInList", "datatypeMismatch", "cardinalityViolation",
                      "nodeKindViolation"}
     assert v.filter(F.col("s") == "t#4").count() == 0
+
+
+def test_validate_min_count_fires_for_absent_property(spark):
+    """A typed focus node MISSING a min_count=1 property entirely must fire
+    count=0 (ADVICE r1: the aggregate-only check could never see absent
+    properties, making every minCount rule dead)."""
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = spark.createDataFrame([
+        # typed turn with NO role and NO atTime at all
+        ("c0", "kg", "t#bare", rdf_type, "iri", KG_NS + "Turn", None),
+        # conversation with no hasTurn
+        ("c0", "kg", "cv#empty", rdf_type, "iri", KG_NS + "Conversation", None),
+        # untyped subject with no properties -> open world, no violations
+        ("c0", "kg", "x#untyped", KG_NS + "surfaceForm", "literal", "ok",
+         xsd + "string"),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    v = validate_triples(triples, kg_shape_rules(spark, KG_NS))
+    got = {(r.s, r.p): r.detail for r in v.collect()}
+    assert got == {
+        ("t#bare", KG_NS + "role"): "count=0 min=1 max=-",
+        ("t#bare", KG_NS + "atTime"): "count=0 min=1 max=-",
+        ("cv#empty", KG_NS + "hasTurn"): "count=0 min=1 max=-",
+    }
 
 
 def test_connected_components_salted(spark):

@@ -83,20 +83,33 @@ def test_stateful_conversation_tracking(spark, tmp_path):
 
 
 def test_continuous_variant_runs(spark, tmp_path):
-    """stream_turn_triples: the pure-streaming path (watermarked stateful
-    dedup) executes and emits the same per-turn triples as batch for a
-    single-batch input."""
+    """stream_turn_triples: the pure-streaming path executes across MULTIPLE
+    micro-batches and emits the same triple set as batch; its dedups are
+    watermark-evicted (bounded state), not plain dropDuplicates."""
     from openapi_to_rdf_spark.streaming.ingest import stream_turn_triples
 
     turns = synth_transcripts(spark, 20, seed=9)
-    turns.coalesce(1).write.parquet(str(tmp_path / "src" / "c0"))
+    turns.filter(F.col("conv_id") < "c000000010").coalesce(1) \
+        .write.parquet(str(tmp_path / "src" / "c0"))
+    turns.filter(F.col("conv_id") >= "c000000010").coalesce(1) \
+        .write.parquet(str(tmp_path / "src" / "c1"))
     stream = (spark.readStream.schema(turns.schema)
-              .option("recursiveFileLookup", "true").parquet(str(tmp_path / "src")))
-    q = (stream_turn_triples(stream, class_vocab_df(spark))
-         .writeStream.format("memory").queryName("cont_t").outputMode("append")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(tmp_path / "src")))
+    out = stream_turn_triples(stream, class_vocab_df(spark))
+
+    # bounded-state evidence: the analyzed plan dedups WITHIN the watermark
+    # (state evicted by event time), with no unbounded Deduplicate node
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    assert "\nDeduplicate " not in plan.replace("DeduplicateWithinWatermark", "DWW")
+
+    q = (out.writeStream.format("memory").queryName("cont_t").outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
+    # keys recurring after watermark eviction may re-emit identical rows —
+    # set-compare, as the downstream snapshot merge would
     got = spark.table("cont_t").dropDuplicates()
     expected = extract_transcript_triples(turns, class_vocab_df(spark))
     assert got.exceptAll(expected).isEmpty()
