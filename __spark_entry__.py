@@ -397,6 +397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("class_histogram").alias("stat"), "n", "m")
         return co.unionByName(deg).unionByName(cls).orderBy("stat")
 
+    def q_approx_recall(spark, sf_dir):
+        """Measured recall of every approximate operator vs its exact
+        in-repo counterpart (deterministic; see operators/recall.py)."""
+        from openapi_to_rdf_spark.operators.recall import recall_report
+
+        return recall_report(spark, sf_dir).orderBy("op")
+
     def q_media_features(spark, sf_dir):
         from openapi_to_rdf_spark.operators.multimodal import (
             decode_image_features, synth_media,
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_graph_stats": q_kg_graph_stats,
+        "approx_recall": q_approx_recall,
         "media_features": q_media_features,
     }
 

@@ -154,6 +154,46 @@ def _argval(name: str, default: int) -> int:
     return default
 
 
+def _recall_section(sf_dir: str) -> dict:
+    """Run the approximate-operator recall suite in its own session (fresh
+    JVM settings don't matter; a separate session keeps the timed query
+    sessions untouched)."""
+    from openapi_to_rdf_spark.operators.recall import recall_report
+    from openapi_to_rdf_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-recall", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return {r["op"]: r["recall_e6"] / 1e6
+                for r in recall_report(spark, sf_dir).collect()}
+    finally:
+        spark.stop()
+
+
+def _diff_vs_previous_round(queries: dict) -> tuple[dict, str | None]:
+    """Compare per-query seconds against the newest BENCH_r*.json; return
+    ({query: {prev, now, ratio}} for >1.3x slowdowns, prev_file_name)."""
+    import glob
+
+    prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                          "BENCH_r*.json")))
+    if not prior:
+        return {}, None
+    prev_file = prior[-1]
+    try:
+        with open(prev_file) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}, None
+    regress = {}
+    for name, now in queries.items():
+        before = prev.get(name)
+        if before and now and now > 1.3 * before:
+            regress[name] = {"prev": before, "now": now,
+                             "ratio": round(now / before, 2)}
+    return regress, os.path.basename(prev_file)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -177,6 +217,9 @@ def main() -> None:
     queries["kg_extract"] = kg["sec_extract"]
     queries["kg_canonicalize"] = kg["sec_canonicalize"]
 
+    recall = _recall_section(sf_dir)
+    regressions, prev_round = _diff_vs_previous_round(queries)
+
     out = {
         "metric": "kg-pipeline + operator suite wall time",
         "value": round(sum(queries.values()), 3),
@@ -190,6 +233,13 @@ def main() -> None:
         # per-trial wall + hypervisor-steal fraction (shared-VM transparency;
         # see BENCH.md "hardware reality")
         "kg_trials": kg["trials"],
+        # measured recall of every approximate operator vs its exact in-repo
+        # counterpart (operators/recall.py; floors asserted in test_recall.py)
+        "recall": recall,
+        # per-query diff vs the previous round's BENCH_r*.json: queries that
+        # got >1.3x slower (regression watchlist; VERDICT r1 task 8)
+        "prev_round": prev_round,
+        "regressions": regressions,
     }
 
     if scaling:

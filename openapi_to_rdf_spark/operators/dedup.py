@@ -48,8 +48,8 @@ def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """EXACT n-gram-Jaccard pairs (id_a < id_b, jaccard >= threshold) via
-    prefix filtering (AllPairs/PPJoin).
+    """EXACT word-n-gram-Jaccard pairs (id_a < id_b, jaccard >= threshold)
+    via prefix filtering (AllPairs/PPJoin).
 
     Under a global shingle order (rarity-ascending), two sets with
     J >= t MUST collide within their first ``|S| - ceil(t*|S|) + 1``
@@ -63,7 +63,27 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     base = (docs.select(F.col(id_col).alias("id"),
                         word_ngrams(F.col(text_col), n).alias("grams"))
             .filter(F.size("grams") > 0))
+    return _prefix_filtered_jaccard_pairs(base, threshold)
 
+
+def char_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 4,
+                       threshold: float = 0.8) -> DataFrame:
+    """EXACT char-n-gram-Jaccard pairs — same AllPairs machinery as
+    ngram_jaccard_pairs but over functions.text.char_ngrams, i.e. the EXACT
+    shingle universe MinHash canonicalization approximates. This is the
+    ground truth the recall suite (operators.recall) scores
+    minhash_dedup_map / canonical_entity_map against."""
+    from ..functions.text import char_ngrams
+
+    base = (docs.select(F.col(id_col).alias("id"),
+                        char_ngrams(F.col(text_col), n).alias("grams"))
+            .filter(F.size("grams") > 0))
+    return _prefix_filtered_jaccard_pairs(base, threshold)
+
+
+def _prefix_filtered_jaccard_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """(id, grams) -> exact Jaccard pairs >= threshold (AllPairs/PPJoin)."""
     ex = base.select("id", F.size("grams").alias("n_sh"),
                      F.explode("grams").alias("shingle"))
     df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -1,0 +1,155 @@
+"""Recall measurement for every approximate operator in the engine.
+
+VERDICT r1's top finding: the five `no_oracle` approximate operators
+(ann_lsh_topk, ivf_topk, embedding_dup_pairs_lsh, minhash_dedup_map,
+simhash_pairs) shipped without quantified recall, even though their exact
+counterparts live in the same repo. This module closes that gap:
+
+| approximate op            | exact ground truth (same repo)               |
+|---------------------------|----------------------------------------------|
+| ann_lsh_topk              | similarity.cosine_topk (hash-verified)       |
+| ivf_topk                  | similarity.cosine_topk                       |
+| embedding_dup_pairs_lsh   | dedup.embedding_dup_pairs (exact product)    |
+| minhash_dedup_map         | dedup.char_jaccard_pairs (exact AllPairs     |
+|                           | over the SAME char-shingle universe)         |
+| simhash_pairs             | exact by pigeonhole; equality vs the         |
+|                           | unbanded Hamming join is asserted in tests   |
+
+Everything returns plain numbers computed with DataFrame joins — the same
+code runs at any scale (recall jobs are joins on (query, neighbor) /
+(id_a, id_b) keys, linear in the result sizes, not in the corpus).
+
+``recall_report`` bundles the suite into one small DataFrame so the driver
+(rows-only query ``approx_recall``) and bench.py record the numbers every
+round; pytest (tests/test_recall.py) asserts floors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame, k: int = 10) -> float:
+    """recall@k: |approx ∩ exact| / |exact| over (query_id, neighbor_id),
+    both sides truncated to rank <= k. Exact side defines the universe."""
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    n_exact = e.count()
+    if n_exact == 0:
+        return 1.0
+    hit = e.join(a, ["query_id", "neighbor_id"], "left_semi").count()
+    return hit / n_exact
+
+
+def pair_recall(truth: DataFrame, approx: DataFrame) -> float:
+    """Fraction of ground-truth (id_a, id_b) pairs present in approx."""
+    t = truth.select("id_a", "id_b")
+    n_truth = t.count()
+    if n_truth == 0:
+        return 1.0
+    hit = t.join(approx.select("id_a", "id_b"),
+                 ["id_a", "id_b"], "left_semi").count()
+    return hit / n_truth
+
+
+def cluster_pair_recall(truth_pairs: DataFrame, cluster_map: DataFrame,
+                        id_col: str = "doc_id",
+                        canonical_col: str = "canonical") -> float:
+    """Fraction of ground-truth pairs whose two ids share a cluster in the
+    (id, canonical) map — how clustering output recalls known dup pairs."""
+    m = cluster_map.select(F.col(id_col).alias("_id"),
+                           F.col(canonical_col).alias("_c"))
+    n_truth = truth_pairs.count()
+    if n_truth == 0:
+        return 1.0
+    joined = (truth_pairs
+              .join(m.withColumnRenamed("_id", "id_a")
+                     .withColumnRenamed("_c", "c_a"), "id_a")
+              .join(m.withColumnRenamed("_id", "id_b")
+                     .withColumnRenamed("_c", "c_b"), "id_b"))
+    hit = joined.filter(F.col("c_a") == F.col("c_b")).count()
+    return hit / n_truth
+
+
+def _planted_twin_corpus(emb: DataFrame, n: int = 60,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """First n corpus vectors plus scaled twins (cosine 1.0 to the source) —
+    the deterministic in-regime workload for near-dup (threshold ~1) recall."""
+    base = (emb.filter(F.col(id_col) < n)
+            .select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)))
+    twins = base.select(
+        (F.col(id_col) + 100000).alias(id_col),
+        F.transform(F.col(vec_col), lambda x: x * 1.02).alias(vec_col))
+    return base.unionByName(twins)
+
+
+def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per approximate operator: (op, recall_e6, n_truth).
+
+    Deterministic (fixed seeds everywhere), so the driver's rows-only check
+    is stable across runs. Thresholds follow each operator's designed
+    regime; `embedding_lsh_pairs@0.4` is deliberately OUT of regime (cosine
+    0.4 is far below the hyperplane collision knee) and documents the
+    operator's honest behavior there.
+    """
+    from .dedup import (
+        char_jaccard_pairs, embedding_dup_pairs, embedding_dup_pairs_lsh,
+        minhash_dedup_map,
+    )
+    from .similarity import ann_lsh_topk, cosine_topk, ivf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("vector")))
+
+    exact_topk = cosine_topk(emb, queries, k=10).localCheckpoint()
+    rows: list[tuple[str, float, int]] = []
+
+    n_exact = exact_topk.count()
+    # the random driver vectors make top-10 neighbors noise-level — the
+    # HARDEST recall regime; planted-twin (in-regime) recall is ~1.0 and
+    # asserted separately in tests. Both ends of the cost/recall curve are
+    # reported: the fast default and the high-recall configuration.
+    rows.append(("ann_lsh_topk@10 L=1",
+                 topk_recall(exact_topk, ann_lsh_topk(emb, queries, k=10)),
+                 n_exact))
+    rows.append(("ann_lsh_topk@10 L=8",
+                 topk_recall(exact_topk,
+                             ann_lsh_topk(emb, queries, k=10, n_tables=8)),
+                 n_exact))
+    rows.append(("ivf_topk@10 probe=2",
+                 topk_recall(exact_topk, ivf_topk(emb, queries, k=10)),
+                 n_exact))
+    rows.append(("ivf_topk@10 probe=8",
+                 topk_recall(exact_topk, ivf_topk(emb, queries, k=10, n_probe=8)),
+                 n_exact))
+
+    twins = _planted_twin_corpus(emb).localCheckpoint()
+    truth_twin = twins.filter(F.col("vec_id") < 100000).select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + 100000).alias("id_b"))
+    rows.append(("embedding_lsh_pairs@0.999",
+                 pair_recall(truth_twin,
+                             embedding_dup_pairs_lsh(twins, threshold=0.999)),
+                 truth_twin.count()))
+
+    wild_truth = embedding_dup_pairs(emb, threshold=0.4, exact=True)
+    rows.append(("embedding_lsh_pairs@0.4",
+                 pair_recall(wild_truth,
+                             embedding_dup_pairs_lsh(emb, threshold=0.4)),
+                 wild_truth.count()))
+
+    # MinHash clustering vs exact char-4-gram Jaccard (its own shingle
+    # universe) at the operator's threshold
+    truth_char = char_jaccard_pairs(docs, n=4, threshold=0.8).localCheckpoint()
+    rows.append(("minhash_clusters@0.8",
+                 cluster_pair_recall(truth_char,
+                                     minhash_dedup_map(docs, threshold=0.8)),
+                 truth_char.count()))
+
+    return spark.createDataFrame(
+        [(op, int(round(r * 1_000_000)), n) for op, r, n in rows],
+        "op string, recall_e6 long, n_truth long")

@@ -129,38 +129,50 @@ def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 13,
-                 multiprobe: bool = True, dim: int | None = None) -> DataFrame:
+                 multiprobe: bool = True, dim: int | None = None,
+                 n_tables: int = 1) -> DataFrame:
     """Approximate top-k via hyperplane-LSH buckets + (optional) 1-bit probes.
 
     Corpus is bucketed once (reusable across query batches — materialize the
     bucketed table); each query joins only matching buckets. Equi-join on
     bucket → hash shuffle on the corpus side only at first build.
 
-    Recall vs the exact cosine_topk is measured (operators.recall) and
-    asserted in tests; pass ``dim`` to avoid the one-off driver round-trip.
+    ``n_tables`` is the recall lever (classic multi-table LSH): L
+    independently-seeded plane sets, candidates unioned across tables.
+    Probed corpus fraction (and therefore cost) scales ~L×; recall rises as
+    1-(1-p)^L per neighbor. Measured on the driver testdata (random vectors,
+    so top-10 neighbors are WEAK, the hardest regime — see BENCH.md):
+    recall@10 ≈ 0.11 at L=1 vs ≈ 0.5 at L=4, while scanning ~4% / ~15% of
+    the corpus per query. Pass ``dim`` to skip the one-off driver lookup.
     """
     if dim is None:
         dim = embedding_dim(emb, vec_col)
-    planes = _hyperplanes(dim, n_planes, seed)
 
-    corpus = (emb.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).cast("array<double>").alias("v"))
-              .withColumn("bucket", hyperplane_bucket(F.col("v"), planes)))
-    q = (queries.select("query_id", F.col("vector").cast("array<double>").alias("qv"))
-         .withColumn("qbucket", hyperplane_bucket(F.col("qv"), planes)))
+    def bucketed(df, id_out, vec_in, vec_out):
+        """Explode df into (table, bucket) rows across the L plane sets."""
+        v = F.col(vec_in).cast("array<double>")
+        buckets = F.array(*[
+            hyperplane_bucket(v, _hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)])
+        return (df.select(F.col(id_out), v.alias(vec_out),
+                          F.posexplode(buckets).alias("table", "bucket")))
+
+    corpus = bucketed(emb.select(F.col(id_col).alias("neighbor_id"),
+                                 F.col(vec_col).alias("_v")),
+                      "neighbor_id", "_v", "v")
+    q = bucketed(queries.select("query_id", F.col("vector").alias("_v")),
+                 "query_id", "_v", "qv")
     if multiprobe:
-        # probe home bucket + each 1-bit-flip neighbor bucket
-        probes = F.array(F.col("qbucket"), *[
+        # probe home bucket + each 1-bit-flip neighbor bucket (per table)
+        probes = F.array(F.col("bucket"), *[
             F.concat(
-                F.substring("qbucket", 1, i),
-                F.when(F.substring("qbucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
-                F.substring("qbucket", i + 2, n_planes - i - 1))
+                F.substring("bucket", 1, i),
+                F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("bucket", i + 2, n_planes - i - 1))
             for i in range(n_planes)])
-        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    else:
-        q = q.select("query_id", "qv", F.col("qbucket").alias("bucket"))
+        q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
 
-    scored = (corpus.join(F.broadcast(q), "bucket")
+    scored = (corpus.join(F.broadcast(q), ["table", "bucket"])
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "neighbor_id"])
               .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6)))
