@@ -54,21 +54,23 @@ def _build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_convert(args) -> int:
-    from .operators.extract import convert_specs_df, convert_status_df
+    from .operators.extract import convert_with_status, split_converted
     from .session import get_spark
     from .sinks import write_turtle
     from .sources.specs import spec_paths_df, with_content
 
     spark = get_spark(app_name="openapi-to-rdf-convert", cores=args.cores)
     specs = with_content(spec_paths_df(spark, args.input, args.parallelism))
-    specs = specs.cache()
 
-    triples = convert_specs_df(specs, base_namespace=args.base_namespace,
-                               prefix=args.namespace_prefix, fmt=args.format)
+    # ONE conversion pass per file: triples + status share a cached combined
+    # frame (convert_with_status); the old two-stage path converted twice
+    combined = convert_with_status(specs, base_namespace=args.base_namespace,
+                                   prefix=args.namespace_prefix,
+                                   fmt=args.format).cache()
+    triples, status_df = split_converted(combined)
     results = write_turtle(triples, args.output_dir).collect()
-    status = convert_status_df(specs, base_namespace=args.base_namespace,
-                               prefix=args.namespace_prefix,
-                               fmt=args.format).collect()
+    status = status_df.collect()
+    combined.unpersist()
 
     ok = [r for r in status if r.status == "ok"]
     bad = [r for r in status if r.status != "ok"]

@@ -43,6 +43,19 @@ STATUS_SCHEMA = StructType([
     StructField("shacl_triples", LongType(), False),
 ])
 
+# single-pass layout: triple rows and one status row per file share one
+# DataFrame (rec_kind discriminates), so the CLI converts each file ONCE
+# (VERDICT r1 #4 — the separate triples/status stages each re-ran the
+# conversion, 2x waste on the whole fleet path)
+COMBINED_SCHEMA = StructType(
+    [StructField("rec_kind", StringType(), False),   # 'triple' | 'status'
+     StructField("file", StringType(), False)]
+    # triple columns null on status rows and vice versa
+    + [StructField(f.name, f.dataType, True)
+       for f in TRIPLES_SCHEMA.fields if f.name != "file"]
+    + [StructField(f.name, f.dataType, True)
+       for f in STATUS_SCHEMA.fields if f.name != "file"])
+
 
 def _term_to_cols(term: tuple) -> tuple[str, str, str | None]:
     kind = {"i": "iri", "b": "bnode", "l": "literal"}[term[0]]
@@ -97,6 +110,87 @@ def convert_specs_df(specs: DataFrame, base_namespace: str | None = None,
             yield pd.DataFrame(rows, columns=cols)
 
     return specs.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def convert_with_status(specs: DataFrame, base_namespace: str | None = None,
+                        prefix: str | None = None, fmt: str = "shacl") -> DataFrame:
+    """(path, content[, read_error]) -> ONE pass emitting triple rows AND a
+    per-file status row (COMBINED_SCHEMA; filter on rec_kind to split).
+
+    Callers wanting both outputs MUST persist/cache the result before
+    filtering, or each downstream action re-runs the conversion — exactly
+    the 2x waste this function removes (cli.cmd_convert does this).
+
+    Set env SPARK_GRAFT_CONVERT_TRACE to a writable directory to record one
+    line per converted file per worker (test instrumentation proving the
+    single-pass property across executor processes).
+    """
+    import os as _os
+
+    from ..convert.owl import convert_owl
+    from ..convert.shacl import DEFAULT_PREFIX, convert_shacl
+
+    use_prefix = prefix or DEFAULT_PREFIX
+    # captured at plan-build time (driver): already-running worker processes
+    # would not see an env var set after session start
+    trace_dir = _os.environ.get("SPARK_GRAFT_CONVERT_TRACE")
+
+    def run(iterator):
+        import os
+        import pandas as pd
+        import posixpath
+
+        cols = [f.name for f in COMBINED_SCHEMA.fields]
+        n_triple_cols = len(TRIPLES_SCHEMA.fields) - 1  # minus file
+        for pdf in iterator:
+            rows = []
+
+            def status_row(fname, status, error, n_rdf, n_sh):
+                rows.append(("status", fname) + (None,) * n_triple_cols
+                            + (status, error, n_rdf, n_sh))
+
+            for _, rec in pdf.iterrows():
+                path, content = rec["path"], rec["content"]
+                fname = posixpath.basename(path)
+                if content is None:
+                    status_row(fname, "error",
+                               rec.get("read_error") or "unreadable", 0, 0)
+                    continue
+                try:
+                    if fmt == "owl":
+                        conv = convert_owl(fname, content,
+                                           base_namespace or f"{use_prefix}rdf/")
+                        graphs = {"owl": conv.g}
+                        counts = (len(conv.g), 0)
+                    else:
+                        conv = convert_shacl(fname, content, base_namespace, use_prefix)
+                        graphs = {"rdf": conv.rdf, "shacl": conv.sh}
+                        counts = (len(conv.rdf), len(conv.sh))
+                except Exception as e:
+                    status_row(fname, "error", f"{type(e).__name__}: {e}", 0, 0)
+                    continue
+                if trace_dir:
+                    with open(os.path.join(trace_dir, f"{os.getpid()}.log"),
+                              "a", encoding="utf-8") as fh:
+                        fh.write(fname + "\n")
+                for gname, triples in graphs.items():
+                    for s, p, o in triples:
+                        ok, ov, odt = _term_to_cols(o)
+                        rows.append(("triple", fname, gname, _subj_to_str(s),
+                                     p[1], ok, ov, odt, None, None, None, None))
+                status_row(fname, "ok", None, *counts)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return specs.mapInPandas(run, COMBINED_SCHEMA)
+
+
+def split_converted(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """COMBINED_SCHEMA -> (triples DF, status DF) with the classic layouts."""
+    triples = (combined.filter(F.col("rec_kind") == "triple")
+               .select(*[f.name for f in TRIPLES_SCHEMA.fields]))
+    status = (combined.filter(F.col("rec_kind") == "status")
+              .select(*[f.name for f in STATUS_SCHEMA.fields]))
+    return triples, status
 
 
 def convert_status_df(specs: DataFrame, base_namespace: str | None = None,

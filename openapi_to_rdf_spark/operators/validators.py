@@ -77,3 +77,89 @@ def semantic_report(triples: DataFrame) -> DataFrame:
                 .select("file", "iri", F.lit("class_without_nodeshape").alias("issue")))
 
     return no_domain.unionByName(no_range).unionByName(no_shape)
+
+
+# the reference's whitelist (tests/test_shacl_syntax.py:84-91) — note it
+# holds sh:or / sh:and WITHOUT the trailing underscore, so the converter's
+# emitted sh:or_ (quirk §2.5.1) is flagged, reproducing the reference's own
+# warning about its own output
+_SHACL_VALID_PROPS = [SH + n for n in [
+    "targetClass", "targetNode", "targetSubjectsOf", "targetObjectsOf",
+    "property", "path", "datatype", "class", "node", "minCount",
+    "maxCount", "minLength", "maxLength", "pattern", "minInclusive",
+    "maxInclusive", "in", "or", "xone", "and",
+    "zeroOrMorePath", "zeroOrOnePath", "oneOrMorePath", "alternativePath",
+    "inversePath", "hasValue", "equals", "disjoint", "lessThan",
+    "lessThanOrEquals",
+]]
+
+
+def syntax_report(triples: DataFrame) -> DataFrame:
+    """SHACL-syntax checks (reference tests/test_shacl_syntax.py:38-102)
+    re-expressed over the triple table -> (file, severity, issue, detail).
+
+    - invalid_anonymous_id / quoted_bnode_id (errors, ref :38-64): a leaked
+      rdflib-style bnode label serialized as a quoted LITERAL. In the triple
+      table that is a literal object matching the same regexes the reference
+      greps the Turtle text for. Our deterministic bnode ids make this
+      structurally impossible — the check proves it stays that way. NB the
+      reference's quoted-bnode regex ("[N_][a-zA-Z0-9_]{20,}") FALSE-
+      POSITIVES on legitimate long enum literals (e.g. the goldens' own
+      "NE_HARDWARE_ERROR_DELECTED"), so its own output fails its own check;
+      reproduced faithfully, and the parity test asserts the false-positive
+      sets are identical between our output and the goldens.
+    - shacl_namespace_not_found (error, ref :69-76): a shacl graph using no
+      sh: predicate at all.
+    - no_nodeshapes_with_targetclass (warning, ref :79-81).
+    - potentially_invalid_shacl_property (warning, ref :84-102): sh:*
+      predicates outside the whitelist — INCLUDING the reference's
+      substring loophole (a local name contained in any whitelisted URI is
+      let through), so results match the reference check exactly; sh:or_
+      gets warned, as the reference's own test warns about its own output.
+
+    The reference's _check_namespace_usage (:104-123) is vacuous as written
+    (rdflib terms carry no ``.prefix`` attribute, so used_prefixes is always
+    empty); its real content — the file parses with declared prefixes — is
+    subsumed by our Turtle parser raising on undeclared prefixes, which the
+    sink round-trip test exercises.
+    """
+    shacl_g = triples.filter(F.col("graph") == "shacl")
+
+    def issue(df, severity, name, detail_col):
+        return df.select("file", F.lit(severity).alias("severity"),
+                         F.lit(name).alias("issue"), detail_col.alias("detail"))
+
+    leaked = issue(
+        shacl_g.filter((F.col("o_kind") == "literal")
+                       & F.col("o").rlike(r"^N[a-f0-9]{32}$")),
+        "error", "invalid_anonymous_id", F.col("o"))
+    quoted = issue(
+        shacl_g.filter((F.col("o_kind") == "literal")
+                       & F.col("o").rlike(r"^[N_][a-zA-Z0-9_]{20,}$")),
+        "error", "quoted_bnode_id", F.col("o"))
+
+    files = shacl_g.select("file").distinct()
+    with_sh = (shacl_g.filter(F.col("p").startswith(SH))
+               .select("file").distinct())
+    no_ns = issue(files.join(with_sh, "file", "left_anti"),
+                  "error", "shacl_namespace_not_found", F.lit(None).cast("string"))
+
+    with_tc = (shacl_g.filter(F.col("p") == SH + "targetClass")
+               .select("file").distinct())
+    no_tc = issue(files.join(with_tc, "file", "left_anti"),
+                  "warning", "no_nodeshapes_with_targetclass",
+                  F.lit(None).cast("string"))
+
+    valid_arr = F.array(*[F.lit(u) for u in _SHACL_VALID_PROPS])
+    sh_preds = (shacl_g.filter(F.col("p").startswith(SH))
+                .select("file", "p").distinct()
+                .withColumn("local", _local(F.col("p"))))
+    invalid = issue(
+        sh_preds.filter(~F.col("p").isin(_SHACL_VALID_PROPS)
+                        # the reference's substring loophole, reproduced
+                        & ~F.exists(valid_arr,
+                                    lambda v: v.contains(F.col("local")))),
+        "warning", "potentially_invalid_shacl_property", F.col("p"))
+
+    return (leaked.unionByName(quoted).unionByName(no_ns)
+            .unionByName(no_tc).unionByName(invalid))

@@ -15,7 +15,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from conftest import FIXTURE_DIR, GOLDEN_RDF, GOLDEN_SHACL, fixture_names  # noqa: E402
 
 from openapi_to_rdf_spark.operators.validators import (  # noqa: E402
-    completeness_report, semantic_report,
+    completeness_report, semantic_report, syntax_report,
 )
 
 
@@ -79,3 +79,26 @@ def test_reference_test_suite_results_identical(spark):
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_issue.get("property_without_domain", 0) == 0
     assert by_issue.get("property_without_range", 0) == 0
+
+    # --- syntax validator (reference tests/test_shacl_syntax.py) ---------
+    ours_syn = {(r.file, r.severity, r.issue, r.detail)
+                for r in syntax_report(ours).collect()}
+    gold_syn = {(r.file, r.severity, r.issue, r.detail)
+                for r in syntax_report(golden).collect()}
+    assert ours_syn == gold_syn
+    # no REAL leaks on either side: every 'error' is the reference regex's
+    # known false positive on long enum literals (quoted_bnode_id matches
+    # e.g. "NE_HARDWARE_ERROR_DELECTED"); true leaks (invalid_anonymous_id,
+    # unbound namespace) are absent
+    import re
+
+    errors = {t for t in ours_syn if t[1] == "error"}
+    assert {t[2] for t in errors} <= {"quoted_bnode_id"}
+    # none of them is an actual rdflib-style leaked bnode label
+    assert all(not re.fullmatch(r"N[a-f0-9]{32}", t[3]) for t in errors)
+    # the reference's own sh:or_ quirk IS warned about (whitelist has sh:or
+    # without underscore), matching its test's behavior on its own goldens
+    or_warned = {t[0] for t in ours_syn
+                 if t[2] == "potentially_invalid_shacl_property"
+                 and t[3].endswith("#or_")}
+    assert len(or_warned) > 0
