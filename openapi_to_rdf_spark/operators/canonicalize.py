@@ -77,27 +77,74 @@ def jaccard_udf(shingle: int = 3):
     return jac
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        k: int = 32, bands: int = 8, shingle: int = 3,
-                        seed: int = 7) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band."""
+def band_table(df: DataFrame, id_col: str, text_col: str,
+               k: int = 32, bands: int = 8, shingle: int = 3,
+               seed: int = 7) -> DataFrame:
+    """(id, band, band_hash): one row per LSH band per entity. Deterministic
+    in (k, bands, shingle, seed), so a band table materialized earlier can
+    be equi-joined against bands of NEWLY arriving entities — the
+    incremental-canonicalization path (streaming.incremental) never
+    recomputes signatures for already-seen entities."""
     rows = k // bands
     sigs = df.select(id_col, text_col).withColumn(
         "sig", minhash_udf(k, shingle, seed)(F.col(text_col)))
-    banded = sigs.select(
-        F.col(id_col),
+    return sigs.select(
+        F.col(id_col).alias("id"),
         F.posexplode(F.array(*[
             F.xxhash64(*[F.element_at("sig", i * rows + j + 1) for j in range(rows)])
             for i in range(bands)
         ])).alias("band", "band_hash"),
     )
-    left = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
-    right = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 32, bands: int = 8, shingle: int = 3,
+                        seed: int = 7) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band."""
+    banded = band_table(df, id_col, text_col, k=k, bands=bands,
+                        shingle=shingle, seed=seed)
+    left = banded.select("band", "band_hash", F.col("id").alias("id_a"))
+    right = banded.select("band", "band_hash", F.col("id").alias("id_b"))
     return (
         left.join(right, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def nonempty_normalized(entities: DataFrame, text_col: str) -> DataFrame:
+    """Entities whose [a-z0-9]-normalized text is nonempty — the LSH-eligible
+    subset (degenerate all-padding shingle sets would merge unrelated
+    non-Latin strings; excluded entities self-map)."""
+    return entities.filter(
+        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")) > 0)
+
+
+def verify_pairs(pairs: DataFrame, entities: DataFrame, id_col: str,
+                 text_col: str, threshold: float,
+                 shingle: int = 3) -> DataFrame:
+    """Exact char-shingle Jaccard verification of LSH candidates -> verified
+    edges (src, dst). JVM-side (array_intersect on char_ngrams); grams are
+    hashed to int64 before the join so candidate rows carry 8-byte elements
+    instead of strings (matters when texts are documents, not entity keys).
+    """
+    from ..functions.text import char_ngrams
+
+    sh = entities.select(
+        F.col(id_col).alias("id"),
+        F.transform(char_ngrams(F.col(text_col), shingle),
+                    lambda g: F.xxhash64(g)).alias("sh"))
+    a_sh = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a_sh, "id_a").join(b_sh, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard",
+                    F.col("common") /
+                    (F.size("sh_a") + F.size("sh_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
 
 
@@ -127,32 +174,13 @@ def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
     excluded from LSH entirely and self-map: their padded shingle sets would
     be degenerate-identical ('___'), merging unrelated non-Latin strings.
     """
-    from ..functions.text import char_ngrams
-
     if bands is None:
         bands = k // 8 if threshold >= 0.85 else k // 4
-    nonempty = entities.filter(
-        F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")) > 0)
+    nonempty = nonempty_normalized(entities, text_col)
     pairs = lsh_candidate_pairs(nonempty, id_col, text_col, k=k, bands=bands,
                                 shingle=shingle)
-    # grams hashed to int64 before the verify join: candidate rows carry
-    # 8-byte elements instead of strings (matters when texts are documents,
-    # not short entity keys)
-    sh = nonempty.select(
-        F.col(id_col).alias("id"),
-        F.transform(char_ngrams(F.col(text_col), shingle),
-                    lambda g: F.xxhash64(g)).alias("sh"))
-    a_sh = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b_sh = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    edges = (
-        pairs.join(a_sh, "id_a").join(b_sh, "id_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("jaccard",
-                    F.col("common") /
-                    (F.size("sh_a") + F.size("sh_b") - F.col("common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    edges = verify_pairs(pairs, nonempty, id_col, text_col,
+                         threshold=threshold, shingle=shingle)
     comps = connected_components(edges)
     return (
         entities.select(F.col(id_col).alias("node")).dropDuplicates(["node"])

@@ -117,6 +117,29 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     )
 
 
+def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
+    """Import converted-spec shape rules into the KG vocabulary BY LOCAL
+    NAME: <specns#AlarmRecord> -> <kg#AlarmRecord>, <specns#surfaceForm> ->
+    <kg#surfaceForm>.
+
+    This is the ontology-alignment step that closes the shapes-as-rules loop
+    (north_star): sources.transcripts.class_vocab_df types extracted
+    entities by the SAME local-name convention, so rules derived from a real
+    OpenAPI spec via shape_rules_from_shacl become directly enforceable
+    against the transcript graph. Datatype/cardinality/sh:in payloads pass
+    through untouched.
+    """
+    def realign(col):
+        return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
+
+    return rules.select(
+        "file",
+        F.when(F.col("target_class").isNotNull(),
+               realign(F.col("target_class"))).alias("target_class"),
+        realign(F.col("path")).alias("path"),
+        "datatype", "min_count", "max_count", "in_values", "node_kind")
+
+
 def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
     """Shape rules for the transcript KG vocabulary (the DataFrame-native
     equivalent of hand-written sh:PropertyShapes for the kg namespace).

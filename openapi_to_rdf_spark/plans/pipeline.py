@@ -43,8 +43,15 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  n_convs: int = 1000, seed: int = 42,
                  transcripts: DataFrame | None = None,
                  input_fp: str | None = None,
-                 jaccard_threshold: float = 0.9) -> dict:
-    """Run (or resume) the full pipeline; returns per-stage manifests."""
+                 jaccard_threshold: float = 0.9,
+                 spec_rules: DataFrame | None = None) -> dict:
+    """Run (or resume) the full pipeline; returns per-stage manifests.
+
+    ``spec_rules``: extra shape rules (same layout as operators.shapes
+    rules, e.g. shape_rules_from_shacl over a CONVERTED OpenAPI spec,
+    aligned via align_rules_to_namespace) enforced in the violations stage
+    alongside the built-in kg rules — the shapes-as-rules loop closed from
+    real specs, not just the hand dictionary."""
     wd = pathlib.Path(workdir)
     manifests: dict[str, dict] = {}
 
@@ -104,9 +111,17 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
         partition_by=["pred"], count_by=["pred"])
 
     # -- violations quarantine ----------------------------------------------
-    fp_v = fingerprint(fp_g, "violations")
+    rules = kg_shape_rules(spark, KG_NS)
+    rules_fp_part = "base"
+    if spec_rules is not None:
+        rules = rules.unionByName(spec_rules)
+        # rules are a broadcast-tiny dim: fingerprint their content so a
+        # changed spec invalidates (only) the violations stage on resume
+        rules_fp_part = fingerprint(
+            "spec-rules", str(sorted(map(str, spec_rules.collect()))))
+    fp_v = fingerprint(fp_g, "violations", rules_fp_part)
     stage("violations", fp_v,
-          lambda: validate_triples(graph, kg_shape_rules(spark, KG_NS)),
+          lambda: validate_triples(graph, rules),
           count_by=["violation"])
 
     return manifests

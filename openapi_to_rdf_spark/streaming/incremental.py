@@ -1,0 +1,145 @@
+"""Incremental entity canonicalization over a transcript stream.
+
+streaming.ingest covers extraction; this closes the canonicalization gap
+(VERDICT r1 task 7): each micro-batch merges NEW entities into the existing
+canonical map instead of recomputing the map from scratch.
+
+Why this is equivalent to a full recompute (the test asserts it exactly):
+MinHash signatures are deterministic, so the candidate-pair set of a corpus
+is { (a,b) | a,b share a band }. Processing batch i joins the bands of
+batch-i's new entities against the MATERIALIZED band table of everything
+seen so far (plus themselves) — every pair is discovered exactly when its
+later member arrives, so the cumulative verified-edge set equals the batch
+edge set, and connected components over equal edge sets yield equal maps.
+
+Why it scales: the expensive stages are incremental —
+- signatures/bands are computed once per entity ever (the band table is
+  state, keyed storage grows linearly);
+- the candidate join is |new bands| x matching band buckets, not all x all;
+- exact-Jaccard verification touches only new candidate pairs.
+Connected components re-run per batch, but over the EDGE set (alias
+clusters: |edges| << |entities|) — and CC cost is what the salted
+implementation already bounds. State and outputs are laid out like
+streaming.ingest: append-only ``batch_id=N`` partitions written with
+overwrite-per-partition, so replayed batches (restart mid-commit) are
+idempotent; the canonical map snapshot is rewritten atomically per batch.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import (
+    band_table, connected_components, nonempty_normalized, verify_pairs,
+)
+from ..operators.extract import KG_NS, extract_transcript_triples
+
+_ENT_SCHEMA = "ent string, surface string"
+_BAND_SCHEMA = "id string, band int, band_hash long"
+_EDGE_SCHEMA = "src string, dst string"
+
+
+def _read_or_empty(spark, path: pathlib.Path, schema: str,
+                   exclude_batch: int | None = None) -> DataFrame:
+    """Read all committed batch partitions. ``exclude_batch`` drops the
+    CURRENT batch's own partition: on a replay after a mid-commit crash the
+    batch must not see its own partial writes as prior state, or its delta
+    would compute as empty and the overwrite would erase it."""
+    dirs = [d for d in path.glob("batch_id=*")
+            if exclude_batch is None
+            or d.name != f"batch_id={exclude_batch}"]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[str(d) for d in dirs])
+
+
+def batch_entities(turns: DataFrame, class_vocab: DataFrame | None = None) -> DataFrame:
+    """(conv_id, turn_idx, ...) -> distinct (ent, surface) for one batch."""
+    tr = extract_transcript_triples(turns, class_vocab)
+    return (tr.filter(F.col("p") == KG_NS + "surfaceForm")
+            .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+            .dropDuplicates(["ent"]))
+
+
+def merge_batch(spark, state_dir: str | pathlib.Path, ents: DataFrame,
+                batch_id: int, threshold: float = 0.9, k: int = 64,
+                bands: int | None = None, shingle: int = 3) -> None:
+    """Merge one batch of (ent, surface) rows into the canonical-map state.
+
+    State under ``state_dir``: entities/ bands/ edges/ (append-only,
+    batch_id partitions) and canonical/ (rewritten snapshot).
+    """
+    if bands is None:
+        bands = k // 8 if threshold >= 0.85 else k // 4
+    sd = pathlib.Path(state_dir)
+
+    seen = _read_or_empty(spark, sd / "entities", _ENT_SCHEMA,
+                          exclude_batch=batch_id)
+    new = (ents.join(seen.select("ent"), "ent", "left_anti")
+           .dropDuplicates(["ent"]).localCheckpoint())
+
+    (new.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "entities" / f"batch_id={batch_id}")))
+
+    # bands computed ONLY for new entities; prior bands come from state
+    new_bands = band_table(nonempty_normalized(new, "surface"),
+                           "ent", "surface", k=k, bands=bands,
+                           shingle=shingle).localCheckpoint()
+    (new_bands.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "bands" / f"batch_id={batch_id}")))
+
+    old_bands = _read_or_empty(spark, sd / "bands", _BAND_SCHEMA,
+                               exclude_batch=batch_id)
+    all_bands = old_bands.unionByName(new_bands)
+
+    # incremental candidates: new x all (dedup by unordered pair id)
+    cand = (new_bands.select("band", "band_hash", F.col("id").alias("n_id"))
+            .join(all_bands.select("band", "band_hash", F.col("id").alias("o_id")),
+                  ["band", "band_hash"])
+            .filter(F.col("n_id") != F.col("o_id"))
+            .select(F.least("n_id", "o_id").alias("id_a"),
+                    F.greatest("n_id", "o_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    all_ents = seen.unionByName(new)
+    new_edges = verify_pairs(cand, all_ents, "ent", "surface",
+                             threshold=threshold, shingle=shingle)
+    (new_edges.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "edges" / f"batch_id={batch_id}")))
+
+    # resolution over the cumulative (small) edge set; total map over all ents
+    edges = _read_or_empty(spark, sd / "edges", _EDGE_SCHEMA)
+    comps = connected_components(edges)
+    cmap = (all_ents.select(F.col("ent").alias("node")).dropDuplicates(["node"])
+            .join(comps, "node", "left")
+            .select(F.col("node").alias("ent"),
+                    F.coalesce("component", F.col("node")).alias("canonical")))
+    cmap.write.mode("overwrite").parquet(str(sd / "canonical"))
+
+
+def start_incremental_canonicalization(stream: DataFrame, state_dir: str,
+                                       class_vocab: DataFrame | None = None,
+                                       threshold: float = 0.9,
+                                       trigger_once: bool = True):
+    """foreachBatch driver: transcript stream -> continuously-updated
+    canonical entity map under ``state_dir`` (read it back with
+    ``read_canonical_map``). Returns the StreamingQuery."""
+    out = pathlib.Path(state_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merge_batch(spark, out, batch_entities(batch_df, class_vocab),
+                    batch_id, threshold=threshold)
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", str(out / "_checkpoint")))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_canonical_map(spark, state_dir: str) -> DataFrame:
+    return spark.read.parquet(str(pathlib.Path(state_dir) / "canonical"))

@@ -211,6 +211,66 @@ def test_pipeline_quarantines_corrupt_transcripts(spark, tmp_path):
     assert m["graph"]["metrics"]["rows"] > 0  # conforming triples still land
 
 
+def _spec_rules(spark, yaml_text):
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.shapes import align_rules_to_namespace
+
+    specs = spark.createDataFrame([("kgvocab.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    return align_rules_to_namespace(shape_rules_from_shacl(shacl), KG_NS)
+
+
+def test_pipeline_enforces_converted_spec_rules(spark, tmp_path):
+    """The shapes-as-rules loop closed from a REAL spec: a converted OpenAPI
+    schema constrains the transcript graph end-to-end. A spec declaring
+    surfaceForm as date-time plants a datatype violation for every
+    AlarmRecord-typed entity (extraction emits xsd:string); the conforming
+    spec variant produces a clean run (VERDICT r1 task 6)."""
+    bad_spec = """
+openapi: 3.0.1
+components:
+  schemas:
+    AlarmRecord:
+      type: object
+      required: [surfaceForm]
+      properties:
+        surfaceForm:
+          type: string
+          format: date-time
+"""
+    m = run_pipeline(spark, tmp_path / "bad", n_convs=60, seed=5,
+                     spec_rules=_spec_rules(spark, bad_spec))
+    counts = m["violations"]["metrics"]["counts"]
+    assert counts.get("datatypeMismatch", 0) > 0
+
+    # and the violating subjects are AlarmRecord entities on surfaceForm
+    viol = read_snapshot(spark, tmp_path / "bad" / "violations",
+                         m["violations"]["fingerprint"])
+    dt = viol.filter(F.col("violation") == "datatypeMismatch")
+    assert dt.filter(~F.col("s").startswith(ENT_NS)).count() == 0
+    assert dt.filter(F.col("p") != KG_NS + "surfaceForm").count() == 0
+
+    good_spec = bad_spec.replace("\n          format: date-time", "")
+    m2 = run_pipeline(spark, tmp_path / "good", n_convs=60, seed=5,
+                      spec_rules=_spec_rules(spark, good_spec))
+    counts2 = m2["violations"]["metrics"]["counts"]
+    # datatype now conforms (xsd:string both sides)
+    assert counts2.get("datatypeMismatch", 0) == 0
+    # what remains is real SHACL semantics, not noise: the spec's auto-
+    # emitted maxCount 1 (reference quirk, shacl_converter.py:650-651)
+    # genuinely fires on canonical entities that absorbed alias spellings —
+    # a merged entity has one surfaceForm PER ALIAS. Verify that every
+    # residual violation is exactly that case (count>1 on surfaceForm).
+    viol2 = read_snapshot(spark, tmp_path / "good" / "violations",
+                          m2["violations"]["fingerprint"])
+    residual = viol2.filter(
+        (F.col("violation") != "cardinalityViolation")
+        | (F.col("p") != KG_NS + "surfaceForm")
+        | ~F.col("detail").rlike("^count=[2-9]"))
+    assert residual.count() == 0
+
+
 def test_validate_no_double_count_across_classes(spark):
     """A subject typed with two classes whose shapes both constrain the same
     path must not double-count its single value (maxCount 1 satisfied)."""

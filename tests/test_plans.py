@@ -68,6 +68,28 @@ def test_shape_validation_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_embedding_guard_routes_to_lsh(spark):
+    """Above max_exact_rows the auto-routed plan must be the bucketed
+    equi-join — no O(n^2) product node anywhere (VERDICT r1 #3)."""
+    from openapi_to_rdf_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    routed = embedding_dup_pairs(emb, threshold=0.95, max_exact_rows=100)
+    plan = _plan(routed)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket join is an EQUI-join (any hash/sort implementation —
+    # Catalyst broadcasts at this scale, shuffles at real scale)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+    # under the threshold the exact product (the oracle shape) is kept
+    exact_plan = _plan(embedding_dup_pairs(emb, threshold=0.95,
+                                           max_exact_rows=10_000))
+    assert ("BroadcastNestedLoopJoin" in exact_plan
+            or "CartesianProduct" in exact_plan)
+
+
 def test_pricing_summary_partial_aggregation(spark):
     import __spark_entry__ as em
 
