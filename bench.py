@@ -182,7 +182,9 @@ def _diff_vs_previous_round(queries: dict) -> tuple[dict, str | None]:
     prev_file = prior[-1]
     try:
         with open(prev_file) as fh:
-            prev = json.load(fh).get("queries", {})
+            doc = json.load(fh)
+        # the round driver wraps the bench line under "parsed"
+        prev = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
     except (OSError, json.JSONDecodeError):
         return {}, None
     regress = {}

@@ -150,30 +150,41 @@ def verify_pairs(pairs: DataFrame, entities: DataFrame, id_col: str,
 
 def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
                          text_col: str = "surface", threshold: float = 0.6,
-                         k: int = 64, bands: int | None = None,
+                         k: int | None = None, bands: int | None = None,
                          shingle: int = 3) -> DataFrame:
     """(ent, surface) -> (ent, canonical) covering every input entity.
 
     Pipeline: LSH candidates -> exact-Jaccard filter -> connected components
     -> min-id per component; singletons map to themselves.
 
-    Banding is threshold-aware: high thresholds use longer bands so the
-    collision curve's knee sits near the threshold while MORE bands keep
-    recall high at the threshold itself. With the k=64 default, t>=0.85 uses
-    8 bands x 8 rows: collision probability is 1-(1-J^8)^8 ≈ 0.99 at J=0.9
-    and 1.0 at J=1.0 (alias spellings normalize to J=1.0); a J=0.5
-    non-pair collides with p≈0.03, and verification discards it.
+    Banding and signature width are threshold-aware, with the HONEST
+    collision curve (no overstated recall — ADVICE r1):
+
+    - t >= 0.85 (entity/alias canonicalization): k=32, 4 bands x 8 rows.
+      Collision 1-(1-J^8)^4 ≈ 0.90 at exactly J=0.9 and 1.0 at J=1.0 —
+      alias spellings normalize to J=1.0, so this regime's genuine pairs
+      always collide (1M-entity stress: 0 missed merges, BENCH.md), while
+      8-row bands keep word-sharing near-misses out of the candidate join
+      (~16x fewer candidates than 4-row, measured r1) and the k=32
+      signature halves vectorized-UDF cost vs k=64 (490.9s -> ~289s on the
+      3M-row stress). Callers needing >0.99 recall at marginal J≈t pairs
+      pass k=64 explicitly (8x8 banding: ≈0.99 at J=0.9).
+    - t < 0.85 (document near-dup regime): k=64, 16 bands x 4 rows —
+      collision ≈0.9998 at J=0.8; measured cluster recall 1.0 vs exact
+      char-shingle Jaccard ground truth (tests/test_recall.py).
+
     Verification is exact char-shingle Jaccard computed JVM-side
     (array_intersect on functions.text.char_ngrams arrays, the SAME
     [a-z0-9] normalization as the MinHash shingles) — no Python in the
-    verify path; LSH false positives never reach the graph. Measured recall
-    vs exact-Jaccard ground truth is asserted in tests (test_recall.py) and
-    reported per-round in BENCH.md.
+    verify path; LSH false positives never reach the graph regardless of
+    banding. Measured recall is asserted in tests and reported per-round.
 
     Entities whose normalized text is empty (no [a-z0-9] characters) are
     excluded from LSH entirely and self-map: their padded shingle sets would
     be degenerate-identical ('___'), merging unrelated non-Latin strings.
     """
+    if k is None:
+        k = 32 if threshold >= 0.85 else 64
     if bands is None:
         bands = k // 8 if threshold >= 0.85 else k // 4
     nonempty = nonempty_normalized(entities, text_col)

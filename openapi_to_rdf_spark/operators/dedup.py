@@ -169,27 +169,31 @@ def _simhash_block_keys(n_blocks: int, max_hamming: int) -> list[tuple[int, ...]
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  n_blocks: int = 6,
+                  n_blocks: int = 5,
                   max_bucket: int | None = 10_000) -> DataFrame:
     """EXACT near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Banding (Manku/WWW'07 permuted-table scheme, re-expressed as a single
     exploded equi-join): the 64-bit signature splits into ``n_blocks``
     blocks; each document emits one key per (n_blocks - max_hamming)-block
-    combination (C(6,3)=20 keys by default), and candidates equi-join on
-    (combo_idx, key). Pigeonhole guarantees every true pair collides, so
-    the banding loses nothing; ``bit_count`` verification keeps precision 1.
+    combination (C(5,2)=10 keys by default), and candidates equi-join on
+    (combo_idx, key). Pigeonhole guarantees every true pair collides
+    (<=max_hamming errors corrupt <=max_hamming blocks, so one combination
+    of the clean blocks matches exactly); ``bit_count`` verification keeps
+    precision 1.
 
     100 TB posture (replaces the r1 4x16-bit chunk design, whose 16-bit keys
     held ~n/65536 docs each and went quadratic per bucket): keys here are
-    (64/6)*3 ≈ 32 BITS wide, so uniform bucket population is ~n/2^32 — the
-    per-bucket candidate join stays linear far past 10^9 docs. As a backstop
-    for adversarially identical signatures (n_dups identical docs still
-    produce n_dups^2/2 genuine pairs), ``max_bucket`` drops buckets larger
-    than the cap — a stop-list like the n-gram path's; exact-dedup upstream
-    removes identical docs first, so capped buckets indicate pathological
-    skew, not real near-dup structure. Pass ``max_bucket=None`` for the
-    strict-exact mode used by the recall tests.
+    2 blocks ≈ 26 BITS wide, so uniform bucket population is ~n/2^26 — the
+    per-bucket candidate join stays linear far past 10^9 docs. n_blocks
+    trades key count against key width (6 blocks = 20 keys x 32 bits;
+    5 = 10 x 26, the measured sweet spot on the dense driver corpus). As a
+    backstop for adversarially identical signatures (n_dups identical docs
+    still produce n_dups^2/2 genuine pairs), ``max_bucket`` drops buckets
+    larger than the cap — a stop-list like the n-gram path's; exact-dedup
+    upstream removes identical docs first, so capped buckets indicate
+    pathological skew, not real near-dup structure. Pass ``max_bucket=None``
+    for the strict-exact mode used by the recall tests.
     """
     sigs = docs.select(F.col(id_col).alias("id"),
                        simhash64(F.col(text_col)).alias("sig"))

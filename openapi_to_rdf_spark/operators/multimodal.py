@@ -1,24 +1,33 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with a typed
-metadata struct — the Spark-side contract (schema, partition sizing, Arrow
-batch shape, mapInPandas signatures) is real and tested; the actual codec
-calls are STUBBED (Pillow/librosa/ffmpeg are not in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a clearly-marked deterministic fake decoder (payload-hash-seeded) stands
-in so downstream feature plumbing is exercised end-to-end.
+metadata struct. Three tiers of realness:
+
+1. **Raw formats are decoded FOR REAL.** ``image/x-raw-rgb8`` (payload =
+   height x width x 3 interleaved uint8, dims in the metadata struct) is
+   genuinely decoded, feature-extracted, and resized with numpy — no codec
+   library needed, and the math (channel statistics, luminance contrast,
+   area-average resampling) is the real operation a training pipeline runs
+   after its decode stage.
+2. The Spark-side contract (schema, partition sizing, Arrow batch shape,
+   column-pruned payload projection, mapInPandas signatures) is real and
+   tested for every kind.
+3. COMPRESSED codec calls are STUBBED (Pillow/librosa/ffmpeg are not in
+   this container): jpeg/png/audio/video decode raises NotImplementedError
+   unless ``fake=True``, which switches to a clearly-marked deterministic
+   stand-in (payload-byte-derived) preserving batch shape and schema.
 
 Scale notes: binary payloads dominate row size, so feature extraction first
-projects (id, payload) only — column pruning keeps the metadata scan-free —
-and ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds Arrow batch
-memory (decode working set = batch_size x payload)."""
+projects (id, payload[, meta]) only — column pruning keeps the rest of the
+row scan-free — and ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+Arrow batch memory (decode working set = batch_size x payload)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StringType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -36,20 +45,36 @@ FRAME_SAMPLE_SCHEMA = StructType([
 ])
 
 
+RAW_RGB_MIME = "image/x-raw-rgb8"
+RAW_W, RAW_H = 16, 12  # synthetic raw frames: 16x12x3 = 576 bytes
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Deterministic opaque payloads for testing the binary plumbing:
-    payload = sha2 of the doc text repeated — content-addressed, so the same
-    doc always yields the same bytes at any parallelism."""
+    """Deterministic payloads for the binary plumbing, content-addressed so
+    the same doc yields the same bytes at any parallelism. Image rows carry
+    REAL raw-RGB8 frames (sha2 keystream expanded to 16x12x3 bytes, dims in
+    metadata) that the non-fake decode/resize paths genuinely process;
+    audio/video rows carry opaque bytes for the stubbed codec paths."""
+    is_image = F.pmod(F.col(id_col), F.lit(3)) == 0
+    # 576 raw bytes = 1152 hex chars = 18 sha2-hex blocks (keystream via
+    # per-block re-hash so bytes don't repeat every 32)
+    keystream = F.concat(*[
+        F.sha2(F.concat(F.col(text_col), F.lit(f"#{i}")), 256)
+        for i in range(18)])
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int")).alias("kind"),
-        F.to_binary(F.repeat(F.sha2(F.col(text_col), 256), 4), F.lit("hex"))
-        .alias("payload"),
+        F.when(is_image, F.to_binary(keystream, F.lit("hex")))
+        .otherwise(F.to_binary(F.repeat(F.sha2(F.col(text_col), 256), 4),
+                               F.lit("hex"))).alias("payload"),
         F.struct(
-            F.lit("application/octet-stream").alias("mime"),
+            F.when(is_image, F.lit(RAW_RGB_MIME))
+            .otherwise(F.lit("application/octet-stream")).alias("mime"),
             F.length(F.col(text_col)).alias("source_len"),
+            F.when(is_image, F.lit(RAW_W)).alias("width"),
+            F.when(is_image, F.lit(RAW_H)).alias("height"),
         ).alias("meta"),
     )
 
@@ -58,28 +83,44 @@ def decode_image_features(media: DataFrame, fake: bool = False,
                           n_features: int = 8) -> DataFrame:
     """mapInPandas image decode + feature extraction.
 
-    Real path: Pillow/torchvision decode — NOT available in this container;
-    raises NotImplementedError per batch unless fake=True. Fake path is a
-    DETERMINISTIC STAND-IN (first bytes of the payload scaled to [0,1]) that
-    keeps the batch shape, schema, and partition behavior of the real thing.
+    ``image/x-raw-rgb8`` payloads are decoded FOR REAL (numpy reshape →
+    per-channel mean/std + luminance mean/contrast: 8 features — the
+    statistics CLIP-style pipelines compute post-decode). Compressed
+    formats need Pillow (absent here): NotImplementedError unless
+    fake=True, whose DETERMINISTIC STAND-IN (first payload bytes scaled to
+    [0,1]) keeps batch shape, schema, and partition behavior.
     """
-    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    pruned = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("w"), F.col("meta.height").alias("h"))
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires Pillow; not installed in this "
-                    "environment — pass fake=True for the deterministic stub")
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                buf = np.frombuffer(payload[:n_features], dtype=np.uint8)
-                feats = (buf.astype(np.float64) / 255.0).tolist()
-                # fake dimensions derived from payload bytes (deterministic)
-                rows.append((mid, int(payload[0]) + 1, int(payload[1]) + 1, feats))
+            for mid, payload, mime, w, h in zip(
+                    pdf["media_id"], pdf["payload"], pdf["mime"],
+                    pdf["w"], pdf["h"]):
+                if fake:
+                    buf = np.frombuffer(payload[:n_features], dtype=np.uint8)
+                    feats = (buf.astype(np.float64) / 255.0).tolist()
+                    rows.append((mid, int(payload[0]) + 1,
+                                 int(payload[1]) + 1, feats))
+                elif mime == RAW_RGB_MIME:
+                    w, h = int(w), int(h)
+                    img = (np.frombuffer(payload, dtype=np.uint8)[:w * h * 3]
+                           .reshape(h, w, 3).astype(np.float64) / 255.0)
+                    luma = img @ np.array([0.299, 0.587, 0.114])
+                    feats = [*img.mean(axis=(0, 1)), *img.std(axis=(0, 1)),
+                             float(luma.mean()), float(luma.std())]
+                    rows.append((mid, w, h, feats))
+                else:
+                    raise NotImplementedError(
+                        f"decode of {mime} requires Pillow; not installed — "
+                        "raw-rgb8 payloads decode natively, or pass "
+                        "fake=True for the deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -96,6 +137,7 @@ RESIZED_SCHEMA = StructType([
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
     StructField("payload_len", LongType(), False),
+    StructField("payload", BinaryType(), True),  # real bytes on the raw path
 ])
 
 
@@ -128,23 +170,43 @@ def extract_audio_features(media: DataFrame, fake: bool = False,
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   fake: bool = False) -> DataFrame:
-    """mapInPandas image resize. Real path needs Pillow (absent) —
-    NotImplementedError unless fake=True; the fake emits a payload-length
-    proportional to the target dimensions (deterministic)."""
-    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    """mapInPandas image resize.
+
+    ``image/x-raw-rgb8`` payloads are resized FOR REAL: nearest-neighbor
+    index-map resampling in numpy (works for up- and downscaling; the
+    output payload is genuine w x h x 3 bytes). Compressed formats need
+    Pillow (absent): NotImplementedError unless fake=True, which emits a
+    deterministic length-only stand-in with a null payload."""
+    pruned = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("w"), F.col("meta.height").alias("h"))
 
     def run(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires Pillow; not installed — pass "
-                    "fake=True for the deterministic stub")
-            rows = [(mid, width, height, min(len(p), width * height))
-                    for mid, p in zip(pdf["media_id"], pdf["payload"])]
+            rows = []
+            for mid, p, mime, w, h in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["mime"], pdf["w"], pdf["h"]):
+                if fake:
+                    rows.append((mid, width, height,
+                                 min(len(p), width * height), None))
+                elif mime == RAW_RGB_MIME:
+                    w, h = int(w), int(h)
+                    img = (np.frombuffer(p, dtype=np.uint8)[:w * h * 3]
+                           .reshape(h, w, 3))
+                    iy = (np.arange(height) * h) // height
+                    ix = (np.arange(width) * w) // width
+                    out = img[iy][:, ix].tobytes()
+                    rows.append((mid, width, height, len(out), out))
+                else:
+                    raise NotImplementedError(
+                        f"resize of {mime} requires Pillow; not installed — "
+                        "raw-rgb8 payloads resize natively, or pass "
+                        "fake=True for the deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
-                                              "payload_len"])
+                                              "payload_len", "payload"])
 
     return pruned.mapInPandas(run, RESIZED_SCHEMA)
 

@@ -157,8 +157,54 @@ def test_multimodal_stub_plumbing(docs):
     assert feats.count() == media.filter("kind = 'image'").count()
     frames = sample_video_frames(media, fake=True)
     assert frames.count() > 0
+    # compressed mimes still honestly refuse without the codec library
+    compressed = media.withColumn(
+        "meta", F.struct(F.lit("image/jpeg").alias("mime"),
+                         F.lit(1).alias("source_len"),
+                         F.lit(None).cast("int").alias("width"),
+                         F.lit(None).cast("int").alias("height")))
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        decode_image_features(media, fake=False).count()
+        decode_image_features(compressed, fake=False).count()
+
+
+def test_multimodal_raw_rgb_real_decode_and_resize(docs, spark):
+    """The raw-RGB8 path is REAL: features match a driver-side numpy
+    reference on the same payload, and resize emits genuine resampled
+    bytes (not a stub)."""
+    import numpy as np
+
+    from openapi_to_rdf_spark.operators.multimodal import (
+        RAW_H, RAW_W, decode_image_features, resize_images, synth_media,
+    )
+
+    media = synth_media(docs).cache()
+    images = media.filter("kind = 'image'")
+    n_img = images.count()
+    assert n_img > 0
+
+    feats = decode_image_features(media, fake=False)  # no codec lib needed
+    assert feats.count() == n_img
+
+    # reference-check one row end to end
+    probe = images.orderBy("media_id").first()
+    img = (np.frombuffer(probe.payload, dtype=np.uint8)[:RAW_W * RAW_H * 3]
+           .reshape(RAW_H, RAW_W, 3).astype(np.float64) / 255.0)
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    expected = [*img.mean(axis=(0, 1)), *img.std(axis=(0, 1)),
+                float(luma.mean()), float(luma.std())]
+    got = feats.filter(F.col("media_id") == probe.media_id).first()
+    assert got.width == RAW_W and got.height == RAW_H
+    assert np.allclose(got.features, expected)
+
+    rs = resize_images(media, width=8, height=6, fake=False)
+    rrow = rs.filter(F.col("media_id") == probe.media_id).first()
+    assert rrow.payload_len == 8 * 6 * 3 and len(rrow.payload) == 8 * 6 * 3
+    # nearest-neighbor reference
+    iy = (np.arange(6) * RAW_H) // 6
+    ix = (np.arange(8) * RAW_W) // 8
+    ref = (np.frombuffer(probe.payload, dtype=np.uint8)[:RAW_W * RAW_H * 3]
+           .reshape(RAW_H, RAW_W, 3))[iy][:, ix].tobytes()
+    assert bytes(rrow.payload) == ref
 
 
 def test_entry_contract(spark):
@@ -248,4 +294,4 @@ def test_audio_and_resize_stubs(docs):
     rs = resize_images(media, fake=True)
     assert rs.filter("width = 64 AND height = 64").count() == rs.count()
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
-        extract_audio_features(media, fake=False).count()
+        extract_audio_features(media, fake=False).count()  # codecs absent
