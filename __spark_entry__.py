@@ -206,6 +206,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.expr(f"regexp_extract_all(text, '{pat}', 1)")).alias("term"))
                 .groupBy("term").agg(F.count(F.lit(1)).alias("n_mentions")))
 
+    _TERM_PAT = "(spark|query|join|window|stream|filter|merge)"
+
+    def q_term_co_mentions(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.graphq import (
+            doc_term_edges, term_co_mentions,
+        )
+
+        edges = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
+        return term_co_mentions(edges).select("term_a", "term_b", "n_docs")
+
+    def q_related_docs(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.graphq import (
+            doc_term_edges, related_docs,
+        )
+
+        edges = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
+        return related_docs(edges, min_shared=3).select(
+            "doc_a", "doc_b", "n_shared")
+
     # ---- embeddings ----
 
     def q_cosine_topk(spark, sf_dir):
@@ -430,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "doc_mentions": q_doc_mentions,
+        "term_co_mentions": q_term_co_mentions,
+        "related_docs": q_related_docs,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
@@ -648,6 +669,29 @@ def oracle_sql() -> dict[str, str]:
                      '(spark|query|join|window|stream|filter|merge)', 1)) AS term
                   FROM documents)
             GROUP BY term
+        """,
+        "term_co_mentions": """
+            WITH edges AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1))) AS term
+              FROM documents)
+            SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+            FROM edges a JOIN edges b USING (doc)
+            WHERE a.term < b.term
+            GROUP BY 1, 2
+        """,
+        "related_docs": """
+            WITH edges AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1))) AS term
+              FROM documents)
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared
+            FROM edges a JOIN edges b USING (term)
+            WHERE a.doc < b.doc
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
         """,
         # cosine is recomputed in double precision with Spark's exact formula
         # (dot / (sqrt(na)*sqrt(nb))) — list_cosine_similarity is float32 and

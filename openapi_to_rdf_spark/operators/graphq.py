@@ -45,3 +45,44 @@ def class_histogram(graph: DataFrame) -> DataFrame:
     return (graph.filter(F.col("p") == rdf_type)
             .groupBy(F.col("o").alias("class_iri"))
             .agg(F.countDistinct("s").alias("n_entities")))
+
+
+# --------------------------------------------------------------------------
+# Bipartite graph projections (document-term). Same join shapes as the KG
+# co-mention queries above, but built from SQL-expressible extraction, so
+# these two are EXACT-oracle-checked against DuckDB (unlike the transcript
+# KG, whose synthetic generator is not ANSI-SQL-expressible).
+# --------------------------------------------------------------------------
+
+def doc_term_edges(docs: DataFrame, pattern: str, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc, term) bipartite edges: distinct pattern matches per document."""
+    return (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(
+            F.expr(f"regexp_extract_all({text_col}, '{pattern}', 1)")))
+        .alias("term")))
+
+
+def term_co_mentions(edges: DataFrame) -> DataFrame:
+    """Term pairs co-occurring in >=1 document, with document counts —
+    the bipartite projection onto the term side. Self-equi-join on the doc
+    key (high cardinality → well-distributed); map-side partial count."""
+    return (edges.alias("a").join(edges.alias("b"), "doc")
+            .filter(F.col("a.term") < F.col("b.term"))
+            .groupBy(F.col("a.term").alias("term_a"),
+                     F.col("b.term").alias("term_b"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def related_docs(edges: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Document pairs sharing >= min_shared distinct terms — the projection
+    onto the doc side (2-hop doc→term→doc reachability with support).
+    Self-equi-join on term; a hot term's posting list concentrates one
+    reducer, so at corpus scale feed this a stop-listed edge set (drop
+    terms with df above a cap — same skew trick as the dedup paths)."""
+    return (edges.alias("a").join(edges.alias("b"), "term")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
