@@ -199,6 +199,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
                 .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
 
+    def q_char_dup_pairs(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.dedup import char_jaccard_pairs
+
+        return (char_jaccard_pairs(_docs(spark, sf_dir), n=4, threshold=0.8)
+                .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
+
+    def q_dedup_keep_best(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.dedup import dedup_keep_best
+
+        d = _docs(spark, sf_dir)
+        cmap = exact_dedup_map(d).select(
+            "doc_id", F.col("canonical_id").alias("canonical"))
+        return (dedup_keep_best(d, cmap)
+                .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+
     def q_doc_mentions(spark, sf_dir):
         d = _docs(spark, sf_dir)
         pat = "(spark|query|join|window|stream|filter|merge)"
@@ -448,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "exact_dedup": q_exact_dedup,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "char_dup_pairs": q_char_dup_pairs,
+        "dedup_keep_best": q_dedup_keep_best,
         "doc_mentions": q_doc_mentions,
         "term_co_mentions": q_term_co_mentions,
         "related_docs": q_related_docs,
@@ -662,6 +679,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
             FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+        """,
+        # char-4-gram exact Jaccard: same normalization/padding as
+        # functions.text.char_ngrams (strip to [a-z0-9], rpad short to n)
+        "char_dup_pairs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+              FROM documents),
+            padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) < 4 THEN rpad(t, 4, '_') ELSE t END AS t
+              FROM norm),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([substr(t, i, 4)
+                       for i in range(1, greatest(length(t) - 3, 1) + 1)]) AS sh
+              FROM padded),
+            ex AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM g WHERE len(sh) > 0),
+            sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+              FROM ex a JOIN ex b USING (shingle) WHERE a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
+            FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+            WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+        """,
+        "dedup_keep_best": f"""
+            WITH fp AS (SELECT doc_id, n_chars, {_FINGERPRINT} AS fp FROM documents),
+            ranked AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY fp
+                         ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM fp)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM ranked WHERE rk = 1
         """,
         "doc_mentions": """
             SELECT term, COUNT(*) AS n_mentions

@@ -49,6 +49,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="parquet path of a transcript table (conv_id, turn_idx, "
                         "role, text, tool, ts); default: deterministic synthetic")
     k.add_argument("--jaccard-threshold", type=float, default=0.9)
+    k.add_argument("--spec", nargs="*", default=None,
+                   help="OpenAPI YAML files/dirs; their converted SHACL "
+                        "shapes are aligned into the kg vocabulary and "
+                        "enforced in the violations stage")
     k.add_argument("--cores", type=int, default=None)
     return p
 
@@ -107,6 +111,22 @@ def cmd_kg(args) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="kg-pipeline", cores=args.cores)
+
+    spec_rules = None
+    if args.spec:
+        from pyspark.sql import functions as F
+
+        from .operators.extract import KG_NS, convert_specs_df
+        from .operators.shapes import (
+            align_rules_to_namespace, shape_rules_from_shacl,
+        )
+        from .sources.specs import spec_paths_df, with_content
+
+        specs = with_content(spec_paths_df(spark, args.spec))
+        shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+        spec_rules = align_rules_to_namespace(
+            shape_rules_from_shacl(shacl), KG_NS)
+
     transcripts, input_fp = None, None
     if args.input_table:
         from .plans.snapshot import fingerprint
@@ -119,7 +139,7 @@ def cmd_kg(args) -> int:
     manifests = run_pipeline(
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
         transcripts=transcripts, input_fp=input_fp,
-        jaccard_threshold=args.jaccard_threshold)
+        jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

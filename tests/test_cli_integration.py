@@ -39,6 +39,7 @@ def test_cli_convert_full_corpus_matches_goldens(spark, tmp_path, monkeypatch):
                     for line in f.read_text().splitlines())
     assert len(traced) == 38, f"expected 38 conversions, saw {len(traced)}"
     assert sorted(set(traced)) == sorted(s + ".yaml" for s in stems)
+
     for stem in stems:
         fstem = stem.replace("-", "_")
         for sub, golden_dir, suffix in [("rdf", GOLDEN_RDF, "_rdf"),
@@ -49,3 +50,29 @@ def test_cli_convert_full_corpus_matches_goldens(spark, tmp_path, monkeypatch):
             ours = canonicalize_bnodes(parse_turtle(ours_path.read_text()))
             golden = canonicalize_bnodes(parse_turtle(golden_path.read_text()))
             assert ours == golden, f"triple mismatch for {fstem} {sub}"
+
+
+def test_cli_kg_spec_rules_flag(spark, tmp_path, capsys):
+    """`kg --spec`: converted-spec shapes are enforced end to end from the
+    CLI — a spec typing surfaceForm as date-time quarantines every
+    AlarmRecord entity."""
+    from openapi_to_rdf_spark.cli import main
+
+    spec = tmp_path / "vocab.yaml"
+    spec.write_text("""
+openapi: 3.0.1
+components:
+  schemas:
+    AlarmRecord:
+      type: object
+      properties:
+        surfaceForm:
+          type: string
+          format: date-time
+""")
+    rc = main(["kg", "--workdir", str(tmp_path / "wd"), "--n-convs", "40",
+               "--seed", "5", "--spec", str(spec)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    viol_line = [ln for ln in out.splitlines() if ln.strip().startswith("violations")][0]
+    assert "datatypeMismatch" in viol_line
