@@ -54,6 +54,20 @@ def _build_parser() -> argparse.ArgumentParser:
                         "shapes are aligned into the kg vocabulary and "
                         "enforced in the violations stage")
     k.add_argument("--cores", type=int, default=None)
+
+    s = sub.add_parser("stream", help="continuous ingest: transcript parquet "
+                                      "dir → triple batches (+ incremental "
+                                      "canonical map)")
+    s.add_argument("--input-dir", required=True,
+                   help="directory where transcript parquet files arrive")
+    s.add_argument("--output-dir", required=True,
+                   help="triple batches + streaming checkpoint root")
+    s.add_argument("--canonicalize", action="store_true",
+                   help="also maintain the incremental canonical entity map")
+    s.add_argument("--follow", action="store_true",
+                   help="keep running for new files (default: availableNow "
+                        "— drain what exists, then exit)")
+    s.add_argument("--cores", type=int, default=None)
     return p
 
 
@@ -149,9 +163,47 @@ def cmd_kg(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    import pathlib
+
+    from .session import get_spark
+    from .sources.transcripts import TRANSCRIPT_SCHEMA, class_vocab_df
+    from .streaming.incremental import (
+        read_canonical_map, start_incremental_canonicalization,
+    )
+    from .streaming.ingest import read_stream_triples, start_stream_pipeline
+
+    spark = get_spark(app_name="kg-stream", cores=args.cores)
+    vocab = class_vocab_df(spark)
+
+    def source():
+        return (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(args.input_dir))
+
+    once = not args.follow
+    queries = [start_stream_pipeline(source(), args.output_dir, vocab,
+                                     trigger_once=once)]
+    canon_dir = str(pathlib.Path(args.output_dir) / "canonical_state")
+    if args.canonicalize:
+        queries.append(start_incremental_canonicalization(
+            source(), canon_dir, vocab, trigger_once=once))
+    for q in queries:
+        q.awaitTermination()
+
+    n = read_stream_triples(spark, args.output_dir).count()
+    print(f"  triples committed: {n}")
+    if args.canonicalize:
+        cmap = read_canonical_map(spark, canon_dir)
+        merged = cmap.filter("ent != canonical").count()
+        print(f"  canonical map: {cmap.count()} entities, {merged} merged")
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
-    return cmd_convert(args) if args.cmd == "convert" else cmd_kg(args)
+    return {"convert": cmd_convert, "kg": cmd_kg,
+            "stream": cmd_stream}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,11 @@ CLASS_TOKENS = [
 ROLES = ["user", "assistant", "tool"]
 TOOLS = ["search", "query_nrm", "fetch_alarms", "none"]
 
+# BASELINE.json input_hint schema — the contract every transcript source
+# (synthetic, external parquet, streaming) satisfies
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
 HOT_ENTITIES = 5          # ids [0, HOT) receive ~30% of all mentions
 ENTITY_POOL = 5000        # cold ids uniform in [HOT, ENTITY_POOL)
 ALIAS_SEPS = ["-", "_", "."]

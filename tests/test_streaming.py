@@ -127,6 +127,23 @@ def test_incremental_canonicalization_equals_batch(spark, tmp_path):
     assert expected.exceptAll(replayed).isEmpty()
 
 
+def test_cli_stream_subcommand(spark, tmp_path, capsys):
+    """`stream` CLI: drain a transcript directory into committed triple
+    batches + the incremental canonical map."""
+    from openapi_to_rdf_spark.cli import main
+
+    turns = synth_transcripts(spark, 40, seed=21)
+    turns.coalesce(1).write.parquet(str(tmp_path / "in" / "c0"))
+    rc = main(["stream", "--input-dir", str(tmp_path / "in"),
+               "--output-dir", str(tmp_path / "out"), "--canonicalize"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "triples committed:" in out and "canonical map:" in out
+    n_expected = extract_transcript_triples(turns, class_vocab_df(spark)).count()
+    n_line = [ln for ln in out.splitlines() if "triples committed" in ln][0]
+    assert int(n_line.split(":")[1]) == n_expected
+
+
 def test_continuous_variant_runs(spark, tmp_path):
     """stream_turn_triples: the pure-streaming path executes across MULTIPLE
     micro-batches and emits the same triple set as batch; its dedups are
