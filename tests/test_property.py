@@ -97,3 +97,32 @@ def test_converter_total_and_deterministic(schemas):
     # every emitted triple is well-formed (3 terms, tagged kinds)
     for s, p, o in a.rdf | a.sh:
         assert s[0] in ("i", "b") and p[0] == "i" and o[0] in ("i", "b", "l")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1),
+       st.lists(st.integers(min_value=0, max_value=63), min_size=0,
+                max_size=3, unique=True))
+def test_simhash_block_banding_pigeonhole(sig, flip_bits):
+    """The Manku block-combination banding NEVER misses a pair within
+    Hamming <= 3: for any signature and any <=3 bit flips, at least one
+    block-combination key matches exactly (pure-python mirror of the
+    operator's key construction in operators/dedup.py::simhash_pairs)."""
+    from openapi_to_rdf_spark.operators.dedup import _simhash_block_keys
+
+    n_blocks, max_h = 5, 3
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+
+    widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(s, i):
+        return (s >> starts[i]) & ((1 << widths[i]) - 1)
+
+    combos = _simhash_block_keys(n_blocks, max_h)
+    assert len(combos) == 10  # C(5,2)
+    assert any(all(block(sig, i) == block(other, i) for i in combo)
+               for combo in combos)
