@@ -55,20 +55,38 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("node", "salt").agg(F.min("component").alias("component"))
             .groupBy("node").agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        prop = (
             labels.join(msgs, on="node", how="left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nbr_min", F.col("component")))
-                .alias("new_component"),
+                .alias("mid_component"),
                 "component",
             )
+        )
+        # pointer jump (label doubling): component := component's component.
+        # Neighbor-min alone moves labels ONE hop per round, so a
+        # high-diameter graph (a 40-node chain) would silently exceed
+        # max_iter; the jump halves label-tree height each round, making
+        # convergence O(log diameter) — 2^25 diameter headroom.
+        parents = prop.select(F.col("node").alias("p_node"),
+                              F.col("mid_component").alias("p_comp"))
+        updated = (
+            prop.join(parents, prop.mid_component == parents.p_node, "left")
+            .select("node",
+                    F.least(F.col("mid_component"),
+                            F.coalesce("p_comp", F.col("mid_component")))
+                    .alias("new_component"),
+                    "component")
         ).localCheckpoint()
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
         # projection of the already-checkpointed `updated` — lineage stays
         # O(1) without a second materialization per round
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
-            break
+            return labels
 
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter beyond 2^max_iter is not plausible — check for "
+        "label-order instability)")

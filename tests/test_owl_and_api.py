@@ -113,3 +113,48 @@ def test_api_wrappers(tmp_path):
     owl = OpenAPIToRDFConverter(str(spec), output_dir=str(tmp_path / "out2"))
     path = owl.run()
     assert parse_turtle(pathlib.Path(path).read_text())
+
+
+def test_owl_shacl_cross_consistency_all_fixtures():
+    """OWL mode has no reference goldens; cross-check it against the
+    golden-gated SHACL mode over ALL 38 fixtures, scoped to TOP-LEVEL
+    schemas: (a) every top-level `type: object` schema yields an owl:Class,
+    and (b) every owl:Class that names a top-level schema also exists as a
+    SHACL-mode rdfs:Class. Full equality is wrong by the reference's own
+    design: the OWL handler covers only object/enum/oneOf schemas, mints a
+    header-metadata class from info.title, and registers INLINE property
+    objects as named classes (rdf_converter.py:238-318) where SHACL mode
+    keeps them anonymous NodeShapes — those stay out of scope here."""
+    import pathlib
+
+    import yaml
+
+    from openapi_to_rdf_spark.convert.owl import OWL_NS, convert_owl
+    from openapi_to_rdf_spark.convert.shacl import convert_shacl, format_name
+
+    fixture_dir = pathlib.Path(
+        "/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI")
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_class = "http://www.w3.org/2000/01/rdf-schema#Class"
+    checked = 0
+    for path in sorted(fixture_dir.glob("*.yaml")):
+        text = path.read_text()
+        owl = convert_owl(path.name, text, "http://x/rdf/")
+        sh = convert_shacl(path.name, text)
+        owl_classes = {s[1].rsplit("#", 1)[-1] for s, p, o in owl.g
+                       if p[1] == rdf_type and o == ("i", OWL_NS + "Class")}
+        shacl_classes = {s[1].rsplit("#", 1)[-1] for s, p, o in sh.rdf
+                         if p[1] == rdf_type and o == ("i", rdfs_class)}
+        data = yaml.safe_load(text) or {}
+        schemas = (data.get("components") or {}).get("schemas", {}) or {}
+        top_names = {format_name(n) for n in schemas}
+        obj_names = {format_name(n) for n, d in schemas.items()
+                     if isinstance(d, dict) and d.get("type") == "object"}
+        # (a) coverage: every top-level object schema became an owl:Class
+        missing_owl = obj_names - owl_classes
+        assert not missing_owl, f"{path.name}: no owl:Class for {sorted(missing_owl)[:5]}"
+        # (b) consistency: OWL's top-level classes all exist in SHACL mode
+        owl_only = (owl_classes & top_names) - shacl_classes
+        assert not owl_only, f"{path.name}: OWL-only classes {sorted(owl_only)[:5]}"
+        checked += 1
+    assert checked == 38

@@ -149,6 +149,34 @@ def test_validate_min_count_fires_for_absent_property(spark):
     }
 
 
+def test_canonicalize_empty_normalization_guard(spark):
+    """Entities with no [a-z0-9] characters must self-map, never merge:
+    their padded shingle sets would be degenerate-identical ('___'), so
+    without the guard two unrelated non-Latin strings band-collide AND
+    verify at Jaccard 1.0 (ADVICE r1)."""
+    ents = spark.createDataFrame(
+        [("e1", "Σήμα κινδύνου"), ("e2", "警报记录"), ("e3", "!!! ???"),
+         ("e4", "alarm-rec-1"), ("e5", "alarm_rec_1")],
+        ["ent", "surface"])
+    m = {r.ent: r.canonical
+         for r in canonical_entity_map(ents, threshold=0.9).collect()}
+    assert m["e1"] == "e1" and m["e2"] == "e2" and m["e3"] == "e3"
+    assert m["e4"] == m["e5"]  # normal aliases still merge
+    assert len(m) == 5
+
+
+def test_connected_components_high_diameter_chain(spark):
+    """A 40-node path graph converges to one component — the label-
+    propagation loop must iterate past the seeding pass (alias clusters are
+    shallow; this guards the general case)."""
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)], ["src", "dst"])
+    comp = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n00"}
+    assert len(comp) == 40
+
+
 def test_connected_components_salted(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "a")],
