@@ -162,6 +162,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return event_rollup(ev)
 
+    def q_event_ranks(spark, sf_dir):
+        """Window-function breadth: rank / dense_rank / ntile /
+        percent_rank / cume_dist over per-user value totals within each
+        event type (one exchange; all five functions share the window)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        totals = (ev.groupBy("event_type", "user_id")
+                  .agg(_e6(F.sum("value")).alias("total_e6")))
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("total_e6").desc(), F.col("user_id").asc())
+        return totals.select(
+            "event_type", "user_id", "total_e6",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            _e6(F.percent_rank().over(w)).alias("pr_e6"),
+            _e6(F.cume_dist().over(w)).alias("cd_e6"))
+
     def q_user_setops(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
@@ -458,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
         "user_setops": q_user_setops,
+        "event_ranks": q_event_ranks,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -631,6 +649,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS grp
             FROM events
             GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "event_ranks": """
+            WITH totals AS (
+              SELECT event_type, user_id,
+                     CAST(ROUND(SUM(value) * 1e6) AS BIGINT) AS total_e6
+              FROM events GROUP BY event_type, user_id)
+            SELECT event_type, user_id, total_e6,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                   CAST(ROUND(PERCENT_RANK() OVER w * 1e6) AS BIGINT) AS pr_e6,
+                   CAST(ROUND(CUME_DIST() OVER w * 1e6) AS BIGINT) AS cd_e6
+            FROM totals
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY total_e6 DESC, user_id ASC)
         """,
         "user_setops": """
             WITH types AS (SELECT DISTINCT event_type FROM events ORDER BY event_type),
