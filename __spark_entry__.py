@@ -208,6 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (d.select(lang_id(F.col("text")).alias("pred_lang"))
                 .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs")))
 
+    def q_doc_repetition(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.dedup import doc_repetition
+
+        return (doc_repetition(_docs(spark, sf_dir))
+                .select("doc_id",
+                        _e6(F.col("dup_line_frac")).alias("dup_line_e6"),
+                        _e6(F.col("top_bigram_frac")).alias("top_bigram_e6")))
+
     def q_exact_dedup(spark, sf_dir):
         return (exact_dedup_map(_docs(spark, sf_dir))
                 .select("doc_id", "fingerprint", "canonical_id", "is_duplicate"))
@@ -480,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "exact_dedup": q_exact_dedup,
+        "doc_repetition": q_doc_repetition,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "char_dup_pairs": q_char_dup_pairs,
         "dedup_keep_best": q_dedup_keep_best,
@@ -690,6 +699,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": f"""
             SELECT {_LANGID} AS pred_lang, COUNT(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "doc_repetition": f"""
+            WITH l AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> trim(x) != '') AS lines
+              FROM documents),
+            ls AS (SELECT doc_id, len(lines) AS n_lines,
+                          len(list_distinct(lines)) AS n_distinct
+                   FROM l),
+            t AS (SELECT doc_id, {_NORM} AS toks FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest([toks[i] || ' ' || toks[i+1]
+                                  for i in range(1, greatest(len(toks), 1))]) AS gram
+                   FROM t),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            gs AS (SELECT doc_id, MAX(c) AS top_gram, SUM(c) AS n_grams
+                   FROM gc GROUP BY 1)
+            SELECT ls.doc_id,
+                   CAST(ROUND((CASE WHEN n_lines > 0
+                        THEN round(1.0 - n_distinct * 1.0 / n_lines, 6)
+                        ELSE 0.0 END) * 1e6) AS BIGINT) AS dup_line_e6,
+                   CAST(ROUND((CASE WHEN COALESCE(n_grams, 0) > 0
+                        THEN round(top_gram * 1.0 / n_grams, 6)
+                        ELSE 0.0 END) * 1e6) AS BIGINT) AS top_bigram_e6
+            FROM ls LEFT JOIN gs USING (doc_id)
         """,
         "exact_dedup": f"""
             WITH fp AS (SELECT doc_id, {_FINGERPRINT} AS fingerprint FROM documents),

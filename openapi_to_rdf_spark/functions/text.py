@@ -156,6 +156,21 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(s), grams_of), 1)
 
 
+def word_ngrams_all(col: Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (NOT distinct) — the counting basis for
+    repetition ratios, where multiplicity is the signal Jaccard discards."""
+    toks = tokens(normalized_text(col))
+
+    def grams_of(t):
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        g = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1)
+                                              for j in range(n)]))
+        return F.when(F.size(t) >= n, g).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (distinct, for Jaccard)."""
     toks = tokens(normalized_text(col))

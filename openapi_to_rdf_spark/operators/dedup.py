@@ -320,6 +320,50 @@ def embedding_dup_pairs_lsh(emb: DataFrame, id_col: str = "vec_id",
             .select("id_a", "id_b", "cosine"))
 
 
+def doc_repetition(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-style WITHIN-document repetition signals:
+
+    - dup_line_frac: 1 - distinct/total over non-empty lines — boilerplate
+      and scraped-template pages repeat lines;
+    - top_bigram_frac: occurrences of the most frequent word bigram over
+      all bigram occurrences — degenerate generation loops repeat phrases.
+
+    Exact, fully JVM: explode → two-level aggregation with map-side partial
+    combine (the per-(doc, gram) pre-aggregate bounds reducer skew exactly
+    like a word-count). SQL-expressible, so hash-verified vs DuckDB.
+    """
+    from ..functions.text import word_ngrams_all
+
+    lines = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda ln: F.trim(ln) != "").alias("lines"))
+    line_stats = lines.select(
+        id_col,
+        F.size("lines").alias("n_lines"),
+        F.size(F.array_distinct("lines")).alias("n_distinct_lines"))
+
+    grams = (docs.select(F.col(id_col),
+                         F.explode(word_ngrams_all(F.col(text_col), 2))
+                         .alias("gram")))
+    gram_counts = (grams.groupBy(id_col, "gram")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .groupBy(id_col)
+                   .agg(F.max("c").alias("top_gram"),
+                        F.sum("c").alias("n_grams")))
+
+    return (line_stats.join(gram_counts, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("n_lines") > 0,
+                       F.round(1.0 - F.col("n_distinct_lines") / F.col("n_lines"), 6))
+                .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.round(F.col("top_gram") / F.col("n_grams"), 6))
+                .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
+
+
 def dedup_keep_best(docs: DataFrame, cluster_map: DataFrame,
                     id_col: str = "doc_id",
                     order_col: str = "n_chars") -> DataFrame:

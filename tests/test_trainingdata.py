@@ -295,3 +295,22 @@ def test_audio_and_resize_stubs(docs):
     assert rs.filter("width = 64 AND height = 64").count() == rs.count()
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
         extract_audio_features(media, fake=False).count()  # codecs absent
+
+
+def test_doc_repetition_planted(spark):
+    """Gopher repetition signals: a boilerplate doc (repeated lines, looped
+    phrase) scores high; diverse text scores low."""
+    from openapi_to_rdf_spark.operators.dedup import doc_repetition
+
+    docs = spark.createDataFrame([
+        (1, "buy now\nbuy now\nbuy now\nunique line"),
+        (2, "the cat sat on a mat while birds sang outside today"),
+        (3, "spam ham spam ham spam ham spam ham"),
+        (4, ""),
+    ], ["doc_id", "text"])
+    r = {x.doc_id: x for x in doc_repetition(docs).collect()}
+    assert r[1].dup_line_frac == 0.5          # 4 lines, 2 distinct
+    assert r[2].dup_line_frac == 0.0
+    # doc 3 bigrams: spam-ham x4, ham-spam x3 -> top = 4/7
+    assert abs(r[3].top_bigram_frac - 4 / 7) < 1e-5
+    assert r[4].dup_line_frac == 0.0 and r[4].top_bigram_frac == 0.0
