@@ -354,6 +354,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
                 .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
 
+    def q_corpus_curation(spark, sf_dir):
+        """The composed training-data curation pipeline — quality filter →
+        exact-dedup keep-best → leakage-safe split — as ONE dataflow (each
+        stage is individually hash-verified; this verifies the composition)."""
+        from openapi_to_rdf_spark.operators.dedup import (
+            dedup_keep_best, exact_dedup_map,
+        )
+        from openapi_to_rdf_spark.operators.sampling import train_val_test_split
+
+        d = _docs(spark, sf_dir)
+        good = d.filter(quality_score(F.col("text")) >= 0.5)
+        cmap = exact_dedup_map(good).select(
+            "doc_id", F.col("canonical_id").alias("canonical"))
+        kept = dedup_keep_best(good, cmap)
+        return (train_val_test_split(kept, "doc_id")
+                .groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").cast("long").alias("total_chars")))
+
     def q_doc_split(spark, sf_dir):
         from openapi_to_rdf_spark.operators.sampling import train_val_test_split
 
@@ -502,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "doc_split": q_doc_split,
+        "corpus_curation": q_corpus_curation,
         "doc_sample": q_doc_sample,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -846,6 +866,23 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM scored WHERE cosine >= 0.4
+        """,
+        "corpus_curation": f"""
+            WITH good AS (SELECT * FROM documents WHERE ({_QUALITY}) >= 0.5),
+            fp AS (SELECT doc_id, n_chars, {_FINGERPRINT} AS fp FROM good),
+            ranked AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY fp
+                         ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM fp),
+            kept AS (SELECT doc_id, n_chars FROM ranked WHERE rk = 1),
+            h AS (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS f
+                  FROM kept)
+            SELECT CASE WHEN f < 0.1 THEN 'test'
+                        WHEN f < 0.2 THEN 'val' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM h GROUP BY 1
         """,
         "doc_split": """
             WITH h AS (

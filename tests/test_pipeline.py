@@ -316,3 +316,14 @@ def test_validate_no_double_count_across_classes(spark):
     ], "file string, target_class string, path string, datatype string, "
        "min_count int, max_count int, in_values array<string>, node_kind string")
     assert validate_triples(triples, rules).count() == 0
+
+
+def test_connected_components_hot_star(spark):
+    """A 20k-leaf star: the hub's label fan-in is the worst-case hot key the
+    salted two-stage aggregation exists for — correctness at volume."""
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i:05d}") for i in range(20_000)], ["src", "dst"])
+    comp = connected_components(edges)
+    assert comp.count() == 20_001
+    assert comp.select("component").distinct().count() == 1
+    assert comp.filter(F.col("component") != "hub").count() == 0
