@@ -64,6 +64,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="triple batches + streaming checkpoint root")
     s.add_argument("--canonicalize", action="store_true",
                    help="also maintain the incremental canonical entity map")
+    s.add_argument("--compact", action="store_true",
+                   help="after draining, rewrite all batches through the "
+                        "current canonical map into a predicate-partitioned "
+                        "graph snapshot (implies --canonicalize)")
     s.add_argument("--follow", action="store_true",
                    help="keep running for new files (default: availableNow "
                         "— drain what exists, then exit)")
@@ -181,11 +185,12 @@ def cmd_stream(args) -> int:
                 .option("recursiveFileLookup", "true")
                 .parquet(args.input_dir))
 
+    canonicalize = args.canonicalize or args.compact
     once = not args.follow
     queries = [start_stream_pipeline(source(), args.output_dir, vocab,
                                      trigger_once=once)]
     canon_dir = str(pathlib.Path(args.output_dir) / "canonical_state")
-    if args.canonicalize:
+    if canonicalize:
         queries.append(start_incremental_canonicalization(
             source(), canon_dir, vocab, trigger_once=once))
     for q in queries:
@@ -193,10 +198,17 @@ def cmd_stream(args) -> int:
 
     n = read_stream_triples(spark, args.output_dir).count()
     print(f"  triples committed: {n}")
-    if args.canonicalize:
+    if canonicalize:
         cmap = read_canonical_map(spark, canon_dir)
         merged = cmap.filter("ent != canonical").count()
         print(f"  canonical map: {cmap.count()} entities, {merged} merged")
+    if args.compact:
+        from .streaming.incremental import compact_graph
+
+        man = compact_graph(spark, args.output_dir, canon_dir,
+                            str(pathlib.Path(args.output_dir) / "compacted"))
+        print(f"  compacted graph: {man['metrics']['rows']} rows, "
+              f"snap {man['fingerprint']}")
     return 0
 
 

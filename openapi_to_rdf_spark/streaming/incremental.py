@@ -143,3 +143,40 @@ def start_incremental_canonicalization(stream: DataFrame, state_dir: str,
 
 def read_canonical_map(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(str(pathlib.Path(state_dir) / "canonical"))
+
+
+def compact_graph(spark, triples_dir: str, state_dir: str,
+                  workdir: str) -> dict:
+    """Periodic compaction: rewrite ALL streamed triple batches through the
+    CURRENT canonical map into a predicate-partitioned graph snapshot.
+
+    Canonicalization is retroactive — an alias arriving in batch 9 can
+    merge an entity first seen in batch 1 — so per-batch remapping would
+    leave stale subjects behind. The standard resolution (lambda-style) is
+    this compaction job: triple batches stay append-only and immutable; the
+    graph snapshot is derived, fingerprinted by (committed batches x map
+    content), and skipped when nothing changed. Exactly the batch
+    pipeline's graph stage, fed by streaming state."""
+    from ..operators.canonicalize import remap_triples
+    from ..operators.extract import ENT_NS
+    from ..plans.snapshot import fingerprint, materialize, read_manifest
+    from .ingest import read_stream_triples
+
+    from pyspark.sql import functions as F
+
+    triples = read_stream_triples(spark, triples_dir) \
+        .select("file", "graph", "s", "p", "o_kind", "o", "o_datatype") \
+        .dropDuplicates()
+    cmap = read_canonical_map(spark, state_dir)
+
+    batches = sorted(d.name for d in
+                     (pathlib.Path(triples_dir) / "triples").glob("batch_id=*"))
+    map_fp = fingerprint("canonical",
+                         sorted(map(str, cmap.collect())))  # tiny dim
+    fp = fingerprint("stream-graph", batches, map_fp)
+    materialize(
+        lambda: (remap_triples(triples, cmap, ENT_NS)
+                 .withColumn("pred", F.regexp_extract("p", r"([A-Za-z0-9_]+)$", 1))),
+        spark, pathlib.Path(workdir) / "graph", fp,
+        partition_by=["pred"], count_by=["pred"])
+    return read_manifest(pathlib.Path(workdir) / "graph", fp)

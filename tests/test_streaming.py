@@ -144,6 +144,58 @@ def test_cli_stream_subcommand(spark, tmp_path, capsys):
     assert int(n_line.split(":")[1]) == n_expected
 
 
+def test_stream_compaction_equals_batch_graph(spark, tmp_path):
+    """Streamed batches + incremental canonical map + compaction == the
+    batch pipeline's remapped graph (canonicalization is retroactive, so
+    compaction — not per-batch remap — is the correct materialization)."""
+    from openapi_to_rdf_spark.operators.canonicalize import (
+        canonical_entity_map, remap_triples,
+    )
+    from openapi_to_rdf_spark.operators.extract import (
+        ENT_NS, KG_NS, extract_transcript_triples,
+    )
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+    from openapi_to_rdf_spark.streaming.incremental import (
+        compact_graph, start_incremental_canonicalization,
+    )
+    from openapi_to_rdf_spark.streaming.ingest import start_stream_pipeline
+
+    turns = synth_transcripts(spark, 80, seed=17)
+    src = tmp_path / "src"
+    turns.filter(F.col("conv_id") < "c000000040").coalesce(1) \
+        .write.parquet(str(src / "c0"))
+    turns.filter(F.col("conv_id") >= "c000000040").coalesce(1) \
+        .write.parquet(str(src / "c1"))
+
+    def stream():
+        return (spark.readStream.schema(turns.schema)
+                .option("recursiveFileLookup", "true")
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    out, state = tmp_path / "out", tmp_path / "state"
+    start_stream_pipeline(stream(), str(out), class_vocab_df(spark)) \
+        .awaitTermination(120)
+    start_incremental_canonicalization(stream(), str(state),
+                                       class_vocab_df(spark)) \
+        .awaitTermination(180)
+
+    man = compact_graph(spark, str(out), str(state), str(tmp_path / "wd"))
+    got = (read_snapshot(spark, tmp_path / "wd" / "graph", man["fingerprint"])
+           .select("file", "graph", "s", "p", "o_kind", "o", "o_datatype"))
+
+    tr = extract_transcript_triples(turns, class_vocab_df(spark))
+    ents = (tr.filter(F.col("p") == KG_NS + "surfaceForm")
+            .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
+            .dropDuplicates(["ent"]))
+    expected = remap_triples(tr, canonical_entity_map(ents, threshold=0.9),
+                             ENT_NS)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+    # re-compacting with unchanged state resumes (same fingerprint)
+    assert compact_graph(spark, str(out), str(state),
+                         str(tmp_path / "wd"))["fingerprint"] == man["fingerprint"]
+
+
 def test_continuous_variant_runs(spark, tmp_path):
     """stream_turn_triples: the pure-streaming path executes across MULTIPLE
     micro-batches and emits the same triple set as batch; its dedups are
