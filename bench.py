@@ -107,7 +107,13 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = em.queries()
     names = ["pricing_summary", "revenue_by_nation", "latest_event_per_user",
              "doc_quality", "exact_dedup", "ngram_dup_pairs",
-             "minhash_clusters", "simhash_pairs", "cosine_topk", "ann_topk"]
+             "minhash_clusters", "simhash_pairs", "cosine_topk", "ann_topk",
+             # added r2 (regression diff only compares overlapping names).
+             # related_docs is excluded: the synthetic corpus is degenerate
+             # for doc-similarity via its 7 shared terms (every doc pairs
+             # with every doc — the stop-list case its docstring documents)
+             "doc_repetition", "term_co_mentions", "event_ranks",
+             "corpus_curation"]
     out = {}
     for name in names:
         t0 = time.time()
