@@ -46,8 +46,10 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--n-convs", type=int, default=10_000)
     k.add_argument("--seed", type=int, default=42)
     k.add_argument("--input-table", default=None,
-                   help="parquet path of a transcript table (conv_id, turn_idx, "
+                   help="path of a transcript table (conv_id, turn_idx, "
                         "role, text, tool, ts); default: deterministic synthetic")
+    k.add_argument("--input-format", choices=["parquet", "csv", "json"],
+                   default="parquet")
     k.add_argument("--jaccard-threshold", type=float, default=0.9)
     k.add_argument("--spec", nargs="*", default=None,
                    help="OpenAPI YAML files/dirs; their converted SHACL "
@@ -148,8 +150,10 @@ def cmd_kg(args) -> int:
     transcripts, input_fp = None, None
     if args.input_table:
         from .plans.snapshot import fingerprint
+        from .sources.transcripts import read_transcript_table
 
-        transcripts = spark.read.parquet(args.input_table)
+        transcripts = read_transcript_table(spark, args.input_table,
+                                            args.input_format)
         # fingerprint = path + row count (metadata-only): same-path
         # in-place edits that keep the row count need a fresh workdir,
         # documented; schema alone would silently resume over new data

@@ -132,6 +132,25 @@ def synth_transcripts(spark: SparkSession, n_convs: int, seed: int = 42,
     )
 
 
+def read_transcript_table(spark: SparkSession, path: str,
+                          fmt: str = "parquet") -> DataFrame:
+    """External transcript table -> the input_hint contract, any format.
+
+    Reads parquet / csv / json with the EXPLICIT transcript schema (never
+    inferSchema — a schema-inference pass over 100 TB is a full extra scan,
+    and inference can silently type turn_idx as string on dirty data),
+    casts/projects to the canonical column set, and enforces the
+    (conv_id, turn_idx) uniqueness precondition the pipeline's set
+    semantics rely on (see plans.pipeline / remap_triples)."""
+    reader = spark.read.schema(TRANSCRIPT_SCHEMA)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("timestampFormat",
+                                                        "yyyy-MM-dd'T'HH:mm:ssXXX")
+    df = reader.format(fmt).load(path)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    return df.select(*cols).dropDuplicates(["conv_id", "turn_idx"])
+
+
 def class_vocab_df(spark: SparkSession, class_iris: list[str] | None = None) -> DataFrame:
     """Class-token -> class-IRI dictionary (broadcast dim for typed emission).
 

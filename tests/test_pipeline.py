@@ -327,3 +327,33 @@ def test_connected_components_hot_star(spark):
     assert comp.count() == 20_001
     assert comp.select("component").distinct().count() == 1
     assert comp.filter(F.col("component") != "hub").count() == 0
+
+
+def test_read_transcript_table_formats(spark, tmp_path):
+    """External transcript ingestion: parquet/json/csv all land on the
+    canonical schema with (conv_id, turn_idx) uniqueness enforced; no
+    schema inference anywhere (a 100 TB inference pass is a full extra
+    scan)."""
+    from openapi_to_rdf_spark.sources.transcripts import read_transcript_table
+
+    turns = synth_transcripts(spark, 25, seed=8).localCheckpoint()
+    # plant a duplicate row to prove ingest dedup
+    dup = turns.unionByName(turns.limit(3))
+
+    dup.write.parquet(str(tmp_path / "p"))
+    dup.write.json(str(tmp_path / "j"))
+    (dup.write.option("header", "true")
+     .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+     .csv(str(tmp_path / "c")))
+
+    for fmt, sub in [("parquet", "p"), ("json", "j"), ("csv", "c")]:
+        back = read_transcript_table(spark, str(tmp_path / sub), fmt)
+        assert back.schema.simpleString() == turns.schema.simpleString(), fmt
+        # pin the frame: exceptAll over a dropDuplicates(subset) lineage
+        # trips a Catalyst attribute-binding bug in this Spark build
+        back = back.localCheckpoint()
+        assert back.count() == turns.count(), fmt
+        # csv serializes null tool as empty -> compare on key columns there
+        cmp_cols = (["conv_id", "turn_idx", "role", "text", "ts"]
+                    if fmt == "csv" else back.columns)
+        assert back.select(cmp_cols).exceptAll(turns.select(cmp_cols)).isEmpty(), fmt
