@@ -222,11 +222,31 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     cand = (keys.alias("a").join(keys.alias("b"), ["combo_idx", "key"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .select("combo_idx",
+                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")))
+
+    # DEDUP-FREE uniqueness: a near-identical pair matches on MANY combos
+    # (up to all C(5,2)), and a dropDuplicates over the multiplied candidate
+    # stream was the dominant shuffle. Instead, each pair is emitted only
+    # from its FIRST matching combination — computable post-join from the
+    # two signatures in pure codegen (xor block == 0 per combo), so the
+    # output is exactly-once without any exchange.
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+
+    def combo_clean(combo):
+        cond = F.lit(True)
+        for i in combo:
+            mask = (1 << widths[i]) - 1
+            cond = cond & (F.shiftrightunsigned(xor, starts[i])
+                           .bitwiseAND(F.lit(mask)) == 0)
+        return cond
+
+    first_match = F.array_position(
+        F.array(*[combo_clean(c) for c in combos]), F.lit(True)) - 1
     return (cand
-            .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+            .filter(F.col("combo_idx") == first_match)
+            .withColumn("hamming", F.bit_count(xor))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 
