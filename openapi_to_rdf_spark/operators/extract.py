@@ -277,8 +277,12 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
             F.expr(f"regexp_extract_all(text, '{MENTION_RE}', 0)").alias("raw_mentions"),
         )
         .withColumn("mention", F.explode_outer("raw_mentions"))
-        .withColumn("m_class", F.regexp_extract("mention", MENTION_RE, 1))
-        .withColumn("m_key", F.regexp_extract("mention", MENTION_RE, 2))
+        # the match is Class#key with '#' excluded from both sides, so a
+        # plain split replaces two more regex evaluations per mention
+        .withColumn("_parts", F.split("mention", "#", 2))
+        .withColumn("m_class", F.element_at("_parts", 1))
+        .withColumn("m_key", F.element_at("_parts", 2))
+        .drop("_parts")
     )
 
     turn_iri = F.concat(F.lit(TURN_NS), F.col("conv_id"), F.lit("/"),
@@ -330,7 +334,8 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
     # rdf:type spans three branches but their subject namespaces are disjoint
     # (conv#/turn#/entity#), preserving the no-global-dedup invariant
     conv_types = (
-        dd(turns.select("conv_id", "ts"), ["conv_id"])
+        dd(turns.select("conv_id", "ts") if within_watermark
+           else turns.select("conv_id"), ["conv_id"])
         .select(F.col("conv_id").alias("file"), F.lit("kg").alias("graph"),
                 F.concat(F.lit(CONV_NS), F.col("conv_id")).alias("s"),
                 F.lit(rdf_type).alias("p"), F.lit("iri").alias("o_kind"),
@@ -346,7 +351,9 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
     # disjoint predicates so no global dedup is needed afterwards. ts rides
     # along (8 bytes) so the streaming variant can evict state by watermark.
     turn_mentions = dd(mention_rows, ["conv_id", "turn_idx", "m_key"])
-    entity_rows = dd(mention_rows.select("m_class", "m_key", "ts"),
+    entity_rows = dd(mention_rows.select("m_class", "m_key", "ts")
+                     if within_watermark
+                     else mention_rows.select("m_class", "m_key"),
                      ["m_class", "m_key"])
 
     if class_vocab is not None:
@@ -381,7 +388,8 @@ def extract_transcript_triples(turns: DataFrame, class_vocab: DataFrame | None =
         F.array(t(ent_iri, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
                   "iri", F.col("class_iri"))))
     surface_triples = as_triples(
-        dd(entity_rows.select("m_key", "ts"), ["m_key"]), F.lit("entities"),
+        dd(entity_rows.select("m_key", "ts") if within_watermark
+           else entity_rows.select("m_key"), ["m_key"]), F.lit("entities"),
         F.array(t(ent_iri, KG_NS + "surfaceForm", "literal", F.col("m_key"),
                   xsd + "string")))
 
