@@ -21,6 +21,34 @@ from .convert.shacl import DEFAULT_PREFIX, convert_shacl
 from .triplecore.turtle import serialize_turtle
 
 
+def register_views(spark, sf_dir: str | None = None,
+                   graph_dir: str | None = None) -> list[str]:
+    """Register the engine's tables as temp views so everything is also
+    reachable through ``spark.sql`` (the DataFrame/SQL charter's SQL half):
+
+    - the driver testdata tables (region/nation/.../documents/embeddings)
+      when ``sf_dir`` is given;
+    - the materialized graph snapshot as ``kg_graph`` when ``graph_dir``
+      (a plans.snapshot table dir) is given.
+
+    Returns the registered view names.
+    """
+    names: list[str] = []
+    if sf_dir:
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            p = pathlib.Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                spark.read.parquet(str(p)).createOrReplaceTempView(t)
+                names.append(t)
+    if graph_dir:
+        from .plans.snapshot import read_snapshot
+
+        read_snapshot(spark, graph_dir).createOrReplaceTempView("kg_graph")
+        names.append("kg_graph")
+    return names
+
+
 class OpenAPIToSHACLConverter:
     def __init__(self, yaml_file: str, base_namespace: str | None = None,
                  output_dir: str = "output", external_refs: list | None = None,

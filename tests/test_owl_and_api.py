@@ -158,3 +158,23 @@ def test_owl_shacl_cross_consistency_all_fixtures():
         assert not owl_only, f"{path.name}: OWL-only classes {sorted(owl_only)[:5]}"
         checked += 1
     assert checked == 38
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """Everything is reachable through spark.sql too: testdata views + the
+    materialized KG graph view."""
+    from openapi_to_rdf_spark.api import register_views
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=30, seed=2)
+    names = register_views(spark, "/root/testdata/sf0.001",
+                           graph_dir=str(tmp_path / "wd" / "graph"))
+    assert "documents" in names and "kg_graph" in names
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM documents").first().n
+    assert n_docs == 500
+    roles = spark.sql("""
+        SELECT o AS role, COUNT(*) AS n FROM kg_graph
+        WHERE p LIKE '%#role' GROUP BY o ORDER BY o
+    """).collect()
+    assert {r.role for r in roles} <= {"user", "assistant", "tool", "system"}
+    assert sum(r.n for r in roles) > 0
