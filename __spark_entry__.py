@@ -336,6 +336,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (tr.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
                 .orderBy("p"))
 
+    def q_kg_link_entities(spark, sf_dir):
+        """Entity-link scoring (operators/linker) with an EXACT DuckDB
+        oracle: registry = distinct part names; mentions = deterministic
+        surface corruptions (separator swap / word truncation / word-order
+        flip); link = argmax of char-3-gram Jaccard + class bonus + prior.
+        The prefix-filtered bipartite join must reproduce the oracle's
+        brute-force cross join exactly (zero false negatives)."""
+        from openapi_to_rdf_spark.operators.linker import link_entities
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        registry = (part.groupBy(F.col("p_name").alias("name"))
+                    .agg(F.min("p_partkey").alias("entity_id"),
+                         F.min("p_type").alias("class_name"),
+                         (F.min("p_size") / 100.0).alias("prior"))
+                    .select("entity_id", "name", "class_name", "prior"))
+        w = F.split("p_name", " ")
+        surface = (
+            F.when(F.col("p_partkey") % 3 == 0,
+                   F.regexp_replace("p_name", " ", "_"))
+            .when(F.col("p_partkey") % 3 == 1,
+                  F.concat(F.substring(F.element_at(w, 1), 1, 3), F.lit("~"),
+                           F.element_at(w, 2)))
+            .otherwise(F.concat(F.element_at(w, 2), F.lit(" "),
+                                F.element_at(w, 1))))
+        mentions = part.select(
+            F.col("p_partkey").alias("mention_id"),
+            surface.alias("m_key"),
+            F.when(F.col("p_partkey") % 2 == 0, F.col("p_type")).alias("m_class"))
+        linked = link_entities(mentions, registry, sim_threshold=0.5,
+                               ngram=3, w_class=0.1, w_prior=0.05)
+        return (linked.filter(F.col("entity_id").isNotNull())
+                .select("mention_id", "entity_id",
+                        _e6(F.col("sim")).alias("sim_e6"),
+                        _e6(F.col("score")).alias("score_e6")))
+
     def q_kg_canonicalize(spark, sf_dir):
         from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
         from openapi_to_rdf_spark.operators.extract import (
@@ -532,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
+        "kg_link_entities": q_kg_link_entities,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -794,6 +830,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
             FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+        """,
+        "kg_link_entities": """
+            WITH reg AS (
+              SELECT MIN(p_partkey) AS entity_id, p_name AS name,
+                     MIN(p_type) AS class_name, MIN(p_size) / 100.0 AS prior
+              FROM part GROUP BY p_name),
+            men AS (
+              SELECT p_partkey AS mention_id,
+                     CASE CAST(p_partkey % 3 AS INT)
+                       WHEN 0 THEN replace(p_name, ' ', '_')
+                       WHEN 1 THEN substr(string_split(p_name, ' ')[1], 1, 3)
+                                  || '~' || string_split(p_name, ' ')[2]
+                       ELSE string_split(p_name, ' ')[2] || ' '
+                            || string_split(p_name, ' ')[1]
+                     END AS surface,
+                     CASE WHEN p_partkey % 2 = 0 THEN p_type END AS m_class
+              FROM part),
+            mg AS (
+              SELECT mention_id, m_class,
+                     list_distinct([substr(t, i, 3)
+                       for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS sh
+              FROM (SELECT mention_id, m_class,
+                           CASE WHEN length(n) < 3 THEN rpad(n, 3, '_')
+                                ELSE n END AS t
+                    FROM (SELECT mention_id, m_class,
+                                 regexp_replace(lower(surface),
+                                                '[^a-z0-9]', '', 'g') AS n
+                          FROM men))),
+            rg AS (
+              SELECT entity_id, class_name, prior,
+                     list_distinct([substr(t, i, 3)
+                       for i in range(1, greatest(length(t) - 2, 1) + 1)]) AS sh
+              FROM (SELECT entity_id, class_name, prior,
+                           CASE WHEN length(n) < 3 THEN rpad(n, 3, '_')
+                                ELSE n END AS t
+                    FROM (SELECT entity_id, class_name, prior,
+                                 regexp_replace(lower(name),
+                                                '[^a-z0-9]', '', 'g') AS n
+                          FROM reg))),
+            scored AS (
+              SELECT mention_id, entity_id,
+                     ROUND(common * 1.0 / (na + nb - common), 6) AS sim,
+                     ROUND(ROUND(common * 1.0 / (na + nb - common), 6)
+                           + 0.1 * CASE WHEN m_class = class_name
+                                        THEN 1 ELSE 0 END
+                           + 0.05 * prior, 6) AS score
+              FROM (SELECT mention_id, m_class, entity_id, class_name, prior,
+                           len(list_intersect(mg.sh, rg.sh)) AS common,
+                           len(mg.sh) AS na, len(rg.sh) AS nb
+                    FROM mg CROSS JOIN rg)
+              WHERE ROUND(common * 1.0 / (na + nb - common), 6) >= 0.5),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+                         ORDER BY CAST(ROUND(score * 1e6) AS BIGINT) DESC,
+                                  entity_id ASC) AS rk
+              FROM scored)
+            SELECT mention_id, entity_id,
+                   CAST(ROUND(sim * 1e6) AS BIGINT) AS sim_e6,
+                   CAST(ROUND(score * 1e6) AS BIGINT) AS score_e6
+            FROM ranked WHERE rk = 1
         """,
         "dedup_keep_best": f"""
             WITH fp AS (SELECT doc_id, n_chars, {_FINGERPRINT} AS fp FROM documents),

@@ -5,8 +5,8 @@ fingerprint chained from its upstream stage + params, so a killed run resumes
 at the first uncommitted stage and recomputes nothing before it):
 
     transcripts ──► extract ──► entities ──► canonical_map ──► graph
-                         └──────────────────────────────────────┤
-                                                                └► violations
+                         └──────────────────────────────────────┼► violations
+                                                 registry ──────┴► links
 
 - transcripts: deterministic synthetic table (sources.transcripts) or any
   DataFrame with the input_hint schema (conv_id, turn_idx, role, text, tool, ts)
@@ -18,6 +18,9 @@ at the first uncommitted stage and recomputes nothing before it):
                subject/predicate/object layout RDF stores use; partition
                pruning makes single-predicate scans at 10^12 scale cheap)
 - violations:  SHACL-rule quarantine (operators.shapes)
+- links:       (optional, when a registry is given) entity-link scoring of
+               each canonical entity's surface forms against the authority
+               registry (operators.linker) → kg:linksTo/kg:linkScore triples
 
 Every stage stays DataFrame/SQL + Arrow-vectorized UDFs (input_hint: no
 per-row Python).
@@ -44,14 +47,25 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  transcripts: DataFrame | None = None,
                  input_fp: str | None = None,
                  jaccard_threshold: float = 0.9,
-                 spec_rules: DataFrame | None = None) -> dict:
+                 spec_rules: DataFrame | None = None,
+                 registry: DataFrame | None = None,
+                 registry_ns: str = "http://ericsson.com/models/3gpp/registry#",
+                 ) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests.
 
     ``spec_rules``: extra shape rules (same layout as operators.shapes
     rules, e.g. shape_rules_from_shacl over a CONVERTED OpenAPI spec,
     aligned via align_rules_to_namespace) enforced in the violations stage
     alongside the built-in kg rules — the shapes-as-rules loop closed from
-    real specs, not just the hand dictionary."""
+    real specs, not just the hand dictionary.
+
+    ``registry``: optional authority table (entity_id, name, class_name,
+    prior — operators.linker layout). When given, a ``links`` stage scores
+    every canonical entity's surface forms against it and materializes
+    kg:linksTo/kg:linkScore triples (north_star "entity-link scoring"). A
+    first run's canonical map lifts into a registry via
+    linker.registry_from_canonical_map, closing the canonicalize→link loop
+    for incremental corpora."""
     wd = pathlib.Path(workdir)
     manifests: dict[str, dict] = {}
 
@@ -123,5 +137,50 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     stage("violations", fp_v,
           lambda: validate_triples(graph, rules),
           count_by=["violation"])
+
+    # -- entity links against the authority registry (optional) --------------
+    if registry is not None:
+        from pyspark.sql import Window
+
+        from ..operators.linker import link_entities
+
+        # registry fingerprint: schema + row count (metadata-only), matching
+        # the external-transcripts convention
+        fp_l = fingerprint(fp_g, "links", str(registry.schema), registry.count())
+
+        def _link_triples():
+            # one surface row per (canonical entity, alias spelling) — tiny
+            # vs the triple table, same projection the entities stage uses
+            surfaces = (graph.filter(F.col("p") == KG_NS + "surfaceForm")
+                        .select(F.col("s").alias("ent"),
+                                F.col("o").alias("m_key"))
+                        .dropDuplicates(["ent", "m_key"]))
+            linked = link_entities(surfaces, registry, class_col=None)
+            # best-scoring alias decides the entity's link (deterministic)
+            w = Window.partitionBy("ent").orderBy(
+                F.col("score").desc(), F.col("entity_id").asc())
+            best = (linked.filter(F.col("entity_id").isNotNull())
+                    .withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") == 1))
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            link_edge = best.select(
+                F.lit("linker").alias("file"), F.lit("kg").alias("graph"),
+                F.col("ent").alias("s"), F.lit(KG_NS + "linksTo").alias("p"),
+                F.lit("iri").alias("o_kind"),
+                F.concat(F.lit(registry_ns),
+                         F.col("entity_id").cast("string")).alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+            score_edge = best.select(
+                F.lit("linker").alias("file"), F.lit("kg").alias("graph"),
+                F.col("ent").alias("s"), F.lit(KG_NS + "linkScore").alias("p"),
+                F.lit("literal").alias("o_kind"),
+                F.format_number(F.col("score"), 6).alias("o"),
+                F.lit(xsd + "decimal").alias("o_datatype"))
+            return (link_edge.unionByName(score_edge)
+                    .withColumn("pred", F.regexp_extract(
+                        "p", r"([A-Za-z0-9_]+)$", 1)))
+
+        stage("links", fp_l, _link_triples,
+              partition_by=["pred"], count_by=["pred"])
 
     return manifests

@@ -151,6 +151,28 @@ def read_transcript_table(spark: SparkSession, path: str,
     return df.select(*cols).dropDuplicates(["conv_id", "turn_idx"])
 
 
+def entity_registry_df(spark: SparkSession,
+                       n_entities: int = ENTITY_POOL) -> DataFrame:
+    """Authority registry for entity-link scoring (operators/linker):
+    one row per logical entity with its CANONICAL ("-"-separated) spelling
+    as the name — the generator's other alias spellings ("_", ".") must
+    link here. prior = 1.0 for hot entities, 0.0 cold (hot entities are
+    likelier link targets, mirroring their mention mass). 100% JVM-side
+    (spark.range), deterministic, any parallelism."""
+    words = F.array(*[F.lit(w) for w in ENTITY_WORDS])
+    n_words = len(ENTITY_WORDS)
+    ent_id = F.col("id").cast("int")
+    w1 = F.element_at(words, F.pmod(ent_id, F.lit(n_words)) + 1)
+    w2 = F.element_at(words,
+                      (F.pmod(F.floor(ent_id / n_words), F.lit(n_words)) + 1).cast("int"))
+    return spark.range(n_entities).select(
+        F.col("id").alias("entity_id"),
+        F.concat(w1, F.lit("-"), w2, F.lit("-"),
+                 F.format_string("%04d", ent_id)).alias("name"),
+        F.lit(None).cast("string").alias("class_name"),
+        F.when(ent_id < HOT_ENTITIES, 1.0).otherwise(0.0).alias("prior"))
+
+
 def class_vocab_df(spark: SparkSession, class_iris: list[str] | None = None) -> DataFrame:
     """Class-token -> class-IRI dictionary (broadcast dim for typed emission).
 

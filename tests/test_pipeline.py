@@ -357,3 +357,33 @@ def test_read_transcript_table_formats(spark, tmp_path):
         cmp_cols = (["conv_id", "turn_idx", "role", "text", "ts"]
                     if fmt == "csv" else back.columns)
         assert back.select(cmp_cols).exceptAll(turns.select(cmp_cols)).isEmpty(), fmt
+
+
+def test_pipeline_links_stage_against_registry(spark, tmp_path):
+    """The optional links stage: canonical entities scored against the
+    authority registry, kg:linksTo/kg:linkScore materialized and resumable.
+    Every canonical entity must link to the registry row whose %04d suffix
+    matches (the generator grammar guarantees sim 1.0 to exactly one name)."""
+    from openapi_to_rdf_spark.sources.transcripts import entity_registry_df
+
+    reg = entity_registry_df(spark)
+    m1 = run_pipeline(spark, tmp_path / "wd", n_convs=120, seed=42,
+                      registry=reg)
+    assert "links" in m1 and m1["links"]["metrics"]["rows"] > 0
+    assert set(m1["links"]["metrics"]["counts"]) == {"linksTo", "linkScore"}
+
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+
+    links = (read_snapshot(spark, tmp_path / "wd" / "links")
+             .filter(F.col("p").endswith("linksTo")))
+    rows = links.collect()
+    assert len(rows) > 0 and len(rows) == len({r.s for r in rows})
+    for r in rows:
+        # entity IRI ...#<word-sep-word-sep-NNNN> must link to registry id NNNN
+        true_id = int(r.s[-4:])
+        assert r.o.endswith(f"#{true_id}"), (r.s, r.o)
+
+    # resume: second run recomputes nothing
+    m2 = run_pipeline(spark, tmp_path / "wd", n_convs=120, seed=42,
+                      registry=reg)
+    assert m2["links"]["committed_at"] == m1["links"]["committed_at"]
