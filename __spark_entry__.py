@@ -336,6 +336,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (tr.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
                 .orderBy("p"))
 
+    def _doc_graph_edges(spark, sf_dir):
+        """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
+        graph-analytics workload; same projection the hash-verified
+        related_docs query builds."""
+        from openapi_to_rdf_spark.operators.graphq import (
+            doc_term_edges, related_docs,
+        )
+
+        pairs = related_docs(doc_term_edges(_docs(spark, sf_dir), _TERM_PAT),
+                             min_shared=3)
+        return (pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst"))
+                .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst"))))
+
+    def q_doc_pagerank(spark, sf_dir):
+        """Fixed-iteration PageRank (K=3, d=0.85) over the doc graph, exact
+        vs the same three rounds unrolled in DuckDB SQL — the iterative
+        salted-aggregation operator hash-verified end to end."""
+        from openapi_to_rdf_spark.operators.graphrank import pagerank
+
+        ranks = pagerank(_doc_graph_edges(spark, sf_dir), iterations=3)
+        return ranks.select(F.col("node").cast("long").alias("doc_id"),
+                            _e6(F.col("rank")).alias("rank_e6"))
+
+    def q_doc_khop(spark, sf_dir):
+        """BFS layers (min-hop) within 2 hops of docs {0, 1} on the doc
+        graph, vs unrolled SQL."""
+        from openapi_to_rdf_spark.operators.graphrank import k_hop
+
+        src = spark.createDataFrame([(0,), (1,)], ["node"])
+        reached = k_hop(_doc_graph_edges(spark, sf_dir), src, k=2)
+        return reached.select(F.col("node").cast("long").alias("doc_id"),
+                              F.col("hops").cast("int").alias("hops"))
+
+    def q_kg_entity_rank(spark, sf_dir):
+        """Entity importance: PageRank over the KG co-mention graph (top 10,
+        deterministic tie-break). Rows-only (the transcript generator is not
+        ANSI-SQL-expressible); the pagerank operator itself is hash-verified
+        via doc_pagerank."""
+        from openapi_to_rdf_spark.operators.extract import (
+            KG_NS, extract_transcript_triples,
+        )
+        from openapi_to_rdf_spark.operators.graphq import co_mention_edges
+        from openapi_to_rdf_spark.operators.graphrank import pagerank
+        from openapi_to_rdf_spark.sources.transcripts import (
+            class_vocab_df, synth_transcripts,
+        )
+
+        turns = synth_transcripts(spark, 300, seed=42)
+        g = extract_transcript_triples(turns, class_vocab_df(spark))
+        co = co_mention_edges(g, KG_NS)
+        edges = (co.select(F.col("ent_a").alias("src"), F.col("ent_b").alias("dst"))
+                 .unionAll(co.select(F.col("ent_b").alias("src"),
+                                     F.col("ent_a").alias("dst"))))
+        return (pagerank(edges, iterations=3)
+                .select("node", _e6(F.col("rank")).alias("rank_e6"))
+                .orderBy(F.col("rank_e6").desc(), F.col("node").asc())
+                .limit(10))
+
     def q_kg_link_entities(spark, sf_dir):
         """Entity-link scoring (operators/linker) with an EXACT DuckDB
         oracle: registry = distinct part names; mentions = deterministic
@@ -568,6 +628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_link_entities": q_kg_link_entities,
+        "doc_pagerank": q_doc_pagerank,
+        "doc_khop": q_doc_khop,
+        "kg_entity_rank": q_kg_entity_rank,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -830,6 +893,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
             FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+        """,
+        "doc_pagerank": """
+            WITH te AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1))) AS term
+              FROM documents),
+            pairs AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b
+              FROM te a JOIN te b USING (term)
+              WHERE a.doc < b.doc GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+            r1 AS (SELECT nodes.node,
+                          (1.0e0 - 0.85e0) / nn.n
+                          + 0.85e0 * COALESCE(s.insum, 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node,
+                                     SUM(r.rank / d.outdeg) AS insum
+                              FROM e JOIN r0 r ON e.src = r.node
+                                     JOIN deg d ON e.src = d.node
+                              GROUP BY 1) s ON nodes.node = s.node),
+            r2 AS (SELECT nodes.node,
+                          (1.0e0 - 0.85e0) / nn.n
+                          + 0.85e0 * COALESCE(s.insum, 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node,
+                                     SUM(r.rank / d.outdeg) AS insum
+                              FROM e JOIN r1 r ON e.src = r.node
+                                     JOIN deg d ON e.src = d.node
+                              GROUP BY 1) s ON nodes.node = s.node),
+            r3 AS (SELECT nodes.node,
+                          (1.0e0 - 0.85e0) / nn.n
+                          + 0.85e0 * COALESCE(s.insum, 0) AS rank
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN (SELECT e.dst AS node,
+                                     SUM(r.rank / d.outdeg) AS insum
+                              FROM e JOIN r2 r ON e.src = r.node
+                                     JOIN deg d ON e.src = d.node
+                              GROUP BY 1) s ON nodes.node = s.node)
+            SELECT node AS doc_id,
+                   CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_e6
+            FROM r3
+        """,
+        "doc_khop": """
+            WITH te AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1))) AS term
+              FROM documents),
+            pairs AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b
+              FROM te a JOIN te b USING (term)
+              WHERE a.doc < b.doc GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+            h0 AS (SELECT CAST(0 AS BIGINT) AS node
+                   UNION ALL SELECT CAST(1 AS BIGINT)),
+            h1 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN h0 ON e.src = h0.node
+                   WHERE e.dst NOT IN (SELECT node FROM h0)),
+            h2 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN h1 ON e.src = h1.node
+                   WHERE e.dst NOT IN (SELECT node FROM h0)
+                     AND e.dst NOT IN (SELECT node FROM h1))
+            SELECT node AS doc_id, CAST(0 AS INT) AS hops FROM h0
+            UNION ALL SELECT node, CAST(1 AS INT) FROM h1
+            UNION ALL SELECT node, CAST(2 AS INT) FROM h2
         """,
         "kg_link_entities": """
             WITH reg AS (

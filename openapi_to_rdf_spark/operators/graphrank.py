@@ -1,0 +1,123 @@
+"""Iterative graph analytics over materialized graphs: PageRank and k-hop
+neighborhoods — the "what matters / what's nearby" queries a KG consumer
+runs after construction (entity importance for linker priors, neighborhood
+expansion for context retrieval).
+
+Scale design:
+
+- PageRank is the classic iterative DataFrame job: rank state joined to the
+  edge list, contributions aggregated per destination, damping applied —
+  K rounds, one shuffle per round on the edge key. The per-destination
+  aggregation is SALTED two-stage (same pattern as operators/components):
+  a celebrity node with 10^8 in-edges would otherwise concentrate one
+  reducer; salting splits its fan-in across ``salt_buckets`` partial sums.
+- Ranks are the ONLY re-shuffled state (narrow: node, rank). The edge list
+  is re-read each round with its existing partitioning; out-degrees are
+  computed once. At 10^12 edges each round is a bounded-width join, and K
+  is small (power iteration converges geometrically).
+- Fixed iteration count keeps the operator deterministic and lets the
+  driver hash-verify it: ``doc_pagerank`` unrolls the same K rounds in
+  ANSI SQL (DuckDB) and must match to 6 decimals.
+- k_hop is iterative sparse frontier expansion (semi-join per hop, distinct
+  frontier state) — BFS layers, not transitive closure, so state stays
+  O(reached nodes), never O(paths).
+
+Semantics (pinned for the oracle):
+
+- Directed edges (src, dst); multi-edges collapse to one (dedup inside).
+- rank_0 = 1/n for the n nodes appearing in the edge list (either side).
+- rank_{t+1}(v) = (1-d)/n + d * (sum of rank_t(u)/outdeg(u) over in-edges
+  + dangling_mass/n), where dangling nodes (no out-edges) redistribute
+  their rank uniformly — the standard stochastic-matrix completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_BUCKETS = 16
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Fixed-iteration PageRank -> (node, rank). See module docstring for
+    pinned semantics; deterministic in (edges, iterations, damping)."""
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .dropDuplicates(["src", "dst"]))
+
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"])
+             .localCheckpoint())  # cut lineage: reused every round
+    n = nodes.count()
+
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    # edge list annotated with source out-degree, one join, reused per round
+    e_deg = (e.join(outdeg, e["src"] == outdeg["node"])
+             .select("src", "dst", "outdeg")
+             .localCheckpoint())
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(iterations):
+        contribs = (e_deg.join(ranks, e_deg["src"] == ranks["node"])
+                    .select(F.col("dst").alias("node"), "src",
+                            (F.col("rank") / F.col("outdeg")).alias("contrib")))
+        # salted two-stage sum: partial per (dst, salt-of-src), then final —
+        # a hot destination's fan-in spreads over salt_buckets reducers
+        # (deterministic: the salt is a pure function of the edge source).
+        # At cluster scale, bucket the edge table by src so the per-round
+        # rank join is exchange-free on the big side.
+        partial = (contribs
+                   .withColumn("salt", F.pmod(F.xxhash64("src"),
+                                              F.lit(salt_buckets)))
+                   .groupBy("node", "salt").agg(F.sum("contrib").alias("psum")))
+        summed = partial.groupBy("node").agg(F.sum("psum").alias("insum"))
+
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (ranks.join(outdeg, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")))
+        ranks = (nodes.join(summed, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node",
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping) * (F.coalesce(F.col("insum"), F.lit(0.0))
+                                              + F.col("m") / n)).alias("rank"))
+                 .localCheckpoint())  # materialize: keeps each round's plan flat
+
+    return ranks
+
+
+def k_hop(edges: DataFrame, sources: DataFrame, k: int = 2,
+          src_col: str = "src", dst_col: str = "dst",
+          node_col: str = "node") -> DataFrame:
+    """Nodes within <= k directed hops of the source set -> (node, hops)
+    with hops = the MINIMUM distance (BFS layers). Sources are hop 0.
+
+    Frontier expansion: each round joins only the previous frontier to the
+    edge list and anti-joins the already-reached set — state is the reached
+    set (narrow), never paths. k is small in practice; each hop is one
+    equi-join shuffle."""
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .dropDuplicates(["src", "dst"]))
+    reached = (sources.select(F.col(node_col).cast("string").alias("node"))
+               .dropDuplicates(["node"])
+               .withColumn("hops", F.lit(0)))
+    frontier = reached
+    for hop in range(1, k + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("src")), "src")
+               .select(F.col("dst").alias("node"))
+               .dropDuplicates(["node"])
+               .join(reached.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(hop)))
+        nxt = nxt.localCheckpoint()  # cut the per-hop lineage growth
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return reached

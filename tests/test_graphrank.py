@@ -1,0 +1,100 @@
+"""PageRank + k-hop (operators/graphrank): semantics pinned against a
+driver-side numpy power iteration, BFS properties pinned on hand graphs;
+the driver additionally hash-verifies ``doc_pagerank`` / ``doc_khop``
+against unrolled DuckDB SQL."""
+
+import pathlib
+import sys
+from collections import Counter
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.operators.graphrank import k_hop, pagerank  # noqa: E402
+
+
+def _ref_pagerank(edges, iterations=3, d=0.85):
+    """Reference power iteration with the module's pinned semantics."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = Counter(u for u, _ in edges)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        dangling = sum(r[idx[v]] for v in nodes if out[v] == 0)
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[u]
+        r = (1.0 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+         ("c", "e"), ("e", "sink")]  # 'sink' is dangling, 'd' has no in-edges
+
+
+def test_pagerank_matches_numpy_reference_with_dangling(spark):
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(e, iterations=4).collect()}
+    ref = _ref_pagerank(EDGES, iterations=4)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, v
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    ranks1 = pagerank(e, iterations=3).collect()
+    assert abs(sum(r.rank for r in ranks1) - 1.0) < 1e-9
+    ranks2 = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    assert {r.node: r.rank for r in ranks1} == ranks2
+
+
+def test_pagerank_hot_node_salted(spark):
+    """A 5k-in-edge celebrity node: the salted two-stage agg must produce
+    the exact uniform-contribution value."""
+    e = spark.createDataFrame(
+        [(f"u{i:04d}", "star") for i in range(5000)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(e, iterations=1).collect()}
+    ref = _ref_pagerank([(f"u{i:04d}", "star") for i in range(5000)],
+                        iterations=1)
+    assert abs(got["star"] - ref["star"]) < 1e-9
+    assert len(got) == 5001
+
+
+def test_k_hop_chain_and_truncation(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.hops for r in k_hop(e, src, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}          # d is 3 hops out
+
+
+def test_k_hop_min_distance_on_diamond(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a")],
+        ["src", "dst"])
+    src = spark.createDataFrame([("a",)], ["node"])
+    got = {r.node: r.hops for r in k_hop(e, src, k=5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # min dist, early stop
+
+
+def test_k_hop_multi_source(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("y", "b")], ["src", "dst"])
+    src = spark.createDataFrame([("a",), ("x",)], ["node"])
+    got = {r.node: r.hops for r in k_hop(e, src, k=2).collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "y": 1}
+
+
+def test_graphrank_plans_jvm_only(spark):
+    from tests.test_plans import _plan
+
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    assert "EvalPython" not in _plan(pagerank(e, iterations=1))
+    src = spark.createDataFrame([("a",)], ["node"])
+    assert "EvalPython" not in _plan(
+        k_hop(e, src, k=1))
