@@ -371,13 +371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reached.select(F.col("node").cast("long").alias("doc_id"),
                               F.col("hops").cast("int").alias("hops"))
 
-    def q_bgp_orders(spark, sf_dir):
-        """SPARQL-style BGP matching (operators/bgp) with a relational
-        oracle: the 4-pattern BGP over an RDF encoding of orders/customer/
-        nation must reproduce the plain 3-table join DuckDB runs on the
-        base tables — compilation is correct iff they agree exactly."""
-        from openapi_to_rdf_spark.operators.bgp import bgp_query
-
+    def _order_triples(spark, sf_dir):
+        """RDF encoding of orders/customer/nation — the BGP queries run
+        over this and must reproduce DuckDB's relational joins on the
+        base tables."""
         kg = "http://ericsson.com/models/3gpp/kg#"
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -389,7 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def t(s, p, o):
             return F.struct(s.alias("s"), F.lit(p).alias("p"), o.alias("o"))
 
-        triples = (
+        return (
             orders.select(F.explode(F.array(
                 t(iri("order#", "o_orderkey"), kg + "placedBy",
                   iri("cust#", "o_custkey")),
@@ -403,7 +400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   F.col("n_name")))).alias("tr")))
             .select("tr.s", "tr.p", "tr.o"))
 
-        bindings = bgp_query(triples, [
+    def q_bgp_orders(spark, sf_dir):
+        """SPARQL-style BGP matching (operators/bgp) with a relational
+        oracle: the 4-pattern BGP over an RDF encoding of orders/customer/
+        nation must reproduce the plain 3-table join DuckDB runs on the
+        base tables — compilation is correct iff they agree exactly."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        bindings = bgp_query(_order_triples(spark, sf_dir), [
             ("?o", kg + "placedBy", "?c"),
             ("?o", kg + "priority", "1-URGENT"),
             ("?c", kg + "inNation", "?n"),
@@ -411,6 +416,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ], select=["?o", "?nname"])
         return bindings.select(F.col("o").alias("order_iri"),
                                F.col("nname").alias("nation_name"))
+
+    def q_bgp_optional(spark, sf_dir):
+        """OPTIONAL group (SPARQL left join): every customer with their
+        urgent orders, null where none — oracle = customer LEFT JOIN the
+        filtered orders relation."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        triples = _order_triples(spark, sf_dir)
+        bindings = bgp_query(
+            triples,
+            [("?c", kg + "inNation", "?n"), ("?n", kg + "name", "?nname")],
+            optional=[[("?o", kg + "placedBy", "?c"),
+                       ("?o", kg + "priority", "1-URGENT")]])
+        return bindings.select(F.col("c").alias("cust_iri"),
+                               F.col("nname").alias("nation_name"),
+                               F.col("o").alias("order_iri"))
 
     def q_kg_entity_rank(spark, sf_dir):
         """Entity importance: PageRank over the KG co-mention graph (top 10,
@@ -673,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_khop": q_doc_khop,
         "kg_entity_rank": q_kg_entity_rank,
         "bgp_orders": q_bgp_orders,
+        "bgp_optional": q_bgp_optional,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -942,6 +965,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        "bgp_optional": """
+            SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,
+                   n_name AS nation_name,
+                   'order#' || CAST(o_orderkey AS VARCHAR) AS order_iri
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN (SELECT * FROM orders
+                       WHERE o_orderpriority = '1-URGENT') o
+                   ON o.o_custkey = c_custkey
         """,
         "doc_pagerank": """
             WITH te AS (

@@ -113,7 +113,13 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              # for doc-similarity via its 7 shared terms (every doc pairs
              # with every doc — the stop-list case its docstring documents)
              "doc_repetition", "term_co_mentions", "event_ranks",
-             "corpus_curation"]
+             "corpus_curation",
+             # added late r2. doc_pagerank/doc_khop are excluded for the
+             # same reason as related_docs: the synthetic corpus's 7-term
+             # vocabulary makes the doc graph quadratically dense at sf0.1
+             # (a testdata artifact, not an operator property) — their
+             # correctness runs at sf0.01 via the driver oracle.
+             "kg_link_entities", "bgp_orders"]
     out = {}
     for name in names:
         t0 = time.time()

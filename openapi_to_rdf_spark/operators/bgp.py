@@ -46,7 +46,8 @@ def _is_var(term: str) -> bool:
 
 def bgp_query(triples: DataFrame, patterns: list[Pattern],
               select: list[str] | None = None,
-              distinct: bool = False) -> DataFrame:
+              distinct: bool = False,
+              optional: list[list[Pattern]] | None = None) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable
     (named without the leading '?'), optionally projected to ``select``.
 
@@ -54,6 +55,12 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
         bgp_query(g, [("?o", KG+"placedBy", "?c"),
                       ("?o", KG+"priority", "1-URGENT"),
                       ("?c", KG+"inNation", "?n")])
+
+    ``optional``: list of OPTIONAL pattern groups (SPARQL OPTIONAL {...}).
+    Each group matches independently and LEFT-joins the core bindings on
+    the variables they share — rows without a match keep null bindings for
+    the group's exclusive variables. The left join shuffles on the shared
+    variable (same key profile as the core joins).
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -92,6 +99,30 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
             # (SPARQL allows it) but it's the caller's cartesian to own
             out = (out.join(scan, shared) if shared
                    else out.crossJoin(scan))
+    for group in optional or []:
+        grp = bgp_query(triples, group)
+        shared = sorted(set(out.columns) & set(grp.columns))
+        if not shared:
+            raise ValueError("OPTIONAL group shares no variable with the "
+                             "core patterns — its match would be a product")
+        out = out.join(grp, shared, "left")
+    if select:
+        out = out.select(*[v.lstrip("?") for v in select])
+    return out.dropDuplicates() if distinct else out
+
+
+def bgp_union(triples: DataFrame, alternatives: list[list[Pattern]],
+              select: list[str] | None = None,
+              distinct: bool = False) -> DataFrame:
+    """SPARQL UNION: bindings from any alternative pattern group, columns
+    aligned by variable name (a variable absent from one branch binds null
+    there, per SPARQL semantics)."""
+    if not alternatives:
+        raise ValueError("empty UNION")
+    parts = [bgp_query(triples, pats) for pats in alternatives]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
     return out.dropDuplicates() if distinct else out

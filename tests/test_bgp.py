@@ -82,3 +82,32 @@ def test_pipeline_graph_bgp_and_partition_pruning(spark, tmp_path):
     n_user_direct = graph.filter(
         (F.col("p") == KG_NS + "role") & (F.col("o") == "user")).count()
     assert n_user_bgp == n_user_direct > 0
+
+
+def test_optional_group_left_join_semantics(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_query as q
+
+    rows = q(g, [("?x", "name", "?n")],
+             optional=[[("?x", "knows", "?y"), ("?y", "name", "?yn")]]).collect()
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n, set()).add(r.yn)
+    assert by_n == {"alice": {"bob", "carol"}, "bob": {"carol"},
+                    "carol": {None}}          # carol knows nobody -> null
+
+
+def test_optional_without_shared_variable_rejected(g):
+    with pytest.raises(ValueError):
+        bgp_query(g, [("?x", "name", "?n")],
+                  optional=[[("?a", "likes", "?b")]])
+
+
+def test_union_aligns_columns_by_name(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_union
+
+    rows = bgp_union(g, [
+        [("a", "knows", "?y")],               # binds y
+        [("?z", "likes", "a")],               # binds z
+    ]).collect()
+    got = {(r.y, r.z) for r in rows}
+    assert got == {("b", None), ("c", None), (None, "a")}
