@@ -55,6 +55,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="OpenAPI YAML files/dirs; their converted SHACL "
                         "shapes are aligned into the kg vocabulary and "
                         "enforced in the violations stage")
+    k.add_argument("--registry", default=None,
+                   help="parquet authority table (entity_id, name, "
+                        "class_name, prior); adds the links stage — every "
+                        "canonical entity scored + linked against it "
+                        "(operators.linker)")
     k.add_argument("--cores", type=int, default=None)
 
     s = sub.add_parser("stream", help="continuous ingest: transcript parquet "
@@ -158,10 +163,12 @@ def cmd_kg(args) -> int:
         # in-place edits that keep the row count need a fresh workdir,
         # documented; schema alone would silently resume over new data
         input_fp = fingerprint("external", args.input_table, transcripts.count())
+    registry = spark.read.parquet(args.registry) if args.registry else None
     manifests = run_pipeline(
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
         transcripts=transcripts, input_fp=input_fp,
-        jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules)
+        jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules,
+        registry=registry)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

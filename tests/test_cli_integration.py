@@ -76,3 +76,21 @@ components:
     out = capsys.readouterr().out
     viol_line = [ln for ln in out.splitlines() if ln.strip().startswith("violations")][0]
     assert "datatypeMismatch" in viol_line
+
+
+def test_cli_kg_registry_flag(spark, tmp_path, capsys):
+    """`kg --registry`: the links stage runs from the CLI against a parquet
+    authority table and reports linksTo/linkScore counts."""
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.sources.transcripts import entity_registry_df
+
+    reg_path = tmp_path / "registry.parquet"
+    entity_registry_df(spark).write.parquet(str(reg_path))
+
+    rc = main(["kg", "--workdir", str(tmp_path / "wd"), "--n-convs", "40",
+               "--seed", "5", "--registry", str(reg_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    link_line = [ln for ln in out.splitlines()
+                 if ln.strip().startswith("links")][0]
+    assert "linksTo=" in link_line and "linkScore=" in link_line
