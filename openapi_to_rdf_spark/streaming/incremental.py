@@ -180,3 +180,60 @@ def compact_graph(spark, triples_dir: str, state_dir: str,
         spark, pathlib.Path(workdir) / "graph", fp,
         partition_by=["pred"], count_by=["pred"])
     return read_manifest(pathlib.Path(workdir) / "graph", fp)
+
+
+def incremental_links(spark, state_dir: str, registry: DataFrame,
+                      sim_threshold: float = 0.5) -> DataFrame:
+    """Link the CURRENT canonical representatives against a fixed authority
+    registry, scoring each distinct representative surface AT MOST ONCE
+    ever — the entity-link analogue of the band-table trick above.
+
+    Linking is a pure function of (surface, registry), so verdicts cache
+    under ``state_dir/link_cache-<registry fp>/`` keyed by surface: each
+    call scores only surfaces never seen before (typically the trickle of
+    new entities per batch) and appends their verdicts. Canonicalization
+    retroactivity is free here — when a merge changes a representative, the
+    new representative's surface is either cached already or scored now;
+    stale representatives simply stop being looked up. A registry change
+    rotates the cache directory via the fingerprint, so stale verdicts are
+    never reused. Crash replay can append duplicate verdict rows; reads
+    dedup on surface (verdicts are deterministic, so duplicates agree).
+
+    Returns (ent, entity_id, sim, score): one row per current canonical
+    representative; NIL links carry nulls.
+    """
+    from ..operators.linker import link_entities
+    from ..plans.snapshot import fingerprint
+
+    reg_fp = fingerprint("link-registry", str(registry.schema),
+                         registry.count())
+    cache_dir = pathlib.Path(state_dir) / f"link_cache-{reg_fp}"
+    cache_schema = ("m_key string, entity_id string, sim double, "
+                    "score double")
+
+    # representatives are entity IRIs (ENT_NS + raw surface key, 1:1);
+    # the linker scores the SURFACE, recovered as the post-# fragment
+    reps = (read_canonical_map(spark, state_dir)
+            .select(F.col("canonical").alias("ent"))
+            .dropDuplicates(["ent"])
+            .withColumn("m_key", F.regexp_extract("ent", "([^#]+)$", 1)))
+
+    if cache_dir.exists():
+        cache = (spark.read.schema(cache_schema).parquet(str(cache_dir))
+                 .dropDuplicates(["m_key"]))
+    else:
+        cache = spark.createDataFrame([], cache_schema)
+
+    new = (reps.select("m_key")
+           .join(cache.select("m_key"), "m_key", "left_anti"))
+    if not new.isEmpty():
+        verdicts = (link_entities(new, registry, class_col=None,
+                                  sim_threshold=sim_threshold)
+                    .select("m_key", F.col("entity_id").cast("string")
+                            .alias("entity_id"), "sim", "score"))
+        verdicts.write.mode("append").parquet(str(cache_dir))
+        cache = (spark.read.schema(cache_schema).parquet(str(cache_dir))
+                 .dropDuplicates(["m_key"]))
+
+    return (reps.join(cache, "m_key", "left")
+            .select("ent", "entity_id", "sim", "score"))

@@ -228,3 +228,59 @@ def test_continuous_variant_runs(spark, tmp_path):
     expected = extract_transcript_triples(turns, class_vocab_df(spark))
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
+
+
+def test_incremental_links_score_once_and_match_batch(spark, tmp_path):
+    """Incremental linking: each representative surface is scored at most
+    once ever (cache growth proves it), the result equals a from-scratch
+    link_entities over the current representatives, and retroactive
+    canonical merges are handled by lookup, not rescoring."""
+    from openapi_to_rdf_spark.operators.linker import link_entities
+    from openapi_to_rdf_spark.streaming.incremental import (
+        batch_entities, incremental_links, merge_batch, read_canonical_map,
+    )
+    from openapi_to_rdf_spark.sources.transcripts import entity_registry_df
+
+    reg = entity_registry_df(spark)
+    turns = synth_transcripts(spark, 80, seed=13)
+    state = tmp_path / "state"
+
+    b1 = turns.filter(F.col("conv_id") < "c000000040")
+    merge_batch(spark, state, batch_entities(b1, class_vocab_df(spark)),
+                batch_id=0, threshold=0.9)
+    l1 = incremental_links(spark, str(state), reg)
+    n_cached_1 = sum(1 for d in state.glob("link_cache-*/*.parquet"))
+    assert l1.filter(F.col("entity_id").isNotNull()).count() > 0
+
+    b2 = turns.filter(F.col("conv_id") >= "c000000040")
+    merge_batch(spark, state, batch_entities(b2, class_vocab_df(spark)),
+                batch_id=1, threshold=0.9)
+    l2 = incremental_links(spark, str(state), reg)
+
+    # equality with a from-scratch link over the CURRENT representatives.
+    # localCheckpoint both sides: exceptAll over dropDuplicates(subset)
+    # lineage trips the same Catalyst attribute-binding bug noted in
+    # test_read_transcript_table_formats
+    reps = (read_canonical_map(spark, str(state))
+            .select(F.col("canonical").alias("ent"))
+            .dropDuplicates(["ent"])
+            .withColumn("m_key", F.regexp_extract("ent", "([^#]+)$", 1)))
+    expected = (link_entities(reps, reg, class_col=None)
+                .select("ent",
+                        F.col("entity_id").cast("string").alias("entity_id"),
+                        "sim", "score")).localCheckpoint()
+    l2 = l2.localCheckpoint()
+    assert l2.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(l2).isEmpty()
+
+    # cache grew (new surfaces scored) but third call scores nothing new
+    n_cached_2 = sum(1 for d in state.glob("link_cache-*/*.parquet"))
+    assert n_cached_2 > n_cached_1
+    l3 = incremental_links(spark, str(state), reg).localCheckpoint()
+    n_cached_3 = sum(1 for d in state.glob("link_cache-*/*.parquet"))
+    assert n_cached_3 == n_cached_2          # pure lookup, no rescoring
+    assert l3.exceptAll(expected).isEmpty()
+
+    # every linked representative resolves to its true registry id
+    for r in l2.filter(F.col("entity_id").isNotNull()).collect():
+        assert int(r.entity_id) == int(r.ent[-4:]), (r.ent, r.entity_id)
