@@ -434,6 +434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                F.col("nname").alias("nation_name"),
                                F.col("o").alias("order_iri"))
 
+    def q_doc_packing(spark, sf_dir):
+        """Greedy sequence packing (operators/packing) at budget 500,
+        grouped by language — the applyInPandas per-shard packer must
+        reproduce the DuckDB recursive-CTE walk exactly."""
+        from openapi_to_rdf_spark.operators.packing import pack_documents
+
+        return pack_documents(_docs(spark, sf_dir), budget=500) \
+            .select("lang", "doc_id", "n_tokens", "pack_id")
+
     def q_kg_entity_rank(spark, sf_dir):
         """Entity importance: PageRank over the KG co-mention graph (top 10,
         deterministic tie-break). Rows-only (the transcript generator is not
@@ -696,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_rank": q_kg_entity_rank,
         "bgp_orders": q_bgp_orders,
         "bgp_optional": q_bgp_optional,
+        "doc_packing": q_doc_packing,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -965,6 +975,30 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        "doc_packing": f"""
+            WITH RECURSIVE tok AS (
+              SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS t
+              FROM documents),
+            ord AS (
+              SELECT lang, doc_id, t,
+                     SUM(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) AS rn
+              FROM tok),
+            walk AS (
+              SELECT lang, doc_id, rn, t, cum,
+                     CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS base
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.lang, o.doc_id, o.rn, o.t, o.cum,
+                     CASE WHEN o.cum - w.base > 500
+                          THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN o.cum - w.base > 500
+                          THEN o.cum - o.t ELSE w.base END
+              FROM walk w JOIN ord o
+                ON o.lang = w.lang AND o.rn = w.rn + 1)
+            SELECT lang, doc_id, t AS n_tokens, pack_id FROM walk
         """,
         "bgp_optional": """
             SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,

@@ -1,0 +1,92 @@
+"""Greedy sequence packing: batch documents into fixed token-budget packs —
+the step between curation and tokenization in an LLM training pipeline
+(packing short documents into full-length training sequences).
+
+Semantics (pinned exactly, and reproduced by the driver's DuckDB oracle
+via a recursive CTE — ``doc_packing``):
+
+- Packing runs WITHIN groups (``group_col``, e.g. language, split, or an
+  explicit shard key) over documents in ascending ``id_col`` order.
+- A document joins the current pack unless that would push the pack's
+  token sum past ``budget``, in which case it opens a new pack.
+- A single document larger than the budget occupies its own pack (it must
+  go somewhere; truncation is the tokenizer's decision, not the packer's).
+- pack_id is 0-based per group; output is one row per document with its
+  pack assignment — deterministic in (input, budget, ordering).
+
+Scale design: greedy packing is inherently sequential *within* a group —
+that is the algorithm, not an implementation artifact — so the GROUP is
+the parallelism unit, exactly how production packers shard (pack within
+each worker's shard; cross-shard packing buys nothing because packs don't
+span shards anyway). The implementation is one ``applyInPandas`` per
+group: Arrow ships (id, n_tokens) pairs — two narrow int columns, never
+text — and the per-group pass is a single O(n) integer loop. For 10^12
+documents, pick a group key with enough cardinality (e.g. split × hash
+bucket) that groups fit an executor; the packer neither sorts globally
+nor shuffles anything wider than the two columns it packs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+
+def pack_documents(docs: DataFrame, budget: int,
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   tokens_col: str | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """(group, doc_id, n_tokens, pack_id) per document; see module doc.
+
+    ``tokens_col``: use a precomputed token-count column; default counts
+    whitespace tokens of ``text_col`` (functions.text.token_count, the
+    same definition the hash-verified doc_tokens query uses).
+    """
+    if tokens_col is None:
+        base = docs.select(F.col(group_col).alias("grp"),
+                           F.col(id_col).alias("id"),
+                           token_count(F.col(text_col)).cast("long")
+                           .alias("n_tokens"))
+    else:
+        base = docs.select(F.col(group_col).alias("grp"),
+                           F.col(id_col).alias("id"),
+                           F.col(tokens_col).cast("long").alias("n_tokens"))
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy()
+        pack_ids = []
+        pack_id, cur = 0, 0
+        for t in toks:
+            if cur > 0 and cur + t > budget:
+                pack_id += 1
+                cur = 0
+            cur += t
+            pack_ids.append(pack_id)
+        return pd.DataFrame({"grp": pdf["grp"], "id": pdf["id"],
+                             "n_tokens": pdf["n_tokens"],
+                             "pack_id": pack_ids})
+
+    out = base.groupBy("grp").applyInPandas(
+        pack, "grp string, id long, n_tokens long, pack_id long")
+    return out.select(F.col("grp").alias(group_col),
+                      F.col("id").alias(id_col), "n_tokens", "pack_id")
+
+
+def pack_stats(packed: DataFrame, budget: int,
+               group_col: str = "lang") -> DataFrame:
+    """Packing efficiency per group: packs, fill rate, oversize count —
+    the numbers a training-data pipeline monitors per shard."""
+    per_pack = (packed.groupBy(group_col, "pack_id")
+                .agg(F.sum("n_tokens").alias("pack_tokens"),
+                     F.count(F.lit(1)).alias("n_docs")))
+    return (per_pack.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_packs"),
+                 F.sum("n_docs").alias("n_docs"),
+                 F.round(F.avg("pack_tokens") / budget, 6).alias("fill_rate"),
+                 F.sum(F.when(F.col("pack_tokens") > budget, 1).otherwise(0))
+                 .alias("n_oversize")))

@@ -1,0 +1,86 @@
+"""Greedy sequence packing (operators/packing): semantics pinned on
+planted token sequences; the driver hash-verifies ``doc_packing`` against
+a DuckDB recursive-CTE walk."""
+
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.operators.packing import (  # noqa: E402
+    pack_documents, pack_stats,
+)
+
+
+def _packed(spark, rows, budget):
+    df = spark.createDataFrame(rows, "lang string, doc_id long, t long")
+    out = pack_documents(df, budget=budget, tokens_col="t")
+    return {(r.lang, r.doc_id): r.pack_id for r in out.collect()}
+
+
+def test_greedy_boundaries_exact(spark):
+    rows = [("en", i, t) for i, t in
+            enumerate([300, 150, 100, 400, 60, 30, 500, 10])]
+    got = _packed(spark, rows, 500)
+    assert got == {("en", 0): 0, ("en", 1): 0,   # 300+150 = 450
+                   ("en", 2): 1, ("en", 3): 1,   # 100+400 = 500, exact fit
+                   ("en", 4): 2, ("en", 5): 2,   # 60+30 = 90
+                   ("en", 6): 3,                 # 90+500 > 500 -> new pack
+                   ("en", 7): 4}                 # 500+10 > 500 -> new pack
+
+
+def test_exact_fit_and_overflow(spark):
+    rows = [("en", 0, 250), ("en", 1, 250), ("en", 2, 1), ("en", 3, 499)]
+    got = _packed(spark, rows, 500)
+    # 250+250 = 500 fits exactly; 1 opens pack 1; 1+499 = 500 fits
+    assert got == {("en", 0): 0, ("en", 1): 0, ("en", 2): 1, ("en", 3): 1}
+
+
+def test_oversize_doc_own_pack(spark):
+    rows = [("en", 0, 100), ("en", 1, 900), ("en", 2, 100), ("en", 3, 100)]
+    got = _packed(spark, rows, 500)
+    # 900 > budget: own pack (never merged with neighbours)
+    assert got == {("en", 0): 0, ("en", 1): 1, ("en", 2): 2, ("en", 3): 2}
+
+
+def test_groups_pack_independently(spark):
+    rows = [("en", 0, 400), ("de", 1, 400), ("en", 2, 400), ("de", 3, 400)]
+    got = _packed(spark, rows, 500)
+    assert got == {("en", 0): 0, ("en", 2): 1, ("de", 1): 0, ("de", 3): 1}
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [("l%d" % (i % 3), i, 37 + (i * 17) % 211) for i in range(300)]
+    df2 = spark.createDataFrame(rows, "lang string, doc_id long, t long") \
+        .repartition(2)
+    df16 = spark.createDataFrame(rows, "lang string, doc_id long, t long") \
+        .repartition(16)
+    a = {(r.lang, r.doc_id): r.pack_id for r in
+         pack_documents(df2, 500, tokens_col="t").collect()}
+    b = {(r.lang, r.doc_id): r.pack_id for r in
+         pack_documents(df16, 500, tokens_col="t").collect()}
+    assert a == b and len(a) == 300
+
+
+def test_pack_stats_fill_and_oversize(spark):
+    rows = [("en", 0, 400), ("en", 1, 50), ("en", 2, 900)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, t long")
+    packed = pack_documents(df, 500, tokens_col="t")
+    st = pack_stats(packed, budget=500).collect()[0]
+    # packs: [400+50]=450, [900]; fill = avg(450,900)/500 = 1.35
+    assert (st.n_packs, st.n_docs, st.n_oversize) == (2, 3, 1)
+    assert abs(st.fill_rate - 1.35) < 1e-9
+
+
+def test_packing_default_tokens_match_doc_tokens(spark):
+    """Default token counting equals the hash-verified doc_tokens basis."""
+    from openapi_to_rdf_spark.functions.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_documents(docs, budget=500)
+    direct = docs.select("doc_id", token_count(F.col("text")).cast("long")
+                         .alias("n_tokens"))
+    assert (packed.select("doc_id", "n_tokens")
+            .exceptAll(direct).isEmpty())
