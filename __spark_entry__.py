@@ -434,6 +434,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                F.col("nname").alias("nation_name"),
                                F.col("o").alias("order_iri"))
 
+    def q_bgp_minus(spark, sf_dir):
+        """SPARQL MINUS as an anti-join, vs relational NOT EXISTS:
+        customers with no urgent order."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_minus
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        bindings = bgp_minus(
+            _order_triples(spark, sf_dir),
+            [("?c", kg + "inNation", "?n"), ("?n", kg + "name", "?nname")],
+            minus=[("?o", kg + "placedBy", "?c"),
+                   ("?o", kg + "priority", "1-URGENT")])
+        return bindings.select(F.col("c").alias("cust_iri"),
+                               F.col("nname").alias("nation_name"))
+
+    def q_bgp_construct(spark, sf_dir):
+        """SPARQL CONSTRUCT (derived-triple materialization), vs a plain
+        relational projection of the same template."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_construct
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        return bgp_construct(
+            _order_triples(spark, sf_dir),
+            where=[("?c", kg + "inNation", "?n"),
+                   ("?n", kg + "name", "?nname")],
+            template=[("?c", kg + "livesIn", "?nname")])
+
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
         grouped by language — the applyInPandas per-shard packer must
@@ -706,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_orders": q_bgp_orders,
         "bgp_optional": q_bgp_optional,
         "doc_packing": q_doc_packing,
+        "bgp_minus": q_bgp_minus,
+        "bgp_construct": q_bgp_construct,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "media_features": q_media_features,
@@ -975,6 +1003,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             WHERE o_orderpriority = '1-URGENT'
+        """,
+        "bgp_minus": """
+            SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,
+                   n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "bgp_construct": """
+            SELECT DISTINCT
+                   'cust#' || CAST(c_custkey AS VARCHAR) AS s,
+                   'http://ericsson.com/models/3gpp/kg#livesIn' AS p,
+                   n_name AS o
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "doc_packing": f"""
             WITH RECURSIVE tok AS (

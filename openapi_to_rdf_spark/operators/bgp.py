@@ -111,6 +111,57 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
     return out.dropDuplicates() if distinct else out
 
 
+def bgp_minus(triples: DataFrame, patterns: list[Pattern],
+              minus: list[Pattern],
+              select: list[str] | None = None,
+              distinct: bool = False) -> DataFrame:
+    """SPARQL MINUS / FILTER NOT EXISTS: core bindings whose shared
+    variables have NO solution in the ``minus`` group — one anti-join on
+    the shared variables (the cheapest join Spark has: no payload columns
+    move, and the build side is just the minus group's key projection)."""
+    core = bgp_query(triples, patterns)
+    neg = bgp_query(triples, minus)
+    shared = sorted(set(core.columns) & set(neg.columns))
+    if not shared:
+        raise ValueError("MINUS group shares no variable with the core "
+                         "patterns — per SPARQL MINUS semantics it would "
+                         "remove nothing")
+    out = core.join(neg.select(*shared).dropDuplicates(shared),
+                    shared, "left_anti")
+    if select:
+        out = out.select(*[v.lstrip("?") for v in select])
+    return out.dropDuplicates() if distinct else out
+
+
+def bgp_construct(triples: DataFrame, where: list[Pattern],
+                  template: list[Pattern],
+                  distinct: bool = True) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate ``template`` patterns with every
+    solution of ``where``, emitting a new (s, p, o) triple table — the KG
+    derivation/inference primitive (materialize co-author edges, flatten
+    paths, re-predicate imported data). Template constants pass through;
+    template variables must be bound by ``where``. Output deduplicates by
+    default (CONSTRUCT builds a graph, i.e. a set)."""
+    bindings = bgp_query(triples, where)
+    bound = set(bindings.columns)
+    outs = []
+    for s, p, o in template:
+        cols = []
+        for term, name in zip((s, p, o), ("s", "p", "o")):
+            if _is_var(term):
+                if term[1:] not in bound:
+                    raise ValueError(f"template variable {term} is not "
+                                     "bound by the WHERE patterns")
+                cols.append(F.col(term[1:]).cast("string").alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        outs.append(bindings.select(*cols))
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out.dropDuplicates() if distinct else out
+
+
 def bgp_union(triples: DataFrame, alternatives: list[list[Pattern]],
               select: list[str] | None = None,
               distinct: bool = False) -> DataFrame:

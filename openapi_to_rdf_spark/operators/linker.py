@@ -198,6 +198,24 @@ def link_triples(links: DataFrame, kg_ns: str, ent_ns: str,
     return link_edge.unionByName(score_edge).dropDuplicates(["s", "p", "o"])
 
 
+def registry_with_rank_priors(registry: DataFrame,
+                              ranks: DataFrame) -> DataFrame:
+    """Replace a registry's priors with normalized graph importance —
+    PageRank over the KG (operators.graphrank) as the link prior, the
+    standard popularity signal entity linkers use. Ranks (node, rank) join
+    on entity_id; prior = rank / max(rank) in [0, 1], 0 for entities
+    absent from the graph. One broadcast-size agg (the max) + one
+    equi-join on the registry key."""
+    max_rank = ranks.agg(F.max("rank").alias("m"))
+    scaled = (ranks.crossJoin(F.broadcast(max_rank))
+              .select(F.col("node").alias("entity_id"),
+                      F.round(F.col("rank") / F.col("m"), 6).alias("_prior")))
+    return (registry.drop("prior")
+            .join(scaled, "entity_id", "left")
+            .withColumn("prior", F.coalesce("_prior", F.lit(0.0)))
+            .drop("_prior"))
+
+
 def registry_from_canonical_map(canon_map: DataFrame,
                                 prior_col: str | None = None) -> DataFrame:
     """Build a linker registry from a canonicalization run's output map

@@ -111,3 +111,33 @@ def test_union_aligns_columns_by_name(g):
     ]).collect()
     got = {(r.y, r.z) for r in rows}
     assert got == {("b", None), ("c", None), (None, "a")}
+
+
+def test_minus_removes_matching_bindings(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_minus
+
+    # people with a name, MINUS those who know someone
+    rows = bgp_minus(g, [("?x", "name", "?n")],
+                     minus=[("?x", "knows", "?y")]).collect()
+    assert {(r.x, r.n) for r in rows} == {("c", "carol")}
+
+    with pytest.raises(ValueError):
+        bgp_minus(g, [("?x", "name", "?n")], minus=[("?a", "likes", "?b")])
+
+
+def test_construct_instantiates_template(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_construct
+
+    out = bgp_construct(
+        g, where=[("?x", "knows", "?y"), ("?y", "name", "?yn")],
+        template=[("?x", "friendName", "?yn"),
+                  ("?x", "hasFriend", "?y")])
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    assert got == {("a", "friendName", "bob"), ("a", "friendName", "carol"),
+                   ("b", "friendName", "carol"),
+                   ("a", "hasFriend", "b"), ("a", "hasFriend", "c"),
+                   ("b", "hasFriend", "c")}
+
+    with pytest.raises(ValueError):
+        bgp_construct(g, where=[("?x", "knows", "?y")],
+                      template=[("?x", "p", "?unbound")])

@@ -189,3 +189,23 @@ def test_linker_plan_no_cartesian_product(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan            # scoring is all-JVM
+
+
+def test_registry_with_rank_priors(spark):
+    """PageRank importance becomes the link prior: equal-sim ties resolve
+    toward the graph-central entity."""
+    from openapi_to_rdf_spark.operators.linker import registry_with_rank_priors
+
+    reg = spark.createDataFrame(
+        [("e1", "alpha node", None, 0.0), ("e2", "alpha node", None, 0.0)],
+        "entity_id string, name string, class_name string, prior double")
+    ranks = spark.createDataFrame(
+        [("e1", 0.02), ("e2", 0.08), ("e9", 0.10)], ["node", "rank"])
+    reg2 = registry_with_rank_priors(reg, ranks)
+    priors = {r.entity_id: r.prior for r in reg2.collect()}
+    assert priors == {"e1": 0.2, "e2": 0.8}   # normalized by max rank
+
+    surf = spark.createDataFrame(
+        [("alpha node", None)], "surface string, m_class string")
+    row = link_surfaces(surf, reg2).collect()[0]
+    assert row.entity_id == "e2"              # prior breaks the sim tie
