@@ -397,7 +397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   iri("nation#", "c_nationkey")))).alias("tr")))
             .unionAll(nation.select(F.explode(F.array(
                 t(iri("nation#", "n_nationkey"), kg + "name",
-                  F.col("n_name")))).alias("tr")))
+                  F.col("n_name")),
+                t(iri("nation#", "n_nationkey"), kg + "inRegion",
+                  iri("region#", "n_regionkey")))).alias("tr")))
+            .unionAll(
+                spark.read.parquet(f"{sf_dir}/region.parquet")
+                .select(F.explode(F.array(
+                    t(iri("region#", "r_regionkey"), kg + "rname",
+                      F.col("r_name")))).alias("tr")))
             .select("tr.s", "tr.p", "tr.o"))
 
     def q_bgp_orders(spark, sf_dir):
@@ -459,6 +466,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             where=[("?c", kg + "inNation", "?n"),
                    ("?n", kg + "name", "?nname")],
             template=[("?c", kg + "livesIn", "?nname")])
+
+    def q_bgp_path_orders(spark, sf_dir):
+        """Property paths (operators/paths): seq + alt + inverse in one
+        query. Pattern 1 walks ?o placedBy/inNation/(name | inRegion/rname)
+        ?place (two rows per order: nation name and region name); pattern 2
+        is the full INVERSE path from ?place back to ?o — joining both on
+        (o, place) means a broken inverse drops rows and the hash catches
+        it. Oracle = the relational union of the two joins in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        fwd = ("seq", kg + "placedBy", kg + "inNation",
+               ("alt", kg + "name", ("seq", kg + "inRegion", kg + "rname")))
+        bindings = bgp_query(_order_triples(spark, sf_dir), [
+            ("?o", fwd, "?place"),
+            ("?place", ("inv", fwd), "?o"),
+        ])
+        return bindings.select(F.col("o").alias("order_iri"),
+                               F.col("place").alias("place_name"))
+
+    def q_bgp_path_closure(spark, sf_dir):
+        """Bounded transitive closure (p{1,3}) over the per-user event-
+        succession chain, vs a DuckDB recursive CTE: distinct (src, dst)
+        event pairs within 1..3 forward steps."""
+        from pyspark.sql import Window
+
+        from openapi_to_rdf_spark.operators.paths import path_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                                  F.col("event_id").asc())
+        triples = (ev.select(F.col("event_id"),
+                             F.lead("event_id").over(w).alias("nxt"))
+                   .filter(F.col("nxt").isNotNull())
+                   .select(F.concat(F.lit("ev#"), F.col("event_id"))
+                           .alias("s"),
+                           F.lit(kg + "nextEvent").alias("p"),
+                           F.concat(F.lit("ev#"), F.col("nxt")).alias("o")))
+        pairs = path_query(triples, "?a",
+                           ("between", kg + "nextEvent", 1, 3), "?b")
+        return pairs.select(
+            F.expr("CAST(substring(a, 4) AS BIGINT)").alias("src_ev"),
+            F.expr("CAST(substring(b, 4) AS BIGINT)").alias("dst_ev"))
+
+    def q_bgp_agg_orders(spark, sf_dir):
+        """GROUP BY + COUNT over a BGP with the eager-aggregation rewrite
+        (bgp.bgp_count): orders counted per nation name, partial counts
+        pushed below the customer/nation join. Oracle = the plain SQL
+        GROUP BY — the rewrite is correct iff they agree exactly."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_count
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        out = bgp_count(_order_triples(spark, sf_dir), [
+            ("?o", kg + "placedBy", "?c"),
+            ("?c", kg + "inNation", "?n"),
+            ("?n", kg + "name", "?nname"),
+        ], group_vars=["?nname"], count_var="?o", count_alias="n_orders")
+        return out.select(F.col("nname").alias("nation_name"),
+                          F.col("n_orders").cast("long").alias("n_orders"))
+
+    def q_pack_assembly(spark, sf_dir):
+        """Pack assembly (packing.assemble_packs): per-pack membership,
+        length, and an order-sensitive md5 digest of the concatenated
+        texts — DuckDB reproduces the digest with string_agg over the same
+        recursive-CTE pack walk, so doc order inside every assembled
+        sequence is hash-verified (the input_ids/segment_ids arrays are
+        derived JVM-side from the same sorted structs)."""
+        from openapi_to_rdf_spark.operators.packing import assemble_packs
+
+        return assemble_packs(_docs(spark, sf_dir), budget=500).select(
+            "lang", "pack_id", F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("seq_len").cast("long").alias("seq_len"), "content_sha")
 
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
@@ -745,6 +825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "bgp_minus": q_bgp_minus,
         "bgp_construct": q_bgp_construct,
+        "bgp_path_orders": q_bgp_path_orders,
+        "bgp_path_closure": q_bgp_path_closure,
+        "bgp_agg_orders": q_bgp_agg_orders,
+        "pack_assembly": q_pack_assembly,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1054,6 +1138,70 @@ def oracle_sql() -> dict[str, str]:
               FROM walk w JOIN ord o
                 ON o.lang = w.lang AND o.rn = w.rn + 1)
             SELECT lang, doc_id, t AS n_tokens, pack_id FROM walk
+        """,
+        "bgp_path_orders": """
+            SELECT 'order#' || o_orderkey AS order_iri,
+                   n_name AS place_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'order#' || o_orderkey AS order_iri,
+                   r_name AS place_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+                        JOIN region   ON n_regionkey = r_regionkey
+        """,
+        "bgp_path_closure": """
+            WITH RECURSIVE ord AS (
+              SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS rn, user_id
+              FROM events),
+            edges AS (
+              SELECT a.event_id AS src, b.event_id AS dst
+              FROM ord a JOIN ord b
+                ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+            walk AS (
+              SELECT src, dst, 1 AS hops FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.dst = e.src
+              WHERE w.hops < 3)
+            SELECT DISTINCT src AS src_ev, dst AS dst_ev FROM walk
+        """,
+        "bgp_agg_orders": """
+            SELECT n_name AS nation_name, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "pack_assembly": f"""
+            WITH RECURSIVE tok AS (
+              SELECT lang, doc_id, text,
+                     CAST(len({_TOKS}) AS BIGINT) AS t
+              FROM documents),
+            ord AS (
+              SELECT lang, doc_id, text, t,
+                     SUM(t) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) AS rn
+              FROM tok),
+            walk AS (
+              SELECT lang, doc_id, text, rn, t, cum,
+                     CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS base
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.lang, o.doc_id, o.text, o.rn, o.t, o.cum,
+                     CASE WHEN o.cum - w.base > 500
+                          THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN o.cum - w.base > 500
+                          THEN o.cum - o.t ELSE w.base END
+              FROM walk w JOIN ord o
+                ON o.lang = w.lang AND o.rn = w.rn + 1)
+            SELECT lang, pack_id, COUNT(*) AS n_docs,
+                   CAST(SUM(t) AS BIGINT) AS seq_len,
+                   md5(string_agg(text, chr(30) ORDER BY doc_id))
+                     AS content_sha
+            FROM walk GROUP BY lang, pack_id
         """,
         "bgp_optional": """
             SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,

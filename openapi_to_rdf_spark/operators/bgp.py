@@ -71,14 +71,22 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
     has_pred = "pred" in triples.columns
     out: DataFrame | None = None
     for s, p, o in patterns:
-        scan = triples
-        if has_pred and not _is_var(p):
-            local = re.search(r"([A-Za-z0-9_]+)$", p)
-            if local:
-                scan = scan.filter(F.col("pred") == local.group(1))
+        if isinstance(p, tuple):
+            # property path in predicate position (operators/paths): the
+            # pattern's relation is the compiled (s, o) pair table; term
+            # binding below is identical minus the p position
+            from .paths import compile_path
+            scan, terms = compile_path(triples, p), ((s, "s"), (o, "o"))
+        else:
+            scan = triples
+            if has_pred and not _is_var(p):
+                local = re.search(r"([A-Za-z0-9_]+)$", p)
+                if local:
+                    scan = scan.filter(F.col("pred") == local.group(1))
+            terms = ((s, "s"), (p, "p"), (o, "o"))
         cols = []
         seen_vars: dict[str, str] = {}
-        for term, col in zip((s, p, o), ("s", "p", "o")):
+        for term, col in terms:
             if _is_var(term):
                 name = term[1:]
                 if name in seen_vars:
@@ -160,6 +168,60 @@ def bgp_construct(triples: DataFrame, where: list[Pattern],
     for o_ in outs[1:]:
         out = out.unionByName(o_)
     return out.dropDuplicates() if distinct else out
+
+
+def _vars_of(patterns: list[Pattern]) -> set[str]:
+    out = set()
+    for pat in patterns:
+        for term in pat:
+            if _is_var(term):
+                out.add(term[1:])
+    return out
+
+
+def bgp_count(triples: DataFrame, patterns: list[Pattern],
+              group_vars: list[str], count_var: str,
+              count_alias: str = "n", eager: bool = True) -> DataFrame:
+    """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP,
+    with EAGER AGGREGATION pushed below the join when legal — the classic
+    group-by pushdown Catalyst does not perform.
+
+    Legality + rewrite: split the patterns into the component A that
+    mentions ``count_var`` and the rest B. When ``count_var`` appears
+    nowhere in B and is not grouped on, COUNT distributes over the join:
+    pre-aggregate A's solutions by its boundary variables (vars shared
+    with B or grouped on), join the narrow (boundary, partial-count)
+    relation into B, and SUM the partials per group. At scale this is the
+    difference between shuffling every (order × customer) binding row and
+    shuffling one count per customer — the join's probe side shrinks from
+    |A's solutions| to |A's boundary keys|.
+
+    Falls back to count-after-join whenever the rewrite is illegal (or
+    ``eager=False``); both paths are hash-verified against the same DuckDB
+    GROUP BY by the driver (``bgp_agg_orders``).
+    """
+    gvars = [v.lstrip("?") for v in group_vars]
+    cvar = count_var.lstrip("?")
+    a_pats = [pat for pat in patterns
+              if cvar in {t[1:] for t in pat if _is_var(t)}]
+    b_pats = [pat for pat in patterns if pat not in a_pats]
+    legal = (eager and a_pats and b_pats
+             and cvar not in gvars
+             and cvar not in _vars_of(b_pats))
+    if legal:
+        boundary = sorted(_vars_of(a_pats) & (_vars_of(b_pats) | set(gvars)))
+        if boundary:
+            partial = (bgp_query(triples, a_pats)
+                       .groupBy(*boundary)
+                       .agg(F.count(cvar).alias("_pc")))
+            rest = bgp_query(triples, b_pats)
+            shared = sorted(set(rest.columns) & set(boundary))
+            joined = rest.join(partial, shared)
+            return (joined.groupBy(*gvars)
+                    .agg(F.sum("_pc").alias(count_alias)))
+    bindings = bgp_query(triples, patterns)
+    return (bindings.groupBy(*gvars)
+            .agg(F.count(cvar).alias(count_alias)))
 
 
 def bgp_union(triples: DataFrame, alternatives: list[list[Pattern]],

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 
 
 def pack_documents(docs: DataFrame, budget: int,
@@ -75,6 +75,64 @@ def pack_documents(docs: DataFrame, budget: int,
         pack, "grp string, id long, n_tokens long, pack_id long")
     return out.select(F.col("grp").alias(group_col),
                       F.col("id").alias(id_col), "n_tokens", "pack_id")
+
+
+def assemble_packs(docs: DataFrame, budget: int,
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   vocab_size: int = 32768) -> DataFrame:
+    """Assemble each pack into an actual training sequence — one row per
+    pack with the concatenated token-id array, per-token segment ids, and
+    a content digest:
+
+    - ``input_ids``:   hashed token ids (xxhash64 mod ``vocab_size`` — a
+      deterministic stand-in for a real BPE vocab; swapping in a trained
+      tokenizer changes only this lambda), documents concatenated in
+      ascending ``id_col`` order;
+    - ``segment_ids``: for token i, the 0-based index of its source
+      document within the pack — what an attention mask / position-id
+      reset consumes downstream;
+    - ``n_docs`` / ``seq_len``;
+    - ``content_sha``: md5 over the pack's texts joined with RS (0x1e) in
+      id order — the SQL-expressible digest the driver's DuckDB oracle
+      verifies (``pack_assembly``), proving assembly order and membership
+      without shipping arrays through the hash gate.
+
+    Scale design: the packer ships only (id, n_tokens) through Arrow
+    (pack_documents); assembly then joins assignments back to the text
+    ONCE (shuffle keyed by the pack — bounded by ``budget`` tokens per
+    group) and builds the arrays entirely JVM-side: sort_array over
+    (id, text) structs, then transform/flatten lambdas. No Python touches
+    the text; each output row is <= budget tokens by construction (plus
+    lone oversize docs, which get their own pack by packer semantics).
+    """
+    packed = pack_documents(docs, budget, group_col=group_col,
+                            id_col=id_col, text_col=text_col)
+    joined = packed.join(
+        docs.select(F.col(group_col), F.col(id_col), F.col(text_col)),
+        [group_col, id_col])
+    per_pack = (joined.groupBy(group_col, "pack_id")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col(text_col).alias("text")))).alias("parts")))
+    tok_ids = F.flatten(F.transform(
+        "parts",
+        lambda d: F.transform(
+            tokens(d["text"]),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(vocab_size))
+            .cast("int"))))
+    seg_ids = F.flatten(F.transform(
+        "parts",
+        lambda d, i: F.transform(tokens(d["text"]),
+                                 lambda _: i.cast("int"))))
+    return per_pack.select(
+        group_col, "pack_id",
+        F.size("parts").alias("n_docs"),
+        tok_ids.alias("input_ids"),
+        seg_ids.alias("segment_ids"),
+        F.size(tok_ids).alias("seq_len"),
+        F.md5(F.array_join(F.transform("parts", lambda d: d["text"]),
+                           "\x1e")).alias("content_sha"))
 
 
 def pack_stats(packed: DataFrame, budget: int,

@@ -84,3 +84,42 @@ def test_packing_default_tokens_match_doc_tokens(spark):
                          .alias("n_tokens"))
     assert (packed.select("doc_id", "n_tokens")
             .exceptAll(direct).isEmpty())
+
+
+def test_assemble_packs_ids_segments_digest(spark):
+    import hashlib
+
+    from openapi_to_rdf_spark.operators.packing import assemble_packs
+
+    docs = spark.createDataFrame(
+        [("en", 1, "a b c"), ("en", 2, "d e"), ("en", 3, "f g h i"),
+         ("de", 1, "x y z w q")], ["lang", "doc_id", "text"])
+    out = {(r.lang, r.pack_id): r
+           for r in assemble_packs(docs, budget=5).collect()}
+    en0 = out[("en", 0)]
+    # docs 1+2 fit the 5-token budget; doc 3 opens pack 1
+    assert (en0.n_docs, en0.seq_len) == (2, 5)
+    assert en0.segment_ids == [0, 0, 0, 1, 1]
+    assert len(en0.input_ids) == 5
+    assert all(0 <= t < 32768 for t in en0.input_ids)
+    # same token -> same id within and across packs (hash determinism)
+    assert en0.content_sha == hashlib.md5(b"a b c\x1ed e").hexdigest()
+    en1 = out[("en", 1)]
+    assert (en1.n_docs, en1.segment_ids) == (1, [0, 0, 0, 0])
+
+
+def test_assemble_packs_budget_and_order(spark):
+    """Every assembled pack is <= budget tokens unless it is a lone
+    oversize doc, and input_ids concatenate docs in ascending id order."""
+    from openapi_to_rdf_spark.operators.packing import assemble_packs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = assemble_packs(docs, budget=500).collect()
+    assert rows
+    for r in rows:
+        assert r.seq_len == len(r.input_ids) == len(r.segment_ids)
+        assert r.seq_len <= 500 or r.n_docs == 1
+        # segment ids are a non-decreasing 0-based run per pack
+        assert r.segment_ids[0] == 0 and r.segment_ids[-1] == r.n_docs - 1
+        assert all(b - a in (0, 1) for a, b in
+                   zip(r.segment_ids, r.segment_ids[1:]))
