@@ -540,6 +540,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", "pack_id", F.col("n_docs").cast("long").alias("n_docs"),
             F.col("seq_len").cast("long").alias("seq_len"), "content_sha")
 
+    def q_decontaminate(spark, sf_dir):
+        """Benchmark decontamination (operators/decontam): docs with
+        doc_id % 97 == 0 play the eval set; every other doc is scored by
+        distinct-3-gram overlap against it. Exact DuckDB oracle over the
+        same shingle basis as the dedup queries."""
+        from openapi_to_rdf_spark.operators.decontam import (
+            contamination_report,
+        )
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        train = docs.filter(F.col("doc_id") % 97 != 0)
+        return contamination_report(train, ev).select(
+            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+            "n_hits", "contaminated")
+
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
         grouped by language — the applyInPandas per-shard packer must
@@ -829,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_path_closure": q_bgp_path_closure,
         "bgp_agg_orders": q_bgp_agg_orders,
         "pack_assembly": q_pack_assembly,
+        "decontaminate": q_decontaminate,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1202,6 +1219,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(text, chr(30) ORDER BY doc_id))
                      AS content_sha
             FROM walk GROUP BY lang, pack_id
+        """,
+        "decontaminate": f"""
+            WITH d AS (
+              SELECT doc_id, {_SHINGLES} AS sh
+              FROM (SELECT doc_id, {_NORM} AS toks FROM documents)),
+            ev AS (SELECT DISTINCT unnest(sh) AS gram FROM d
+                   WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id, sh FROM d WHERE doc_id % 97 <> 0),
+            ex AS (SELECT doc_id, unnest(sh) AS gram FROM train),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits
+                     FROM ex JOIN ev USING (gram) GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
         """,
         "bgp_optional": """
             SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,

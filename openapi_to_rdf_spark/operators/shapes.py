@@ -93,6 +93,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     min_c = _po(shacl, SH + "minCount", "min_count")
     max_c = _po(shacl, SH + "maxCount", "max_count")
     node_kind = _po(shacl, SH + "nodeKind", "node_kind")
+    pattern = _po(shacl, SH + "pattern", "pattern")
     in_head = _po(shacl, SH + "in", "head")
     lists = _rdf_lists(shacl)
 
@@ -105,6 +106,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(min_c, ["file", "shape"], "left")
         .join(max_c, ["file", "shape"], "left")
         .join(node_kind, ["file", "shape"], "left")
+        .join(pattern, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
     )
@@ -113,7 +115,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         F.col("min_count").cast("int").alias("min_count"),
         F.col("max_count").cast("int").alias("max_count"),
         F.col("values").alias("in_values"),
-        "node_kind",
+        "node_kind", "pattern",
     )
 
 
@@ -132,12 +134,14 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
     def realign(col):
         return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
 
-    return rules.select(
+    aligned = rules.select(
         "file",
         F.when(F.col("target_class").isNotNull(),
                realign(F.col("target_class"))).alias("target_class"),
         realign(F.col("path")).alias("path"),
-        "datatype", "min_count", "max_count", "in_values", "node_kind")
+        "datatype", "min_count", "max_count", "in_values", "node_kind",
+        *(["pattern"] if "pattern" in rules.columns else []))
+    return aligned
 
 
 def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
@@ -154,19 +158,23 @@ def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
     turn_cls, conv_cls = kg_ns + "Turn", kg_ns + "Conversation"
     rows = [
         # (target_class — None applies to any subject with the path), path,
-        # datatype, min_count, max_count, in_values, node_kind
+        # datatype, min_count, max_count, in_values, node_kind, pattern
         (turn_cls, kg_ns + "role", xsd + "string", 1, 1,
-         ["user", "assistant", "tool", "system"], None),
-        (turn_cls, kg_ns + "atTime", xsd + "dateTime", 1, 1, None, None),
-        (turn_cls, kg_ns + "mentions", None, None, None, None, SH + "IRI"),
-        (conv_cls, kg_ns + "hasTurn", None, 1, None, None, SH + "IRI"),
-        (None, kg_ns + "surfaceForm", xsd + "string", None, None, None, None),
-        (None, RDF_TYPE, None, None, None, None, SH + "IRI"),
+         ["user", "assistant", "tool", "system"], None, None),
+        (turn_cls, kg_ns + "atTime", xsd + "dateTime", 1, 1, None, None,
+         r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T"),  # sh:pattern (partial match)
+        (turn_cls, kg_ns + "mentions", None, None, None, None, SH + "IRI",
+         None),
+        (conv_cls, kg_ns + "hasTurn", None, 1, None, None, SH + "IRI", None),
+        (None, kg_ns + "surfaceForm", xsd + "string", None, None, None, None,
+         None),
+        (None, RDF_TYPE, None, None, None, None, SH + "IRI", None),
     ]
     return spark.createDataFrame(
         [("kg", *r) for r in rows],
         "file string, target_class string, path string, datatype string, "
-        "min_count int, max_count int, in_values array<string>, node_kind string")
+        "min_count int, max_count int, in_values array<string>, "
+        "node_kind string, pattern string")
 
 
 def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
@@ -182,6 +190,8 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     unscoped (target_class null) min_count rule has no focus-node universe
     and is checked only for present-but-undercounted values.
     """
+    if "pattern" not in rules.columns:  # pre-sh:pattern rule tables
+        rules = rules.withColumn("pattern", F.lit(None).cast("string"))
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
     # class-scoped rules (target_class set) apply only to subjects typed with
@@ -212,6 +222,15 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
         .filter((F.col("node_kind") == SH + "IRI") & (F.col("o_kind") != "iri"))
         .select("s", "p", "o", F.lit("nodeKindViolation").alias("violation"),
                 F.concat(F.lit("expected IRI got "), "o_kind").alias("detail")))
+    # sh:pattern: XPath matches() semantics = PARTIAL match, exactly RLIKE.
+    # The pattern is a per-rule column (non-foldable regexp) — still JVM
+    # codegen; SHACL applies it to the literal's lexical form only.
+    pat_viol = (
+        per_triple
+        .filter(F.col("pattern").isNotNull() & (F.col("o_kind") == "literal")
+                & ~F.regexp_like(F.col("o"), F.col("pattern")))
+        .select("s", "p", "o", F.lit("patternMismatch").alias("violation"),
+                F.concat(F.lit("pattern "), "pattern").alias("detail")))
 
     # cardinality over the already rule-scoped rows: partial (map-side)
     # aggregation handles the fan-in; (s, p) keys are near-unique so no skew.
@@ -263,4 +282,5 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
 
     # dedupe: a triple matched by several rules reports each violation once
     return (dt_viol.unionByName(in_viol).unionByName(kind_viol)
+            .unionByName(pat_viol)
             .unionByName(card_viol).unionByName(absent_viol).dropDuplicates())

@@ -91,6 +91,45 @@ components:
     assert rules["count"]["min_count"] is None
 
 
+def test_converted_pattern_rule_enforced(spark):
+    """sh:pattern emitted by the converter flows through shape_rules_from_
+    shacl into validate_triples: a literal off the regex is flagged, a
+    conforming one passes (XPath matches() = partial-match semantics)."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Cell:
+      type: object
+      properties:
+        nci:
+          type: string
+          pattern: '^[0-9A-F]{16}$'
+"""
+    specs = spark.createDataFrame([("cells.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = shape_rules_from_shacl(shacl)
+    nci = [r for r in rules.collect() if r["path"].endswith("#nci")]
+    assert nci and nci[0]["pattern"] == "^[0-9A-F]{16}$"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    path, cls = nci[0]["path"], nci[0]["target_class"]
+    triples = spark.createDataFrame(
+        [("c0", "kg", "x#1", rdf_type, "iri", cls, None),
+         ("c0", "kg", "x#2", rdf_type, "iri", cls, None),
+         ("c0", "kg", "x#1", path, "literal", "0123456789ABCDEF",
+          xsd + "string"),
+         ("c0", "kg", "x#2", path, "literal", "not-a-cell-id",
+          xsd + "string")],
+        "file string, graph string, s string, p string, o_kind string, "
+        "o string, o_datatype string")
+    v = validate_triples(triples, rules).collect()
+    assert [(r.s, r.violation) for r in v] == [("x#2", "patternMismatch")]
+
+
 def test_validate_triples_catches_violations(spark):
     xsd = "http://www.w3.org/2001/XMLSchema#"
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -104,7 +143,7 @@ def test_validate_triples_catches_violations(spark):
         ("c0", "kg", "t#3", KG_NS + "role", "literal", "user", xsd + "string"),
         # role not in the allowed list
         ("c0", "kg", "t#1", KG_NS + "role", "literal", "alien", xsd + "string"),
-        # atTime with wrong datatype
+        # atTime with wrong datatype AND a lexical form off the sh:pattern
         ("c0", "kg", "t#1", KG_NS + "atTime", "literal", "x", xsd + "string"),
         # duplicate role (maxCount 1)
         ("c0", "kg", "t#2", KG_NS + "role", "literal", "user", xsd + "string"),
@@ -120,7 +159,9 @@ def test_validate_triples_catches_violations(spark):
     v = validate_triples(triples, kg_shape_rules(spark, KG_NS))
     kinds = {r.violation for r in v.collect()}
     assert kinds == {"notInList", "datatypeMismatch", "cardinalityViolation",
-                     "nodeKindViolation"}
+                     "nodeKindViolation", "patternMismatch"}
+    assert v.filter((F.col("s") == "t#1")
+                    & (F.col("violation") == "patternMismatch")).count() == 1
     assert v.filter(F.col("s") == "t#4").count() == 0
 
 

@@ -314,3 +314,37 @@ def test_doc_repetition_planted(spark):
     # doc 3 bigrams: spam-ham x4, ham-spam x3 -> top = 4/7
     assert abs(r[3].top_bigram_frac - 4 / 7) < 1e-5
     assert r[4].dup_line_frac == 0.0 and r[4].top_bigram_frac == 0.0
+
+
+def test_decontamination_planted_overlap(spark):
+    from openapi_to_rdf_spark.operators.decontam import (
+        contamination_report, decontaminate,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "he saw the quick brown fox run away fast"),   # shares 3-grams
+         (2, "completely unrelated sentence about spark engines today"),
+         (3, "tiny doc")],                                  # < 3 tokens
+        ["doc_id", "text"])
+    rep = {r.doc_id: r for r in contamination_report(docs, eval_docs).collect()}
+    assert rep[1].contaminated and rep[1].n_hits >= 2
+    assert not rep[2].contaminated and rep[2].n_hits == 0
+    assert rep[3].n_grams == 0 and not rep[3].contaminated
+    clean = decontaminate(docs, eval_docs)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    assert clean.columns == docs.columns
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The 100 TB train side must never shuffle: the eval gram set rides a
+    broadcast join (and the fallback flag switches to a shuffle join)."""
+    from openapi_to_rdf_spark.operators.decontam import contamination_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.limit(5)
+    plan = (contamination_report(docs, ev)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
