@@ -556,6 +556,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
             "n_hits", "contaminated")
 
+    def q_bgp_modifiers(spark, sf_dir):
+        """SPARQL solution modifiers: VALUES (inline priority list),
+        FILTER (exclude one nation), ORDER BY + OFFSET + LIMIT over a
+        deterministic total order — vs the same SELECT/WHERE/IN/ORDER/
+        LIMIT/OFFSET in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        out = bgp_query(
+            _order_triples(spark, sf_dir),
+            [("?o", kg + "placedBy", "?c"),
+             ("?o", kg + "priority", "?prio"),
+             ("?c", kg + "inNation", "?n"),
+             ("?n", kg + "name", "?nname")],
+            values={"?prio": ["1-URGENT", "2-HIGH"]},
+            filters=["nname <> 'FRANCE'"],
+            select=["?o", "?nname", "?prio"],
+            order_by=["nname", "-o"], limit=50, offset=10)
+        return out.select(F.col("o").alias("order_iri"),
+                          F.col("nname").alias("nation_name"),
+                          F.col("prio").alias("priority"))
+
+    def q_temperature_sample(spark, sf_dir):
+        """Alpha-sampling (operators/sampling.temperature_sample): per-
+        language acceptance rates from n^alpha shares, membership by
+        content hash — the exact kept set is engine-portable, so DuckDB
+        reproduces it row for row."""
+        from openapi_to_rdf_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        return temperature_sample(_docs(spark, sf_dir), alpha=0.3,
+                                  keep_frac=0.5).select("doc_id", "lang")
+
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
         grouped by language — the applyInPandas per-shard packer must
@@ -846,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_agg_orders": q_bgp_agg_orders,
         "pack_assembly": q_pack_assembly,
         "decontaminate": q_decontaminate,
+        "temperature_sample": q_temperature_sample,
+        "bgp_modifiers": q_bgp_modifiers,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1219,6 +1255,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(text, chr(30) ORDER BY doc_id))
                      AS content_sha
             FROM walk GROUP BY lang, pack_id
+        """,
+        "bgp_modifiers": """
+            SELECT 'order#' || o_orderkey AS order_iri,
+                   n_name AS nation_name,
+                   o_orderpriority AS priority
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+              AND n_name <> 'FRANCE'
+            ORDER BY n_name ASC, ('order#' || o_orderkey) DESC
+            LIMIT 50 OFFSET 10
+        """,
+        "temperature_sample": """
+            WITH counts AS (
+              SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            tot AS (SELECT SUM(POW(n, 0.3)) AS z, SUM(n) AS big_n
+                    FROM counts),
+            rates AS (
+              SELECT lang,
+                     LEAST(1.0, 0.5 * big_n * (POW(n, 0.3) / z) / n) AS rate
+              FROM counts, tot)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                  / 4294967296.0 < rate
         """,
         "decontaminate": f"""
             WITH d AS (

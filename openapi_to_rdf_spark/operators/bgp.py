@@ -47,7 +47,12 @@ def _is_var(term: str) -> bool:
 def bgp_query(triples: DataFrame, patterns: list[Pattern],
               select: list[str] | None = None,
               distinct: bool = False,
-              optional: list[list[Pattern]] | None = None) -> DataFrame:
+              optional: list[list[Pattern]] | None = None,
+              filters: list | None = None,
+              values: dict[str, list] | None = None,
+              order_by: list[str] | None = None,
+              limit: int | None = None,
+              offset: int | None = None) -> DataFrame:
     """Match a conjunctive pattern list; returns one column per variable
     (named without the leading '?'), optionally projected to ``select``.
 
@@ -61,6 +66,23 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
     the variables they share — rows without a match keep null bindings for
     the group's exclusive variables. The left join shuffles on the shared
     variable (same key profile as the core joins).
+
+    Solution modifiers (applied in SPARQL's algebra order — FILTER/VALUES
+    inside the group, then DISTINCT, ORDER, OFFSET, LIMIT):
+
+    - ``filters``: SPARQL FILTER — SQL boolean strings or Columns over
+      the variable columns (e.g. ``"nname <> 'FRANCE'"``). Declared after
+      the joins but Catalyst pushes them down to the scans where legal —
+      exactly why FILTER belongs in the declarative plan, not post-hoc.
+    - ``values``: SPARQL VALUES inline data — {var: [literals...]},
+      joined in as a broadcast inner join on the shared variables (the
+      standard VALUES-as-join semantics; a one-var VALUES degenerates to
+      a pushed-down IN-list).
+    - ``order_by``: variable names, "-var" for DESC. With ``limit``,
+      Spark plans TakeOrderedAndProject — a per-partition top-k plus one
+      singleton reduce, never a global sort of the bindings.
+    - ``limit`` / ``offset``: SPARQL LIMIT/OFFSET (offset requires an
+      order to be meaningful, as in SPARQL).
     """
     if not patterns:
         raise ValueError("empty BGP")
@@ -114,9 +136,30 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
             raise ValueError("OPTIONAL group shares no variable with the "
                              "core patterns — its match would be a product")
         out = out.join(grp, shared, "left")
+    if values:
+        vals = {v.lstrip("?"): lits for v, lits in values.items()}
+        missing = set(vals) - set(out.columns)
+        if missing:
+            raise ValueError(f"VALUES variables {sorted(missing)} are not "
+                             "bound by the patterns")
+        rows = list(zip(*vals.values()))
+        inline = triples.sparkSession.createDataFrame(rows, list(vals))
+        out = out.join(F.broadcast(inline), list(vals))
+    for cond in filters or []:
+        out = out.filter(cond)
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
-    return out.dropDuplicates() if distinct else out
+    if distinct:
+        out = out.dropDuplicates()
+    if order_by:
+        keys = [F.col(v[1:].lstrip("?")).desc() if v.startswith("-")
+                else F.col(v.lstrip("?")).asc() for v in order_by]
+        out = out.orderBy(*keys)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 def bgp_minus(triples: DataFrame, patterns: list[Pattern],

@@ -30,6 +30,55 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str) -> DataFr
     return df.filter(hash_fraction(F.col(key_col)) < fraction)
 
 
+def group_sampling_rates(df: DataFrame, alpha: float = 0.3,
+                         keep_frac: float = 0.5,
+                         group_col: str = "lang") -> DataFrame:
+    """Temperature-based (alpha) sampling rates per group — the
+    multilingual rebalancing rule (exponentiated-count sampling as in
+    mBERT/XLM-R data mixing): target share q_g ∝ n_g^alpha, so
+    low-resource groups are up-weighted relative to their raw share.
+
+    Pinned semantics (exact DuckDB oracle, ``temperature_sample``): with
+    T = keep_frac × Σ n_g the target corpus size,
+
+        rate_g = min(1, T × q_g / n_g)
+
+    — the acceptance probability that realizes the q distribution, capped
+    at 1 (a group too small to fill its target share keeps everything;
+    the realized total then lands slightly under T, which is how the rule
+    is applied in practice rather than re-normalizing iteratively).
+
+    One narrow aggregation (groups are few) -> a broadcastable rate table.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum(F.pow("n", F.lit(alpha))).alias("z"),
+                     F.sum("n").alias("big_n"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("grp").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.least(F.lit(1.0),
+                            F.lit(keep_frac) * F.col("big_n")
+                            * (F.pow("n", F.lit(alpha)) / F.col("z"))
+                            / F.col("n")).alias("rate")))
+
+
+def temperature_sample(df: DataFrame, alpha: float = 0.3,
+                       keep_frac: float = 0.5, group_col: str = "lang",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Deterministic alpha-sampled corpus: row kept iff
+    hash_fraction(key) < rate_{group}. Content-addressed like every
+    sampler here — stable across reruns, engines, partitionings; the rate
+    table is broadcast (groups number in the dozens, the corpus doesn't
+    shuffle)."""
+    rates = F.broadcast(
+        group_sampling_rates(df, alpha=alpha, keep_frac=keep_frac,
+                             group_col=group_col).select(group_col, "rate"))
+    return (df.join(rates, group_col)
+            .filter(hash_fraction(F.col(key_col)) < F.col("rate"))
+            .drop("rate"))
+
+
 def train_val_test_split(df: DataFrame, key_col: str,
                          val: float = 0.1, test: float = 0.1) -> DataFrame:
     """Adds a ``split`` column ∈ {train, val, test} by content hash. The

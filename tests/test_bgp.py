@@ -141,3 +141,29 @@ def test_construct_instantiates_template(g):
     with pytest.raises(ValueError):
         bgp_construct(g, where=[("?x", "knows", "?y")],
                       template=[("?x", "p", "?unbound")])
+
+
+def test_solution_modifiers(g):
+    # FILTER + VALUES + ORDER/LIMIT/OFFSET compose in algebra order
+    pats = [("?x", "knows", "?y"), ("?y", "name", "?n")]
+    got = bgp_query(g, pats, values={"?n": ["bob", "carol"]},
+                    filters=["x <> 'b'"], select=["?n"],
+                    order_by=["-n"]).collect()
+    assert [r.n for r in got] == ["carol", "bob"]
+    # bindings (bag): [bob, carol, carol] — offset skips the first
+    page = bgp_query(g, pats, select=["?n"], order_by=["n"],
+                     limit=2, offset=1).collect()
+    assert [r.n for r in page] == ["carol", "carol"]
+
+
+def test_values_unbound_variable_rejected(g):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(g, [("?x", "knows", "?y")], values={"?zzz": ["a"]})
+
+
+def test_order_limit_plans_topk(g):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k), never a global Sort of all bindings."""
+    df = bgp_query(g, [("?x", "knows", "?y")], order_by=["x"], limit=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -348,3 +348,32 @@ def test_decontamination_broadcasts_eval_side(spark):
     plan = (contamination_report(docs, ev)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_sampling_rates_and_determinism(spark):
+    from openapi_to_rdf_spark.operators.sampling import (
+        group_sampling_rates, temperature_sample,
+    )
+
+    rows = ([("en", i) for i in range(1000)]
+            + [("de", i + 1000) for i in range(300)]
+            + [("sw", i + 2000) for i in range(5)])
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    rates = {r.lang: r.rate for r in
+             group_sampling_rates(df, alpha=0.3, keep_frac=0.5).collect()}
+    # alpha < 1 up-weights low-resource languages: rate order inverts count order
+    assert rates["sw"] > rates["de"] > rates["en"]
+    # 5-doc swahili can't fill its target share -> capped at keep-everything
+    assert rates["sw"] == 1.0
+    kept = temperature_sample(df, alpha=0.3, keep_frac=0.5)
+    # content-addressed: identical kept set under a different partitioning
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    kept_ids2 = sorted(r.doc_id for r in
+                       temperature_sample(df.repartition(13), alpha=0.3,
+                                          keep_frac=0.5).collect())
+    assert kept_ids == kept_ids2
+    # realized per-group sizes track rate_g * n_g (binomial, wide tolerance)
+    by_lang = {r.lang: r.n for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["sw"] == 5
+    assert abs(by_lang["en"] - rates["en"] * 1000) < 60
