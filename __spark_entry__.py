@@ -162,6 +162,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return event_rollup(ev)
 
+    def q_range_join_windows(spark, sf_dir):
+        """Bin-bucketed point-in-interval join (operators/events.range_join):
+        every event matched against the 2-hour window opened by each of the
+        same user's signup events — must equal DuckDB's naive inequality
+        join exactly (half-open [start, end))."""
+        from openapi_to_rdf_spark.operators.events import range_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        points = ev.select("event_id", "user_id", "ts")
+        windows = (ev.filter(F.col("event_type") == "signup")
+                   .select("user_id",
+                           F.col("event_id").alias("win_id"),
+                           F.col("ts").alias("start_ts"),
+                           (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                           .alias("end_ts")))
+        return range_join(points, windows, "ts", "start_ts", "end_ts",
+                          on="user_id", bin_minutes=60,
+                          interval_cols=["win_id"]) \
+            .select("event_id", "win_id")
+
     def q_event_ranks(spark, sf_dir):
         """Window-function breadth: rank / dense_rank / ntile /
         percent_rank / cume_dist over per-user value totals within each
@@ -590,6 +610,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return temperature_sample(_docs(spark, sf_dir), alpha=0.3,
                                   keep_frac=0.5).select("doc_id", "lang")
 
+    def q_stratified_sample(spark, sf_dir):
+        """Exact deterministic k-per-group sample (operators/sampling
+        .stratified_sample): the 40 smallest-hash docs per language via
+        the two-phase prefilter+window plan — row-for-row equal to
+        DuckDB's full ROW_NUMBER over the same md5 ordering."""
+        from openapi_to_rdf_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        return stratified_sample(_docs(spark, sf_dir), k=40,
+                                 group_col="lang", key_col="doc_id") \
+            .select("doc_id", "lang")
+
+    def q_bgp_ask(spark, sf_dir):
+        """SPARQL ASK compiled to limit(1)-then-exists: one satisfiable
+        ask (URGENT order placed from CHINA) and one unsatisfiable (from
+        a nation name that doesn't exist), unioned — vs SELECT EXISTS
+        twice in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_ask
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+
+        def ask(nation):
+            return bgp_ask(
+                _order_triples(spark, sf_dir),
+                [("?o", kg + "placedBy", "?c"),
+                 ("?o", kg + "priority", "1-URGENT"),
+                 ("?c", kg + "inNation", "?n"),
+                 ("?n", kg + "name", nation)]) \
+                .select(F.lit(nation).alias("nation"), "ask")
+
+        return ask("CHINA").unionAll(ask("ATLANTIS"))
+
+    def q_bgp_describe(spark, sf_dir):
+        """SPARQL DESCRIBE ?n for the nations of EUROPE: all graph
+        triples whose subject or object is a described node, via two
+        broadcast semi-joins (never an OR nested loop) — vs the same
+        triple set enumerated relationally in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_describe
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        return bgp_describe(
+            _order_triples(spark, sf_dir),
+            [("?n", kg + "inRegion", "?r"), ("?r", kg + "rname", "EUROPE")],
+            "?n")
+
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
         grouped by language — the applyInPandas per-shard packer must
@@ -881,7 +947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assembly": q_pack_assembly,
         "decontaminate": q_decontaminate,
         "temperature_sample": q_temperature_sample,
+        "stratified_sample": q_stratified_sample,
         "bgp_modifiers": q_bgp_modifiers,
+        "bgp_ask": q_bgp_ask,
+        "bgp_describe": q_bgp_describe,
+        "range_join_windows": q_range_join_windows,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1266,6 +1336,59 @@ def oracle_sql() -> dict[str, str]:
               AND n_name <> 'FRANCE'
             ORDER BY n_name ASC, ('order#' || o_orderkey) DESC
             LIMIT 50 OFFSET 10
+        """,
+        "range_join_windows": """
+            SELECT p.event_id, w.win_id
+            FROM events p
+            JOIN (SELECT user_id, event_id AS win_id, ts AS start_ts,
+                         ts + INTERVAL 2 HOUR AS end_ts
+                  FROM events WHERE event_type = 'signup') w
+              ON p.user_id = w.user_id
+             AND p.ts >= w.start_ts AND p.ts < w.end_ts
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                                / 4294967296.0, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 40
+        """,
+        "bgp_ask": """
+            SELECT 'CHINA' AS nation,
+                   EXISTS(SELECT 1
+                          FROM orders JOIN customer ON o_custkey = c_custkey
+                                      JOIN nation ON c_nationkey = n_nationkey
+                          WHERE o_orderpriority = '1-URGENT'
+                            AND n_name = 'CHINA') AS ask
+            UNION ALL
+            SELECT 'ATLANTIS',
+                   EXISTS(SELECT 1
+                          FROM orders JOIN customer ON o_custkey = c_custkey
+                                      JOIN nation ON c_nationkey = n_nationkey
+                          WHERE o_orderpriority = '1-URGENT'
+                            AND n_name = 'ATLANTIS')
+        """,
+        "bgp_describe": """
+            WITH eu AS (
+              SELECT n_nationkey, n_name, n_regionkey
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE')
+            SELECT 'cust#' || c_custkey AS s,
+                   'http://ericsson.com/models/3gpp/kg#inNation' AS p,
+                   'nation#' || c_nationkey AS o
+            FROM customer JOIN eu ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'nation#' || n_nationkey,
+                   'http://ericsson.com/models/3gpp/kg#name', n_name
+            FROM eu
+            UNION ALL
+            SELECT 'nation#' || n_nationkey,
+                   'http://ericsson.com/models/3gpp/kg#inRegion',
+                   'region#' || n_regionkey
+            FROM eu
         """,
         "temperature_sample": """
             WITH counts AS (

@@ -282,3 +282,44 @@ def bgp_union(triples: DataFrame, alternatives: list[list[Pattern]],
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
     return out.dropDuplicates() if distinct else out
+
+
+def bgp_ask(triples: DataFrame, patterns: list[Pattern],
+            filters: list | None = None,
+            values: dict[str, list] | None = None) -> DataFrame:
+    """SPARQL ASK: does the pattern group have at least one solution?
+
+    Returns a one-row DataFrame with a boolean ``ask`` column (a frame,
+    not a Python bool, so the answer stays lazy/composable and the driver
+    can oracle-check it against ``SELECT EXISTS(...)``). The ``limit(1)``
+    before the count is the point: Spark's CollectLimit short-circuits —
+    executors stop scanning partitions as soon as one solution row
+    exists, so a satisfiable ASK over 10^12 triples touches a handful of
+    partitions instead of materializing every binding.
+    """
+    one = bgp_query(triples, patterns, filters=filters, values=values) \
+        .limit(1)
+    return one.agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def bgp_describe(triples: DataFrame, patterns: list[Pattern],
+                 var: str, filters: list | None = None) -> DataFrame:
+    """SPARQL DESCRIBE ?var: every triple whose subject OR object is one
+    of ?var's bindings (the 'concise description' most stores ship).
+
+    An OR-condition join would plan a nested loop, so the disjunction is
+    decomposed into two semi-joins against the (small, distinct) node
+    set — subject matches, plus object matches that are NOT subject
+    matches (an anti-join on s) — whose disjoint union is exactly the OR
+    without a global dedup of the triple bag. The node set is a bound
+    solution list: broadcast, so describing touches the graph in two
+    pruned broadcast passes and shuffles nothing.
+    """
+    v = var.lstrip("?")
+    nodes = F.broadcast(
+        bgp_query(triples, patterns, select=[var], filters=filters,
+                  distinct=True).withColumnRenamed(v, "_node"))
+    s_hits = triples.join(nodes, triples["s"] == nodes["_node"], "left_semi")
+    o_only = (triples.join(nodes, triples["o"] == nodes["_node"], "left_semi")
+              .join(nodes, triples["s"] == nodes["_node"], "left_anti"))
+    return s_hits.unionAll(o_only)

@@ -83,6 +83,52 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
             .drop(*[f"_asof_{c}" for c in right_cols]))
 
 
+def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+               start_col: str, end_col: str, on: str | None = None,
+               bin_minutes: int = 60,
+               interval_cols: list[str] | None = None) -> DataFrame:
+    """Point-in-interval join: each point row matched with every interval
+    row whose half-open window ``[start_col, end_col)`` contains
+    ``point_ts`` (and that shares the optional equality key ``on``).
+
+    Spark has no native range-join strategy — a raw ``ts >= start AND
+    ts < end`` condition plans BroadcastNestedLoopJoin (or a cartesian
+    product), which is quadratic and unusable at 10^12 events. This is the
+    bin-bucketing reformulation (the same trick behind Databricks' range
+    join hint): pick a bin width, explode each interval into the bins it
+    overlaps, map each point to its single bin, hash equi-join on
+    (key, bin), then apply the exact predicate as a residual filter.
+    Shuffle is keyed, never a product; the only cost knob is the
+    explosion factor ceil(span/bin)+1 per interval, so choose
+    ``bin_minutes`` near the median interval length (shorter bins = more
+    interval duplicates; longer bins = more residual-filter waste).
+
+    Both timestamp→bin mappings truncate the same way, and the bin range
+    is closed on both ends, so no qualifying pair can straddle a bin the
+    interval didn't emit — the residual filter then makes the result
+    exact (verified row-for-row against DuckDB's inequality join by the
+    ``range_join_windows`` oracle).
+    """
+    w = bin_minutes * 60
+    icols = interval_cols or []
+    es, ee = _ntz_epoch(start_col), _ntz_epoch(end_col)
+    iv = (intervals.filter(F.col(end_col) > F.col(start_col))
+          .select(*([on] if on else []),
+                  F.col(start_col).alias("_start"),
+                  F.col(end_col).alias("_end"),
+                  *icols,
+                  F.explode(F.sequence(
+                      F.floor(es / w),
+                      F.greatest(F.floor(ee / w), F.floor(es / w))))
+                  .alias("_bin")))
+    pt = points.withColumn("_bin", F.floor(_ntz_epoch(point_ts) / w))
+    keys = ["_bin"] + ([on] if on else [])
+    return (pt.join(iv, keys)
+            .filter((F.col(point_ts) >= F.col("_start"))
+                    & (F.col(point_ts) < F.col("_end")))
+            .drop("_bin", "_start", "_end"))
+
+
 def event_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (event_type, event day) — grouping-sets coverage; partial
     aggregation handles the fan-in, grouping_id disambiguates levels."""

@@ -13,7 +13,7 @@ sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,6 +77,46 @@ def temperature_sample(df: DataFrame, alpha: float = 0.3,
     return (df.join(rates, group_col)
             .filter(hash_fraction(F.col(key_col)) < F.col("rate"))
             .drop("rate"))
+
+
+def stratified_sample(df: DataFrame, k: int, group_col: str = "lang",
+                      key_col: str = "doc_id",
+                      prefilter_margin: float | None = 8.0) -> DataFrame:
+    """Exactly min(k, n_g) rows per group — the k rows with the smallest
+    hash_fraction(key) (ties broken by key), so the sample is the same
+    deterministic set in any engine, on any partitioning, and is a
+    *prefix-stable* subset: growing k only adds rows, never swaps them.
+
+    The naive plan — row_number() partitioned by group over the whole
+    corpus — is a groupwise total sort: with dozens of language-sized
+    groups at 10^12 rows, every 'en' row lands on one task. So by default
+    a two-phase plan runs instead: (1) per-group counts (one narrow agg)
+    give an acceptance rate margin*k/n_g; rows are prefiltered on
+    hash < rate, leaving ~margin*k survivors per group; (2) the exact
+    row_number top-k runs on that tiny survivor set. The top-k rows all
+    have the k smallest hashes, which lie below the threshold whenever
+    the group has >= k survivors — Chernoff: P(survivors < k) <=
+    exp(-k(m-1)^2/(2m)), ~1e-13 per group at m=8, k=10 — and since the
+    hash is content-derived the outcome is a deterministic property of
+    the dataset (verified, not re-rolled per run): the equality test vs
+    the pure-window path proves it for a given corpus once and for all.
+    ``prefilter_margin=None`` forces the single-window plan (small data /
+    paranoid callers).
+    """
+    h = hash_fraction(F.col(key_col))
+    cand = df
+    if prefilter_margin is not None:
+        rates = (df.groupBy(group_col)
+                 .agg(F.count(F.lit(1)).alias("_n"))
+                 .select(group_col,
+                         F.least(F.lit(1.0),
+                                 F.lit(prefilter_margin * k) / F.col("_n"))
+                         .alias("_rate")))
+        cand = (df.join(F.broadcast(rates), group_col)
+                .filter(h < F.col("_rate")).drop("_rate"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
 
 
 def train_val_test_split(df: DataFrame, key_col: str,

@@ -167,3 +167,35 @@ def test_order_limit_plans_topk(g):
     df = bgp_query(g, [("?x", "knows", "?y")], order_by=["x"], limit=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ask_true_false_and_short_circuit_plan(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_ask
+
+    assert bgp_ask(g, [("?x", "knows", "?y")]).collect()[0].ask is True
+    assert bgp_ask(g, [("?x", "hates", "?y")]).collect()[0].ask is False
+    # FILTER/VALUES thread through
+    assert bgp_ask(g, [("?x", "name", "?n")],
+                   values={"?n": ["bob"]}).collect()[0].ask is True
+    plan = bgp_ask(g, [("?x", "knows", "?y")]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan  # short-circuits before the count
+
+
+def test_describe_subject_and_object_triples(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_describe
+
+    # describe ?y for ?y known by a: nodes {b, c}
+    got = {(r.s, r.p, r.o) for r in bgp_describe(
+        g, [("a", "knows", "?y")], "?y").collect()}
+    assert got == {
+        ("b", "knows", "c"), ("b", "name", "bob"),   # subject hits (b)
+        ("c", "name", "carol"),                       # subject hits (c)
+        ("a", "knows", "b"), ("a", "knows", "c"),     # object hits
+    }
+    # each triple exactly once even when both s and o are described nodes
+    rows = bgp_describe(g, [("?x", "knows", "?y")], "?x").collect()
+    assert len(rows) == len(set((r.s, r.p, r.o) for r in rows))
+    plan = bgp_describe(g, [("a", "knows", "?y")], "?y") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from openapi_to_rdf_spark.operators.events import (  # noqa: E402
-    asof_join, event_rollup, sessionize,
+    asof_join, event_rollup, range_join, sessionize,
 )
 
 
@@ -44,6 +44,44 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert got[11] == 200     # equal timestamp counts (<=)
     assert got[12] is None    # nothing before 00:02
     assert got[13] is None    # user 2's only right row is later
+
+
+def test_range_join_semantics_match_bruteforce(spark):
+    """Bin-bucketed range join == naive inequality join, across bin
+    widths that are shorter than, equal to, and longer than the
+    intervals — including points exactly at a start (in, half-open)
+    and exactly at an end (out)."""
+    pts = spark.createDataFrame(
+        [(i, 1 + i % 2, _ts(i)) for i in range(60)],
+        ["event_id", "user_id", "ts"])
+    iv = spark.createDataFrame(
+        [(100, 1, _ts(0), _ts(10)), (101, 1, _ts(10), _ts(11)),
+         (102, 2, _ts(5), _ts(45)), (103, 1, _ts(30), _ts(30)),  # empty
+         (104, 2, _ts(59), _ts(59))],                            # empty
+        ["win_id", "user_id", "start_ts", "end_ts"])
+    expect = sorted(
+        (p.event_id, w.win_id)
+        for p in pts.collect() for w in iv.collect()
+        if p.user_id == w.user_id and w.start_ts <= p.ts < w.end_ts)
+    for bins in (1, 10, 120):
+        got = sorted((r.event_id, r.win_id) for r in range_join(
+            pts, iv, "ts", "start_ts", "end_ts", on="user_id",
+            bin_minutes=bins, interval_cols=["win_id"]).collect())
+        assert got == expect, f"bin_minutes={bins}"
+    assert expect  # non-vacuous
+
+
+def test_range_join_plans_equi_join_not_product(spark):
+    """The whole point: the plan must be a hash equi-join on (bin, key),
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    pts = spark.createDataFrame([(1, 1, _ts(0))],
+                                ["event_id", "user_id", "ts"])
+    iv = spark.createDataFrame([(9, 1, _ts(0), _ts(5))],
+                               ["win_id", "user_id", "start_ts", "end_ts"])
+    plan = range_join(pts, iv, "ts", "start_ts", "end_ts", on="user_id",
+                      interval_cols=["win_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_event_rollup_levels(spark):

@@ -350,6 +350,35 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_stratified_sample_exact_k_and_prefilter_equivalence(spark):
+    from openapi_to_rdf_spark.operators.sampling import stratified_sample
+
+    rows = ([("en", i) for i in range(500)]
+            + [("de", i + 1000) for i in range(40)]
+            + [("sw", i + 2000) for i in range(3)])
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    got = stratified_sample(df, k=10).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    # exactly min(k, n_g) per group
+    assert {g: len(v) for g, v in by_lang.items()} == \
+        {"en": 10, "de": 10, "sw": 3}
+    # two-phase prefiltered plan == pure-window plan, row for row
+    exact = sorted((r.lang, r.doc_id) for r in
+                   stratified_sample(df, k=10, prefilter_margin=None)
+                   .collect())
+    assert sorted((r.lang, r.doc_id) for r in got) == exact
+    # prefix-stability: k=5 sample is a subset of the k=10 sample
+    small = sorted((r.lang, r.doc_id) for r in
+                   stratified_sample(df, k=5).collect())
+    assert set(small) <= set(exact)
+    # partitioning-independence
+    repart = sorted((r.lang, r.doc_id) for r in
+                    stratified_sample(df.repartition(17), k=10).collect())
+    assert repart == exact
+
+
 def test_temperature_sampling_rates_and_determinism(spark):
     from openapi_to_rdf_spark.operators.sampling import (
         group_sampling_rates, temperature_sample,
