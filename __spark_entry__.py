@@ -182,6 +182,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           interval_cols=["win_id"]) \
             .select("event_id", "win_id")
 
+    def q_hypertable_rollup(spark, sf_dir):
+        """Multi-granularity continuous aggregate (operators/events
+        .hypertable_rollup): 15-min partials re-aggregated into hour and
+        day buckets — one raw scan total, vs DuckDB recomputing each
+        level directly from the raw table."""
+        from openapi_to_rdf_spark.operators.events import hypertable_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hypertable_rollup(ev, widths_minutes=(15, 60, 1440))
+
     def q_event_ranks(spark, sf_dir):
         """Window-function breadth: rank / dense_rank / ntile /
         percent_rank / cume_dist over per-user value totals within each
@@ -952,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_ask": q_bgp_ask,
         "bgp_describe": q_bgp_describe,
         "range_join_windows": q_range_join_windows,
+        "hypertable_rollup": q_hypertable_rollup,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1336,6 +1347,18 @@ def oracle_sql() -> dict[str, str]:
               AND n_name <> 'FRANCE'
             ORDER BY n_name ASC, ('order#' || o_orderkey) DESC
             LIMIT 50 OFFSET 10
+        """,
+        "hypertable_rollup": """
+            WITH g(gran_min) AS (VALUES (15), (60), (1440))
+            SELECT CAST(gran_min AS BIGINT) AS gran_min,
+                   CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        // (gran_min * 60) * (gran_min * 60) AS BIGINT)
+                     AS bucket_start_sec,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_e6
+            FROM events, g
+            GROUP BY 1, 2
         """,
         "range_join_windows": """
             SELECT p.event_id, w.win_id

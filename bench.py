@@ -120,7 +120,11 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              # vocabulary makes the doc graph quadratically dense at sf0.1
              # (a testdata artifact, not an operator property) — their
              # correctness runs at sf0.01 via the driver oracle.
-             "kg_link_entities", "bgp_orders"]
+             "kg_link_entities", "bgp_orders",
+             # added r2 session 3
+             "bgp_agg_orders", "doc_packing", "decontaminate",
+             "range_join_windows", "stratified_sample",
+             "hypertable_rollup"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -129,6 +129,61 @@ def range_join(points: DataFrame, intervals: DataFrame, point_ts: str,
             .drop("_bin", "_start", "_end"))
 
 
+def hypertable_rollup(events: DataFrame,
+                      widths_minutes: tuple[int, ...] = (15, 60, 1440),
+                      ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts + value sums at
+    several time-bucket granularities (15 min / hour / day by default),
+    returned as one frame keyed by (gran_min, bucket_start_sec).
+
+    The scale property is WHERE each level aggregates from: raw events are
+    scanned and shuffled exactly once, into the finest buckets; each
+    finest partial row is then EXPLODED into its (granularity, bucket)
+    memberships and one final aggregation produces every level from the
+    partials (sum-of-sums, sum-of-counts) — the way TimescaleDB
+    continuous aggregates and OLAP rollup trees materialize hierarchies.
+    At 10^12 events the finest partial table is ~6 orders of magnitude
+    smaller than raw, so the explode+reagg over partials is noise — vs.
+    the naive UNION of per-level GROUP BYs, which rescans the full corpus
+    per level (and which a DataFrame union of branches sharing ``base``
+    lineage would silently plan: Spark does not reliably reuse the
+    common exchange across union branches — measured, 3 FileScans; the
+    explode form has exactly one by construction, plan-asserted in
+    tests). Requires each width to be a multiple of the finest
+    (checked), so coarser buckets are exact unions of finer ones.
+
+    Bucket identity is wall-clock seconds since epoch (long), not a
+    timestamp — timezone-free, engine-portable, and exactly what the
+    ``hypertable_rollup`` DuckDB oracle recomputes level by level from
+    the raw table.
+    """
+    widths = sorted(widths_minutes)
+    w0 = widths[0]
+    for w in widths:
+        if w % w0:
+            raise ValueError(f"width {w} min is not a multiple of the "
+                             f"finest width {w0} min")
+    # values are fixed to e6 integers BEFORE any sum: integer addition is
+    # associative, so partial-of-partial re-aggregation is bit-identical
+    # to a direct per-level sum (a double sum re-associated across levels
+    # could flip the final rounding vs the oracle's one-pass sum)
+    base = (events.groupBy(
+        F.floor(_ntz_epoch(ts_col) / (w0 * 60)).alias("_b0"))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.round(F.col(value_col) * 1000000).cast("long"))
+             .alias("_s")))
+    membership = F.array(*[
+        F.struct(F.lit(w).cast("long").alias("gran_min"),
+                 (F.floor(F.col("_b0") * w0 / w) * (w * 60)).cast("long")
+                 .alias("bucket_start_sec"))
+        for w in widths])
+    return (base.select("_n", "_s", F.explode(membership).alias("_m"))
+            .groupBy("_m.gran_min", "_m.bucket_start_sec")
+            .agg(F.sum("_n").cast("long").alias("n"),
+                 F.sum("_s").cast("long").alias("sum_value_e6")))
+
+
 def event_rollup(events: DataFrame) -> DataFrame:
     """ROLLUP (event_type, event day) — grouping-sets coverage; partial
     aggregation handles the fan-in, grouping_id disambiguates levels."""

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from openapi_to_rdf_spark.operators.events import (  # noqa: E402
-    asof_join, event_rollup, range_join, sessionize,
+    asof_join, event_rollup, hypertable_rollup, range_join, sessionize,
 )
 
 
@@ -82,6 +82,37 @@ def test_range_join_plans_equi_join_not_product(spark):
                       interval_cols=["win_id"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hypertable_rollup_levels_consistent(spark):
+    """Coarser levels (computed from finer partials) must equal a direct
+    per-level aggregation of the raw events; every level conserves the
+    total count and sum."""
+    import pytest
+
+    rows = [(i, dt.datetime(2026, 1, 1 + i % 3, i % 24, (7 * i) % 60),
+             0.125 * i) for i in range(200)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    got = hypertable_rollup(ev, widths_minutes=(15, 60, 1440)).collect()
+    by_level = {}
+    for r in got:
+        by_level.setdefault(r.gran_min, {})[r.bucket_start_sec] = \
+            (r.n, r.sum_value_e6)
+    epoch = lambda t: int(t.replace(tzinfo=dt.timezone.utc).timestamp())  # noqa: E731
+    for w in (15, 60, 1440):
+        direct = {}
+        for i, ts, v in rows:
+            b = epoch(ts) // (w * 60) * (w * 60)
+            n, s = direct.get(b, (0, 0))
+            direct[b] = (n + 1, s + round(v * 1000000))
+        assert by_level[w] == direct, f"gran={w}"
+    # mixed widths where a coarser one isn't a multiple of the finest
+    with pytest.raises(ValueError, match="multiple"):
+        hypertable_rollup(ev, widths_minutes=(7, 60))
+    # the one-scan property: all levels from a single pass over raw
+    plan = hypertable_rollup(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
 
 
 def test_event_rollup_levels(spark):
