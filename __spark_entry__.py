@@ -421,7 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t(iri("order#", "o_orderkey"), kg + "placedBy",
                   iri("cust#", "o_custkey")),
                 t(iri("order#", "o_orderkey"), kg + "priority",
-                  F.col("o_orderpriority")))).alias("tr"))
+                  F.col("o_orderpriority")),
+                t(iri("order#", "o_orderkey"), kg + "totalPriceE6",
+                  F.round(F.col("o_totalprice") * 1000000).cast("long")
+                  .cast("string")))).alias("tr"))
             .unionAll(cust.select(F.explode(F.array(
                 t(iri("cust#", "c_custkey"), kg + "inNation",
                   iri("nation#", "c_nationkey")))).alias("tr")))
@@ -556,6 +559,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ], group_vars=["?nname"], count_var="?o", count_alias="n_orders")
         return out.select(F.col("nname").alias("nation_name"),
                           F.col("n_orders").cast("long").alias("n_orders"))
+
+    def q_bgp_agg_sums(spark, sf_dir):
+        """Numeric SPARQL aggregates (bgp.bgp_agg): per-nation COUNT +
+        SUM/MIN/MAX over ?tp (order totalPriceE6 literals cast to long),
+        eager partials pushed below the customer/nation join — vs the
+        plain relational GROUP BY in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        out = bgp_agg(_order_triples(spark, sf_dir), [
+            ("?o", kg + "placedBy", "?c"),
+            ("?o", kg + "totalPriceE6", "?tp"),
+            ("?c", kg + "inNation", "?n"),
+            ("?n", kg + "name", "?nname"),
+        ], group_vars=["?nname"], aggs={
+            "n_orders": ("count", "?o"),
+            "sum_price_e6": ("sum", "?tp", "long"),
+            "min_price_e6": ("min", "?tp", "long"),
+            "max_price_e6": ("max", "?tp", "long"),
+        })
+        return out.select(F.col("nname").alias("nation_name"),
+                          F.col("n_orders").cast("long").alias("n_orders"),
+                          "sum_price_e6", "min_price_e6", "max_price_e6")
 
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
@@ -960,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "bgp_modifiers": q_bgp_modifiers,
         "bgp_ask": q_bgp_ask,
+        "bgp_agg_sums": q_bgp_agg_sums,
         "bgp_describe": q_bgp_describe,
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
@@ -1347,6 +1374,19 @@ def oracle_sql() -> dict[str, str]:
               AND n_name <> 'FRANCE'
             ORDER BY n_name ASC, ('order#' || o_orderkey) DESC
             LIMIT 50 OFFSET 10
+        """,
+        "bgp_agg_sums": """
+            SELECT n_name AS nation_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_price_e6,
+                   MIN(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                     AS min_price_e6,
+                   MAX(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                     AS max_price_e6
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "hypertable_rollup": """
             WITH g(gran_min) AS (VALUES (15), (60), (1440))

@@ -222,49 +222,99 @@ def _vars_of(patterns: list[Pattern]) -> set[str]:
     return out
 
 
-def bgp_count(triples: DataFrame, patterns: list[Pattern],
-              group_vars: list[str], count_var: str,
-              count_alias: str = "n", eager: bool = True) -> DataFrame:
-    """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` over a BGP,
-    with EAGER AGGREGATION pushed below the join when legal — the classic
-    group-by pushdown Catalyst does not perform.
+def bgp_agg(triples: DataFrame, patterns: list[Pattern],
+            group_vars: list[str], aggs: dict[str, tuple],
+            eager: bool = True) -> DataFrame:
+    """SPARQL GROUP BY + aggregates over a BGP — COUNT / SUM / MIN / MAX /
+    AVG — with EAGER AGGREGATION pushed below the join when legal (the
+    classic group-by pushdown Catalyst does not perform).
+
+    ``aggs``: {out_alias: (fn, var[, cast])} where fn ∈ {count, sum, min,
+    max, avg}. Triple objects are strings, so numeric aggregates take an
+    optional cast type (e.g. ``("sum", "?price", "long")``).
 
     Legality + rewrite: split the patterns into the component A that
-    mentions ``count_var`` and the rest B. When ``count_var`` appears
-    nowhere in B and is not grouped on, COUNT distributes over the join:
-    pre-aggregate A's solutions by its boundary variables (vars shared
-    with B or grouped on), join the narrow (boundary, partial-count)
-    relation into B, and SUM the partials per group. At scale this is the
-    difference between shuffling every (order × customer) binding row and
-    shuffling one count per customer — the join's probe side shrinks from
-    |A's solutions| to |A's boundary keys|.
+    mentions any aggregated variable, and the rest B. When no aggregated
+    variable appears in B or in the group keys, every one of these
+    aggregates distributes over the join — COUNT/SUM re-aggregate as SUM
+    of partials, MIN/MAX as MIN/MAX of partials, AVG as partial (sum,
+    count) pairs combined at the end: pre-aggregate A's solutions by its
+    boundary variables (vars shared with B or grouped on), join the
+    narrow (boundary, partials) relation into B, and combine per group.
+    Join fan-out is exactly bag semantics: a boundary key that B matches
+    k times contributes its partials k times, which is what the
+    unrewritten bag aggregate computes row by row. At scale this is the
+    difference between shuffling every (order × customer) binding row
+    and shuffling one partial per customer — the join's probe side
+    shrinks from |A's solutions| to |A's boundary keys|.
 
-    Falls back to count-after-join whenever the rewrite is illegal (or
-    ``eager=False``); both paths are hash-verified against the same DuckDB
-    GROUP BY by the driver (``bgp_agg_orders``).
+    Falls back to aggregate-after-join whenever the rewrite is illegal
+    (or ``eager=False``); both paths are hash-verified against the same
+    DuckDB GROUP BY by the driver (``bgp_agg_orders``, ``bgp_agg_sums``).
     """
     gvars = [v.lstrip("?") for v in group_vars]
-    cvar = count_var.lstrip("?")
+    specs = {}
+    for alias, spec in aggs.items():
+        fn, var = spec[0], spec[1].lstrip("?")
+        if fn not in ("count", "sum", "min", "max", "avg"):
+            raise ValueError(f"unsupported aggregate {fn!r}")
+        specs[alias] = (fn, var, spec[2] if len(spec) > 2 else None)
+
+    def term(var, cast):
+        return F.col(var).cast(cast) if cast else F.col(var)
+
+    avars = {v for (_, v, _) in specs.values()}
     a_pats = [pat for pat in patterns
-              if cvar in {t[1:] for t in pat if _is_var(t)}]
+              if avars & {t[1:] for t in pat if _is_var(t)}]
     b_pats = [pat for pat in patterns if pat not in a_pats]
     legal = (eager and a_pats and b_pats
-             and cvar not in gvars
-             and cvar not in _vars_of(b_pats))
+             and not (avars & set(gvars))
+             and not (avars & _vars_of(b_pats)))
     if legal:
         boundary = sorted(_vars_of(a_pats) & (_vars_of(b_pats) | set(gvars)))
         if boundary:
+            partials, finals = [], []
+            for alias, (fn, var, cast) in specs.items():
+                if fn == "count":
+                    partials.append(F.count(var).alias(f"_p_{alias}"))
+                    finals.append(F.sum(f"_p_{alias}").alias(alias))
+                elif fn == "sum":
+                    partials.append(F.sum(term(var, cast))
+                                    .alias(f"_p_{alias}"))
+                    finals.append(F.sum(f"_p_{alias}").alias(alias))
+                elif fn in ("min", "max"):
+                    partials.append(getattr(F, fn)(term(var, cast))
+                                    .alias(f"_p_{alias}"))
+                    finals.append(getattr(F, fn)(f"_p_{alias}")
+                                  .alias(alias))
+                else:  # avg = Σ partial sums / Σ partial counts
+                    partials.append(F.sum(term(var, cast))
+                                    .alias(f"_ps_{alias}"))
+                    partials.append(F.count(var).alias(f"_pc_{alias}"))
+                    finals.append((F.sum(f"_ps_{alias}")
+                                   / F.sum(f"_pc_{alias}")).alias(alias))
             partial = (bgp_query(triples, a_pats)
-                       .groupBy(*boundary)
-                       .agg(F.count(cvar).alias("_pc")))
+                       .groupBy(*boundary).agg(*partials))
             rest = bgp_query(triples, b_pats)
             shared = sorted(set(rest.columns) & set(boundary))
-            joined = rest.join(partial, shared)
-            return (joined.groupBy(*gvars)
-                    .agg(F.sum("_pc").alias(count_alias)))
+            return (rest.join(partial, shared)
+                    .groupBy(*gvars).agg(*finals))
     bindings = bgp_query(triples, patterns)
-    return (bindings.groupBy(*gvars)
-            .agg(F.count(cvar).alias(count_alias)))
+    direct = [
+        (F.count(var) if fn == "count"
+         else getattr(F, fn)(term(var, cast))).alias(alias)
+        for alias, (fn, var, cast) in specs.items()]
+    return bindings.groupBy(*gvars).agg(*direct)
+
+
+def bgp_count(triples: DataFrame, patterns: list[Pattern],
+              group_vars: list[str], count_var: str,
+              count_alias: str = "n", eager: bool = True) -> DataFrame:
+    """SPARQL ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` — the COUNT
+    special case of :func:`bgp_agg` (kept as the stable entry point the
+    driver's ``bgp_agg_orders`` oracle exercises on both plan shapes)."""
+    return bgp_agg(triples, patterns, group_vars,
+                   {count_alias: ("count", count_var)}, eager=eager)
 
 
 def bgp_union(triples: DataFrame, alternatives: list[list[Pattern]],

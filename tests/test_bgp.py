@@ -199,3 +199,45 @@ def test_describe_subject_and_object_triples(g):
     plan = bgp_describe(g, [("a", "knows", "?y")], "?y") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bgp_agg_eager_matches_fallback(spark):
+    """Eager-pushdown SUM/MIN/MAX/AVG/COUNT == aggregate-after-join, on a
+    graph with join fan-out (two orders per customer, customers sharing a
+    nation) so the bag semantics of the rewrite actually matter."""
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    t = []
+    for c, (nat, prices) in enumerate(
+            [("N1", [10, 20]), ("N1", [5]), ("N2", [7, 8, 9])]):
+        t.append((f"c{c}", "inNation", nat))
+        for i, p in enumerate(prices):
+            t += [(f"o{c}_{i}", "placedBy", f"c{c}"),
+                  (f"o{c}_{i}", "price", str(p))]
+    g = spark.createDataFrame(t, ["s", "p", "o"])
+    pats = [("?o", "placedBy", "?c"), ("?o", "price", "?tp"),
+            ("?c", "inNation", "?nat")]
+    aggs = {"cnt": ("count", "?o"), "total": ("sum", "?tp", "long"),
+            "lo": ("min", "?tp", "long"), "hi": ("max", "?tp", "long"),
+            "mean": ("avg", "?tp", "double")}
+
+    def snap(df):
+        return {r.nat: (r.cnt, r.total, r.lo, r.hi, round(r.mean, 9))
+                for r in df.collect()}
+
+    eager = snap(bgp_agg(g, pats, ["?nat"], aggs))
+    plain = snap(bgp_agg(g, pats, ["?nat"], aggs, eager=False))
+    assert eager == plain
+    assert eager == {"N1": (3, 35, 5, 20, round(35 / 3, 9)),
+                     "N2": (3, 24, 7, 9, 8.0)}
+
+
+def test_bgp_agg_rejects_unknown_fn(spark):
+    import pytest as _pytest
+
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    g = spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"])
+    with _pytest.raises(ValueError, match="unsupported"):
+        bgp_agg(g, [("?x", "p", "?y")], ["?x"],
+                {"m": ("median", "?y")})
