@@ -182,6 +182,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           interval_cols=["win_id"]) \
             .select("event_id", "win_id")
 
+    def q_user_hll(spark, sf_dir):
+        """Deterministic HLL register table (operators/sketch): per
+        event_type distinct-user sketch from md5 halves — DuckDB
+        recomputes every (register, max_rank) bit-for-bit."""
+        from openapi_to_rdf_spark.operators.sketch import hll_registers
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return hll_registers(ev, "user_id", ["event_type"], p=8)
+
+    def q_user_hll_estimate(spark, sf_dir):
+        """HLL estimate next to exact truth: per event_type the sketch
+        estimate and COUNT(DISTINCT user_id), both as longs — the oracle
+        recomputes the full estimator pipeline in SQL, so the formula
+        (alpha bias correction + linear-counting branch) is pinned, not
+        just the registers."""
+        from openapi_to_rdf_spark.operators.sketch import (
+            hll_estimate, hll_registers,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        est = hll_estimate(hll_registers(ev, "user_id", ["event_type"],
+                                         p=8), ["event_type"], p=8)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_distinct_exact"))
+        return est.join(exact, "event_type")
+
     def q_hypertable_rollup(spark, sf_dir):
         """Multi-granularity continuous aggregate (operators/events
         .hypertable_rollup): 15-min partials re-aggregated into hour and
@@ -990,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_describe": q_bgp_describe,
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
+        "user_hll": q_user_hll,
+        "user_hll_estimate": q_user_hll_estimate,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1387,6 +1415,46 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "user_hll": """
+            SELECT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                        % 256 AS BIGINT) AS register,
+                   MAX(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT = 0
+                            THEN 33
+                            ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT AS BIGINT)))
+                       END) AS max_rank
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "user_hll_estimate": """
+            WITH regs AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 256 AS register,
+                     MAX(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT = 0
+                              THEN 33
+                              ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT AS BIGINT)))
+                         END) AS max_rank
+              FROM events GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type,
+                     SUM(POW(2.0, -max_rank)) AS present,
+                     COUNT(*) AS occupied
+              FROM regs GROUP BY event_type),
+            est AS (
+              SELECT event_type, (256 - occupied) AS zeros,
+                     (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                       / (present + (256 - occupied)) AS raw
+              FROM agg)
+            SELECT e.event_type,
+                   CAST(ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                                   THEN 256.0 * LN(256.0 / zeros)
+                                   ELSE raw END) AS BIGINT) AS n_distinct_est,
+                   x.n_distinct_exact
+            FROM est e JOIN (
+              SELECT event_type,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+              FROM events GROUP BY event_type) x USING (event_type)
         """,
         "hypertable_rollup": """
             WITH g(gran_min) AS (VALUES (15), (60), (1440))
