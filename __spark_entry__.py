@@ -718,6 +718,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?n", kg + "inRegion", "?r"), ("?r", kg + "rname", "EUROPE")],
             "?n")
 
+    def q_bm25_topk(spark, sf_dir):
+        """BM25 ranked retrieval (operators/retrieval): inverted index in
+        one scan, query-term-pruned postings, e6-fixed scores ranked by
+        (score desc, doc asc) — the whole tokenize→index→idf→score→top-k
+        pipeline recomputed in DuckDB must agree row for row."""
+        from openapi_to_rdf_spark.operators.retrieval import (
+            bm25_topk, build_term_index,
+        )
+
+        idx = build_term_index(_docs(spark, sf_dir))
+        return bm25_topk(idx, ["spark", "window", "merge"], k=25)
+
     def q_doc_packing(spark, sf_dir):
         """Greedy sequence packing (operators/packing) at budget 500,
         grouped by language — the applyInPandas per-shard packer must
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_modifiers": q_bgp_modifiers,
         "bgp_ask": q_bgp_ask,
         "bgp_agg_sums": q_bgp_agg_sums,
+        "bm25_topk": q_bm25_topk,
         "bgp_describe": q_bgp_describe,
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
@@ -1415,6 +1428,38 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "bm25_topk": """
+            WITH idx AS (
+              SELECT doc_id AS doc, len(toks) AS dl, t.term, COUNT(*) AS tf
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '([a-z0-9]+)', 1)
+                             AS toks
+                    FROM documents) d,
+                   UNNEST(d.toks) AS t(term)
+              GROUP BY doc_id, len(toks), t.term),
+            stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+              FROM (SELECT doc, ANY_VALUE(dl) AS dl FROM idx GROUP BY doc)),
+            q AS (SELECT * FROM idx
+                  WHERE term IN ('spark', 'window', 'merge')),
+            dfq AS (SELECT term, COUNT(DISTINCT doc) AS df
+                    FROM q GROUP BY term),
+            scored AS (
+              SELECT q.doc,
+                     CAST(ROUND(SUM(
+                       LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * q.tf * 2.2
+                       / (q.tf + 1.2 * (1 - 0.75 + 0.75 * q.dl / avgdl))
+                     ) * 1000000) AS BIGINT) AS score_e6
+              FROM q JOIN dfq USING (term), stats
+              GROUP BY q.doc)
+            SELECT doc, score_e6,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc ASC)
+                        AS BIGINT) AS rank
+            FROM scored
+            ORDER BY score_e6 DESC, doc ASC
+            LIMIT 25
         """,
         "user_hll": """
             SELECT event_type,

@@ -1,0 +1,94 @@
+"""BM25 ranked retrieval over the documents table as DataFrame ops.
+
+Architecture mirrors how retrieval actually deploys at scale: an INDEX
+BUILD pass (one scan of the corpus → a (doc, term, tf, dl) inverted-index
+table, meant to be written out partitioned/bucketed by term) and a QUERY
+path that touches only the query terms' postings — a semi-filter on term
+that partition-prunes when the index is term-partitioned, then a
+broadcast of the per-term document frequencies and global stats. Nothing
+in the query path shuffles more than the query terms' posting lists; the
+full corpus is never rescanned per query.
+
+Scoring is Robertson/Sparck-Jones BM25 with Lucene's non-negative idf:
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    s(d, q)     = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+Scores are e6-fixed before ranking so the ordering is integer-determined
+— the driver's ``bm25_topk`` oracle reproduces the entire pipeline
+(tokenize → index → idf → score → top-k) in DuckDB SQL and must agree
+row for row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "([a-z0-9]+)"
+
+
+def build_term_index(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     pattern: str = TOKEN_PATTERN) -> DataFrame:
+    """Inverted index rows (doc, term, tf, dl) in ONE corpus scan: the
+    token array is bound once per row, its size is the document length,
+    and the explode→groupBy carries dl through the aggregation key (dl is
+    functionally dependent on the doc, so the extra key changes no
+    groups). Write this partitioned (or bucketed) by term — queries then
+    prune to their terms' postings."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 1)")
+    return (docs
+            .select(F.col(id_col).alias("doc"),
+                    F.size(toks).cast("long").alias("dl"),
+                    F.explode(toks).alias("term"))
+            .groupBy("doc", "term", "dl")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def corpus_stats(index: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) frame from the index (not the corpus —
+    the index is the smaller, already-materialized artifact). dl repeats
+    per posting, so aggregate per doc first; both aggs are narrow."""
+    per_doc = index.groupBy("doc").agg(F.first("dl").alias("dl"))
+    return per_doc.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg("dl").alias("avgdl"))
+
+
+def bm25_topk(index: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              stats: DataFrame | None = None) -> DataFrame:
+    """Top-k documents for a bag of query terms: (doc, score_e6, rank).
+
+    Postings are filtered to the query terms FIRST (the pruned scan),
+    per-term document frequencies are computed over that slice and
+    broadcast back, and the global (n_docs, avgdl) scalar row is
+    broadcast-crossed in — so the only per-corpus-size work is reading
+    the matching posting lists. Pass a materialized ``stats`` frame to
+    keep even the stats pass off the query path.
+    """
+    if not query_terms:
+        raise ValueError("empty query")
+    if stats is None:
+        stats = corpus_stats(index)
+    q = index.filter(F.col("term").isin(list(query_terms)))
+    df_t = q.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    scored = (q.join(F.broadcast(df_t), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.select("doc", (idf * norm).alias("_s"))
+               .groupBy("doc")
+               .agg(F.round(F.sum("_s") * 1000000).cast("long")
+                    .alias("score_e6")))
+    # distributed top-k (TakeOrderedAndProject: per-partition heads + one
+    # singleton reduce), THEN a rank window over only the k survivors — a
+    # bare row_number window here would drag every matching doc into one
+    # partition
+    top = per_doc.orderBy(F.col("score_e6").desc(), F.col("doc").asc()) \
+        .limit(k)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("doc").asc())
+    return top.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
