@@ -718,6 +718,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?n", kg + "inRegion", "?r"), ("?r", kg + "rname", "EUROPE")],
             "?n")
 
+    def q_embedding_quantize(spark, sf_dir):
+        """int8 scalar quantization (similarity.quantize_embeddings):
+        per-vector affine codes exploded to (vec_id, pos, q) plus e6-fixed
+        (mn, mx) — deterministic IEEE arithmetic, so DuckDB's index-aware
+        list_transform reproduces every code exactly."""
+        from openapi_to_rdf_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        qdf = quantize_embeddings(_emb(spark, sf_dir))
+        return qdf.select(
+            "vec_id", _e6(F.col("mn")).alias("mn_e6"),
+            _e6(F.col("mx")).alias("mx_e6"),
+            F.posexplode("q").alias("pos", "q")) \
+            .select("vec_id", "mn_e6", "mx_e6",
+                    F.col("pos").cast("long").alias("pos"), "q")
+
     def q_bm25_topk(spark, sf_dir):
         """BM25 ranked retrieval (operators/retrieval): inverted index in
         one scan, query-term-pruned postings, e6-fixed scores ranked by
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_ask": q_bgp_ask,
         "bgp_agg_sums": q_bgp_agg_sums,
         "bm25_topk": q_bm25_topk,
+        "embedding_quantize": q_embedding_quantize,
         "bgp_describe": q_bgp_describe,
         "range_join_windows": q_range_join_windows,
         "hypertable_rollup": q_hypertable_rollup,
@@ -1428,6 +1446,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation   ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "embedding_quantize": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            mm AS (
+              SELECT vec_id, v,
+                     list_min(v) AS mn, list_max(v) AS mx
+              FROM base),
+            codes AS (
+              SELECT vec_id,
+                     CAST(ROUND(mn * 1000000) AS BIGINT) AS mn_e6,
+                     CAST(ROUND(mx * 1000000) AS BIGINT) AS mx_e6,
+                     UNNEST(list_transform(v, (x, i) -> struct_pack(
+                       pos := CAST(i - 1 AS BIGINT),
+                       q := CASE WHEN mx = mn THEN 0
+                                 ELSE CAST(ROUND((x - mn) / (mx - mn) * 255)
+                                           - 128 AS BIGINT) END))) AS s
+              FROM mm)
+            SELECT vec_id, mn_e6, mx_e6, s.pos AS pos, s.q AS q FROM codes
         """,
         "bm25_topk": """
             WITH idx AS (

@@ -124,7 +124,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              # added r2 session 3
              "bgp_agg_orders", "doc_packing", "decontaminate",
              "range_join_windows", "stratified_sample",
-             "hypertable_rollup", "user_hll", "bm25_topk"]
+             "hypertable_rollup", "user_hll", "bm25_topk",
+             "embedding_quantize"]
     out = {}
     for name in names:
         t0 = time.time()

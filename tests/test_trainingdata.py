@@ -350,6 +350,33 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """int8 quantization: values land in [-128, 127], dequantization
+    error is within (mx-mn)/510 per element, constant vectors are all
+    zeros, and the plan stays Python-free."""
+    from openapi_to_rdf_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    rows = [(1, [0.0, 1.0, 0.5, 0.25]),
+            (2, [-3.5, 2.5, 0.0]),
+            (3, [7.0, 7.0, 7.0])]          # constant vector
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert got[1].q == [-128, 127, 0, -64]
+    assert got[3].q == [0, 0, 0]
+    for vid, vec in rows:
+        r = got[vid]
+        span = r.mx - r.mn
+        for x, q in zip(vec, r.q):
+            assert -128 <= q <= 127
+            dequant = r.mn if span == 0 else (q + 128) / 255 * span + r.mn
+            assert abs(dequant - x) <= span / 510 + 1e-12
+    plan = quantize_embeddings(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_stratified_sample_exact_k_and_prefilter_equivalence(spark):
     from openapi_to_rdf_spark.operators.sampling import stratified_sample
 
