@@ -208,6 +208,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.countDistinct("user_id").alias("n_distinct_exact"))
         return est.join(exact, "event_type")
 
+    def q_term_cms(spark, sf_dir):
+        """Deterministic Count-Min register table (operators/sketch) over
+        every document-term occurrence: row r buckets md5(r:term) mod
+        1024, register value is a plain SUM — DuckDB recomputes each
+        (row, bucket, cnt) bit-for-bit."""
+        from openapi_to_rdf_spark.operators.retrieval import TOKEN_PATTERN
+        from openapi_to_rdf_spark.operators.sketch import cms_registers
+
+        docs = _docs(spark, sf_dir)
+        terms = docs.select(F.explode(F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 1)"
+        )).alias("term"))
+        return cms_registers(terms, "term", [], depth=4, width=1024) \
+            .withColumn("row", F.col("row").cast("long"))
+
+    def q_term_cms_estimate(spark, sf_dir):
+        """CM point queries next to exact truth: five probe terms (one
+        absent from the corpus) estimated as min-over-rows of the register
+        counts — the full probe pipeline (hash → left-join vs empty
+        buckets → min) re-derived in SQL, with the never-underestimates
+        guarantee visible in the (freq_est, freq_exact) pairs."""
+        from openapi_to_rdf_spark.operators.retrieval import TOKEN_PATTERN
+        from openapi_to_rdf_spark.operators.sketch import (
+            cms_estimate, cms_registers,
+        )
+
+        docs = _docs(spark, sf_dir)
+        terms = docs.select(F.explode(F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 1)"
+        )).alias("term"))
+        regs = cms_registers(terms, "term", [], depth=4, width=1024)
+        probe = ["spark", "window", "merge", "data", "qqqqx"]
+        keys = spark.createDataFrame([(t,) for t in probe], ["term"])
+        est = cms_estimate(regs, keys, "term", depth=4, width=1024)
+        exact = (terms.filter(F.col("term").isin(probe))
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("freq_exact")))
+        return (est.join(exact, "term", "left")
+                .select("term", "freq_est",
+                        F.coalesce(F.col("freq_exact"), F.lit(0))
+                        .cast("long").alias("freq_exact")))
+
     def q_hypertable_rollup(spark, sf_dir):
         """Multi-granularity continuous aggregate (operators/events
         .hypertable_rollup): 15-min partials re-aggregated into hour and
@@ -1049,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup": q_hypertable_rollup,
         "user_hll": q_user_hll,
         "user_hll_estimate": q_user_hll_estimate,
+        "term_cms": q_term_cms,
+        "term_cms_estimate": q_term_cms_estimate,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1499,6 +1542,54 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY score_e6 DESC, doc ASC
             LIMIT 25
+        """,
+        "term_cms": """
+            WITH terms AS (
+              SELECT t.term
+              FROM (SELECT regexp_extract_all(lower(text), '([a-z0-9]+)', 1)
+                           AS toks
+                    FROM documents) d,
+                   UNNEST(d.toks) AS t(term))
+            SELECT r.r AS row,
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))::UBIGINT
+                        % 1024 AS BIGINT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM terms CROSS JOIN (SELECT UNNEST(range(4)) AS r) r
+            GROUP BY 1, 2
+        """,
+        "term_cms_estimate": """
+            WITH terms AS (
+              SELECT t.term
+              FROM (SELECT regexp_extract_all(lower(text), '([a-z0-9]+)', 1)
+                           AS toks
+                    FROM documents) d,
+                   UNNEST(d.toks) AS t(term)),
+            regs AS (
+              SELECT r.r AS row,
+                     ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))::UBIGINT
+                       % 1024 AS bucket,
+                     COUNT(*) AS cnt
+              FROM terms CROSS JOIN (SELECT UNNEST(range(4)) AS r) r
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT p.term, r.r AS row,
+                     ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || p.term), 1, 8))::UBIGINT
+                       % 1024 AS bucket
+              FROM (VALUES ('spark'), ('window'), ('merge'), ('data'),
+                           ('qqqqx')) p(term)
+                   CROSS JOIN (SELECT UNNEST(range(4)) AS r) r),
+            est AS (
+              SELECT p.term, MIN(COALESCE(regs.cnt, 0)) AS freq_est
+              FROM probes p
+              LEFT JOIN regs ON p.row = regs.row AND p.bucket = regs.bucket
+              GROUP BY p.term),
+            exact AS (
+              SELECT term, COUNT(*) AS freq_exact FROM terms
+              WHERE term IN ('spark', 'window', 'merge', 'data', 'qqqqx')
+              GROUP BY term)
+            SELECT est.term, est.freq_est,
+                   COALESCE(exact.freq_exact, 0) AS freq_exact
+            FROM est LEFT JOIN exact ON est.term = exact.term
         """,
         "user_hll": """
             SELECT event_type,

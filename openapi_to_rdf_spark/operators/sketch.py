@@ -91,3 +91,79 @@ def hll_estimate(registers: DataFrame, group_cols: list[str],
 def hll_error_bound(p: int) -> float:
     """Theoretical relative standard error 1.04/sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency registers
+# --------------------------------------------------------------------------
+#
+# Same design goals as the HLL above: Spark has no frequency sketch at all
+# (count_min_sketch exists in the JVM but its serialized form is
+# engine-private), so this one is a DETERMINISTIC function of the data —
+# row r of the sketch hashes key k to bucket md5(r || ':' || k) (first 32
+# hash bits) mod width, and the register value is a plain SUM, which DuckDB
+# recomputes bit-for-bit and which merges across partitions / days / tables
+# by register-wise addition. At 10^12 turns a per-group exact term count
+# table is unbounded; the sketch caps state at depth*width rows per group
+# with overestimate error ≤ 2n/width at confidence 1 - 2^-depth.
+
+
+def _cms_bucket(row: int, key, width: int):
+    h = F.md5(F.concat(F.lit(str(row) + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  depth: int = 4, width: int = 1024) -> DataFrame:
+    """Per-group Count-Min register table (group..., row, bucket, cnt),
+    one output row per OCCUPIED (row, bucket) — absent register == 0.
+    The d per-row bucket columns are computed in one projection (no
+    explode), then a single stack() pivots them to rows, so the only
+    shuffle is the final partial-aggregated groupBy whose wire volume is
+    capped at depth*width rows per group."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+    key = F.col(key_col)
+    pairs = ", ".join(
+        f"{r}, bigint(conv(substring(md5(concat('{r}:', cast(`{key_col}` "
+        f"as string))), 1, 8), 16, 10)) % {width}" for r in range(depth))
+    stacked = df.select(
+        *group_cols, key,
+        F.expr(f"stack({depth}, {pairs}) as (row, bucket)"))
+    return (stacked.groupBy(*group_cols, "row", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union sketches: register-wise SUM — merge(cms(A), cms(B)) ==
+    cms(A ++ B) exactly, making the register table an incrementally
+    maintainable aggregate (streaming appends just add registers)."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(registers: DataFrame, keys_df: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-query estimates for every key in ``keys_df``: for each of the
+    d rows look up the key's bucket and take the MIN — the classic CM
+    overestimate bound (never underestimates; error ≤ 2n/width w.p.
+    1 - 2^-depth). ``keys_df`` is the small side and broadcasts into the
+    register join; the register table never moves."""
+    key = F.col(key_col)
+    probes = keys_df.select(
+        key, F.explode(F.array(*[
+            F.struct(F.lit(r).alias("row"),
+                     _cms_bucket(r, key, width).alias("bucket"))
+            for r in range(depth)])).alias("pr")) \
+        .select(key_col, F.col("pr.row").alias("row"),
+                F.col("pr.bucket").alias("bucket"))
+    # LEFT join: a probe landing in an empty bucket means count 0 — an
+    # inner join would drop it and turn the min into an overestimate.
+    # The register table is capped at depth*width rows, so IT broadcasts.
+    return (probes.join(F.broadcast(registers), ["row", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("freq_est")))

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from openapi_to_rdf_spark.operators.sketch import (  # noqa: E402
-    hll_error_bound, hll_estimate, hll_merge, hll_registers,
+    cms_estimate, cms_merge, cms_registers, hll_error_bound, hll_estimate,
+    hll_merge, hll_registers,
 )
 
 
@@ -45,6 +46,54 @@ def test_hll_merge_equals_whole(spark):
                                  hll_registers(half_b, "key", ["grp"]))
               .collect()}
     assert merged == whole and whole
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """CM guarantee: est >= true always; overestimate within the 2n/width
+    bound for all of a Zipf-ish key set (heavy head, long tail)."""
+    rows = [("g", f"hot{h}") for h in range(3) for _ in range(1000)] \
+        + [("g", f"tail{i}") for i in range(4000) for _ in range(2)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    depth, width = 5, 512
+    regs = cms_registers(df, "key", ["grp"], depth=depth, width=width)
+    keys = spark.createDataFrame(
+        [(f"hot{h}",) for h in range(3)] + [("tail7",), ("absent",)],
+        ["key"])
+    est = {r.key: r.freq_est
+           for r in cms_estimate(regs, keys, "key",
+                                 depth=depth, width=width).collect()}
+    truth = {"hot0": 1000, "hot1": 1000, "hot2": 1000,
+             "tail7": 2, "absent": 0}
+    n = len(rows)
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] - t <= 2 * n / width, (k, est[k], t)
+
+
+def test_cms_merge_equals_whole(spark):
+    """cms(A) +-merged with cms(B) == cms(A ++ B) register by register —
+    bag semantics, so the overlapping split must double-count exactly."""
+    rows_a = [("g", f"k{i % 50}") for i in range(1200)]
+    rows_b = [("g", f"k{i % 50}") for i in range(800, 3000)]  # overlap
+    half_a = spark.createDataFrame(rows_a, ["grp", "key"])
+    half_b = spark.createDataFrame(rows_b, ["grp", "key"])
+    whole_df = spark.createDataFrame(rows_a + rows_b, ["grp", "key"])
+    whole = {(r.grp, r.row, r.bucket): r.cnt
+             for r in cms_registers(whole_df, "key", ["grp"]).collect()}
+    merged = {(r.grp, r.row, r.bucket): r.cnt for r in cms_merge(
+        cms_registers(half_a, "key", ["grp"]),
+        cms_registers(half_b, "key", ["grp"])).collect()}
+    assert merged == whole and whole
+
+
+def test_cms_registers_partition_independent(spark):
+    rows = [("g", str(i % 97)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    a = sorted((r.row, r.bucket, r.cnt) for r in
+               cms_registers(df, "key", ["grp"]).collect())
+    b = sorted((r.row, r.bucket, r.cnt) for r in
+               cms_registers(df.repartition(17), "key", ["grp"]).collect())
+    assert a == b
 
 
 def test_hll_registers_partition_independent(spark):
