@@ -249,6 +249,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce(F.col("freq_exact"), F.lit(0))
                         .cast("long").alias("freq_exact")))
 
+    def q_bloom_bits(spark, sf_dir):
+        """Deterministic Bloom bit positions (operators/bloom) for a 2%
+        customer key set — DuckDB recomputes every md5-derived position
+        exactly, so a bitmap built by one engine prunes scans in the
+        other."""
+        from openapi_to_rdf_spark.operators.bloom import bloom_positions
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        keys = cust.filter(F.col("c_custkey") % 50 == 7)
+        return bloom_positions(keys, "c_custkey", num_bits=4096, k=5)
+
+    def q_bloom_prune_orders(spark, sf_dir):
+        """Bloom-pruned semi-join: orders of a 2% customer slice. The
+        bitmap literal prunes the orders scan shuffle-free; the broadcast
+        semi-join removes false positives — so the result must equal the
+        plain IN-subquery semi-join DuckDB runs."""
+        from openapi_to_rdf_spark.operators.bloom import bloom_semi_join
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        keys = cust.filter(F.col("c_custkey") % 50 == 7)
+        return bloom_semi_join(orders, keys, "o_custkey", "c_custkey",
+                               num_bits=4096, k=5) \
+            .select("o_orderkey", "o_custkey")
+
     def q_hypertable_rollup(spark, sf_dir):
         """Multi-granularity continuous aggregate (operators/events
         .hypertable_rollup): 15-min partials re-aggregated into hour and
@@ -1092,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_hll_estimate": q_user_hll_estimate,
         "term_cms": q_term_cms,
         "term_cms_estimate": q_term_cms_estimate,
+        "bloom_bits": q_bloom_bits,
+        "bloom_prune_orders": q_bloom_prune_orders,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1590,6 +1617,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.term, est.freq_est,
                    COALESCE(exact.freq_exact, 0) AS freq_exact
             FROM est LEFT JOIN exact ON est.term = exact.term
+        """,
+        "bloom_bits": """
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                                            CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+                        % 4096 AS BIGINT) AS pos
+            FROM customer CROSS JOIN (SELECT UNNEST(range(5)) AS r) r
+            WHERE c_custkey % 50 = 7
+        """,
+        "bloom_prune_orders": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 50 = 7)
         """,
         "user_hll": """
             SELECT event_type,
