@@ -274,6 +274,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                num_bits=4096, k=5) \
             .select("o_orderkey", "o_custkey")
 
+    def q_cdc_user_state(spark, sf_dir):
+        """Changelog MERGE (operators/cdc.apply_changelog): events as a
+        CDC stream (error = tombstone) replayed over a synthetic base
+        snapshot — latest-wins per user, deleted keys absent. DuckDB
+        re-derives the final state with one window."""
+        from openapi_to_rdf_spark.operators.cdc import apply_changelog
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        changes = ev.select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U")
+            .alias("op"),
+            F.col("value").alias("state"))
+        base = (ev.select("user_id").distinct()
+                .filter(F.col("user_id") % 3 == 0)
+                .withColumn("state", F.lit(-1.0)))
+        out = apply_changelog(base, changes, ["user_id"],
+                              ["ts", "event_id"])
+        return out.select("user_id", _e6(F.col("state")).alias("state_e6"))
+
+    def q_user_scd2(spark, sf_dir):
+        """SCD2 materialization (operators/cdc.changelog_to_scd2): each
+        upsert becomes a validity interval closed by the key's next
+        change; tombstones close intervals without emitting rows."""
+        from openapi_to_rdf_spark.operators.cdc import changelog_to_scd2
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        changes = ev.select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "error", "D").otherwise("U")
+            .alias("op"),
+            F.col("value").alias("state"))
+        scd = changelog_to_scd2(changes, ["user_id"], "ts",
+                                tie_cols=["event_id"])
+        from openapi_to_rdf_spark.operators.events import _ntz_epoch
+
+        return scd.select(
+            "user_id", "event_id", _e6(F.col("state")).alias("state_e6"),
+            _ntz_epoch("ts").cast("long").alias("valid_from_sec"),
+            _ntz_epoch("valid_to").cast("long").alias("valid_to_sec"),
+            "is_current")
+
     def q_hypertable_rollup(spark, sf_dir):
         """Multi-granularity continuous aggregate (operators/events
         .hypertable_rollup): 15-min partials re-aggregated into hour and
@@ -1119,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cms_estimate": q_term_cms_estimate,
         "bloom_bits": q_bloom_bits,
         "bloom_prune_orders": q_bloom_prune_orders,
+        "cdc_user_state": q_cdc_user_state,
+        "user_scd2": q_user_scd2,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1631,6 +1675,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_custkey % 50 = 7)
+        """,
+        "cdc_user_state": """
+            WITH latest AS (
+              SELECT user_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS state_e6
+            FROM latest WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "user_scd2": """
+            WITH c AS (
+              SELECT user_id, event_id, value, ts,
+                     CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+              FROM events),
+            v AS (
+              SELECT *, LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS valid_to
+              FROM c)
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 1000000) AS BIGINT) AS state_e6,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_sec,
+                   CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_sec,
+                   (valid_to IS NULL) AS is_current
+            FROM v WHERE op = 'U'
         """,
         "user_hll": """
             SELECT event_type,
