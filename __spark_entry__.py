@@ -316,6 +316,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ntz_epoch("valid_to").cast("long").alias("valid_to_sec"),
             "is_current")
 
+    def q_key_skew_profile(spark, sf_dir):
+        """Key-distribution profile (operators/profiler.key_profile):
+        skew ratio / top share / entropy of the events join key in one
+        aggregation pass — the inputs every salting decision needs."""
+        from openapi_to_rdf_spark.operators.profiler import key_profile
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return key_profile(ev, ["user_id"])
+
+    def q_hot_keys(spark, sf_dir):
+        """Heavy hitters (operators/profiler.top_keys): ten hottest
+        event users, count-desc/key-asc deterministic."""
+        from openapi_to_rdf_spark.operators.profiler import top_keys
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return top_keys(ev, ["user_id"], k=10)
+
+    def q_vocab_top(spark, sf_dir):
+        """Vocabulary induction (operators/vocab.build_vocab): top-200
+        corpus terms with deterministic lexicographic ties."""
+        from openapi_to_rdf_spark.operators.vocab import build_vocab
+
+        return build_vocab(_docs(spark, sf_dir), size=200)
+
+    def q_vocab_oov(spark, sf_dir):
+        """Per-document OOV coverage (operators/vocab.oov_stats) against
+        the induced top-200 vocabulary — empty documents included at
+        rate 0; one corpus explode + broadcast vocab join."""
+        from openapi_to_rdf_spark.operators.vocab import (
+            build_vocab, oov_stats,
+        )
+
+        docs = _docs(spark, sf_dir)
+        return oov_stats(docs, build_vocab(docs, size=200))
+
     def q_hypertable_rollup(spark, sf_dir):
         """Multi-granularity continuous aggregate (operators/events
         .hypertable_rollup): 15-min partials re-aggregated into hour and
@@ -1163,6 +1198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_orders": q_bloom_prune_orders,
         "cdc_user_state": q_cdc_user_state,
         "user_scd2": q_user_scd2,
+        "key_skew_profile": q_key_skew_profile,
+        "hot_keys": q_hot_keys,
+        "vocab_top": q_vocab_top,
+        "vocab_oov": q_vocab_oov,
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
@@ -1701,6 +1740,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_sec,
                    (valid_to IS NULL) AS is_current
             FROM v WHERE op = 'U'
+        """,
+        "key_skew_profile": """
+            WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+            SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys,
+                   MAX(c) AS max_key_count,
+                   CAST(ROUND(MAX(c) * 1000000.0 / SUM(c)) AS BIGINT)
+                     AS max_share_e6,
+                   CAST(ROUND(MAX(c) * COUNT(*) * 1000000.0 / SUM(c)) AS BIGINT)
+                     AS skew_ratio_e6,
+                   CAST(ROUND((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) * 1000000)
+                        AS BIGINT) AS entropy_e6,
+                   CASE WHEN COUNT(*) > 1 THEN
+                     CAST(ROUND((LN(SUM(c)) - SUM(c * LN(c)) / SUM(c))
+                                / LN(COUNT(*)) * 1000000) AS BIGINT)
+                   END AS entropy_norm_e6
+            FROM c
+        """,
+        "hot_keys": """
+            SELECT user_id, key_count,
+                   CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC,
+                                           user_id ASC) AS BIGINT) AS rank
+            FROM (SELECT user_id, COUNT(*) AS key_count
+                  FROM events GROUP BY 1)
+            ORDER BY key_count DESC, user_id ASC
+            LIMIT 10
+        """,
+        "vocab_top": """
+            SELECT term, term_count,
+                   CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC,
+                                           term ASC) AS BIGINT) AS term_rank
+            FROM (SELECT t.term, COUNT(*) AS term_count
+                  FROM (SELECT regexp_extract_all(lower(text),
+                                                  '([a-z0-9]+)', 1) AS toks
+                        FROM documents) d,
+                       UNNEST(d.toks) AS t(term)
+                  GROUP BY 1)
+            ORDER BY term_count DESC, term ASC
+            LIMIT 200
+        """,
+        "vocab_oov": """
+            WITH flat AS (
+              SELECT doc_id, t.term
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '([a-z0-9]+)', 1)
+                             AS toks
+                    FROM documents) d,
+                   UNNEST(d.toks) AS t(term)),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, COUNT(*) AS c FROM flat GROUP BY 1
+                ORDER BY c DESC, term ASC LIMIT 200)),
+            per AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov
+              FROM flat LEFT JOIN vocab v USING (term)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(per.n_tokens, 0) AS n_tokens,
+                   COALESCE(per.n_oov, 0) AS n_oov,
+                   CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                        ELSE CAST(ROUND(per.n_oov * 1000000.0 / per.n_tokens)
+                                  AS BIGINT)
+                   END AS oov_rate_e6
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "user_hll": """
             SELECT event_type,
