@@ -1116,6 +1116,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return linker_accuracy_report(spark).orderBy("corruption")
 
+    def _pii_docs(spark, sf_dir):
+        """documents with deterministic PII planted by doc_id residue —
+        identical expression in the DuckDB oracle, so detection counts
+        and redacted text can hash-match exactly."""
+        d = F.col("doc_id")
+        return _docs(spark, sf_dir).select("doc_id", F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 5 == 0,
+                   F.lit(" call 555.867.5309")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(" host 10.0."), (d % 256).cast("string"),
+                F.lit(".17"))).otherwise(F.lit("")),
+            F.when(d % 11 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(d % 13 == 0,
+                   F.lit(" card 4111-1111-1111-1111")).otherwise(F.lit("")),
+        ).alias("text"))
+
+    def q_pii_report(spark, sf_dir):
+        """PII detection counts per document (operators/pii): emails /
+        cards / SSNs / phones / IPv4s planted deterministically, counted
+        by JVM regexp_extract_all — one codegen projection, no shuffle.
+        Exact DuckDB oracle over the same RE2∩Java patterns."""
+        from openapi_to_rdf_spark.operators.pii import pii_report
+
+        return pii_report(_pii_docs(spark, sf_dir))
+
+    def q_pii_redact(spark, sf_dir):
+        """PII redaction (operators/pii): every match replaced by its
+        <KIND> token in REDACT_ORDER; compared by md5 of the scrubbed
+        text against DuckDB applying the same replacement chain."""
+        from openapi_to_rdf_spark.operators.pii import redact_pii
+
+        return redact_pii(_pii_docs(spark, sf_dir)).select(
+            "doc_id", F.md5(F.col("text")).alias("redacted_md5"))
+
     def q_media_features(spark, sf_dir):
         from openapi_to_rdf_spark.operators.multimodal import (
             decode_image_features, synth_media,
@@ -1205,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
+        "pii_report": q_pii_report,
+        "pii_redact": q_pii_redact,
         "media_features": q_media_features,
     }
 
@@ -1255,6 +1296,29 @@ _FINGERPRINT = ("md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', 
 
 _SHINGLES = (f"list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
              f"for i in range(1, greatest(len(toks) - 1, 1))])")
+
+
+def _pii_oracle_bits():
+    from openapi_to_rdf_spark.operators.pii import (
+        oracle_count_sql, oracle_redact_sql,
+    )
+
+    docs = """
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' call 555.867.5309' ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0
+               THEN ' card 4111-1111-1111-1111' ELSE '' END AS text
+        FROM documents
+    """
+    return docs, oracle_count_sql("text"), oracle_redact_sql("text")
+
+
+_PII_DOCS, _PII_N, _PII_REDACT = _pii_oracle_bits()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2224,6 +2288,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
                    COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1
+        """,
+        "pii_report": f"""
+            WITH p AS ({_PII_DOCS})
+            SELECT doc_id,
+                   CAST({_PII_N['email']} AS BIGINT) AS n_email,
+                   CAST({_PII_N['card']} AS BIGINT) AS n_card,
+                   CAST({_PII_N['ssn']} AS BIGINT) AS n_ssn,
+                   CAST({_PII_N['phone']} AS BIGINT) AS n_phone,
+                   CAST({_PII_N['ipv4']} AS BIGINT) AS n_ipv4,
+                   CAST({_PII_N['email']} + {_PII_N['card']}
+                      + {_PII_N['ssn']} + {_PII_N['phone']}
+                      + {_PII_N['ipv4']} AS BIGINT) AS n_pii,
+                   ({_PII_N['email']} + {_PII_N['card']} + {_PII_N['ssn']}
+                    + {_PII_N['phone']} + {_PII_N['ipv4']}) > 0 AS has_pii
+            FROM p
+        """,
+        "pii_redact": f"""
+            WITH p AS ({_PII_DOCS})
+            SELECT doc_id, md5({_PII_REDACT}) AS redacted_md5 FROM p
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs /
