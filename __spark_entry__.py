@@ -1116,6 +1116,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return linker_accuracy_report(spark).orderBy("corruption")
 
+    def _rdfs_triples(spark, sf_dir):
+        """Deterministic RDFS test graph from TPC-H: a binary-tree class
+        hierarchy over nation keys (k sco k//2, depth ~5), supplier type
+        assertions into it, a suppliedBy predicate (from lineitem) with
+        domain/range/subPropertyOf schema — same expressions in the
+        DuckDB oracle."""
+        def iri(prefix, col):
+            return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sco_tree = (nation.filter(F.col("n_nationkey") >= 1)
+                    .select(iri("class:n", "n_nationkey").alias("s"),
+                            F.lit("rdfs:subClassOf").alias("p"),
+                            F.concat(F.lit("class:n"),
+                                     F.floor(F.col("n_nationkey") / 2)
+                                     .cast("string")).alias("o")))
+        fixed = spark.createDataFrame([
+            ("class:Part", "rdfs:subClassOf", "class:Thing"),
+            ("class:Supplier", "rdfs:subClassOf", "class:Thing"),
+            ("pred:suppliedBy", "rdfs:subPropertyOf", "pred:relatedTo"),
+            ("pred:suppliedBy", "rdfs:domain", "class:Part"),
+            ("pred:suppliedBy", "rdfs:range", "class:Supplier"),
+        ], ["s", "p", "o"])
+        types = sup.select(iri("sup#", "s_suppkey").alias("s"),
+                           F.lit("rdf:type").alias("p"),
+                           iri("class:n", "s_nationkey").alias("o"))
+        supplied = (li.filter(F.col("l_orderkey") % 50 == 0)
+                    .select(iri("part#", "l_partkey").alias("s"),
+                            F.lit("pred:suppliedBy").alias("p"),
+                            iri("sup#", "l_suppkey").alias("o"))
+                    .dropDuplicates(["s", "o"]))
+        return sco_tree.unionByName(fixed).unionByName(types) \
+            .unionByName(supplied)
+
+    def q_snapshot_diff(spark, sf_dir):
+        """Graph-snapshot set diff (operators/cdc.snapshot_diff): two
+        price-triple snapshots built from orders with overlapping key
+        ranges and a planted value change; one-shuffle groupBy diff vs
+        DuckDB's EXCEPT in both directions."""
+        from openapi_to_rdf_spark.operators.cdc import snapshot_diff
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+        def snap(df, bump):
+            price = _e6(F.col("o_totalprice")) + bump
+            return df.select(
+                F.concat(F.lit("order#"),
+                         F.col("o_orderkey").cast("string")).alias("s"),
+                F.lit("kg:totalPriceE6").alias("p"),
+                price.cast("string").alias("o"))
+
+        old = snap(orders.filter(F.col("o_orderkey") % 3 != 0), F.lit(0))
+        new = snap(orders.filter(F.col("o_orderkey") % 2 != 0),
+                   F.when(F.col("o_orderkey") % 7 == 0, 1).otherwise(0))
+        return snapshot_diff(old, new)
+
+    def q_rdfs_entail(spark, sf_dir):
+        """RDFS (ρdf) closure materialization (operators/entailment):
+        schema closures semi-naive on the vocabulary side, then one
+        broadcast-join pass over the instance triples. Exact DuckDB
+        oracle: the same six rules staged over recursive CTEs."""
+        from openapi_to_rdf_spark.operators.entailment import rdfs_entail
+
+        return rdfs_entail(_rdfs_triples(spark, sf_dir))
+
     def _pii_docs(spark, sf_dir):
         """documents with deterministic PII planted by doc_id residue —
         identical expression in the DuckDB oracle, so detection counts
@@ -1244,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
+        "rdfs_entail": q_rdfs_entail,
+        "snapshot_diff": q_snapshot_diff,
         "pii_report": q_pii_report,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
@@ -2288,6 +2357,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
                    COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types
             FROM events GROUP BY 1
+        """,
+        "snapshot_diff": """
+            WITH oldsnap AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'kg:totalPriceE6' AS p,
+                     CAST(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                          AS VARCHAR) AS o
+              FROM orders WHERE o_orderkey % 3 <> 0),
+            newsnap AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'kg:totalPriceE6' AS p,
+                     CAST(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                          + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+                          AS VARCHAR) AS o
+              FROM orders WHERE o_orderkey % 2 <> 0)
+            SELECT 'added' AS op, s, p, o FROM
+              (SELECT s, p, o FROM newsnap EXCEPT SELECT s, p, o FROM oldsnap)
+            UNION ALL
+            SELECT 'removed' AS op, s, p, o FROM
+              (SELECT s, p, o FROM oldsnap EXCEPT SELECT s, p, o FROM newsnap)
+        """,
+        "rdfs_entail": """
+            WITH RECURSIVE base AS (
+              SELECT 'class:n' || CAST(n_nationkey AS VARCHAR) AS s,
+                     'rdfs:subClassOf' AS p,
+                     'class:n' || CAST(n_nationkey // 2 AS VARCHAR) AS o
+              FROM nation WHERE n_nationkey >= 1
+              UNION ALL SELECT 'class:Part', 'rdfs:subClassOf', 'class:Thing'
+              UNION ALL SELECT 'class:Supplier', 'rdfs:subClassOf', 'class:Thing'
+              UNION ALL SELECT 'pred:suppliedBy', 'rdfs:subPropertyOf', 'pred:relatedTo'
+              UNION ALL SELECT 'pred:suppliedBy', 'rdfs:domain', 'class:Part'
+              UNION ALL SELECT 'pred:suppliedBy', 'rdfs:range', 'class:Supplier'
+              UNION ALL
+              SELECT 'sup#' || CAST(s_suppkey AS VARCHAR), 'rdf:type',
+                     'class:n' || CAST(s_nationkey AS VARCHAR)
+              FROM supplier
+              UNION ALL
+              SELECT DISTINCT 'part#' || CAST(l_partkey AS VARCHAR),
+                     'pred:suppliedBy', 'sup#' || CAST(l_suppkey AS VARCHAR)
+              FROM lineitem WHERE l_orderkey % 50 = 0
+            ),
+            sco AS (
+              SELECT s, o FROM base WHERE p = 'rdfs:subClassOf'
+              UNION
+              SELECT c.s, b.o FROM sco c
+              JOIN (SELECT s, o FROM base WHERE p = 'rdfs:subClassOf') b
+                ON c.o = b.s
+            ),
+            spo AS (
+              SELECT s, o FROM base WHERE p = 'rdfs:subPropertyOf'
+              UNION
+              SELECT c.s, b.o FROM spo c
+              JOIN (SELECT s, o FROM base WHERE p = 'rdfs:subPropertyOf') b
+                ON c.o = b.s
+            ),
+            inst AS (
+              SELECT s, p, o FROM base
+              WHERE p NOT IN ('rdfs:subClassOf', 'rdfs:subPropertyOf',
+                              'rdfs:domain', 'rdfs:range')
+            ),
+            spo_derived AS (
+              SELECT i.s, sp.o AS p, i.o FROM inst i JOIN spo sp ON i.p = sp.s
+            ),
+            all_inst AS (
+              SELECT s, p, o FROM inst
+              UNION ALL SELECT s, p, o FROM spo_derived
+            ),
+            dom_types AS (
+              SELECT a.s, 'rdf:type' AS p, d.o
+              FROM all_inst a
+              JOIN (SELECT s, o FROM base WHERE p = 'rdfs:domain') d
+                ON a.p = d.s
+            ),
+            rng_types AS (
+              SELECT a.o AS s, 'rdf:type' AS p, r.o
+              FROM all_inst a
+              JOIN (SELECT s, o FROM base WHERE p = 'rdfs:range') r
+                ON a.p = r.s
+            ),
+            types AS (
+              SELECT DISTINCT s, o FROM (
+                SELECT s, o FROM inst WHERE p = 'rdf:type'
+                UNION ALL SELECT s, o FROM dom_types
+                UNION ALL SELECT s, o FROM rng_types)
+            ),
+            sco_types AS (
+              SELECT t.s, 'rdf:type' AS p, c.o
+              FROM types t JOIN sco c ON t.o = c.s
+            )
+            SELECT DISTINCT s, p, o FROM (
+              SELECT s, p, o FROM base
+              UNION ALL SELECT s, p, o FROM spo_derived
+              UNION ALL SELECT s, p, o FROM dom_types
+              UNION ALL SELECT s, p, o FROM rng_types
+              UNION ALL SELECT s, p, o FROM sco_types
+              UNION ALL SELECT s, 'rdfs:subClassOf' AS p, o FROM sco
+              UNION ALL SELECT s, 'rdfs:subPropertyOf' AS p, o FROM spo)
         """,
         "pii_report": f"""
             WITH p AS ({_PII_DOCS})

@@ -1,4 +1,5 @@
-"""Changelog application (MERGE) and temporal (SCD2) materialization.
+"""Changelog application (MERGE), temporal (SCD2) materialization, and
+snapshot-to-snapshot set diff.
 
 The graft's graph tables are Iceberg-style snapshots (plans/snapshot.py);
 this module adds the other half of a lakehouse table lifecycle: applying
@@ -79,3 +80,28 @@ def changelog_to_scd2(changes: DataFrame, key_cols: list[str],
             .filter(F.col(op_col) == "U")
             .drop(op_col)
             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  cols: list[str] | None = None) -> DataFrame:
+    """Set difference between two snapshots of the same table (e.g. two
+    graph materializations): rows only in ``new`` come back with
+    op='added', rows only in ``old`` with op='removed'; rows in both are
+    silent. A changed row is, by set semantics, one removed + one added.
+
+    ONE shuffle total: tag each side, union, groupBy the compared
+    columns, keep groups seen on a single side — vs the naive pair of
+    EXCEPTs (two joins, two shuffles of the big side). Duplicate rows
+    within a side collapse (snapshots are sets); min/max of the side tag
+    makes that explicit rather than an accident of EXCEPT.
+
+    Output: ``op`` + ``cols`` (default: old's column set).
+    """
+    cols = cols or old.columns
+    tagged = (old.select(*cols).withColumn("_side", F.lit(-1))
+              .unionByName(new.select(*cols).withColumn("_side", F.lit(1))))
+    return (tagged.groupBy(*cols)
+            .agg(F.min("_side").alias("_lo"), F.max("_side").alias("_hi"))
+            .filter(F.col("_lo") == F.col("_hi"))
+            .select(F.when(F.col("_lo") == 1, F.lit("added"))
+                    .otherwise(F.lit("removed")).alias("op"), *cols))

@@ -1,0 +1,151 @@
+"""RDFS entailment materialization (the ρdf fragment) over the triple
+table: forward-chain subClassOf / subPropertyOf transitivity, type
+inheritance, property inheritance, and domain / range typing, producing
+the closed graph a SPARQL endpoint would answer over — the reasoning
+layer the reference's emitted vocabulary (rdfs:Class, rdfs:domain/range,
+converted from OpenAPI specs by convert/shacl.py) exists to feed.
+
+Rules (minimal deductive ρdf system, Muñoz/Pérez/Gutierrez 2009):
+
+  scm-sco   (A sco B), (B sco C)      → (A sco C)
+  scm-spo   (p spo q), (q spo r)      → (p spo r)
+  cax-sco   (x type A), (A sco B)     → (x type B)
+  prp-spo1  (x p y),   (p spo q)      → (x q y)
+  prp-dom   (p dom C), (x p y)        → (x type C)
+  prp-rng   (p rng C), (x p y)        → (y type C)
+
+Precondition (documented, standard for ρdf): the schema vocabulary is
+not itself redefined — no subPropertyOf whose super is rdf:type /
+rdfs:subClassOf / rdfs:subPropertyOf / rdfs:domain / rdfs:range. Under
+it, the staged plan below reaches the full fixpoint in ONE pass over the
+instance data: spo* first (new predicate triples), then dom/rng over
+base+derived predicate triples (new type triples), then sco* lifting of
+all type triples. No rule can fire again after its stage.
+
+Scale design — why this isn't "iterate joins until fixpoint" over the
+corpus:
+
+- The SCHEMA side (sco/spo/dom/rng triples) is a vocabulary: thousands
+  of rows even for huge ontologies, vs 10^12 instance triples. Both
+  transitive closures run ONLY on the schema side (semi-naive, reusing
+  paths._closure_pairs), then every instance-side rule is a single
+  BROADCAST join: the 100 TB side is scanned once per stage and never
+  shuffled for the reasoning itself.
+- Type lifting joins the (distinct-typed) instance rows against the
+  broadcast sco closure — fan-out bounded by hierarchy depth, the
+  textbook RDFS-materialization plan (WebPIE/Inferray schema-broadcast).
+- The final ``dropDuplicates`` restores set semantics across asserted ∪
+  derived (an entailed triple may also be asserted). That one shuffle is
+  the materialization dedup the graph pipeline pays anyway; callers that
+  keep branches separate can pass ``dedup=False`` and get the raw bag
+  with a ``rule`` provenance column instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .paths import _closure_pairs
+
+RDF_TYPE = "rdf:type"
+SCO = "rdfs:subClassOf"
+SPO = "rdfs:subPropertyOf"
+DOM = "rdfs:domain"
+RNG = "rdfs:range"
+
+_SCHEMA_PREDS = (SCO, SPO, DOM, RNG)
+
+
+def _pairs(schema: DataFrame, pred: str) -> DataFrame:
+    return schema.filter(F.col("p") == pred).select("s", "o")
+
+
+def schema_closures(schema: DataFrame, max_rounds: int = 32
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(sco_closure, spo_closure) as distinct ≥1-step (s, o) pairs —
+    semi-naive fixpoints on the (small) schema side only."""
+    sco = _pairs(schema, SCO)
+    spo = _pairs(schema, SPO)
+    empty = sco.limit(0)
+    sco_c = empty if sco.isEmpty() else _closure_pairs(sco, max_rounds)
+    spo_c = empty if spo.isEmpty() else _closure_pairs(spo, max_rounds)
+    return sco_c, spo_c
+
+
+def rdfs_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
+                max_rounds: int = 32, dedup: bool = True) -> DataFrame:
+    """The RDFS-closed graph: asserted triples ∪ everything the six ρdf
+    rules derive. Input/output schema: (s, p, o) strings; extra columns
+    are dropped. With ``dedup=False`` returns the bag with a ``rule``
+    column ('asserted' on input rows) instead of the distinct set."""
+    t = triples.select("s", "p", "o")
+    schema = t.filter(F.col("p").isin(*_SCHEMA_PREDS))
+    sco_c, spo_c = schema_closures(schema, max_rounds)
+    sco_b = F.broadcast(sco_c.select(F.col("s").alias("sub"),
+                                     F.col("o").alias("sup")))
+    spo_b = F.broadcast(spo_c.select(F.col("s").alias("sub"),
+                                     F.col("o").alias("sup")))
+    dom_b = F.broadcast(_pairs(schema, DOM)
+                        .select(F.col("s").alias("pp"),
+                                F.col("o").alias("cls")))
+    rng_b = F.broadcast(_pairs(schema, RNG)
+                        .select(F.col("s").alias("pp"),
+                                F.col("o").alias("cls")))
+
+    inst = t.filter(~F.col("p").isin(*_SCHEMA_PREDS))
+
+    # prp-spo1: one broadcast join over the corpus scan.
+    spo_derived = (inst.join(spo_b, inst["p"] == spo_b["sub"])
+                   .select("s", F.col("sup").alias("p"), "o"))
+    all_inst = inst.unionByName(spo_derived)
+
+    # prp-dom / prp-rng over asserted + spo-derived predicate triples.
+    dom_types = (all_inst.join(dom_b, all_inst["p"] == dom_b["pp"])
+                 .select("s", F.lit(type_pred).alias("p"),
+                         F.col("cls").alias("o")))
+    rng_types = (all_inst.join(rng_b, all_inst["p"] == rng_b["pp"])
+                 .select(F.col("o").alias("s"),
+                         F.lit(type_pred).alias("p"),
+                         F.col("cls").alias("o")))
+
+    # cax-sco over every type triple (asserted, dom- and rng-derived).
+    types = (inst.filter(F.col("p") == type_pred)
+             .select("s", "p", "o")
+             .unionByName(dom_types).unionByName(rng_types)
+             .dropDuplicates(["s", "o"]))
+    sco_types = (types.join(sco_b, types["o"] == sco_b["sub"])
+                 .select("s", F.lit(type_pred).alias("p"),
+                         F.col("sup").alias("o")))
+
+    # scm-sco / scm-spo closures re-emitted as schema triples.
+    sco_triples = sco_c.select("s", F.lit(SCO).alias("p"), "o")
+    spo_triples = spo_c.select("s", F.lit(SPO).alias("p"), "o")
+
+    branches = [
+        (t, "asserted"),
+        (spo_derived, "prp-spo1"),
+        (dom_types, "prp-dom"),
+        (rng_types, "prp-rng"),
+        (sco_types, "cax-sco"),
+        (sco_triples, "scm-sco"),
+        (spo_triples, "scm-spo"),
+    ]
+    if not dedup:
+        out = None
+        for df, rule in branches:
+            tagged = df.withColumn("rule", F.lit(rule))
+            out = tagged if out is None else out.unionByName(tagged)
+        return out
+    out = None
+    for df, _ in branches:
+        out = df if out is None else out.unionByName(df)
+    return out.dropDuplicates(["s", "p", "o"])
+
+
+def entailed_only(triples: DataFrame, **kw) -> DataFrame:
+    """Just the NEW triples — the closed graph minus what was asserted
+    (the delta a materialized-view maintainer would write)."""
+    closed = rdfs_entail(triples, **kw)
+    return closed.join(triples.select("s", "p", "o").dropDuplicates(),
+                       ["s", "p", "o"], "left_anti")

@@ -90,3 +90,34 @@ def test_scd2_current_matches_merge(spark):
                for r in changelog_to_scd2(changes, ["key"], "seq")
                .filter("is_current").collect()}
     assert current == merged
+
+
+def test_snapshot_diff_added_removed_changed(spark):
+    from openapi_to_rdf_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")],
+        ["s", "p", "o"])
+    new = spark.createDataFrame(
+        [("a", "p", "1"),            # unchanged → silent
+         ("b", "p", "9"),            # changed → removed + added
+         ("d", "p", "4")],           # new → added
+        ["s", "p", "o"])             # c gone → removed
+    got = {(r.op, r.s, r.o)
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {("added", "b", "9"), ("added", "d", "4"),
+                   ("removed", "b", "2"), ("removed", "c", "3")}
+
+
+def test_snapshot_diff_single_shuffle_and_dup_collapse(spark):
+    from openapi_to_rdf_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "1")], ["s", "p", "o"])
+    new = spark.createDataFrame([("a", "p", "1")], ["s", "p", "o"])
+    diff = snapshot_diff(old, new)
+    assert diff.count() == 0  # duplicate within a side is not a change
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    # one hash-partition exchange (AQE may add nothing else); never a join
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
