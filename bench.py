@@ -125,7 +125,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "bgp_agg_orders", "doc_packing", "decontaminate",
              "range_join_windows", "stratified_sample",
              "hypertable_rollup", "user_hll", "bm25_topk",
-             "embedding_quantize"]
+             "embedding_quantize",
+             # added r2 session 4
+             "rdfs_entail", "pii_report", "snapshot_diff"]
     out = {}
     for name in names:
         t0 = time.time()

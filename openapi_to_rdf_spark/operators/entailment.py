@@ -149,3 +149,42 @@ def entailed_only(triples: DataFrame, **kw) -> DataFrame:
     closed = rdfs_entail(triples, **kw)
     return closed.join(triples.select("s", "p", "o").dropDuplicates(),
                        ["s", "p", "o"], "left_anti")
+
+
+def rdfs_entail_increment(new_triples: DataFrame, schema: DataFrame, *,
+                          type_pred: str = RDF_TYPE,
+                          max_rounds: int = 32) -> DataFrame:
+    """Incremental maintenance: the closed triples derivable from a
+    BATCH OF NEW instance triples under a FIXED schema — i.e. what to
+    append to an already-materialized closure when the corpus grows.
+
+    Correctness: every ρdf rule has at most ONE instance-side
+    antecedent (the other antecedents are schema), so derivations from
+    new instance rows never depend on old instance rows and
+    ``closed(base ∪ new) = closed(base) ∪ increment(new)`` exactly —
+    the reason incremental RDFS materialization is cheap while e.g.
+    incremental OWL (multi-instance-antecedent rules) is not. The
+    equivalence is asserted in tests/test_entailment.py.
+
+    ``new_triples`` must therefore contain NO schema triples (sco / spo
+    / dom / rng): a schema change invalidates previously-derived rows
+    globally and requires :func:`rdfs_entail` over the full graph —
+    detected here with a cheap isEmpty probe and refused loudly rather
+    than silently under-deriving.
+
+    Output may overlap the existing closure (set semantics restore it
+    on append/compaction, same as the streaming graph path); callers
+    needing the strict delta anti-join this output against the
+    materialized table — on a bucketed (s,p,o) layout, so the 10^12-row
+    side co-locates instead of reshuffling per batch.
+    """
+    leaked = new_triples.filter(F.col("p").isin(*_SCHEMA_PREDS))
+    if not leaked.isEmpty():
+        raise ValueError(
+            "new_triples contain rdfs schema triples — incremental "
+            "maintenance is only sound under a fixed schema; run "
+            "rdfs_entail over the full graph instead")
+    return rdfs_entail(
+        schema.select("s", "p", "o").unionByName(
+            new_triples.select("s", "p", "o")),
+        type_pred=type_pred, max_rounds=max_rounds)

@@ -101,3 +101,34 @@ def test_plan_broadcasts_schema_side(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                 "EvalPython"):
         assert bad not in plan, plan
+
+
+def test_incremental_equals_full_recompute(spark):
+    from openapi_to_rdf_spark.operators.entailment import (
+        rdfs_entail_increment,
+    )
+
+    schema = [r for r in TRIPLES if r[1].startswith("rdfs:")]
+    base_inst = [("x", "p", "y")]
+    new_inst = [("v", "p", "w"), ("w", "rdf:type", "A")]
+    full = {(r.s, r.p, r.o) for r in
+            rdfs_entail(_graph(spark, schema + base_inst + new_inst))
+            .collect()}
+    closed_base = rdfs_entail(_graph(spark, schema + base_inst))
+    inc = rdfs_entail_increment(_graph(spark, new_inst),
+                                _graph(spark, schema))
+    merged = {(r.s, r.p, r.o)
+              for r in closed_base.unionByName(inc).collect()}
+    assert merged == full
+
+
+def test_increment_refuses_schema_changes(spark):
+    import pytest
+
+    from openapi_to_rdf_spark.operators.entailment import (
+        rdfs_entail_increment,
+    )
+
+    bad = _graph(spark, [("Z", "rdfs:subClassOf", "A")])
+    with pytest.raises(ValueError, match="fixed schema"):
+        rdfs_entail_increment(bad, _graph(spark, TRIPLES))
