@@ -1149,8 +1149,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.lit("pred:suppliedBy").alias("p"),
                             iri("sup#", "l_suppkey").alias("o"))
                     .dropDuplicates(["s", "o"]))
+        # materialize once: rdfs_entail scans its input once per rule
+        # branch (by design — at corpus scale those are the rule passes),
+        # so the TEST graph (~13k rows) is checkpointed rather than
+        # re-deriving the lineitem scan 8×
         return sco_tree.unionByName(fixed).unionByName(types) \
-            .unionByName(supplied)
+            .unionByName(supplied).localCheckpoint()
+
+    def q_bpe_merges(spark, sf_dir):
+        """Distributed BPE merge training (operators/bpe): first 12
+        merge rules learned from the document corpus. Rows-only: the
+        iterative argmax is not ANSI-SQL-expressible; exactness vs a
+        pure-Python reference BPE is asserted in tests/test_bpe.py."""
+        from openapi_to_rdf_spark.operators.bpe import bpe_merge_table
+
+        return bpe_merge_table(spark, _docs(spark, sf_dir), 12)
 
     def q_snapshot_diff(spark, sf_dir):
         """Graph-snapshot set diff (operators/cdc.snapshot_diff): two
@@ -1313,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linker_accuracy": q_linker_accuracy,
         "rdfs_entail": q_rdfs_entail,
         "snapshot_diff": q_snapshot_diff,
+        "bpe_merges": q_bpe_merges,
         "pii_report": q_pii_report,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
@@ -2475,7 +2489,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_PII_REDACT}) AS redacted_md5 FROM p
         """,
         # shacl_rules: rows-only (requires running the spec converter)
-        # minhash_clusters / simhash_pairs / ann_topk / convert_specs /
+        # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
         # kg_extract / kg_canonicalize / media_features: non-SQL-expressible
         # (LSH banding, pandas-UDF signatures, recursive spec conversion,
         # synthetic transcript generator) → rows-only driver check.

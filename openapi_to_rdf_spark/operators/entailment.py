@@ -27,10 +27,12 @@ corpus:
 
 - The SCHEMA side (sco/spo/dom/rng triples) is a vocabulary: thousands
   of rows even for huge ontologies, vs 10^12 instance triples. Both
-  transitive closures run ONLY on the schema side (semi-naive, reusing
-  paths._closure_pairs), then every instance-side rule is a single
-  BROADCAST join: the 100 TB side is scanned once per stage and never
-  shuffled for the reasoning itself.
+  transitive closures run ONLY on the schema side — driver-side BFS by
+  default since a broadcastable side fits on the driver by construction
+  (``distributed=True`` for the semi-naive DataFrame fixpoint) — then
+  every instance-side rule is a single BROADCAST join: the 100 TB side
+  is scanned once per stage and never shuffled for the reasoning
+  itself.
 - Type lifting joins the (distinct-typed) instance rows against the
   broadcast sco closure — fan-out bounded by hierarchy depth, the
   textbook RDFS-materialization plan (WebPIE/Inferray schema-broadcast).
@@ -61,12 +63,49 @@ def _pairs(schema: DataFrame, pred: str) -> DataFrame:
     return schema.filter(F.col("p") == pred).select("s", "o")
 
 
-def schema_closures(schema: DataFrame, max_rounds: int = 32
+def _driver_closure(pairs: DataFrame) -> DataFrame:
+    """Transitive closure of a SMALL pair set, computed on the driver
+    (one collect, BFS per source) and shipped back as a DataFrame.
+
+    This is the WebPIE schema trick taken to its conclusion: the
+    schema is vocabulary-sized (≤10^5-ish edges even for huge
+    ontologies) and is about to be BROADCAST anyway — so it must fit on
+    the driver by construction, and closing it locally replaces ~3
+    Spark jobs PER hierarchy level (the semi-naive loop's frontier
+    join / anti-join / emptiness probe) with zero. Not a hot-path
+    collect: the 10^12-triple instance side never goes near this.
+    """
+    from collections import defaultdict
+
+    spark = pairs.sparkSession
+    adj = defaultdict(set)
+    for r in pairs.collect():
+        adj[r.s].add(r.o)
+    closed = []
+    for src in list(adj):
+        seen, stack = set(), list(adj[src])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        closed.extend((src, dst) for dst in seen)
+    return spark.createDataFrame(closed, schema="s string, o string")
+
+
+def schema_closures(schema: DataFrame, max_rounds: int = 32, *,
+                    distributed: bool = False
                     ) -> tuple[DataFrame, DataFrame]:
-    """(sco_closure, spo_closure) as distinct ≥1-step (s, o) pairs —
-    semi-naive fixpoints on the (small) schema side only."""
+    """(sco_closure, spo_closure) as distinct ≥1-step (s, o) pairs.
+    Driver-side BFS by default (see :func:`_driver_closure`);
+    ``distributed=True`` switches to the semi-naive DataFrame fixpoint
+    (paths._closure_pairs) for schemas too big to collect — at which
+    point the broadcast strategy below needs rethinking anyway."""
     sco = _pairs(schema, SCO)
     spo = _pairs(schema, SPO)
+    if not distributed:
+        return _driver_closure(sco), _driver_closure(spo)
     empty = sco.limit(0)
     sco_c = empty if sco.isEmpty() else _closure_pairs(sco, max_rounds)
     spo_c = empty if spo.isEmpty() else _closure_pairs(spo, max_rounds)
