@@ -1037,6 +1037,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6"))
                 .orderBy("id_a", "id_b"))
 
+    def q_semantic_dedup(spark, sf_dir):
+        # iters=0 = the deterministic oracle configuration: content-addressed
+        # centroids, rounded-cosine argmax assignment, within-cell exact
+        # pairs — every stage replicated in the DuckDB twin
+        from openapi_to_rdf_spark.operators.clustering import semantic_dedup
+
+        return (semantic_dedup(_emb(spark, sf_dir), threshold=0.4, k=8, iters=0)
+                .select("id_a", "id_b", _e6(F.col("cosine")).alias("cosine_e6")))
+
+    def q_kmeans_cells(spark, sf_dir):
+        # trained codebook (iterative Lloyd's — not SQL-expressible): per-cell
+        # population + mean assignment cosine, rows-only
+        from openapi_to_rdf_spark.operators.clustering import (
+            kmeans_cells, kmeans_fit,
+        )
+
+        e = _emb(spark, sf_dir)
+        cents = kmeans_fit(e, k=8, iters=2)
+        return (kmeans_cells(e, cents)
+                .select("cell", "n_vecs", _e6(F.col("avg_cosine")).alias("avg_cosine_e6")))
+
     def q_value_percentiles(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (ev.groupBy("event_type")
@@ -1279,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "kmeans_cells": q_kmeans_cells,
         "value_percentiles": q_value_percentiles,
         "value_histogram": q_value_histogram,
         "shacl_rules": q_shacl_rules,
@@ -2299,6 +2322,35 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM scored WHERE cosine >= 0.4
+        """,
+        # semantic_dedup at iters=0 is fully deterministic: md5-ordered
+        # centroid pick, argmax over ROUND(cosine, 6) with ties to the
+        # smaller cell id, exact within-cell pairs — replicated stage by
+        # stage (the iterative kmeans_fit path is rows-only: kmeans_cells)
+        "semantic_dedup": """
+            WITH c AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+            scored AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cell,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[], cv) /
+                           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(cv, cv))), 6) AS cos
+              FROM embeddings e CROSS JOIN c),
+            best AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cell ASC) AS rk FROM scored)
+              WHERE rk = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
+            FROM pairs WHERE cosine >= 0.4
         """,
         "corpus_curation": f"""
             WITH good AS (SELECT * FROM documents WHERE ({_QUALITY}) >= 0.5),

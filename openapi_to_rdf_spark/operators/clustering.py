@@ -1,0 +1,183 @@
+"""Distributed k-means over embeddings + SemDeDup-style semantic dedup.
+
+Two training-data operators the embedding stack was missing:
+
+- ``kmeans_fit``: Lloyd's algorithm with cosine assignment (spherical
+  k-means up to centroid scale — cosine is scale-invariant, so the
+  arithmetic-mean update needs no renormalization to produce the same
+  assignments). Initialization is content-addressed (the k corpus vectors
+  with the smallest md5(vec_id)), the same deterministic, partition-invariant
+  seeding ``similarity.ivf_topk`` uses for its train-free quantizer; a
+  trained codebook from here can replace it (`ivf_topk(centroids=...)`).
+
+- ``semantic_dedup``: cluster the corpus, then exact cosine pairs WITHIN each
+  cell (SemDeDup, Abbas et al. 2023, arXiv:2303.09540 — public paper): the
+  cells bound the pair blowup at ~n^2/k instead of n^2, which is what makes
+  embedding-level dedup feasible at corpus scale (the paper runs ~50k
+  clusters over LAION). ``iters=0`` degenerates to pure content-addressed
+  assignment — no floating-point averaging anywhere — which is the
+  ANSI-SQL-expressible configuration the driver oracle hash-checks end to
+  end (centroid pick, argmax assignment, within-cell pairs).
+
+100 TB posture:
+- Assignment is a PURE projection: centroids are embedded as literal arrays
+  (k is small by construction), so each round is one corpus scan with
+  map-side ``(cell, pos)`` partial aggregation — the corpus is never
+  shuffled, only k*dim partial sums per task are. This is the WebPIE-style
+  broadcast asymmetry the entailment operator uses: the big side streams,
+  the small side rides the closure.
+- Per-round driver sync (collect k*dim means) is inherent to Lloyd's and
+  costs k*dim doubles — the BPE trainer documents the same tradeoff.
+- The codegen budget bounds k*dim (literal count); past ~64k literals use a
+  larger-cluster strategy (sample-train here, assign-only at scale, or
+  hierarchical two-level k-means). ``kmeans_fit`` raises loudly rather than
+  silently planning a megabyte of codegen.
+- ``semantic_dedup``'s within-cell join is a hash equi-join on ``cell``;
+  ``max_cell`` stop-lists pathological cells (the same honest cap
+  simhash/ngram use for adversarial skew) so one dense cell cannot go
+  quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _cosine
+
+# literal-codegen guard: k * dim literals are planned per assignment
+# expression; 64k doubles ≈ a few hundred KB of codegen, safely under the
+# JVM's 64KB-per-method limit after Catalyst splitting but past it whole-stage
+# codegen falls back to interpreted mode and plan compile time dominates.
+MAX_CODEBOOK_LITERALS = 65_536
+
+
+def _lit_vec(vec: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _best_cell(vec_col, centroids: list[tuple[int, list[float]]]):
+    """(cell, cosine) of the nearest centroid as ONE codegen expression.
+
+    Cosine is rounded to 6 decimals BEFORE the argmax and ties break on the
+    smaller cell id — the exact tie discipline the DuckDB oracle replicates,
+    so assignment is engine-portable (float32→double casts and sequential
+    fold order already agree; see the cosine_topk oracle note). Argmax is
+    array_max + first array_position over the per-centroid cosine array
+    (centroids pre-sorted by cell id, so first match == smallest id); a
+    degenerate zero-norm vector (cosine NaN/NULL everywhere) pins to the
+    first centroid via nanvl(-2) instead of poisoning array_max, whose
+    double ordering treats NaN as the LARGEST value.
+    """
+    cents = sorted(centroids, key=lambda c: c[0])
+    cos_arr = F.array(*[
+        F.nanvl(F.coalesce(F.round(_cosine(vec_col, _lit_vec(cv)), 6),
+                           F.lit(-2.0)), F.lit(-2.0))
+        for _, cv in cents])
+    best = F.array_max(cos_arr)
+    idx = F.array_position(cos_arr, best).cast("int")
+    cell = F.element_at(F.array(*[F.lit(int(cid)) for cid, _ in cents]), idx)
+    return cell, best
+
+
+def kmeans_init(emb: DataFrame, k: int, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Content-addressed seeds: the k vectors with the smallest
+    md5(vec_id) — deterministic, partition-invariant, and reproducible in
+    any engine (the oracle recomputes it with the same md5)."""
+    rows = (emb.select(F.col(id_col),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("hk", F.md5(F.col(id_col).cast("string")))
+            .orderBy("hk", id_col).limit(k)
+            .select(id_col, "v").collect())
+    return [(int(r[0]), list(r[1])) for r in rows]
+
+
+def kmeans_fit(emb: DataFrame, k: int = 16, iters: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               ) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means -> [(cell_id, centroid)] (cell ids = seed vec_ids).
+
+    Each round: one corpus scan (assignment inlined as a projection), one
+    (cell, pos)-key partial-agg shuffle of k*dim running sums, one k*dim
+    driver collect. Empty cells keep their previous centroid (standard
+    Lloyd's degeneracy handling; deterministic).
+    """
+    cents = kmeans_init(emb, k, id_col, vec_col)
+    if not cents:
+        return []
+    dim = len(cents[0][1])
+    if len(cents) * dim > MAX_CODEBOOK_LITERALS:
+        raise ValueError(
+            f"k*dim = {k * dim} > {MAX_CODEBOOK_LITERALS}: codebook too large "
+            "to inline; sample-train the codebook or use two-level k-means")
+    base = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        cell, _cos = _best_cell(F.col("v"), cents)
+        means = (base.select(cell.alias("cell"), F.posexplode("v"))
+                 .groupBy("cell", "pos").agg(F.avg("col").alias("m"))
+                 .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [(cid, [by_cell[cid][p] for p in range(dim)]
+                  if cid in by_cell else cv)
+                 for cid, cv in cents]
+    return cents
+
+
+def kmeans_assign(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, v, cell, cosine): nearest-centroid assignment as a pure
+    projection — zero shuffles, the corpus streams once."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    cell, cos = _best_cell(F.col("v"), centroids)
+    return base.select("id", "v", cell.alias("cell"), cos.alias("cell_cosine"))
+
+
+def kmeans_cells(emb: DataFrame, centroids: list[tuple[int, list[float]]],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-cell quality report (cell, n_vecs, avg_cosine) — the codebook
+    diagnostic (balanced cells + high avg cosine = good quantizer)."""
+    a = kmeans_assign(emb, centroids, id_col, vec_col)
+    return (a.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("cell_cosine"), 6).alias("avg_cosine")))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.7, k: int = 16,
+                   iters: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cell: int | None = None,
+                   centroids: list[tuple[int, list[float]]] | None = None,
+                   ) -> DataFrame:
+    """SemDeDup: (id_a, id_b, cosine) pairs with cosine >= threshold that
+    share a k-means cell. Approximate only at the cell boundary (a pair split
+    across cells is missed — recall is measured in operators.recall);
+    precision is 1.0 because every emitted pair is exact-cosine-verified.
+
+    ``iters=0`` + default centroids = the deterministic oracle configuration
+    (no averaging; the DuckDB twin reproduces it bit-for-bit). ``max_cell``
+    stop-lists cells larger than the cap, the same skew backstop the
+    simhash/ngram paths use.
+    """
+    if centroids is None:
+        centroids = (kmeans_fit(emb, k, iters, id_col, vec_col) if iters > 0
+                     else kmeans_init(emb, k, id_col, vec_col))
+    a = kmeans_assign(emb, centroids, id_col, vec_col).drop("cell_cosine")
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cell")
+        a = (a.withColumn("_n", F.count(F.lit(1)).over(w))
+             .filter(F.col("_n") <= max_cell).drop("_n"))
+    left = a.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = a.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (left.join(right, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -136,10 +136,24 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              embedding_dup_pairs_lsh(twins, threshold=0.999)),
                  truth_twin.count()))
 
-    wild_truth = embedding_dup_pairs(emb, threshold=0.4, exact=True)
+    wild_truth = embedding_dup_pairs(emb, threshold=0.4, exact=True).localCheckpoint()
     rows.append(("embedding_lsh_pairs@0.4",
                  pair_recall(wild_truth,
                              embedding_dup_pairs_lsh(emb, threshold=0.4)),
+                 wild_truth.count()))
+
+    # SemDeDup: recall loss is exactly the pairs split across k-means cells.
+    # Twins (cosine 1.0) always share a cell -> in-regime recall ~1; the
+    # out-of-regime 0.4 threshold documents the honest cell-boundary loss.
+    from .clustering import semantic_dedup
+
+    rows.append(("semantic_dedup@0.999 twins",
+                 pair_recall(truth_twin,
+                             semantic_dedup(twins, threshold=0.999, k=8, iters=2)),
+                 truth_twin.count()))
+    rows.append(("semantic_dedup@0.4",
+                 pair_recall(wild_truth,
+                             semantic_dedup(emb, threshold=0.4, k=8, iters=0)),
                  wild_truth.count()))
 
     # MinHash clustering vs exact char-4-gram Jaccard (its own shingle

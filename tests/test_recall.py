@@ -137,9 +137,11 @@ def test_recall_report_shape(spark):
     assert set(rep) == {"ann_lsh_topk@10 L=1", "ann_lsh_topk@10 L=8",
                         "ivf_topk@10 probe=2", "ivf_topk@10 probe=8",
                         "embedding_lsh_pairs@0.999", "embedding_lsh_pairs@0.4",
+                        "semantic_dedup@0.999 twins", "semantic_dedup@0.4",
                         "minhash_clusters@0.8"}
     assert all(0 <= r.recall_e6 <= 1_000_000 for r in rep.values())
     assert rep["embedding_lsh_pairs@0.999"].recall_e6 >= 950_000
+    assert rep["semantic_dedup@0.999 twins"].recall_e6 >= 950_000
     assert rep["minhash_clusters@0.8"].recall_e6 >= 950_000
 
 
