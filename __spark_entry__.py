@@ -1092,6 +1092,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("max_count").alias("n_max"),
             F.count("in_values").alias("n_in")))
 
+    def q_infer_shapes(spark, sf_dir):
+        """Schema discovery (rules FROM data): infer SHACL-style shape rules
+        over a typed RDF encoding of orders; the DuckDB twin re-derives the
+        same cardinality/datatype/nodeKind/enum inference relationally."""
+        from functools import reduce
+
+        from openapi_to_rdf_spark.operators.shapes import RDF_TYPE, infer_shapes
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        s = F.concat(F.lit("order#"), F.col("o_orderkey").cast("string"))
+
+        def enc(df, p, o, kind, dt=None):
+            return df.select(
+                s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
+                F.lit(kind).alias("o_kind"),
+                (F.lit(dt) if dt else F.lit(None).cast("string")).alias("o_datatype"))
+
+        parts = [
+            enc(ordr, RDF_TYPE, F.lit(kg + "Order"), "iri"),
+            enc(ordr, kg + "placedBy",
+                F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")), "iri"),
+            enc(ordr, kg + "priority", F.col("o_orderpriority"), "literal",
+                xsd + "string"),
+            enc(ordr, kg + "orderDate",
+                F.date_format("o_orderdate", "yyyy-MM-dd"), "literal",
+                xsd + "date"),
+            # conditional property: present only on large orders -> min_count 0
+            enc(ordr.filter(F.col("o_totalprice") > 200000), kg + "bigOrder",
+                F.lit("true"), "literal", xsd + "boolean"),
+        ]
+        rules = infer_shapes(reduce(lambda a, b: a.unionAll(b), parts))
+        return rules.select(
+            "target_class", "path", "datatype",
+            F.col("min_count").cast("long").alias("min_count"),
+            F.col("max_count").cast("long").alias("max_count"),
+            F.array_join("in_values", ",").alias("in_vals"),
+            "node_kind")
+
     def q_kg_graph_stats(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import (
             KG_NS, extract_transcript_triples,
@@ -1305,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "value_histogram": q_value_histogram,
         "shacl_rules": q_shacl_rules,
+        "infer_shapes": q_infer_shapes,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
@@ -2351,6 +2392,64 @@ def oracle_sql() -> dict[str, str]:
               FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM pairs WHERE cosine >= 0.4
+        """,
+        # infer_shapes: the same typed-orders RDF encoding is built in SQL,
+        # then the inference (distinct-value cardinality, uniform-datatype,
+        # all-IRI nodeKind, <=8-distinct-literal enum) re-derived relationally
+        "infer_shapes": """
+            WITH tr AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o,
+                     'iri' AS o_kind, CAST(NULL AS VARCHAR) AS o_datatype
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority, 'literal',
+                     'http://www.w3.org/2001/XMLSchema#string'
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#orderDate',
+                     strftime(o_orderdate, '%Y-%m-%d'), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#date'
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#bigOrder',
+                     'true', 'literal',
+                     'http://www.w3.org/2001/XMLSchema#boolean'
+              FROM orders WHERE o_totalprice > 200000),
+            nsubj AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders),
+            subj AS (
+              SELECT p, s, COUNT(DISTINCT concat_ws(chr(1), o, o_kind,
+                                 coalesce(o_datatype, chr(2)))) AS n
+              FROM tr GROUP BY 1, 2),
+            card AS (SELECT p, MAX(n) AS max_count, MIN(n) AS min_n,
+                            COUNT(*) AS n_with FROM subj GROUP BY 1),
+            obj AS (
+              SELECT p, COUNT(DISTINCT o) AS n_obj,
+                     COUNT(CASE WHEN o_kind != 'literal' THEN 1 END) AS n_nonlit,
+                     COUNT(CASE WHEN o_kind != 'iri' THEN 1 END) AS n_noniri,
+                     COUNT(DISTINCT CASE WHEN o_kind = 'literal'
+                                         THEN o_datatype END) AS n_dt,
+                     MAX(CASE WHEN o_kind = 'literal' THEN o_datatype END) AS one_dt
+              FROM tr GROUP BY 1),
+            inv AS (
+              SELECT tr.p, array_to_string(list_sort(list(DISTINCT o)), ',') AS in_vals
+              FROM tr JOIN obj ON tr.p = obj.p
+              WHERE obj.n_obj <= 8 AND obj.n_nonlit = 0 GROUP BY 1)
+            SELECT 'http://ericsson.com/models/3gpp/kg#Order' AS target_class,
+                   card.p AS path,
+                   CASE WHEN n_nonlit = 0 AND n_dt = 1 THEN one_dt END AS datatype,
+                   CAST(CASE WHEN n_with = (SELECT n FROM nsubj)
+                             THEN min_n ELSE 0 END AS BIGINT) AS min_count,
+                   CAST(max_count AS BIGINT) AS max_count,
+                   inv.in_vals,
+                   CASE WHEN n_noniri = 0
+                        THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
+            FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
         """,
         "corpus_curation": f"""
             WITH good AS (SELECT * FROM documents WHERE ({_QUALITY}) >= 0.5),

@@ -177,6 +177,87 @@ def kg_shape_rules(spark, kg_ns: str) -> DataFrame:
         "node_kind string, pattern string")
 
 
+def infer_shapes(triples: DataFrame, max_in: int = 8,
+                 file: str = "inferred") -> DataFrame:
+    """Schema discovery: instance triples -> shape rules (the REVERSE of
+    shape_rules_from_shacl — the converter derives rules from authored
+    specs; this derives them from data, closing the loop for sources that
+    ship no spec). Per (class, path) over subjects typed with that class:
+
+    - max_count / min_count: per-subject triple counts; min_count drops to 0
+      unless EVERY subject of the class carries the path (SHACL minCount
+      semantics over the observed universe);
+    - datatype: emitted iff all objects are literals of ONE datatype;
+    - node_kind: sh:IRI iff all objects are IRIs;
+    - in_values: the sorted distinct-object list iff all-literal and the
+      distinct count is <= max_in (the enum heuristic — mirrors the
+      reference's sh:in emission for schema enums, shacl_converter.py
+      ~:344-353, derived from data instead of the spec).
+
+    The output feeds validate_triples directly, and validating the SOURCE
+    graph against its own inferred rules yields zero violations by
+    construction (asserted in tests — the self-consistency invariant).
+
+    Scale: two passes over the typed-property join. Pass 1 is all bounded
+    aggregation state (counts, one max). Pass 2 collects the actual
+    in_values lists ONLY for (class, path) groups pass 1 proved small
+    (broadcast semi-join on the qualifying pairs) — collect_set state is
+    bounded by max_in per group, never by corpus cardinality.
+    """
+    typed = (triples.filter(F.col("p") == RDF_TYPE)
+             .select(F.col("s"), F.col("o").alias("cls"))
+             .dropDuplicates())
+    props = (triples.filter(F.col("p") != RDF_TYPE)
+             .select("s", "p", "o", "o_kind", "o_datatype")
+             .join(typed, "s"))
+
+    class_sizes = typed.groupBy("cls").agg(F.count(F.lit(1)).alias("n_subj"))
+
+    # distinct VALUE NODES per focus, the same identity validate_triples
+    # counts — duplicate input rows must not inflate cardinality bounds
+    subj_counts = (props.groupBy("cls", "p", "s")
+                   .agg(F.countDistinct(
+                       F.concat_ws("\x01", "o", "o_kind",
+                                   F.coalesce("o_datatype", F.lit("\x02"))))
+                        .alias("n")))
+    card = (subj_counts.groupBy("cls", "p")
+            .agg(F.max("n").alias("max_count"),
+                 F.min("n").alias("min_n"),
+                 F.count(F.lit(1)).alias("n_with")))
+
+    obj = (props.groupBy("cls", "p")
+           .agg(F.countDistinct("o").alias("n_obj"),
+                F.count(F.when(F.col("o_kind") != "literal", 1)).alias("n_nonlit"),
+                F.count(F.when(F.col("o_kind") != "iri", 1)).alias("n_noniri"),
+                F.countDistinct(F.when(F.col("o_kind") == "literal",
+                                       F.col("o_datatype"))).alias("n_dt"),
+                F.max(F.when(F.col("o_kind") == "literal",
+                             F.col("o_datatype"))).alias("one_dt")))
+
+    enum_groups = (obj.filter((F.col("n_obj") <= max_in) & (F.col("n_nonlit") == 0))
+                   .select("cls", "p"))
+    in_vals = (props.join(F.broadcast(enum_groups), ["cls", "p"], "left_semi")
+               .groupBy("cls", "p")
+               .agg(F.array_sort(F.collect_set("o")).alias("in_values")))
+
+    return (card
+            .join(obj, ["cls", "p"])
+            .join(F.broadcast(class_sizes), "cls")
+            .join(in_vals, ["cls", "p"], "left")
+            .select(
+                F.lit(file).alias("file"),
+                F.col("cls").alias("target_class"),
+                F.col("p").alias("path"),
+                F.when((F.col("n_nonlit") == 0) & (F.col("n_dt") == 1),
+                       F.col("one_dt")).alias("datatype"),
+                F.when(F.col("n_with") == F.col("n_subj"), F.col("min_n"))
+                .otherwise(F.lit(0)).cast("int").alias("min_count"),
+                F.col("max_count").cast("int").alias("max_count"),
+                F.col("in_values"),
+                F.when(F.col("n_noniri") == 0, F.lit(SH + "IRI")).alias("node_kind"),
+                F.lit(None).cast("string").alias("pattern")))
+
+
 def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     """Triple table vs rules -> violations(s, p, o, violation, detail).
 

@@ -1,0 +1,121 @@
+"""Schema discovery: operators.shapes.infer_shapes (rules FROM data)."""
+
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from openapi_to_rdf_spark.operators.shapes import (  # noqa: E402
+    RDF_TYPE, SH, infer_shapes, validate_triples,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+KG = "http://example.org/kg#"
+
+
+def _t(spark, rows):
+    """rows: (s, p, o, o_kind, o_datatype)."""
+    return spark.createDataFrame(
+        [("f", "kg", *r) for r in rows],
+        "file string, graph string, s string, p string, o string, "
+        "o_kind string, o_datatype string")
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(4):
+        s = f"ent{i}"
+        rows.append((s, RDF_TYPE, KG + "Thing", "iri", None))
+        rows.append((s, KG + "name", f"name-{i}", "literal", XSD + "string"))
+        rows.append((s, KG + "status", "on" if i % 2 else "off", "literal",
+                     XSD + "string"))
+        rows.append((s, KG + "linkedTo", f"other{i}", "iri", None))
+        if i < 2:  # optional property: only half the subjects carry it
+            rows.append((s, KG + "note", f"n{i}", "literal", XSD + "string"))
+        if i == 0:  # multi-valued on one subject
+            rows.append((s, KG + "linkedTo", "extra", "iri", None))
+    return _t(spark, rows)
+
+
+def test_infer_cardinality_datatype_kind_and_enum(spark):
+    rules = {r.path: r for r in infer_shapes(_corpus(spark)).collect()}
+
+    name = rules[KG + "name"]
+    assert (name.target_class, name.min_count, name.max_count) == (KG + "Thing", 1, 1)
+    assert name.datatype == XSD + "string"
+    assert name.node_kind is None          # literals, not IRIs
+    assert name.in_values == ["name-0", "name-1", "name-2", "name-3"]
+
+    status = rules[KG + "status"]
+    assert status.in_values == ["off", "on"]   # the enum heuristic
+    assert (status.min_count, status.max_count) == (1, 1)
+
+    note = rules[KG + "note"]
+    assert note.min_count == 0             # absent on some subjects
+    assert note.max_count == 1
+
+    linked = rules[KG + "linkedTo"]
+    assert linked.node_kind == SH + "IRI"
+    assert linked.datatype is None
+    assert linked.in_values is None        # IRIs are never enum candidates
+    assert (linked.min_count, linked.max_count) == (1, 2)
+
+
+def test_infer_enum_respects_max_in(spark):
+    rules = {r.path: r
+             for r in infer_shapes(_corpus(spark), max_in=2).collect()}
+    assert rules[KG + "name"].in_values is None       # 4 distinct > 2
+    assert rules[KG + "status"].in_values == ["off", "on"]
+
+
+def test_infer_mixed_kinds_emit_neither_datatype_nor_kind(spark):
+    t = _t(spark, [
+        ("a", RDF_TYPE, KG + "T", "iri", None),
+        ("a", KG + "p", "lit", "literal", XSD + "string"),
+        ("a", KG + "p", "someiri", "iri", None),
+    ])
+    r = infer_shapes(t).collect()[0]
+    assert r.datatype is None and r.node_kind is None
+    assert r.in_values is None            # mixed kinds never enum
+
+
+def test_infer_duplicate_rows_do_not_inflate_counts(spark):
+    base = [("a", RDF_TYPE, KG + "T", "iri", None),
+            ("a", KG + "p", "v", "literal", XSD + "string")]
+    t = _t(spark, base + base)            # every triple duplicated
+    r = [x for x in infer_shapes(t).collect() if x.path == KG + "p"][0]
+    assert (r.min_count, r.max_count) == (1, 1)
+
+
+def test_self_consistency_source_validates_clean(spark):
+    """The defining invariant: a graph always satisfies its own inferred
+    shapes (and a mutated graph does not)."""
+    src = _corpus(spark)
+    rules = infer_shapes(src)
+    assert validate_triples(src, rules).count() == 0
+
+    # plant a violation: ent1 gets a second status value (maxCount 1)
+    bad = src.unionByName(_t(spark, [
+        ("ent1", KG + "status", "degraded", "literal", XSD + "string")]))
+    v = validate_triples(bad, rules).collect()
+    kinds = {r.violation for r in v}
+    # the extra value breaks maxCount AND falls outside the inferred sh:in
+    assert "cardinalityViolation" in kinds
+    assert "notInList" in kinds
+
+
+def test_kg_pipeline_graph_self_validates(spark):
+    """End-to-end on the real extractor output: infer from the transcript
+    KG, validate the same graph -> clean."""
+    from openapi_to_rdf_spark.operators.extract import extract_transcript_triples
+    from openapi_to_rdf_spark.sources.transcripts import (
+        class_vocab_df, synth_transcripts,
+    )
+
+    triples = extract_transcript_triples(synth_transcripts(spark, 40, seed=3),
+                                         class_vocab_df(spark))
+    rules = infer_shapes(triples)
+    assert rules.count() > 0
+    assert validate_triples(triples, rules).count() == 0
