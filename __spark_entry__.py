@@ -162,6 +162,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return event_rollup(ev)
 
+    def q_event_transitions(spark, sf_dir):
+        """Markov flow mining: per-user event_type transition counts with
+        __START__/__END__ endpoints, ordered by (ts, event_id)."""
+        from openapi_to_rdf_spark.operators.events import transition_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return transition_counts(ev, "user_id", ["ts", "event_id"],
+                                 "event_type")
+
+    def q_event_paths(spark, sf_dir):
+        """Frequent length-3 event-type paths per user (sequence n-grams)."""
+        from openapi_to_rdf_spark.operators.events import label_path_counts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return label_path_counts(ev, "user_id", ["ts", "event_id"],
+                                 "event_type", n=3)
+
     def q_range_join_windows(spark, sf_dir):
         """Bin-bucketed point-in-interval join (operators/events.range_join):
         every event matched against the 2-hour window opened by each of the
@@ -1315,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "event_rollup": q_event_rollup,
+        "event_transitions": q_event_transitions,
+        "event_paths": q_event_paths,
         "user_setops": q_user_setops,
         "event_ranks": q_event_ranks,
         "doc_tokens": q_doc_tokens,
@@ -2392,6 +2411,33 @@ def oracle_sql() -> dict[str, str]:
               FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM pairs WHERE cosine >= 0.4
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER w AS prev,
+                     ROW_NUMBER() OVER w AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS cnt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tr AS (
+              SELECT prev AS src, event_type AS dst FROM seq WHERE rn > 1
+              UNION ALL
+              SELECT '__START__', event_type FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT event_type, '__END__' FROM seq WHERE rn = cnt)
+            SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY 1, 2
+        """,
+        "event_paths": """
+            WITH seq AS (
+              SELECT user_id, list(event_type ORDER BY ts, event_id) AS labs
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT unnest([array_to_string(
+                       labs[CAST(i AS INT):CAST(i AS INT) + 2], '>')
+                     FOR i IN range(1, len(labs) - 1)]) AS path
+              FROM seq)
+            SELECT path, COUNT(*) AS n_occurrences FROM g GROUP BY 1
         """,
         # infer_shapes: the same typed-orders RDF encoding is built in SQL,
         # then the inference (distinct-value cardinality, uniform-datatype,

@@ -193,3 +193,79 @@ def event_rollup(events: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value") * 1000000).cast("long").alias("sum_value_e6"),
                  F.grouping_id().alias("grp")))
+
+
+def transition_counts(df: DataFrame, group_col: str, order_cols: list[str],
+                      label_col: str, endpoints: bool = True) -> DataFrame:
+    """Markov-style flow mining: (src, dst, n) transition counts of
+    ``label_col`` within each group under a total order — the tool-call
+    flow miner for agent transcripts (group=conv_id, order=turn_idx,
+    label=tool) and the event-funnel miner for event streams
+    (group=user_id, order=[ts, event_id]).
+
+    ``endpoints=True`` adds __START__ -> first and last -> __END__ edges so
+    entry/exit distributions come out of the same pass (the sequence-mining
+    convention).
+
+    One window pass (lag + lead share a single sort), one map-side-combined
+    count. The per-group sort is bounded by group length (turns per
+    conversation / events per user), never corpus-wide. Deterministic iff
+    ``order_cols`` is a total order within each group — pass a unique
+    tiebreaker (event_id, turn_idx) as the last column.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    wp = Window.partitionBy(group_col)
+    # endpoints come from row positions, NOT lag()/lead() nullness — a NULL
+    # label is a legitimate state (transcript turns without a tool call),
+    # and lag()==NULL cannot distinguish "first row" from "previous label
+    # was NULL"
+    base = df.select(
+        F.lag(label_col).over(w).alias("_prev"),
+        F.col(label_col).alias("_dst"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_cnt"))
+    is_first = F.col("_rn") == 1
+    inner = (base.filter(~is_first)
+             .select(F.col("_prev").alias("src"), F.col("_dst").alias("dst")))
+    if endpoints:
+        head = base.filter(is_first).select(
+            F.lit("__START__").alias("src"), F.col("_dst").alias("dst"))
+        tail = base.filter(F.col("_rn") == F.col("_cnt")).select(
+            F.col("_dst").alias("src"), F.lit("__END__").alias("dst"))
+        inner = inner.unionAll(head).unionAll(tail)
+    return inner.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+
+
+def label_path_counts(df: DataFrame, group_col: str, order_cols: list[str],
+                      label_col: str, n: int = 3,
+                      sep: str = ">") -> DataFrame:
+    """Frequent length-n label paths (path, n_occurrences): the n-gram
+    generalization of transition_counts (n=2 == its endpoint-free edges).
+
+    collect_list is safe here because group length is bounded by the
+    group's own event count (turns per conversation); the sort-under-struct
+    trick keeps ordering deterministic without a second window pass.
+    """
+    seq = (df.groupBy(group_col)
+           .agg(F.array_sort(F.collect_list(F.struct(
+               *[F.col(c) for c in order_cols],
+               F.col(label_col).alias("_lab")))).alias("_seq")))
+
+    # bind the extracted label array ONCE as a lambda variable — referencing
+    # the getField tree inside the per-gram lambda would re-inline the
+    # array<struct> extraction per gram (the word_ngrams pathology)
+    def grams_of(labs):
+        # guard: Spark sequence(1, 0) counts DOWN, so short groups must
+        # short-circuit to an empty array instead of emitting ghost grams
+        idx = F.sequence(F.lit(1), F.size(labs) - n + 1)
+        # null_replacement: array_join silently DROPS null elements, which
+        # would collapse "a>NULL>b" into "a>b"
+        g = F.transform(idx, lambda i: F.array_join(F.slice(labs, i, n), sep,
+                                                    "__NULL__"))
+        return F.when(F.size(labs) >= n, g).otherwise(
+            F.array().cast("array<string>"))
+
+    grams = seq.select(F.explode(F.element_at(
+        F.transform(F.array(F.col("_seq").getField("_lab")), grams_of), 1))
+        .alias("path"))
+    return grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -125,3 +125,82 @@ def test_event_rollup_levels(spark):
     assert total[0].sum_value_e6 == 7_000_000
     by_type = {r.event_type: r.n for r in rows if r.grp == 1}
     assert by_type == {"a": 2, "b": 1}
+
+
+def test_transition_counts_semantics(spark):
+    from openapi_to_rdf_spark.operators.events import transition_counts
+
+    rows = [  # (conv, idx, tool)
+        ("c1", 0, "search"), ("c1", 1, "read"), ("c1", 2, "search"),
+        ("c2", 0, "read"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+    got = {(r.src, r.dst): r.n
+           for r in transition_counts(df, "conv_id", ["turn_idx"], "tool").collect()}
+    assert got == {
+        ("__START__", "search"): 1, ("search", "read"): 1,
+        ("read", "search"): 1, ("search", "__END__"): 1,
+        ("__START__", "read"): 1, ("read", "__END__"): 1,
+    }
+    inner = {(r.src, r.dst): r.n
+             for r in transition_counts(df, "conv_id", ["turn_idx"], "tool",
+                                        endpoints=False).collect()}
+    assert inner == {("search", "read"): 1, ("read", "search"): 1}
+
+
+def test_transition_counts_vs_python_on_transcripts(spark):
+    from openapi_to_rdf_spark.operators.events import transition_counts
+    from openapi_to_rdf_spark.sources.transcripts import synth_transcripts
+
+    turns = synth_transcripts(spark, 60, seed=9).select(
+        "conv_id", "turn_idx", "tool").localCheckpoint()
+    got = {(r.src, r.dst): r.n
+           for r in transition_counts(turns, "conv_id", ["turn_idx"],
+                                      "tool").collect()}
+    seqs = {}
+    for r in turns.collect():
+        seqs.setdefault(r.conv_id, []).append((r.turn_idx, r.tool))
+    expected = {}
+    for s in seqs.values():
+        labs = [t for _, t in sorted(s)]
+        for a, b in zip(["__START__"] + labs, labs + ["__END__"]):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+    assert got == expected
+
+
+def test_label_path_counts_vs_python(spark):
+    from openapi_to_rdf_spark.operators.events import label_path_counts
+
+    rows = [("c1", i, t) for i, t in
+            enumerate(["a", "b", "a", "b", "c"])] + [("c2", 0, "a"), ("c2", 1, "b")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+    got = {r.path: r.n_occurrences
+           for r in label_path_counts(df, "conv_id", ["turn_idx"], "tool",
+                                      n=3).collect()}
+    assert got == {"a>b>a": 1, "b>a>b": 1, "a>b>c": 1}
+    # groups shorter than n contribute nothing (and no ghost grams from
+    # Spark's descending sequence())
+    short = label_path_counts(
+        spark.createDataFrame([("c", 0, "x")], ["conv_id", "turn_idx", "tool"]),
+        "conv_id", ["turn_idx"], "tool", n=2)
+    assert short.count() == 0
+
+
+def test_label_path_n2_equals_endpointfree_transitions(spark):
+    from openapi_to_rdf_spark.operators.events import (
+        label_path_counts, transition_counts,
+    )
+    from openapi_to_rdf_spark.sources.transcripts import synth_transcripts
+
+    turns = synth_transcripts(spark, 40, seed=4).select(
+        "conv_id", "turn_idx", "tool").localCheckpoint()
+    paths = {r.path: r.n_occurrences
+             for r in label_path_counts(turns, "conv_id", ["turn_idx"],
+                                        "tool", n=2).collect()}
+    edges = {}
+    for r in transition_counts(turns, "conv_id", ["turn_idx"],
+                               "tool", endpoints=False).collect():
+        s = r.src if r.src is not None else "__NULL__"
+        d = r.dst if r.dst is not None else "__NULL__"
+        edges[f"{s}>{d}"] = r.n
+    assert paths == edges
