@@ -60,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "class_name, prior); adds the links stage — every "
                         "canonical entity scored + linked against it "
                         "(operators.linker)")
+    k.add_argument("--export-ntriples", default=None, metavar="DIR",
+                   help="also export the final graph as distributed "
+                        "N-Triples part files under DIR")
     k.add_argument("--cores", type=int, default=None)
 
     s = sub.add_parser("stream", help="continuous ingest: transcript parquet "
@@ -175,6 +178,15 @@ def cmd_kg(args) -> int:
             top = sorted(m["metrics"]["counts"].items())[:4]
             extra = " (" + ", ".join(f"{k}={v}" for k, v in top) + ")"
         print(f"  {name}: {m['metrics']['rows']} rows, snap {m['fingerprint']}{extra}")
+    if args.export_ntriples:
+        import pathlib
+
+        from .plans.snapshot import read_snapshot
+        from .sinks import write_ntriples
+
+        graph = read_snapshot(spark, pathlib.Path(args.workdir) / "graph")
+        write_ntriples(graph, args.export_ntriples)
+        print(f"  ntriples: exported to {args.export_ntriples}")
     return 0
 
 

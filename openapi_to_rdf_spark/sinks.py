@@ -66,3 +66,55 @@ def write_turtle(triples: DataFrame, output_dir: str) -> DataFrame:
             columns=["file", "graph", "out_path", "triples"])
 
     return triples.groupBy("file", "graph").applyInPandas(serialize, RESULT_SCHEMA)
+
+
+def ntriples_line(s=None, p=None, o=None, o_kind=None, o_datatype=None):
+    """One N-Triples line per triple row as a PURE JVM expression.
+
+    N-Triples is the line-oriented RDF syntax — no prefixes, no per-file
+    state — which makes it the 100 TB graph export: serialization is a
+    codegen projection and the write is a plain distributed text sink, vs
+    Turtle's per-(file, graph) applyInPandas grouping (write_turtle), which
+    exists for byte-parity with the reference layout, not for scale.
+
+    Literal escaping follows the N-Triples grammar (backslash first, then
+    quote/LF/CR/TAB); xsd:string literals are emitted plain (the parser maps
+    both spellings to the same term). IRIs are emitted verbatim — this
+    engine's IRIs are mint-controlled (no <>-escaping needed).
+    """
+    from pyspark.sql import functions as F
+
+    s, p, o = F.col(s or "s"), F.col(p or "p"), F.col(o or "o")
+    kind = F.col(o_kind or "o_kind")
+    dt = F.col(o_datatype or "o_datatype")
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+
+    def esc(c):
+        c = F.regexp_replace(c, r"\\", r"\\\\")
+        c = F.regexp_replace(c, '"', '\\\\"')
+        c = F.regexp_replace(c, "\n", r"\\n")
+        c = F.regexp_replace(c, "\r", r"\\r")
+        return F.regexp_replace(c, "\t", r"\\t")
+
+    subj = F.when(s.startswith("_:"), s).otherwise(F.concat(F.lit("<"), s, F.lit(">")))
+    lit = F.concat(F.lit('"'), esc(o), F.lit('"'),
+                   F.when(F.coalesce(dt, F.lit(xsd_string)) == xsd_string, F.lit(""))
+                   .otherwise(F.concat(F.lit("^^<"), dt, F.lit(">"))))
+    obj = (F.when(kind == "iri", F.concat(F.lit("<"), o, F.lit(">")))
+           .when(kind == "bnode",
+                 F.when(o.startswith("_:"), o).otherwise(F.concat(F.lit("_:"), o)))
+           .otherwise(lit))
+    return F.concat(subj, F.lit(" <"), p, F.lit("> "), obj, F.lit(" ."))
+
+
+def write_ntriples(triples: DataFrame, output_path: str,
+                   mode: str = "overwrite",
+                   partitions: int | None = None) -> None:
+    """Distributed N-Triples export: one text part-file per partition under
+    ``output_path`` (the standard massive-graph layout — consumers cat or
+    parallel-read the parts). No shuffle unless ``partitions`` asks for a
+    specific output file count."""
+    out = triples.select(ntriples_line().alias("value"))
+    if partitions is not None:
+        out = out.repartition(partitions)
+    out.write.mode(mode).text(output_path)
