@@ -73,24 +73,33 @@ def hyperplane_bucket(vec_col, planes: np.ndarray):
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_cells: int = 16, n_probe: int = 2, seed: int = 29) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: the train-free variant.
+             n_cells: int = 16, n_probe: int = 2, seed: int = 29,
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
 
-    Coarse centroids are a deterministic hash-sample of the corpus itself
-    (no k-means pass needed for a coarse quantizer); every corpus vector is
-    assigned to its nearest centroid (one broadcast pass), and each query
-    scans only its ``n_probe`` nearest cells. Per-query cost drops from
-    |corpus| to n_probe/n_cells of it; the cell assignment materializes once
-    and is reusable across query batches, exactly like the LSH buckets.
+    Train-free by default: coarse centroids are a deterministic hash-sample
+    of the corpus itself (no k-means pass needed for a coarse quantizer).
+    Pass ``centroids`` (e.g. from ``clustering.kmeans_fit``) to use a
+    TRAINED codebook instead — better-balanced cells at the cost of the
+    Lloyd rounds; the recall suite reports both variants.
+
+    Every corpus vector is assigned to its nearest centroid (one broadcast
+    pass), and each query scans only its ``n_probe`` nearest cells.
+    Per-query cost drops from |corpus| to n_probe/n_cells of it; the cell
+    assignment materializes once and is reusable across query batches,
+    exactly like the LSH buckets.
     """
-    # deterministic coarse centroids: the n_cells corpus vectors with the
-    # smallest md5-derived key (content-addressed, partition-invariant)
-    cent_rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-                 .withColumn("hk", F.md5(F.col(id_col).cast("string")))
-                 .orderBy("hk").limit(n_cells)
-                 .select(F.col(id_col).alias("cell_id"), F.col("v").alias("cv"))
-                 .collect())
-    cents = [(int(r["cell_id"]), list(r["cv"])) for r in cent_rows]
+    if centroids is not None:
+        cents = [(int(cid), list(cv)) for cid, cv in centroids]
+    else:
+        # deterministic coarse centroids: the n_cells corpus vectors with the
+        # smallest md5-derived key (content-addressed, partition-invariant)
+        cent_rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+                     .withColumn("hk", F.md5(F.col(id_col).cast("string")))
+                     .orderBy("hk").limit(n_cells)
+                     .select(F.col(id_col).alias("cell_id"), F.col("v").alias("cv"))
+                     .collect())
+        cents = [(int(r["cell_id"]), list(r["cv"])) for r in cent_rows]
 
     def nearest_cells(vec, n):
         scored = F.array(*[

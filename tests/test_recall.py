@@ -136,6 +136,7 @@ def test_recall_report_shape(spark):
     rep = {r.op: r for r in recall_report(spark, SF).collect()}
     assert set(rep) == {"ann_lsh_topk@10 L=1", "ann_lsh_topk@10 L=8",
                         "ivf_topk@10 probe=2", "ivf_topk@10 probe=8",
+                        "ivf_topk@10 probe=2 trained",
                         "embedding_lsh_pairs@0.999", "embedding_lsh_pairs@0.4",
                         "semantic_dedup@0.999 twins", "semantic_dedup@0.4",
                         "minhash_clusters@0.8"}
