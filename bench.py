@@ -127,7 +127,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "hypertable_rollup", "user_hll", "bm25_topk",
              "embedding_quantize",
              # added r2 session 4
-             "rdfs_entail", "pii_report", "snapshot_diff"]
+             "rdfs_entail", "pii_report", "snapshot_diff",
+             # added r2 session 5
+             "semantic_dedup", "infer_shapes", "event_transitions",
+             "event_paths"]
     out = {}
     for name in names:
         t0 = time.time()
