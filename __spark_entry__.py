@@ -1109,6 +1109,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("max_count").alias("n_max"),
             F.count("in_values").alias("n_in")))
 
+    def q_triangles(spark, sf_dir):
+        """Degree-ordered triangle counting over a deterministic synthetic
+        graph derived from orders keys; DuckDB enumerates the same triangles
+        with the naive three-way join."""
+        from openapi_to_rdf_spark.operators.graphrank import triangle_count
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
+        return triangle_count(edges)
+
     def q_infer_shapes(spark, sf_dir):
         """Schema discovery (rules FROM data): infer SHACL-style shape rules
         over a typed RDF encoding of orders; the DuckDB twin re-derives the
@@ -1243,6 +1255,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_merge_table(spark, _docs(spark, sf_dir), 12)
 
+    def q_bpe_encoded(spark, sf_dir):
+        """Tokenizer APPLICATION: corpus piece frequencies under the rules
+        q_bpe_merges trains (word-level caching; pandas UDF encodes each
+        DISTINCT word once). Rows-only: rule training is iterative; encode
+        exactness vs the python reference is asserted in tests/test_bpe.py."""
+        from openapi_to_rdf_spark.operators.bpe import (
+            piece_frequencies, train_bpe,
+        )
+
+        d = _docs(spark, sf_dir)
+        return piece_frequencies(d, train_bpe(d, 12))
+
     def q_snapshot_diff(spark, sf_dir):
         """Graph-snapshot set diff (operators/cdc.snapshot_diff): two
         price-triple snapshots built from orders with overlapping key
@@ -1365,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "shacl_rules": q_shacl_rules,
         "infer_shapes": q_infer_shapes,
+        "triangles": q_triangles,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
@@ -1410,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "snapshot_diff": q_snapshot_diff,
         "bpe_merges": q_bpe_merges,
+        "bpe_encoded": q_bpe_encoded,
         "pii_report": q_pii_report,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
@@ -2411,6 +2437,22 @@ def oracle_sql() -> dict[str, str]:
               FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id)
             SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
             FROM pairs WHERE cosine >= 0.4
+        """,
+        "triangles": """
+            WITH raw AS (
+              SELECT o_orderkey % 400 AS a,
+                     (o_orderkey // 7 + o_custkey) % 400 AS b
+              FROM orders),
+            und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a != b),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+            SELECT node, COUNT(*) AS n_triangles FROM (
+              SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
         """,
         "event_transitions": """
             WITH seq AS (

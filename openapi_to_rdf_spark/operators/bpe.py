@@ -31,6 +31,7 @@ correctness evidence, same pattern as the LSH operators).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -96,3 +97,66 @@ def bpe_merge_table(spark, docs: DataFrame, n_merges: int, *,
     return spark.createDataFrame(
         [(i + 1, a, b, a + b, int(n)) for i, (a, b, n) in enumerate(rules)],
         ["rank", "left", "right", "merged", "weight"])
+
+
+def bpe_encode(docs: DataFrame, rules: list[tuple], *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply trained merge rules -> (doc_id, pieces array<string>).
+
+    The corpus is NEVER encoded row by row: tokens explode once, the
+    DISTINCT word vocabulary (Zipf: orders of magnitude smaller than the
+    corpus) is encoded exactly once by an Arrow-batched pandas UDF, and the
+    pieces join back to the positional token stream (word-level caching —
+    the same trick tokenizer libraries use, here as a dataflow). Encoding
+    replays the trainer's exact discipline — each rule folded left-to-right
+    in rank order — so encoding the training corpus reproduces the
+    trainer's final symbol table (asserted in tests). A rule can only fire
+    if its merged string is a substring of the word (pieces are contiguous
+    substrings), which prunes the 10^4-rule loop to the handful relevant
+    per word.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ordered = [(a, b, a + b) for a, b, *_ in rules]
+
+    @pandas_udf(ArrayType(StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            syms = list(w)
+            for a, b, ab in ordered:
+                if len(syms) < 2:
+                    break
+                if ab not in w:
+                    continue
+                new = []
+                for s in syms:
+                    if new and new[-1] == a and s == b:
+                        new[-1] = ab
+                    else:
+                        new.append(s)
+                syms = new
+            out.append(syms)
+        return pd.Series(out)
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"))
+    vocab = toks.select("word").distinct().withColumn("pieces", enc("word"))
+    return (toks.join(vocab, "word")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "pieces")))
+                 .alias("_sp"))
+            .select(id_col,
+                    F.flatten(F.col("_sp").getField("pieces")).alias("pieces")))
+
+
+def piece_frequencies(docs: DataFrame, rules: list[tuple], *,
+                      text_col: str = "text") -> DataFrame:
+    """(piece, n_occurrences) corpus-wide under the trained tokenizer —
+    the vocabulary-coverage report (and the driver-query surface for
+    bpe_encode; deterministic given docs + rules)."""
+    enc = bpe_encode(docs, rules, text_col=text_col)
+    return (enc.select(F.explode("pieces").alias("piece"))
+            .groupBy("piece").agg(F.count(F.lit(1)).alias("n_occurrences")))

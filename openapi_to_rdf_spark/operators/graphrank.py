@@ -121,3 +121,49 @@ def k_hop(edges: DataFrame, sources: DataFrame, k: int = 2,
         reached = reached.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return reached
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over the UNDIRECTED simple graph the
+    edge list induces (direction and multi-edges collapse first).
+
+    Degree-ordered wedge closing (the standard scale trick, cf. Cohen's
+    MapReduce triangle enumeration / GraphFrames): every edge is oriented
+    from its lower-degree endpoint to its higher-degree endpoint (ties by
+    id), wedges (a->b, a->c) are built per pivot a, and a wedge closes iff
+    the oriented edge (b->c) exists. Orientation bounds every node's
+    out-degree by O(sqrt(m)) on any graph — a celebrity node with 10^8
+    neighbors is never a wedge pivot, so the wedge join cannot go quadratic
+    on skew (the unoriented algorithm would enumerate its 10^16 wedges).
+
+    Each triangle is found exactly once (its unique lowest-order pivot).
+    Returns (node, n_triangles) for every node in at least one triangle;
+    total triangles = sum / 3.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+           .dropDuplicates())
+    deg = (und.select(F.col("u").alias("n")).unionAll(und.select("v"))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (und.join(du, "u").join(dv, "v")
+                .select(F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+                        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b")))
+
+    e1 = oriented.select(F.col("a").alias("p"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a").alias("p"), F.col("b").alias("y"))
+    wedges = (e1.join(e2, "p").filter(F.col("x") < F.col("y")))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))),
+        ["x", "y"], "left_semi")
+
+    per_node = (closed.select(F.explode(F.array("p", "x", "y")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    return per_node

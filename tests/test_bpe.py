@@ -84,3 +84,69 @@ def test_tie_break_is_lexicographic(spark):
     got = train_bpe(_docs(spark, texts), 1)
     assert got[0][:2] == ("a", "b")
     assert ref_bpe(texts, 1)[0][:2] == ("a", "b")
+
+
+def ref_encode(texts, rules):
+    """Per-text piece sequence by replaying the merge rules in rank order
+    (the reference apply semantics — identical fold as ref_bpe's rounds)."""
+    def enc_word(w):
+        syms = list(w)
+        for a, b, *_ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    return [[p for w in t.split() for p in enc_word(w)] for t in texts]
+
+
+def test_bpe_encode_matches_reference(spark):
+    from openapi_to_rdf_spark.operators.bpe import bpe_encode
+
+    texts = ["the cat sat on the mat", "the cats sat", "a mat on a cat",
+             "aaaa aaa the the the"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rules = ref_bpe(texts, 12)
+    got = {r.doc_id: list(r.pieces)
+           for r in bpe_encode(docs, rules).collect()}
+    expected = dict(enumerate(ref_encode(texts, rules)))
+    assert got == expected
+
+
+def test_bpe_encode_roundtrip_and_zero_rules(spark):
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.bpe import bpe_encode
+
+    texts = ["abc abd", "abc abc"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    # zero rules -> pure character split
+    got = {r.doc_id: list(r.pieces) for r in bpe_encode(docs, []).collect()}
+    assert got == {0: list("abcabd"), 1: list("abcabc")}
+    # concatenating pieces always reconstructs the tokenized text
+    rules = ref_bpe(texts, 5)
+    enc = bpe_encode(docs, rules).withColumn(
+        "joined", F.concat_ws("", "pieces"))
+    for r in enc.collect():
+        assert r.joined == texts[r.doc_id].replace(" ", "")
+
+
+def test_piece_frequencies(spark):
+    from openapi_to_rdf_spark.operators.bpe import piece_frequencies
+
+    texts = ["the cat", "the the"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rules = ref_bpe(texts, 4)
+    got = {r.piece: r.n_occurrences
+           for r in piece_frequencies(docs, rules).collect()}
+    expected = {}
+    for seq in ref_encode(texts, rules):
+        for p in seq:
+            expected[p] = expected.get(p, 0) + 1
+    assert got == expected
