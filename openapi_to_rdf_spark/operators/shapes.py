@@ -365,3 +365,56 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     return (dt_viol.unionByName(in_viol).unionByName(kind_viol)
             .unionByName(pat_viol)
             .unionByName(card_viol).unionByName(absent_viol).dropDuplicates())
+
+
+def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
+    """Schema drift between two shape-rule snapshots (typically
+    ``infer_shapes`` over two data generations, or an authored spec's rules
+    vs data-inferred ones): (target_class, path, change, before, after).
+
+    Changes reported per (class, path): property_added / property_removed,
+    and per-facet *_changed rows for min_count, max_count, datatype,
+    node_kind, in_values, pattern. A full-outer join on the rule identity +
+    one conditional-array explode — rule tables are vocabulary-sized, so
+    this runs anywhere; at 100 TB the expensive part is producing the rule
+    snapshots (infer_shapes), not diffing them.
+    """
+    facets = ["min_count", "max_count", "datatype", "node_kind", "pattern"]
+
+    def side(df, tag):
+        cols = [F.coalesce(F.col("target_class"), F.lit("")).alias(f"{tag}_tc"),
+                F.col("path").alias(f"{tag}_path")]
+        cols += [F.col(f).cast("string").alias(f"{tag}_{f}") for f in facets]
+        cols += [F.concat_ws(",", "in_values").alias(f"{tag}_in_values"),
+                 F.lit(True).alias(f"{tag}_present")]
+        return df.select(*cols)
+
+    o, n = side(old_rules, "o"), side(new_rules, "n")
+    j = o.join(n, (F.col("o_tc") == F.col("n_tc"))
+               & (F.col("o_path") == F.col("n_path")), "full_outer")
+
+    tc = F.coalesce(F.col("o_tc"), F.col("n_tc"))
+    path = F.coalesce(F.col("o_path"), F.col("n_path"))
+
+    def chg(name, before, after, cond):
+        return F.when(cond, F.struct(
+            F.lit(name).alias("change"),
+            before.alias("before"), after.alias("after")))
+
+    entries = [
+        chg("property_added", F.lit(None).cast("string"), F.lit(None).cast("string"),
+            F.col("o_present").isNull()),
+        chg("property_removed", F.lit(None).cast("string"), F.lit(None).cast("string"),
+            F.col("n_present").isNull()),
+    ]
+    both = F.col("o_present").isNotNull() & F.col("n_present").isNotNull()
+    for f in facets + ["in_values"]:
+        ov, nv = F.col(f"o_{f}"), F.col(f"n_{f}")
+        entries.append(chg(f"{f}_changed", ov, nv,
+                           both & ~ov.eqNullSafe(nv)))
+
+    return (j.select(tc.alias("_tc"), path.alias("path"),
+                     F.explode(F.array(*entries)).alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select(F.when(F.col("_tc") != "", F.col("_tc")).alias("target_class"),
+                    "path", "c.change", "c.before", "c.after"))

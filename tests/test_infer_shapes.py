@@ -119,3 +119,59 @@ def test_kg_pipeline_graph_self_validates(spark):
     rules = infer_shapes(triples)
     assert rules.count() > 0
     assert validate_triples(triples, rules).count() == 0
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(
+        rows, "file string, target_class string, path string, "
+              "datatype string, min_count int, max_count int, "
+              "in_values array<string>, node_kind string, pattern string")
+
+
+def test_shape_drift_facets(spark):
+    from openapi_to_rdf_spark.operators.shapes import shape_drift
+
+    old = _rules(spark, [
+        ("f", KG + "T", KG + "a", XSD + "string", 1, 1, ["x", "y"], None, None),
+        ("f", KG + "T", KG + "gone", None, 0, 1, None, None, None),
+        ("f", None, KG + "u", None, None, None, None, None, None),
+    ])
+    new = _rules(spark, [
+        ("f", KG + "T", KG + "a", XSD + "integer", 0, 2, ["x", "y", "z"],
+         None, None),
+        ("f", KG + "T", KG + "fresh", None, 1, 1, None, None, None),
+        ("f", None, KG + "u", None, None, None, None, None, None),
+    ])
+    got = {(r.target_class, r.path, r.change): (r.before, r.after)
+           for r in shape_drift(old, new).collect()}
+    assert got == {
+        (KG + "T", KG + "a", "datatype_changed"): (XSD + "string", XSD + "integer"),
+        (KG + "T", KG + "a", "min_count_changed"): ("1", "0"),
+        (KG + "T", KG + "a", "max_count_changed"): ("1", "2"),
+        (KG + "T", KG + "a", "in_values_changed"): ("x,y", "x,y,z"),
+        (KG + "T", KG + "gone", "property_removed"): (None, None),
+        (KG + "T", KG + "fresh", "property_added"): (None, None),
+    }
+
+
+def test_shape_drift_composes_with_inference(spark):
+    """Data drift end-to-end: inferring shapes over a corpus generation
+    that loses a conditional property reports property_removed (and the
+    cardinality consequences), nothing else spurious."""
+    from openapi_to_rdf_spark.operators.shapes import infer_shapes, shape_drift
+
+    full = _corpus(spark)
+    # second generation: the optional note property disappears entirely
+    reduced = full.filter(F.col("p") != KG + "note")
+    drift = shape_drift(infer_shapes(full), infer_shapes(reduced)).collect()
+    got = {(r.path, r.change) for r in drift}
+    assert (KG + "note", "property_removed") in got
+    # nothing else about the surviving properties changed
+    assert all(p == KG + "note" for p, _ in got)
+
+
+def test_shape_drift_identical_is_empty(spark):
+    from openapi_to_rdf_spark.operators.shapes import infer_shapes, shape_drift
+
+    src = _corpus(spark)
+    assert shape_drift(infer_shapes(src), infer_shapes(src)).count() == 0
