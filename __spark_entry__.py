@@ -1161,6 +1161,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_join("in_values", ",").alias("in_vals"),
             "node_kind")
 
+    def q_shape_drift(spark, sf_dir):
+        """Schema-drift report between two inferred rule snapshots: gen A is
+        the typed-orders encoding of q_infer_shapes; gen B drops the
+        conditional bigOrder property, re-types orderDate as xsd:string, and
+        starts emitting status — drift = one property_removed, one
+        datatype_changed, one property_added. The DuckDB twin re-derives both
+        rule sets relationally and diffs them with a full-outer join."""
+        from functools import reduce
+
+        from openapi_to_rdf_spark.operators.shapes import (
+            RDF_TYPE, infer_shapes, shape_drift,
+        )
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        s = F.concat(F.lit("order#"), F.col("o_orderkey").cast("string"))
+
+        def enc(df, p, o, kind, dt=None):
+            return df.select(
+                s.alias("s"), F.lit(p).alias("p"), o.alias("o"),
+                F.lit(kind).alias("o_kind"),
+                (F.lit(dt) if dt else F.lit(None).cast("string")).alias("o_datatype"))
+
+        common = [
+            enc(ordr, RDF_TYPE, F.lit(kg + "Order"), "iri"),
+            enc(ordr, kg + "placedBy",
+                F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")), "iri"),
+            enc(ordr, kg + "priority", F.col("o_orderpriority"), "literal",
+                xsd + "string"),
+        ]
+        date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+        gen_a = common + [
+            enc(ordr, kg + "orderDate", date_str, "literal", xsd + "date"),
+            enc(ordr.filter(F.col("o_totalprice") > 200000), kg + "bigOrder",
+                F.lit("true"), "literal", xsd + "boolean"),
+        ]
+        gen_b = common + [
+            enc(ordr, kg + "orderDate", date_str, "literal", xsd + "string"),
+            enc(ordr, kg + "status", F.col("o_orderstatus"), "literal",
+                xsd + "string"),
+        ]
+        union = lambda parts: reduce(lambda a, b: a.unionAll(b), parts)
+        drift = shape_drift(infer_shapes(union(gen_a)), infer_shapes(union(gen_b)))
+        return drift.select("target_class", "path", "change", "before", "after")
+
     def q_kg_graph_stats(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import (
             KG_NS, extract_transcript_triples,
@@ -1389,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "shacl_rules": q_shacl_rules,
         "infer_shapes": q_infer_shapes,
+        "shape_drift": q_shape_drift,
         "triangles": q_triangles,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
@@ -2538,6 +2585,143 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_noniri = 0
                         THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
             FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
+        """,
+        # shape_drift: both generations' rule sets re-derived relationally
+        # (same inference as the infer_shapes oracle), then diffed with a
+        # full-outer join + per-facet IS DISTINCT FROM change rows
+        "shape_drift": """
+            WITH common AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o,
+                     'iri' AS o_kind, CAST(NULL AS VARCHAR) AS o_datatype
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority, 'literal',
+                     'http://www.w3.org/2001/XMLSchema#string'
+              FROM orders),
+            tr_a AS (
+              SELECT * FROM common
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#orderDate',
+                     strftime(o_orderdate, '%Y-%m-%d'), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#date'
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#bigOrder',
+                     'true', 'literal',
+                     'http://www.w3.org/2001/XMLSchema#boolean'
+              FROM orders WHERE o_totalprice > 200000),
+            tr_b AS (
+              SELECT * FROM common
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#orderDate',
+                     strftime(o_orderdate, '%Y-%m-%d'), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#string'
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#status',
+                     o_orderstatus, 'literal',
+                     'http://www.w3.org/2001/XMLSchema#string'
+              FROM orders),
+            nsubj AS (SELECT COUNT(DISTINCT o_orderkey) AS n FROM orders),
+            subj_a AS (
+              SELECT p, s, COUNT(DISTINCT concat_ws(chr(1), o, o_kind,
+                                 coalesce(o_datatype, chr(2)))) AS n
+              FROM tr_a GROUP BY 1, 2),
+            card_a AS (SELECT p, MAX(n) AS max_count, MIN(n) AS min_n,
+                              COUNT(*) AS n_with FROM subj_a GROUP BY 1),
+            obj_a AS (
+              SELECT p, COUNT(DISTINCT o) AS n_obj,
+                     COUNT(CASE WHEN o_kind != 'literal' THEN 1 END) AS n_nonlit,
+                     COUNT(CASE WHEN o_kind != 'iri' THEN 1 END) AS n_noniri,
+                     COUNT(DISTINCT CASE WHEN o_kind = 'literal'
+                                         THEN o_datatype END) AS n_dt,
+                     MAX(CASE WHEN o_kind = 'literal' THEN o_datatype END) AS one_dt
+              FROM tr_a GROUP BY 1),
+            inv_a AS (
+              SELECT tr_a.p, array_to_string(list_sort(list(DISTINCT o)), ',') AS in_vals
+              FROM tr_a JOIN obj_a ON tr_a.p = obj_a.p
+              WHERE obj_a.n_obj <= 8 AND obj_a.n_nonlit = 0 GROUP BY 1),
+            rules_a AS (
+              SELECT card_a.p AS path,
+                     CASE WHEN n_nonlit = 0 AND n_dt = 1 THEN one_dt END AS datatype,
+                     CAST(CASE WHEN n_with = (SELECT n FROM nsubj)
+                               THEN min_n ELSE 0 END AS VARCHAR) AS min_count,
+                     CAST(max_count AS VARCHAR) AS max_count,
+                     coalesce(inv_a.in_vals, '') AS in_vals,
+                     CASE WHEN n_noniri = 0
+                          THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
+              FROM card_a JOIN obj_a ON card_a.p = obj_a.p
+              LEFT JOIN inv_a ON card_a.p = inv_a.p),
+            subj_b AS (
+              SELECT p, s, COUNT(DISTINCT concat_ws(chr(1), o, o_kind,
+                                 coalesce(o_datatype, chr(2)))) AS n
+              FROM tr_b GROUP BY 1, 2),
+            card_b AS (SELECT p, MAX(n) AS max_count, MIN(n) AS min_n,
+                              COUNT(*) AS n_with FROM subj_b GROUP BY 1),
+            obj_b AS (
+              SELECT p, COUNT(DISTINCT o) AS n_obj,
+                     COUNT(CASE WHEN o_kind != 'literal' THEN 1 END) AS n_nonlit,
+                     COUNT(CASE WHEN o_kind != 'iri' THEN 1 END) AS n_noniri,
+                     COUNT(DISTINCT CASE WHEN o_kind = 'literal'
+                                         THEN o_datatype END) AS n_dt,
+                     MAX(CASE WHEN o_kind = 'literal' THEN o_datatype END) AS one_dt
+              FROM tr_b GROUP BY 1),
+            inv_b AS (
+              SELECT tr_b.p, array_to_string(list_sort(list(DISTINCT o)), ',') AS in_vals
+              FROM tr_b JOIN obj_b ON tr_b.p = obj_b.p
+              WHERE obj_b.n_obj <= 8 AND obj_b.n_nonlit = 0 GROUP BY 1),
+            rules_b AS (
+              SELECT card_b.p AS path,
+                     CASE WHEN n_nonlit = 0 AND n_dt = 1 THEN one_dt END AS datatype,
+                     CAST(CASE WHEN n_with = (SELECT n FROM nsubj)
+                               THEN min_n ELSE 0 END AS VARCHAR) AS min_count,
+                     CAST(max_count AS VARCHAR) AS max_count,
+                     coalesce(inv_b.in_vals, '') AS in_vals,
+                     CASE WHEN n_noniri = 0
+                          THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
+              FROM card_b JOIN obj_b ON card_b.p = obj_b.p
+              LEFT JOIN inv_b ON card_b.p = inv_b.p),
+            d AS (
+              SELECT a.path AS pa, b.path AS pb,
+                     a.datatype AS dta, b.datatype AS dtb,
+                     a.min_count AS mna, b.min_count AS mnb,
+                     a.max_count AS mxa, b.max_count AS mxb,
+                     a.node_kind AS nka, b.node_kind AS nkb,
+                     a.in_vals AS iva, b.in_vals AS ivb
+              FROM rules_a a FULL OUTER JOIN rules_b b ON a.path = b.path),
+            changes AS (
+              SELECT pa, pb, 'property_added' AS change,
+                     CAST(NULL AS VARCHAR) AS "before",
+                     CAST(NULL AS VARCHAR) AS "after"
+              FROM d WHERE pa IS NULL
+              UNION ALL
+              SELECT pa, pb, 'property_removed', NULL, NULL FROM d WHERE pb IS NULL
+              UNION ALL
+              SELECT pa, pb, 'datatype_changed', dta, dtb FROM d
+              WHERE pa IS NOT NULL AND pb IS NOT NULL AND dta IS DISTINCT FROM dtb
+              UNION ALL
+              SELECT pa, pb, 'min_count_changed', mna, mnb FROM d
+              WHERE pa IS NOT NULL AND pb IS NOT NULL AND mna IS DISTINCT FROM mnb
+              UNION ALL
+              SELECT pa, pb, 'max_count_changed', mxa, mxb FROM d
+              WHERE pa IS NOT NULL AND pb IS NOT NULL AND mxa IS DISTINCT FROM mxb
+              UNION ALL
+              SELECT pa, pb, 'node_kind_changed', nka, nkb FROM d
+              WHERE pa IS NOT NULL AND pb IS NOT NULL AND nka IS DISTINCT FROM nkb
+              UNION ALL
+              SELECT pa, pb, 'in_values_changed', iva, ivb FROM d
+              WHERE pa IS NOT NULL AND pb IS NOT NULL AND iva IS DISTINCT FROM ivb)
+            SELECT 'http://ericsson.com/models/3gpp/kg#Order' AS target_class,
+                   coalesce(pa, pb) AS path, change, "before", "after"
+            FROM changes
         """,
         "corpus_curation": f"""
             WITH good AS (SELECT * FROM documents WHERE ({_QUALITY}) >= 0.5),

@@ -130,7 +130,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "rdfs_entail", "pii_report", "snapshot_diff",
              # added r2 session 5
              "semantic_dedup", "infer_shapes", "event_transitions",
-             "event_paths"]
+             "event_paths",
+             # added r2 session 6
+             "shape_drift"]
     out = {}
     for name in names:
         t0 = time.time()
