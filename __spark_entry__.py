@@ -472,6 +472,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
         return term_co_mentions(edges).select("term_a", "term_b", "n_docs")
 
+    def q_pmi_relations(spark, sf_dir):
+        """Statistical relation mining: PMI/NPMI association scores over the
+        doc-term co-occurrence graph (the oracle-checkable stand-in for
+        turn-entity co-mentions, same join shape)."""
+        from openapi_to_rdf_spark.operators.graphq import (
+            doc_term_edges, pmi_relations,
+        )
+
+        edges = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
+        return pmi_relations(edges, min_pairs=2).select(
+            "item_a", "item_b", F.col("n_ab").cast("long").alias("n_ab"),
+            "pmi_e6", "npmi_e6")
+
     def q_related_docs(spark, sf_dir):
         from openapi_to_rdf_spark.operators.graphq import (
             doc_term_edges, related_docs,
@@ -1416,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "doc_mentions": q_doc_mentions,
         "term_co_mentions": q_term_co_mentions,
+        "pmi_relations": q_pmi_relations,
         "related_docs": q_related_docs,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2411,6 +2425,30 @@ def oracle_sql() -> dict[str, str]:
             FROM edges a JOIN edges b USING (doc)
             WHERE a.term < b.term
             GROUP BY 1, 2
+        """,
+        "pmi_relations": """
+            WITH edges AS (
+              SELECT doc_id AS c,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1))) AS i
+              FROM documents),
+            tot AS (SELECT COUNT(DISTINCT c) AS n_total FROM edges),
+            marg AS (SELECT i, COUNT(*) AS n_i FROM edges GROUP BY 1),
+            pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+              FROM edges a JOIN edges b USING (c)
+              WHERE a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(ROUND(ROUND(ln(n_ab * n_total * 1.0
+                                       / (ma.n_i * mb.n_i)), 6) * 1e6)
+                        AS BIGINT) AS pmi_e6,
+                   CAST(ROUND(ROUND(CASE WHEN n_ab = n_total THEN 1.0
+                            ELSE ln(n_ab * n_total * 1.0 / (ma.n_i * mb.n_i))
+                                 / (-ln(n_ab * 1.0 / n_total)) END, 6) * 1e6)
+                        AS BIGINT) AS npmi_e6
+            FROM pairs
+            JOIN marg ma ON pairs.item_a = ma.i
+            JOIN marg mb ON pairs.item_b = mb.i, tot
         """,
         "related_docs": """
             WITH edges AS (

@@ -75,6 +75,61 @@ def term_co_mentions(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+def pmi_relations(edges: DataFrame, container_col: str = "doc",
+                  item_col: str = "term", min_pairs: int = 2) -> DataFrame:
+    """PMI/NPMI-weighted co-occurrence relations — the statistical
+    relation-mining step of KG construction: which co-mentioned pairs are
+    ASSOCIATED (co-occur more than their marginals predict) rather than
+    merely both frequent.
+
+    Input: bipartite (container, item) edges — turn→entity mentions
+    (entity_mentions) or doc→term (doc_term_edges). Output per surviving
+    pair (item_a < item_b):
+
+    - n_ab: distinct containers holding both,
+    - pmi_e6:  round(ln(n_ab·N / (n_a·n_b)), 6)·1e6 as BIGINT,
+    - npmi_e6: PMI normalized by -ln(n_ab/N) into [-1, 1] (1e6-scaled;
+      exactly-always-co-occurring pairs pin to 1.0 rather than 0/0).
+
+    Scale shape: everything runs on DISTINCT edges, so counts are container
+    counts, never mention counts. The pair join is the same container
+    self-equi-join as co_mention_edges (high-cardinality key, map-side
+    partial counts); pairs are pruned to n_ab >= min_pairs BEFORE the
+    marginal joins, and the marginal table (one row per item, vocab-sized)
+    is joined twice — AQE broadcasts it when small. N arrives as a
+    broadcast 1-row cross join, not a driver collect. Hot items (stop-words
+    / hub entities) should be stop-listed upstream exactly as related_docs
+    documents — PMI of a hub is near-zero anyway.
+    """
+    e = (edges.select(F.col(container_col).alias("c"),
+                      F.col(item_col).alias("i"))
+         .dropDuplicates())
+    total = e.agg(F.countDistinct("c").alias("n_total"))
+    marg = e.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+
+    pairs = (e.alias("a").join(e.alias("b"), "c")
+             .filter(F.col("a.i") < F.col("b.i"))
+             .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pairs))
+
+    scored = (pairs
+              .join(marg.select(F.col("i").alias("item_a"),
+                                F.col("n_i").alias("n_a")), "item_a")
+              .join(marg.select(F.col("i").alias("item_b"),
+                                F.col("n_i").alias("n_b")), "item_b")
+              .crossJoin(F.broadcast(total)))
+    pmi = F.log(F.col("n_ab") * F.col("n_total") / (F.col("n_a") * F.col("n_b")))
+    denom = -F.log(F.col("n_ab") / F.col("n_total"))
+    npmi = F.when(denom == 0, F.lit(1.0)).otherwise(pmi / denom)
+
+    def e6(col):
+        return F.round(F.round(col, 6) * 1e6).cast("long")
+
+    return scored.select("item_a", "item_b", "n_ab",
+                         e6(pmi).alias("pmi_e6"), e6(npmi).alias("npmi_e6"))
+
+
 def related_docs(edges: DataFrame, min_shared: int = 2) -> DataFrame:
     """Document pairs sharing >= min_shared distinct terms — the projection
     onto the doc side (2-hop doc→term→doc reachability with support).
