@@ -436,6 +436,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (exact_dedup_map(_docs(spark, sf_dir))
                 .select("doc_id", "fingerprint", "canonical_id", "is_duplicate"))
 
+    def q_strip_boilerplate(spark, sf_dir):
+        """C4/CCNet line-level boilerplate removal: documents are wrapped
+        into 8-word lines with a planted header on every doc and a footer on
+        even ids; lines in >= 3 docs are stripped (broadcast anti-join) with
+        order preserved. Compared by md5 like pii_redact."""
+        from openapi_to_rdf_spark.operators.dedup import strip_boilerplate
+
+        d = _docs(spark, sf_dir)
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        n_lines = F.greatest(
+            F.ceil(F.size(words) / F.lit(8)), F.lit(1)).cast("int")
+        body = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "))
+        header = F.array(F.lit("Subscribe to our newsletter today"))
+        footer = F.array(F.lit("copyright 2024 example corp"))
+        lines = F.when(F.col("doc_id") % 2 == 0,
+                       F.concat(header, body, footer)) \
+                 .otherwise(F.concat(header, body))
+        wrapped = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+        return (strip_boilerplate(wrapped, min_df=3)
+                .select("doc_id", F.md5("text").alias("text_md5")))
+
     def q_ngram_dup_pairs(spark, sf_dir):
         return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
                 .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
@@ -1423,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "exact_dedup": q_exact_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
         "doc_repetition": q_doc_repetition,
         "ngram_dup_pairs": q_ngram_dup_pairs,
         "char_dup_pairs": q_char_dup_pairs,
@@ -1707,6 +1731,40 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": f"""
             SELECT {_LANGID} AS pred_lang, COUNT(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "strip_boilerplate": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS words
+              FROM documents),
+            wrapped AS (
+              SELECT doc_id,
+                     ['Subscribe to our newsletter today']
+                     || [array_to_string(words[(i*8)+1:(i*8)+8], ' ')
+                         FOR i IN range(0, greatest(
+                             CAST(ceil(len(words) / 8.0) AS INT), 1))]
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN ['copyright 2024 example corp']
+                              ELSE CAST([] AS VARCHAR[]) END) AS lines
+              FROM base),
+            lx AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'raw': lines[i+1]}
+                             FOR i IN range(len(lines))],
+                            recursive := true)
+              FROM wrapped),
+            norm AS (
+              SELECT DISTINCT doc_id, lower(trim(raw)) AS line
+              FROM lx WHERE trim(raw) != ''),
+            boiler AS (SELECT line FROM norm GROUP BY 1 HAVING COUNT(*) >= 3),
+            kept AS (
+              SELECT doc_id, pos, raw FROM lx
+              WHERE lower(trim(raw)) NOT IN (SELECT line FROM boiler)),
+            cleaned AS (
+              SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY 1)
+            SELECT b.doc_id, md5(coalesce(c.text, '')) AS text_md5
+            FROM base b LEFT JOIN cleaned c USING (doc_id)
         """,
         "doc_repetition": f"""
             WITH l AS (

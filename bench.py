@@ -132,7 +132,7 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "semantic_dedup", "infer_shapes", "event_transitions",
              "event_paths",
              # added r2 session 6
-             "shape_drift", "pmi_relations"]
+             "shape_drift", "pmi_relations", "strip_boilerplate"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -384,6 +384,60 @@ def doc_repetition(docs: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
 
 
+def boilerplate_lines(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_df: int = 3) -> DataFrame:
+    """CROSS-document boilerplate census: (line, n_docs) for every
+    normalized (lower+trim) non-empty line appearing in >= min_df distinct
+    documents — headers, footers, cookie banners, scraped templates.
+
+    One explode + per-(doc, line) distinct pre-aggregate + line count. The
+    hot keys are exactly the boilerplate lines, and both aggregations
+    combine map-side, so a line in 10^9 docs costs its partial counts, not
+    a reducer meltdown. Output is census-sized (lines over threshold).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("raw"))
+    norm = (lines.select("doc", F.lower(F.trim("raw")).alias("line"))
+            .filter(F.col("line") != "")
+            .dropDuplicates(["doc", "line"]))
+    return (norm.groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_df))
+
+
+def strip_boilerplate(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", min_df: int = 3) -> DataFrame:
+    """C4/CCNet-style line-level curation: drop every line whose normalized
+    form occurs in >= min_df distinct documents, preserving the order of
+    surviving lines. Returns (id, text) with the cleaned text.
+
+    Plan shape: the boilerplate table is census-sized (only lines OVER the
+    document-frequency threshold), so the removal is a broadcast anti-join
+    on the normalized line; re-assembly sorts (pos, line) structs per doc —
+    one shuffle keyed by doc id. Documents that were pure boilerplate come
+    back as empty text, ready for a length filter downstream.
+    """
+    boiler = F.broadcast(boilerplate_lines(docs, id_col, text_col, min_df)
+                         .select("line"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "raw"))
+    kept = (lines.withColumn("line", F.lower(F.trim("raw")))
+            .join(boiler, "line", "left_anti"))
+    cleaned = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                       lambda s: s["raw"]),
+                   "\n").alias("_cleaned")))
+    # docs whose every line was boilerplate have no kept rows — rejoin the
+    # id universe so they come back as empty text (id-keyed equi-join)
+    return (docs.select(id_col).join(cleaned, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_cleaned", F.lit("")).alias(text_col)))
+
+
 def dedup_keep_best(docs: DataFrame, cluster_map: DataFrame,
                     id_col: str = "doc_id",
                     order_col: str = "n_chars") -> DataFrame:
