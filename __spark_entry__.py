@@ -1243,6 +1243,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         drift = shape_drift(infer_shapes(union(gen_a)), infer_shapes(union(gen_b)))
         return drift.select("target_class", "path", "change", "before", "after")
 
+    def q_kg_negatives(spark, sf_dir):
+        """KG-embedding negative sampling over the orders placedBy graph:
+        one md5-picked corruption per side per positive, identity picks and
+        false negatives removed — fully reproduced by the DuckDB twin via
+        the same uint32(md5) % n arithmetic."""
+        from openapi_to_rdf_spark.operators.negatives import corrupt_triples
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        t = ordr.select(
+            F.concat(F.lit("order#"), F.col("o_orderkey").cast("string")).alias("s"),
+            F.lit("placedBy").alias("p"),
+            F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")).alias("o"),
+            F.lit("iri").alias("o_kind"))
+        return corrupt_triples(t, k=1).select(
+            "s", "p", "o", "side", F.col("j").cast("long").alias("j"))
+
     def q_kg_graph_stats(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import (
             KG_NS, extract_transcript_triples,
@@ -1474,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_rules": q_shacl_rules,
         "infer_shapes": q_infer_shapes,
         "shape_drift": q_shape_drift,
+        "kg_negatives": q_kg_negatives,
         "triangles": q_triangles,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
@@ -2681,6 +2698,36 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_noniri = 0
                         THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
             FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
+        """,
+        # kg_negatives: the same uint32(md5)%n entity pick re-derived in SQL
+        "kg_negatives": """
+            WITH pos AS (
+              SELECT DISTINCT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders),
+            ents AS (
+              SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) AS idx
+              FROM (SELECT s AS ent FROM pos UNION SELECT o FROM pos)),
+            n AS (SELECT COUNT(*) AS n_ents FROM ents),
+            cand AS (
+              SELECT s, p, o, side, j,
+                     CAST(('0x' || substr(md5(concat_ws(chr(1), s, p, o, side,
+                              CAST(j AS VARCHAR))), 1, 8))::UBIGINT
+                          % n_ents AS BIGINT) + 1 AS idx
+              FROM pos, (VALUES ('s', 0), ('o', 0)) AS sides(side, j), n),
+            corr AS (
+              SELECT CASE WHEN side = 's' THEN e.ent ELSE c.s END AS s,
+                     c.p,
+                     CASE WHEN side = 'o' THEN e.ent ELSE c.o END AS o,
+                     side, j,
+                     (CASE WHEN side = 's' THEN c.s ELSE c.o END = e.ent) AS same
+              FROM cand c JOIN ents e USING (idx))
+            SELECT s, p, o, side, CAST(j AS BIGINT) AS j
+            FROM corr
+            WHERE NOT same AND NOT EXISTS (
+              SELECT 1 FROM pos
+              WHERE pos.s = corr.s AND pos.p = corr.p AND pos.o = corr.o)
         """,
         # shape_drift: both generations' rule sets re-derived relationally
         # (same inference as the infer_shapes oracle), then diffed with a

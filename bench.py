@@ -132,7 +132,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "semantic_dedup", "infer_shapes", "event_transitions",
              "event_paths",
              # added r2 session 6
-             "shape_drift", "pmi_relations", "strip_boilerplate"]
+             "shape_drift", "pmi_relations", "strip_boilerplate",
+             "kg_negatives"]
     out = {}
     for name in names:
         t0 = time.time()
