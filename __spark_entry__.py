@@ -1259,6 +1259,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corrupt_triples(t, k=1).select(
             "s", "p", "o", "side", F.col("j").cast("long").alias("j"))
 
+    def q_dup_spans(spark, sf_dir):
+        """Exact substring-duplication census (word-8-gram re-expression of
+        Lee et al. suffix-array dedup): per-doc duplicated-token coverage
+        against the whole corpus. DuckDB twin recomputes the positional
+        gram census relationally."""
+        from openapi_to_rdf_spark.operators.dedup import dup_span_census
+
+        return dup_span_census(_docs(spark, sf_dir), k=8)
+
+    def q_graph_layout(spark, sf_dir):
+        """1D edge-cut vs 2D grid vertex-cut layout stats for the orders
+        placedBy edge set (operators/layout.py): edge balance and vertex
+        replication factor, both as integer-division *_e6 ratios so the
+        DuckDB twin (same uint32(md5) bucket arithmetic) is bit-exact."""
+        from openapi_to_rdf_spark.operators.layout import layout_comparison
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"))
+        return layout_comparison(edges, 16)
+
+    def q_zorder_events(spark, sf_dir):
+        """Z-order (Morton) clustering of events by (user_id, day): 16
+        range-buckets of the interleaved key with each bucket's bounding
+        box in BOTH dimensions — the min/max file statistics a lakehouse
+        scan prunes with. DuckDB recomputes the identical unrolled
+        bit-interleave and NTILE cuts."""
+        from openapi_to_rdf_spark.operators.layout import zorder_locality
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        day = F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        return zorder_locality(ev, F.col("user_id"), day, 16,
+                               a_name="user", b_name="day")
+
     def q_kg_graph_stats(spark, sf_dir):
         from openapi_to_rdf_spark.operators.extract import (
             KG_NS, extract_transcript_triples,
@@ -1491,6 +1526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_shapes": q_infer_shapes,
         "shape_drift": q_shape_drift,
         "kg_negatives": q_kg_negatives,
+        "dup_spans": q_dup_spans,
+        "graph_layout": q_graph_layout,
+        "zorder_events": q_zorder_events,
         "triangles": q_triangles,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
@@ -1613,6 +1651,15 @@ def _pii_oracle_bits():
 
 
 _PII_DOCS, _PII_N, _PII_REDACT = _pii_oracle_bits()
+
+
+def _zorder_bits():
+    from openapi_to_rdf_spark.operators.layout import zorder_key_sql
+
+    return zorder_key_sql("a", "b", bits=16)
+
+
+_zorder_sql_expr = _zorder_bits()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2698,6 +2745,93 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_noniri = 0
                         THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
             FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
+        """,
+        # dup_spans: positional word-8-gram census, coverage by distinct
+        # covered token positions (1-based i maps to Spark's 0-based pos —
+        # the output aggregates are position-base-invariant)
+        "dup_spans": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS toks FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([{{'pos': i,
+                                   'gram': array_to_string(toks[i:i+7], ' ')}}
+                                 for i in range(1, greatest(len(toks) - 6, 1))],
+                                recursive := true)
+                  FROM t),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+            cov AS (SELECT DISTINCT doc_id, tpos FROM (
+                      SELECT doc_id, unnest([pos + j for j in range(0, 8)]) AS tpos
+                      FROM d)),
+            covn AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY 1),
+            st AS (SELECT doc_id, COUNT(*) AS dup_starts FROM d GROUP BY 1),
+            base AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+            SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(dup_starts, 0) AS BIGINT) AS dup_starts,
+                   CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (COALESCE(dup_tokens, 0) * 1000000) // n_tokens
+                        ELSE 0 END AS BIGINT) AS dup_frac_e6
+            FROM base LEFT JOIN st USING (doc_id)
+                      LEFT JOIN covn USING (doc_id)
+        """,
+        # graph_layout: same uint32(md5) bucket arithmetic, integer-div ratios
+        "graph_layout": """
+            WITH e AS (
+              SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS dst
+              FROM orders),
+            assigned AS (
+              SELECT '1d_src' AS strategy, src, dst,
+                     CAST(('0x' || substr(md5(src), 1, 8))::UBIGINT % 16
+                          AS BIGINT) AS pid
+              FROM e
+              UNION ALL
+              SELECT '2d_grid', src, dst,
+                     CAST((('0x' || substr(md5(src), 1, 8))::UBIGINT % 4) * 4
+                          + ('0x' || substr(md5(dst), 1, 8))::UBIGINT % 4
+                          AS BIGINT) AS pid
+              FROM e),
+            per_part AS (
+              SELECT strategy, pid, COUNT(*) AS n_edges
+              FROM assigned GROUP BY 1, 2),
+            part_row AS (
+              SELECT strategy, COUNT(*) AS n_parts_used,
+                     CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+                     MAX(n_edges) AS max_edges,
+                     CAST((MAX(n_edges) * 1000000 * COUNT(*))
+                          // SUM(n_edges) AS BIGINT) AS balance_e6
+              FROM per_part GROUP BY 1),
+            verts AS (
+              SELECT strategy, v, COUNT(*) AS n_parts FROM (
+                SELECT DISTINCT strategy, v, pid FROM (
+                  SELECT strategy, src AS v, pid FROM assigned
+                  UNION ALL
+                  SELECT strategy, dst AS v, pid FROM assigned))
+              GROUP BY 1, 2),
+            vert_row AS (
+              SELECT strategy,
+                     CAST((SUM(n_parts) * 1000000) // COUNT(*) AS BIGINT)
+                       AS replication_e6
+              FROM verts GROUP BY 1)
+            SELECT p.strategy, p.n_parts_used, p.n_edges, p.max_edges,
+                   p.balance_e6, v.replication_e6
+            FROM part_row p JOIN vert_row v USING (strategy)
+        """,
+        # zorder_events: identical unrolled Morton interleave + NTILE cuts
+        "zorder_events": f"""
+            WITH k AS (
+              SELECT CAST(user_id AS BIGINT) AS a,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS b
+              FROM events),
+            z AS (SELECT a, b, {_zorder_sql_expr} AS zkey FROM k),
+            t AS (SELECT a, b,
+                         NTILE(16) OVER (ORDER BY zkey, a, b) AS bucket
+                  FROM z)
+            SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+                   MIN(a) AS user_min, MAX(a) AS user_max,
+                   MIN(b) AS day_min, MAX(b) AS day_max
+            FROM t GROUP BY bucket
         """,
         # kg_negatives: the same uint32(md5)%n entity pick re-derived in SQL
         "kg_negatives": """

@@ -448,3 +448,51 @@ def dedup_keep_best(docs: DataFrame, cluster_map: DataFrame,
         F.col(order_col).desc(), F.col(id_col).asc())
     return (joined.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1).drop("_rk", "canonical"))
+
+
+def dup_span_census(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8) -> DataFrame:
+    """Exact substring-duplication census — the word-level re-expression of
+    suffix-array training-data dedup (Lee et al. 2022, arXiv:2107.06499):
+    every length-k token window occurring >= 2 times ANYWHERE in the corpus
+    (within or across documents) marks its k token positions as duplicated;
+    per document we report how much of it is corpus-duplicated text.
+
+    Plan shape: one posexplode pass emits (doc, pos, gram); the suffix
+    array's role is played by a gram-keyed census groupBy (map-side partial
+    agg — the overwhelming Zipf tail with n_occ=1 never leaves the
+    aggregation). Duplicated starts come back via a gram equi-join (AQE
+    skew-split handles hot boilerplate grams), and coverage is a distinct
+    count over exploded covered positions keyed by (doc, position), so the
+    final shuffle is by document — hot grams never concentrate.
+
+    Output: (doc_id, n_tokens, dup_starts, dup_tokens, dup_frac_e6), the
+    fraction as integer division for bit-exact oracle parity.
+    """
+    from ..functions.text import normalized_text, token_count, word_ngrams_all
+
+    base = docs.select(
+        F.col(id_col),
+        token_count(normalized_text(F.col(text_col)))
+        .cast("long").alias("n_tokens"))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams_all(F.col(text_col), n=k))
+        .alias("pos", "gram"))
+    census = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+              .filter(F.col("n_occ") >= 2).select("gram"))
+    dup = grams.join(census, "gram")
+    starts = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_starts"))
+    covered = (dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tpos"))
+        .distinct()
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_tokens")))
+    return (base.join(starts, id_col, "left").join(covered, id_col, "left")
+            .select(
+                id_col, "n_tokens",
+                F.coalesce("dup_starts", F.lit(0)).cast("long").alias("dup_starts"),
+                F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+                F.when(F.col("n_tokens") > 0,
+                       F.expr("(coalesce(dup_tokens, 0L) * 1000000L) div n_tokens"))
+                .otherwise(F.lit(0)).cast("long").alias("dup_frac_e6")))

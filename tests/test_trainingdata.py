@@ -433,3 +433,42 @@ def test_temperature_sampling_rates_and_determinism(spark):
                kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert by_lang["sw"] == 5
     assert abs(by_lang["en"] - rates["en"] * 1000) < 60
+
+
+def test_dup_span_census_semantics(spark):
+    from openapi_to_rdf_spark.operators.dedup import dup_span_census
+
+    shared = "one two three four five six seven eight"  # one 8-gram, twice
+    rows = [
+        (0, shared + " tail0 alpha beta gamma"),
+        (1, "head1 lead " + shared),
+        (2, "totally different words with no repeats here at all"),
+        (3, ""),  # empty doc: zero tokens, zero dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_census(df, k=8).collect()}
+    assert len(got) == 4
+    # docs 0 and 1 each contain the duplicated 8-gram exactly once
+    for d in (0, 1):
+        assert got[d]["dup_starts"] == 1
+        assert got[d]["dup_tokens"] == 8
+        assert got[d]["dup_frac_e6"] == 8 * 1_000_000 // got[d]["n_tokens"]
+    assert got[0]["n_tokens"] == 12 and got[1]["n_tokens"] == 10
+    # unique doc and empty doc: nothing duplicated
+    assert got[2]["dup_starts"] == 0 == got[2]["dup_tokens"]
+    assert got[3] == got[3]  # exists
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_frac_e6"] == 0
+
+
+def test_dup_span_census_overlap_coverage(spark):
+    from openapi_to_rdf_spark.operators.dedup import dup_span_census
+
+    # a 9-token duplicated passage = two overlapping 8-gram starts but only
+    # 9 covered positions (coverage merges overlaps, never double-counts)
+    passage = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    rows = [(0, passage + " x1 x2 x3"), (1, "y1 y2 " + passage)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_span_census(df, k=8).collect()}
+    for d in (0, 1):
+        assert got[d]["dup_starts"] == 2
+        assert got[d]["dup_tokens"] == 9
