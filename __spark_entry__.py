@@ -1259,6 +1259,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corrupt_triples(t, k=1).select(
             "s", "p", "o", "side", F.col("j").cast("long").alias("j"))
 
+    def q_context_windows(spark, sf_dir):
+        """Sliding-context training-pair assembly (packing.context_windows)
+        over events-as-transcript: previous-3 labels joined as the context
+        string. The transcript SFT path (sft_pairs) is python-reference
+        tested; this oracle pins the window/ordering/null semantics."""
+        from openapi_to_rdf_spark.operators.packing import context_windows
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = context_windows(ev, 3, "user_id", ["ts", "event_id"],
+                              F.col("event_type"), F.col("event_type"))
+        return out.select("user_id", "event_id", "n_context", "context",
+                          "target")
+
+    def q_dict_encode(spark, sf_dir):
+        """Term-dictionary encoding of the orders placedBy graph
+        (operators/dictionary.py): dense lexical-rank ids, fact table
+        becomes three longs per row. DuckDB twin re-derives the identical
+        ROW_NUMBER dictionary and joins."""
+        from openapi_to_rdf_spark.operators.dictionary import (
+            encode_triples, term_dictionary,
+        )
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        t = ordr.select(
+            F.concat(F.lit("order#"), F.col("o_orderkey").cast("string")).alias("s"),
+            F.lit("placedBy").alias("p"),
+            F.concat(F.lit("cust#"), F.col("o_custkey").cast("string")).alias("o"),
+        ).distinct()
+        return encode_triples(t, term_dictionary(t)).select(
+            "s_id", "p_id", "o_id")
+
     def q_dup_spans(spark, sf_dir):
         """Exact substring-duplication census (word-8-gram re-expression of
         Lee et al. suffix-array dedup): per-doc duplicated-token coverage
@@ -1526,6 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_shapes": q_infer_shapes,
         "shape_drift": q_shape_drift,
         "kg_negatives": q_kg_negatives,
+        "dict_encode": q_dict_encode,
+        "context_windows": q_context_windows,
         "dup_spans": q_dup_spans,
         "graph_layout": q_graph_layout,
         "zorder_events": q_zorder_events,
@@ -2745,6 +2778,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_noniri = 0
                         THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
             FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
+        """,
+        # context_windows: same frame, same order keys, same null rendering
+        "context_windows": """
+            WITH t AS (
+              SELECT user_id, event_id, event_type,
+                     list(COALESCE(event_type, ''))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+              FROM events)
+            SELECT user_id, event_id,
+                   CAST(COALESCE(len(ctx), 0) AS BIGINT) AS n_context,
+                   COALESCE(array_to_string(ctx, chr(10)), '') AS context,
+                   event_type AS target
+            FROM t
+        """,
+        # dict_encode: identical lexical-rank dictionary + id joins
+        "dict_encode": """
+            WITH pos AS (
+              SELECT DISTINCT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders),
+            terms AS (
+              SELECT term, ROW_NUMBER() OVER (ORDER BY term) AS id FROM (
+                SELECT DISTINCT term FROM (
+                  SELECT s AS term FROM pos
+                  UNION ALL SELECT p FROM pos
+                  UNION ALL SELECT o FROM pos)))
+            SELECT CAST(ts.id AS BIGINT) AS s_id,
+                   CAST(tp.id AS BIGINT) AS p_id,
+                   CAST(tob.id AS BIGINT) AS o_id
+            FROM pos
+            JOIN terms ts ON pos.s = ts.term
+            JOIN terms tp ON pos.p = tp.term
+            JOIN terms tob ON pos.o = tob.term
         """,
         # dup_spans: positional word-8-gram census, coverage by distinct
         # covered token positions (1-based i maps to Spark's 0-based pos —

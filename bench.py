@@ -133,7 +133,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "event_paths",
              # added r2 session 6
              "shape_drift", "pmi_relations", "strip_boilerplate",
-             "kg_negatives"]
+             "kg_negatives",
+             # added r2 session 7
+             "graph_layout", "zorder_events", "dup_spans"]
     out = {}
     for name in names:
         t0 = time.time()

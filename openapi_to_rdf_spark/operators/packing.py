@@ -148,3 +148,52 @@ def pack_stats(packed: DataFrame, budget: int,
                  F.round(F.avg("pack_tokens") / budget, 6).alias("fill_rate"),
                  F.sum(F.when(F.col("pack_tokens") > budget, 1).otherwise(0))
                  .alias("n_oversize")))
+
+
+def context_windows(df: DataFrame, k: int, part_col: str,
+                    order_cols: list[str], line_col, target_col) -> DataFrame:
+    """Sliding-context assembly: for every row, join the previous ``k``
+    rows' ``line_col`` renderings (in ``order_cols`` order within
+    ``part_col``) into a ``context`` string, with the row's own
+    ``target_col`` as the training target — the transcript→SFT-example
+    step of an LLM data pipeline.
+
+    One window pass per partition (bounded by conversation length — no
+    shuffle beyond the partitionBy). The frame rows are collected as
+    (order-cols, line) structs and array_sort'ed, so context order is a
+    deterministic property of the data, not of collect_list's iteration
+    order; null lines are kept as empty strings (array_join would
+    silently DROP null elements).
+
+    Output: input columns + (n_context, context, target).
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col)
+         .orderBy(*[F.col(c) for c in order_cols])
+         .rowsBetween(-k, -1))
+    item = F.struct(
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.coalesce(line_col.cast("string"), F.lit("")).alias("_line"))
+    ctx = F.array_sort(F.collect_list(item).over(w))
+    return (df.withColumn("_ctx", ctx)
+            .withColumn("n_context", F.size("_ctx").cast("long"))
+            .withColumn("context", F.array_join(
+                F.transform(F.col("_ctx"), lambda s: s["_line"]), "\n"))
+            .withColumn("target", target_col.cast("string"))
+            .drop("_ctx"))
+
+
+def sft_pairs(turns: DataFrame, k: int = 4,
+              target_role: str = "assistant") -> DataFrame:
+    """(context, target) training pairs from multi-turn transcripts: each
+    ``target_role`` turn becomes one example whose context is the previous
+    ``k`` turns rendered as "role: text" lines. Turns with no preceding
+    context are dropped (nothing to condition on)."""
+    line = F.concat_ws(": ", F.coalesce(F.col("role"), F.lit("")),
+                       F.coalesce(F.col("text"), F.lit("")))
+    out = context_windows(turns, k, "conv_id", ["turn_idx"], line,
+                          F.col("text"))
+    return (out.filter((F.col("role") == target_role)
+                       & (F.col("n_context") >= 1))
+            .select("conv_id", "turn_idx", "n_context", "context", "target"))

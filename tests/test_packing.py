@@ -123,3 +123,46 @@ def test_assemble_packs_budget_and_order(spark):
         assert r.segment_ids[0] == 0 and r.segment_ids[-1] == r.n_docs - 1
         assert all(b - a in (0, 1) for a, b in
                    zip(r.segment_ids, r.segment_ids[1:]))
+
+
+def test_context_windows_order_and_nulls(spark):
+    from openapi_to_rdf_spark.operators.packing import context_windows
+
+    rows = [("c1", 1, "u", "hi"), ("c1", 2, "a", None),
+            ("c1", 3, "u", "bye"), ("c2", 1, "u", "solo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "role string, text string")
+    out = context_windows(df, 2, "conv_id", ["turn_idx"],
+                          F.col("text"), F.col("text"))
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert got[("c1", 1)]["n_context"] == 0
+    assert got[("c1", 2)]["context"] == "hi"
+    # NULL line kept as empty string, order preserved
+    assert got[("c1", 3)]["context"] == "hi\n"
+    assert got[("c1", 3)]["n_context"] == 2
+    assert got[("c2", 1)]["n_context"] == 0
+
+
+def test_sft_pairs_from_transcripts(spark):
+    from openapi_to_rdf_spark.operators.packing import sft_pairs
+    from openapi_to_rdf_spark.sources.transcripts import synth_transcripts
+
+    turns = synth_transcripts(spark, 50, seed=7).cache()
+    pairs = sft_pairs(turns, k=3).collect()
+    assert pairs, "expected assistant turns with context"
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in pairs}
+    # python reference on one conversation
+    rows = sorted(turns.filter(F.col("conv_id") == pairs[0]["conv_id"])
+                  .collect(), key=lambda r: r["turn_idx"])
+    for i, r in enumerate(rows):
+        if r["role"] != "assistant" or i == 0:
+            assert (r["conv_id"], r["turn_idx"]) not in by_key
+            continue
+        want = "\n".join(
+            f"{p['role']}: {p['text'] if p['text'] is not None else ''}"
+            for p in rows[max(0, i - 3):i])
+        got = by_key[(r["conv_id"], r["turn_idx"])]
+        assert got["context"] == want
+        assert got["target"] == r["text"]
+        assert got["n_context"] == min(i, 3)
+    turns.unpersist()
