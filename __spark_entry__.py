@@ -1259,6 +1259,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corrupt_triples(t, k=1).select(
             "s", "p", "o", "side", F.col("j").cast("long").alias("j"))
 
+    def q_distant_labels(spark, sf_dir):
+        """Distant-supervision labeling (operators/distant.py): a literal
+        7-term KB labels doc-term co-mentions as positives; unlinked
+        co-mentions become the closed-world negative pool (p =
+        __no_relation__). One result set covers both functions."""
+        from openapi_to_rdf_spark.operators.distant import (
+            distant_labels, negative_candidates,
+        )
+        from openapi_to_rdf_spark.operators.graphq import doc_term_edges
+
+        mentions = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
+        kb = spark.createDataFrame(
+            [("spark", "executes", "query"),
+             ("query", "contains", "join"),
+             ("filter", "precedes", "join"),
+             ("stream", "feeds", "window"),
+             ("merge", "follows", "join")],
+            "s string, p string, o string")
+        pos = distant_labels(mentions, kb)
+        neg = negative_candidates(mentions, kb).select(
+            "container", F.col("ent_s").alias("s"),
+            F.lit("__no_relation__").alias("p"),
+            F.col("ent_o").alias("o"))
+        return pos.unionByName(neg)
+
     def q_context_windows(spark, sf_dir):
         """Sliding-context training-pair assembly (packing.context_windows)
         over events-as-transcript: previous-3 labels joined as the context
@@ -1559,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "dict_encode": q_dict_encode,
         "context_windows": q_context_windows,
+        "distant_labels": q_distant_labels,
         "dup_spans": q_dup_spans,
         "graph_layout": q_graph_layout,
         "zorder_events": q_zorder_events,
@@ -2778,6 +2804,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_noniri = 0
                         THEN 'http://www.w3.org/ns/shacl#IRI' END AS node_kind
             FROM card JOIN obj ON card.p = obj.p LEFT JOIN inv ON card.p = inv.p
+        """,
+        # distant_labels: same ordered co-mention pairs + literal KB
+        "distant_labels": """
+            WITH edges AS (
+              SELECT DISTINCT doc_id AS doc,
+                     unnest(list_distinct(regexp_extract_all(text,
+                       '(spark|query|join|window|stream|filter|merge)', 1)))
+                       AS term
+              FROM documents),
+            pairs AS (
+              SELECT a.doc AS container, a.term AS ent_s, b.term AS ent_o
+              FROM edges a JOIN edges b
+                ON a.doc = b.doc AND a.term != b.term),
+            kb(s, p, o) AS (VALUES
+              ('spark', 'executes', 'query'),
+              ('query', 'contains', 'join'),
+              ('filter', 'precedes', 'join'),
+              ('stream', 'feeds', 'window'),
+              ('merge', 'follows', 'join')),
+            kbp AS (SELECT s AS ent_s, o AS ent_o FROM kb
+                    UNION SELECT o, s FROM kb)
+            SELECT container, s, p, o
+            FROM pairs JOIN kb ON ent_s = s AND ent_o = o
+            UNION ALL
+            SELECT container, ent_s AS s, '__no_relation__' AS p, ent_o AS o
+            FROM pairs
+            WHERE NOT EXISTS (
+              SELECT 1 FROM kbp
+              WHERE kbp.ent_s = pairs.ent_s AND kbp.ent_o = pairs.ent_o)
         """,
         # context_windows: same frame, same order keys, same null rendering
         "context_windows": """

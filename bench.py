@@ -135,7 +135,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "shape_drift", "pmi_relations", "strip_boilerplate",
              "kg_negatives",
              # added r2 session 7
-             "graph_layout", "zorder_events", "dup_spans"]
+             "graph_layout", "zorder_events", "dup_spans",
+             "dict_encode", "context_windows", "distant_labels"]
     out = {}
     for name in names:
         t0 = time.time()
