@@ -1157,6 +1157,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
         return triangle_count(edges)
 
+    def q_clustering_coeff(spark, sf_dir):
+        """Local clustering coefficient over the same synthetic orders graph
+        as `triangles`; DuckDB recomputes degrees + naive triangle join."""
+        from openapi_to_rdf_spark.operators.graphrank import (
+            clustering_coefficient)
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
+        return clustering_coefficient(edges)
+
+    def q_lm_perplexity(spark, sf_dir):
+        """CCNet-style char-trigram LM self-perplexity over documents —
+        train + score in one call; DuckDB replays the identical add-alpha
+        model."""
+        from openapi_to_rdf_spark.operators.lm_quality import lm_perplexity
+
+        return lm_perplexity(_docs(spark, sf_dir))
+
+    def q_embedding_cov(spark, sf_dir):
+        """Distributed covariance (the PCA/whitening sufficient statistic):
+        mapInPandas batch partials -> JVM tree reduce; DuckDB covar_pop over
+        unnested coordinates is the oracle."""
+        from openapi_to_rdf_spark.operators.pca import embedding_cov
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return (embedding_cov(emb)
+                .select("i", "j", _e6(F.col("cov")).alias("cov_e6")))
+
     def q_infer_shapes(spark, sf_dir):
         """Schema discovery (rules FROM data): infer SHACL-style shape rules
         over a typed RDF encoding of orders; the DuckDB twin re-derives the
@@ -1589,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_layout": q_graph_layout,
         "zorder_events": q_zorder_events,
         "triangles": q_triangles,
+        "clustering_coeff": q_clustering_coeff,
+        "lm_perplexity": q_lm_perplexity,
+        "embedding_cov": q_embedding_cov,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
         "kg_canonicalize": q_kg_canonicalize,
@@ -2719,6 +2752,74 @@ def oracle_sql() -> dict[str, str]:
               JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
             SELECT node, COUNT(*) AS n_triangles FROM (
               SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
+        """,
+        "clustering_coeff": """
+            WITH raw AS (
+              SELECT o_orderkey % 400 AS a,
+                     (o_orderkey // 7 + o_custkey) % 400 AS b
+              FROM orders),
+            und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a != b),
+            deg AS (
+              SELECT node, COUNT(*) AS degree FROM (
+                SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              GROUP BY 1),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+              JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+            pertri AS (
+              SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1)
+            SELECT d.node, d.degree,
+                   COALESCE(t.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.degree >= 2 THEN CAST(ROUND(
+                     2.0 * COALESCE(t.n_triangles, 0)
+                     / (d.degree * (d.degree - 1)) * 1e6) AS BIGINT)
+                   ELSE 0 END AS lcc_e6
+            FROM deg d LEFT JOIN pertri t USING (node)
+        """,
+        "lm_perplexity": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                     AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest([t[i:i+2] FOR i IN range(1, length(t) - 1)])
+                     AS gram
+              FROM norm WHERE length(t) >= 3),
+            cnt AS (SELECT gram, COUNT(*) AS n_gram FROM g GROUP BY 1),
+            ctx AS (SELECT gram[1:2] AS ctx, SUM(n_gram) AS n_ctx
+                    FROM cnt GROUP BY 1),
+            scored AS (
+              SELECT g.doc_id,
+                     ln((cnt.n_gram + 0.1) / (ctx.n_ctx + 0.1 * 37)) AS lp
+              FROM g JOIN cnt USING (gram)
+              JOIN ctx ON g.gram[1:2] = ctx.ctx),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_grams, AVG(-lp) AS nlp
+              FROM scored GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(a.n_grams, 0) AS n_grams,
+                   CAST(ROUND(a.nlp * 1e6) AS BIGINT) AS nlp_e6,
+                   CAST(ROUND(exp(a.nlp) * 1e6) AS BIGINT) AS ppl_e6
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "embedding_cov": """
+            WITH x AS (
+              SELECT vec_id,
+                     unnest([{'i': i, 'v': CAST(embedding[i + 1] AS DOUBLE)}
+                             FOR i IN range(len(embedding))],
+                            recursive := true)
+              FROM embeddings)
+            SELECT a.i AS i, b.i AS j,
+                   CAST(ROUND(covar_pop(a.v, b.v) * 1e6) AS BIGINT) AS cov_e6
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
         """,
         "event_transitions": """
             WITH seq AS (

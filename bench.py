@@ -136,7 +136,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "kg_negatives",
              # added r2 session 7
              "graph_layout", "zorder_events", "dup_spans",
-             "dict_encode", "context_windows", "distant_labels"]
+             "dict_encode", "context_windows", "distant_labels",
+             # added r2 session 8
+             "lm_perplexity", "embedding_cov", "clustering_coeff"]
     out = {}
     for name in names:
         t0 = time.time()

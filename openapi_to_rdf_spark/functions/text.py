@@ -156,6 +156,30 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(s), grams_of), 1)
 
 
+def lm_normalized(col: Column) -> Column:
+    """LM normalization: lowercase, every [^a-z0-9]+ run -> one space, trim.
+    Keeps word boundaries (unlike char_ngrams' strip-everything), so the
+    char-LM sees spacing structure. DuckDB twin:
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def char_ngrams_all(col: Column, n: int = 3) -> Column:
+    """ALL character n-grams of the LM-normalized text, in order, WITH
+    multiplicity (array<string>) — the event stream a character n-gram
+    language model counts and scores. Texts shorter than n yield []."""
+    norm = lm_normalized(col)
+
+    def grams_of(t):  # bound once — see word_ngrams
+        idx = F.sequence(F.lit(1), F.length(t) - n + 1)
+        g = F.transform(idx, lambda i: F.substring(t, i, n))
+        # guard: sequence(1, 0) would COUNT DOWN in Spark → explicit branch
+        return F.when(F.length(t) >= n, g).otherwise(
+            F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(norm), grams_of), 1)
+
+
 def word_ngrams_all(col: Column, n: int = 2) -> Column:
     """ALL word n-grams in order (NOT distinct) — the counting basis for
     repetition ratios, where multiplicity is the signal Jaccard discards."""

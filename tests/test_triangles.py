@@ -66,3 +66,42 @@ def test_celebrity_skew_star_plus_closures(spark):
     edges = [(0, i) for i in range(1, 5001)] + [(1, 2), (3, 4)]
     got = _run(spark, edges)
     assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_clustering_coefficient(spark):
+    from openapi_to_rdf_spark.operators.graphrank import clustering_coefficient
+
+    # triangle 1-2-3 + pendant 4 off node 1 + isolated edge 5-6
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.lcc_e6)
+           for r in clustering_coefficient(df).collect()}
+    assert got[1] == (3, 1, round(2 * 1 / (3 * 2) * 1e6))   # 1/3
+    assert got[2] == (2, 1, 1_000_000)
+    assert got[3] == (2, 1, 1_000_000)
+    assert got[4] == (1, 0, 0)                               # deg < 2
+    assert got[5] == (1, 0, 0) and got[6] == (1, 0, 0)
+
+
+def test_clustering_coefficient_vs_bruteforce(spark):
+    import hashlib
+
+    from openapi_to_rdf_spark.operators.graphrank import clustering_coefficient
+
+    edges, adj = [], {}
+    for i in range(300):
+        h = int(hashlib.md5(str(i).encode()).hexdigest(), 16)
+        a, b = h % 25, (h // 29) % 25
+        edges.append((a, b))
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    tri = _brute(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.lcc_e6)
+           for r in clustering_coefficient(df).collect()}
+    assert set(got) == set(adj)
+    for n, nbrs in adj.items():
+        d, t = len(nbrs), tri.get(n, 0)
+        want_lcc = round(2 * t / (d * (d - 1)) * 1e6) if d >= 2 else 0
+        assert got[n] == (d, t, want_lcc)
