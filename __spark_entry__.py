@@ -1169,6 +1169,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
         return clustering_coefficient(edges)
 
+    def q_communities(spark, sf_dir):
+        """Synchronous label propagation, FIXED 2 rounds (the deterministic,
+        SQL-expressible mode) over the orders graph; DuckDB unrolls the same
+        two rounds with identical tie-breaks (count desc, label asc)."""
+        from openapi_to_rdf_spark.operators.communities import (
+            label_propagation)
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 400).alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
+        return label_propagation(edges, iterations=2)
+
     def q_lm_perplexity(spark, sf_dir):
         """CCNet-style char-trigram LM self-perplexity over documents —
         train + score in one call; DuckDB replays the identical add-alpha
@@ -1620,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": q_zorder_events,
         "triangles": q_triangles,
         "clustering_coeff": q_clustering_coeff,
+        "communities": q_communities,
         "lm_perplexity": q_lm_perplexity,
         "embedding_cov": q_embedding_cov,
         "convert_specs": q_convert_specs,
@@ -2780,6 +2794,42 @@ def oracle_sql() -> dict[str, str]:
                      / (d.degree * (d.degree - 1)) * 1e6) AS BIGINT)
                    ELSE 0 END AS lcc_e6
             FROM deg d LEFT JOIN pertri t USING (node)
+        """,
+        "communities": """
+            WITH raw AS (
+              SELECT o_orderkey % 400 AS a,
+                     (o_orderkey // 7 + o_custkey) % 400 AS b
+              FROM orders),
+            und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a != b),
+            sym AS (
+              SELECT u AS a, v AS b FROM und
+              UNION ALL SELECT v, u FROM und
+              -- self-preference vote: each node counts its own label once
+              UNION ALL SELECT DISTINCT n, n FROM (
+                SELECT u AS n FROM und UNION ALL SELECT v FROM und) nn),
+            l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+            c1 AS (
+              SELECT s.a AS node, l.label, COUNT(*) AS n
+              FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+            l1 AS (
+              SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+                FROM c1) WHERE rn = 1),
+            c2 AS (
+              SELECT s.a AS node, l.label, COUNT(*) AS n
+              FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+            l2 AS (
+              SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY n DESC, label ASC) AS rn
+                FROM c2) WHERE rn = 1),
+            canon AS (SELECT label, MIN(node) AS community
+                      FROM l2 GROUP BY 1)
+            SELECT l2.node, canon.community
+            FROM l2 JOIN canon USING (label)
         """,
         "lm_perplexity": """
             WITH norm AS (

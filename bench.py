@@ -138,7 +138,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "graph_layout", "zorder_events", "dup_spans",
              "dict_encode", "context_windows", "distant_labels",
              # added r2 session 8
-             "lm_perplexity", "embedding_cov", "clustering_coeff"]
+             "lm_perplexity", "embedding_cov", "clustering_coeff",
+             "communities"]
     out = {}
     for name in names:
         t0 = time.time()
