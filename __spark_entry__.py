@@ -588,6 +588,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (tr.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
                 .orderBy("p"))
 
+    def _sql_replayable_kg(spark, sf_dir):
+        """REAL extractor output over a transcript table derived from
+        orders with engine-portable column arithmetic (uint32(md5) picks,
+        ROW_NUMBER turn ordering) — the input construction every engine can
+        replay, unlike synth_transcripts' Spark-private xxhash64."""
+        from openapi_to_rdf_spark.operators.extract import (
+            extract_transcript_triples,
+        )
+        from openapi_to_rdf_spark.sources.transcripts import class_vocab_df
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        okey = F.col("o_orderkey")
+        md5 = F.md5(okey.cast("string"))
+        h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        w = Window.partitionBy(F.pmod(okey, F.lit(211))).orderBy(okey)
+        turn_idx = (F.row_number().over(w) - 1).cast("int")
+        conv_id = F.concat(F.lit("c"), F.pmod(okey, F.lit(211)).cast("string"))
+
+        cls_tokens = ["ManagedElement", "PerfMetricJob", "AlarmRecord",
+                      "ThresholdMonitor", "TraceJob", "MnsAgent",
+                      "SupportedPerfMetricGroup", "NtfSubscriptionControl",
+                      "UnknownWidget"]  # last one absent from the vocab
+        cls_arr = F.array(*[F.lit(c) for c in cls_tokens])
+        cls1 = F.element_at(cls_arr, (F.pmod(h1, F.lit(9)) + 1).cast("int"))
+        cls2 = F.element_at(cls_arr, (F.pmod(h2, F.lit(9)) + 1).cast("int"))
+        key1 = F.concat(F.lit("srv-"),
+                        F.pmod(F.col("o_custkey"), F.lit(97)).cast("string"))
+        key2 = F.concat(F.lit("node-"), F.pmod(okey, F.lit(53)).cast("string"))
+        n_m = F.pmod(h1, F.lit(3))
+        base = ordr.select(
+            conv_id.alias("conv_id"), turn_idx.alias("turn_idx"),
+            F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                                 F.lit("tool")),
+                         (F.pmod(turn_idx.cast("long"), F.lit(3)) + 1)
+                         .cast("int")).alias("role"),
+            F.concat(
+                F.lit("turn "), turn_idx.cast("string"), F.lit(" of "),
+                conv_id,
+                F.when(n_m >= 1, F.concat(F.lit(" discussing "), cls1,
+                                          F.lit("#"), key1))
+                .otherwise(F.lit("")),
+                F.when(n_m >= 2, F.concat(F.lit(" see "), cls2,
+                                          F.lit("#"), key2))
+                .otherwise(F.lit("")),
+                F.lit(" end")).alias("text"),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                + turn_idx.cast("long")).alias("ts"))
+        turns = base.withColumn(
+            "tool", F.when(F.col("role") == "tool", F.lit("search")))
+        return extract_transcript_triples(turns, class_vocab_df(spark))
+
+    def q_kg_extract_exact(spark, sf_dir):
+        """Flagship extraction path, EXACT-hash checked end to end: the
+        SQL-replayable transcript table run through the REAL extractor
+        (JVM regexp_extract_all, explode, broadcast vocab join, narrow-key
+        dedups), returning the FULL triple table. The DuckDB twin replays
+        generation AND extraction (same regex, same five emission branches,
+        same dedup keys), so mention detection, URI minting, typing
+        fallback (UnknownWidget -> rdfs:Resource), dateTime formatting and
+        dedup semantics are all pinned value-by-value — kg_extract's synth
+        input (xxhash64) is not SQL-replayable, which kept this rows-only
+        until now."""
+        tr = _sql_replayable_kg(spark, sf_dir)
+        return tr.select("file", "graph", "s", "p", "o_kind", "o",
+                         "o_datatype")
+
+    def q_kg_comention_exact(spark, sf_dir):
+        """co_mention_edges (the KG self-equi-join on the turn IRI) over
+        the SQL-replayable extraction — upgrades the co-mention join shape
+        from rows-only (kg_graph_stats) to exact-hash: every entity pair
+        and its co-occurrence count is value-checked."""
+        from openapi_to_rdf_spark.operators.extract import KG_NS
+        from openapi_to_rdf_spark.operators.graphq import co_mention_edges
+
+        return co_mention_edges(_sql_replayable_kg(spark, sf_dir), KG_NS)
+
+    def q_kg_degree_exact(spark, sf_dir):
+        """entity_degree + class_histogram join over the SQL-replayable
+        extraction: per-entity mention counts, distinct-turn counts, and
+        the entity's class — the degree/typing analytics previously only
+        rows-checked via kg_graph_stats."""
+        from openapi_to_rdf_spark.operators.extract import KG_NS
+        from openapi_to_rdf_spark.operators.graphq import entity_degree
+
+        tr = _sql_replayable_kg(spark, sf_dir)
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        types = (tr.filter((F.col("p") == rdf_type)
+                           & (F.col("file") == "entities"))
+                 .select(F.col("s").alias("ent"),
+                         F.col("o").alias("class_iri")))
+        return entity_degree(tr, KG_NS).join(types, "ent")
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -1638,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cov": q_embedding_cov,
         "convert_specs": q_convert_specs,
         "kg_extract": q_kg_extract,
+        "kg_extract_exact": q_kg_extract_exact,
+        "kg_comention_exact": q_kg_comention_exact,
+        "kg_degree_exact": q_kg_degree_exact,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_link_entities": q_kg_link_entities,
         "doc_pagerank": q_doc_pagerank,
@@ -2565,6 +2662,264 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(0 AS INT) AS hops FROM h0
             UNION ALL SELECT node, CAST(1 AS INT) FROM h1
             UNION ALL SELECT node, CAST(2 AS INT) FROM h2
+        """,
+        "kg_extract_exact": """
+            -- replay transcript GENERATION (orders-derived, uint32(md5)
+            -- picks) and EXTRACTION (same mention regex, five emission
+            -- branches, same dedup keys) as extract_transcript_triples
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderdate,
+                     o_orderkey % 211 AS cg,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::UBIGINT AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          9, 8))::UBIGINT AS BIGINT) AS h2
+              FROM orders),
+            t AS (
+              SELECT 'c' || CAST(cg AS VARCHAR) AS conv_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cg
+                                             ORDER BY o_orderkey) - 1
+                          AS INT) AS turn_idx,
+                     h1, h2, o_custkey, o_orderkey, o_orderdate
+              FROM o),
+            turns AS (
+              SELECT conv_id, turn_idx,
+                     (['user','assistant','tool'])[(turn_idx % 3) + 1]
+                       AS role,
+                     'turn ' || CAST(turn_idx AS VARCHAR) || ' of '
+                       || conv_id
+                       || CASE WHEN h1 % 3 >= 1 THEN ' discussing '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h1 % 9) + 1]
+                            || '#srv-' || CAST(o_custkey % 97 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN h1 % 3 >= 2 THEN ' see '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h2 % 9) + 1]
+                            || '#node-' || CAST(o_orderkey % 53 AS VARCHAR)
+                          ELSE '' END
+                       || ' end' AS text,
+                     o_orderdate::TIMESTAMP + to_seconds(turn_idx) AS ts
+              FROM t),
+            m AS (
+              SELECT conv_id, turn_idx,
+                     split_part(mm, '#', 1) AS m_class,
+                     split_part(mm, '#', 2) AS m_key
+              FROM turns, unnest(regexp_extract_all(text,
+                '([A-Z][A-Za-z0-9_]+)#([a-z0-9][a-z0-9_.-]{0,40}[a-z0-9])'
+                )) AS u(mm)),
+            vocab(class_name, class_iri) AS (VALUES
+              ('ManagedElement',
+               'http://ericsson.com/models/3gpp/kg#ManagedElement'),
+              ('PerfMetricJob',
+               'http://ericsson.com/models/3gpp/kg#PerfMetricJob'),
+              ('AlarmRecord',
+               'http://ericsson.com/models/3gpp/kg#AlarmRecord'),
+              ('ThresholdMonitor',
+               'http://ericsson.com/models/3gpp/kg#ThresholdMonitor'),
+              ('TraceJob', 'http://ericsson.com/models/3gpp/kg#TraceJob'),
+              ('MnsAgent', 'http://ericsson.com/models/3gpp/kg#MnsAgent'),
+              ('SupportedPerfMetricGroup',
+               'http://ericsson.com/models/3gpp/kg#SupportedPerfMetricGroup'),
+              ('NtfSubscriptionControl',
+               'http://ericsson.com/models/3gpp/kg#NtfSubscriptionControl'))
+            SELECT conv_id AS file, 'kg' AS graph,
+                   'http://ericsson.com/models/3gpp/conv#' || conv_id AS s,
+                   'http://ericsson.com/models/3gpp/kg#hasTurn' AS p,
+                   'iri' AS o_kind,
+                   'http://ericsson.com/models/3gpp/turn#' || conv_id || '/'
+                     || CAST(turn_idx AS VARCHAR) AS o,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM turns
+            UNION ALL
+            SELECT conv_id, 'kg',
+                   'http://ericsson.com/models/3gpp/turn#' || conv_id || '/'
+                     || CAST(turn_idx AS VARCHAR),
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+                   'http://ericsson.com/models/3gpp/kg#Turn', NULL
+            FROM turns
+            UNION ALL
+            SELECT conv_id, 'kg',
+                   'http://ericsson.com/models/3gpp/turn#' || conv_id || '/'
+                     || CAST(turn_idx AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#role', 'literal',
+                   role, 'http://www.w3.org/2001/XMLSchema#string'
+            FROM turns
+            UNION ALL
+            SELECT conv_id, 'kg',
+                   'http://ericsson.com/models/3gpp/turn#' || conv_id || '/'
+                     || CAST(turn_idx AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#atTime', 'literal',
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                   'http://www.w3.org/2001/XMLSchema#dateTime'
+            FROM turns
+            UNION ALL
+            SELECT DISTINCT conv_id, 'kg',
+                   'http://ericsson.com/models/3gpp/conv#' || conv_id,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+                   'http://ericsson.com/models/3gpp/kg#Conversation', NULL
+            FROM turns
+            UNION ALL
+            SELECT DISTINCT conv_id, 'kg',
+                   'http://ericsson.com/models/3gpp/turn#' || conv_id || '/'
+                     || CAST(turn_idx AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#mentions', 'iri',
+                   'http://ericsson.com/models/3gpp/entity#' || m_key, NULL
+            FROM m
+            UNION ALL
+            SELECT 'entities', 'kg',
+                   'http://ericsson.com/models/3gpp/entity#' || mm.m_key,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+                   COALESCE(v.class_iri,
+                            'http://www.w3.org/2000/01/rdf-schema#Resource'),
+                   NULL
+            FROM (SELECT DISTINCT m_class, m_key FROM m) mm
+            LEFT JOIN vocab v ON v.class_name = mm.m_class
+            UNION ALL
+            SELECT 'entities', 'kg',
+                   'http://ericsson.com/models/3gpp/entity#' || m_key,
+                   'http://ericsson.com/models/3gpp/kg#surfaceForm',
+                   'literal', m_key,
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM (SELECT DISTINCT m_key FROM m) mk
+        """,
+        "kg_comention_exact": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     o_orderkey % 211 AS cg,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::UBIGINT AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          9, 8))::UBIGINT AS BIGINT) AS h2
+              FROM orders),
+            t AS (
+              SELECT 'c' || CAST(cg AS VARCHAR) AS conv_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cg
+                                             ORDER BY o_orderkey) - 1
+                          AS INT) AS turn_idx,
+                     h1, h2, o_custkey, o_orderkey
+              FROM o),
+            turns AS (
+              SELECT conv_id, turn_idx,
+                     'turn ' || CAST(turn_idx AS VARCHAR) || ' of '
+                       || conv_id
+                       || CASE WHEN h1 % 3 >= 1 THEN ' discussing '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h1 % 9) + 1]
+                            || '#srv-' || CAST(o_custkey % 97 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN h1 % 3 >= 2 THEN ' see '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h2 % 9) + 1]
+                            || '#node-' || CAST(o_orderkey % 53 AS VARCHAR)
+                          ELSE '' END
+                       || ' end' AS text
+              FROM t),
+            m AS (
+              SELECT DISTINCT conv_id, turn_idx,
+                     split_part(mm, '#', 2) AS m_key
+              FROM turns, unnest(regexp_extract_all(text,
+                '([A-Z][A-Za-z0-9_]+)#([a-z0-9][a-z0-9_.-]{0,40}[a-z0-9])'
+                )) AS u(mm))
+            SELECT 'http://ericsson.com/models/3gpp/entity#' || a.m_key
+                     AS ent_a,
+                   'http://ericsson.com/models/3gpp/entity#' || b.m_key
+                     AS ent_b,
+                   COUNT(*) AS n_cooccur
+            FROM m a JOIN m b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            WHERE a.m_key < b.m_key
+            GROUP BY 1, 2
+        """,
+        "kg_degree_exact": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     o_orderkey % 211 AS cg,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::UBIGINT AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          9, 8))::UBIGINT AS BIGINT) AS h2
+              FROM orders),
+            t AS (
+              SELECT 'c' || CAST(cg AS VARCHAR) AS conv_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cg
+                                             ORDER BY o_orderkey) - 1
+                          AS INT) AS turn_idx,
+                     h1, h2, o_custkey, o_orderkey
+              FROM o),
+            turns AS (
+              SELECT conv_id, turn_idx,
+                     'turn ' || CAST(turn_idx AS VARCHAR) || ' of '
+                       || conv_id
+                       || CASE WHEN h1 % 3 >= 1 THEN ' discussing '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h1 % 9) + 1]
+                            || '#srv-' || CAST(o_custkey % 97 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN h1 % 3 >= 2 THEN ' see '
+                            || (['ManagedElement','PerfMetricJob',
+                                 'AlarmRecord','ThresholdMonitor','TraceJob',
+                                 'MnsAgent','SupportedPerfMetricGroup',
+                                 'NtfSubscriptionControl','UnknownWidget']
+                               )[(h2 % 9) + 1]
+                            || '#node-' || CAST(o_orderkey % 53 AS VARCHAR)
+                          ELSE '' END
+                       || ' end' AS text
+              FROM t),
+            mraw AS (
+              SELECT conv_id, turn_idx,
+                     split_part(mm, '#', 1) AS m_class,
+                     split_part(mm, '#', 2) AS m_key
+              FROM turns, unnest(regexp_extract_all(text,
+                '([A-Z][A-Za-z0-9_]+)#([a-z0-9][a-z0-9_.-]{0,40}[a-z0-9])'
+                )) AS u(mm)),
+            me AS (SELECT DISTINCT conv_id, turn_idx, m_key FROM mraw),
+            deg AS (
+              SELECT m_key, COUNT(*) AS n_mentions,
+                     COUNT(DISTINCT conv_id || '/'
+                           || CAST(turn_idx AS VARCHAR)) AS n_turns
+              FROM me GROUP BY 1),
+            vocab(class_name, class_iri) AS (VALUES
+              ('ManagedElement',
+               'http://ericsson.com/models/3gpp/kg#ManagedElement'),
+              ('PerfMetricJob',
+               'http://ericsson.com/models/3gpp/kg#PerfMetricJob'),
+              ('AlarmRecord',
+               'http://ericsson.com/models/3gpp/kg#AlarmRecord'),
+              ('ThresholdMonitor',
+               'http://ericsson.com/models/3gpp/kg#ThresholdMonitor'),
+              ('TraceJob', 'http://ericsson.com/models/3gpp/kg#TraceJob'),
+              ('MnsAgent', 'http://ericsson.com/models/3gpp/kg#MnsAgent'),
+              ('SupportedPerfMetricGroup',
+               'http://ericsson.com/models/3gpp/kg#SupportedPerfMetricGroup'),
+              ('NtfSubscriptionControl',
+               'http://ericsson.com/models/3gpp/kg#NtfSubscriptionControl')),
+            ty AS (
+              SELECT DISTINCT mm.m_key,
+                     COALESCE(v.class_iri,
+                              'http://www.w3.org/2000/01/rdf-schema#Resource')
+                       AS class_iri
+              FROM (SELECT DISTINCT m_class, m_key FROM mraw) mm
+              LEFT JOIN vocab v ON v.class_name = mm.m_class)
+            SELECT 'http://ericsson.com/models/3gpp/entity#' || deg.m_key
+                     AS ent,
+                   deg.n_mentions, deg.n_turns, ty.class_iri
+            FROM deg JOIN ty ON ty.m_key = deg.m_key
         """,
         "kg_link_entities": """
             WITH reg AS (
