@@ -682,6 +682,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("o").alias("class_iri")))
         return entity_degree(tr, KG_NS).join(types, "ent")
 
+    def q_kg_coref(spark, sf_dir):
+        """Recency anaphora resolution (operators.coref) over an
+        orders-derived conversation table with planted pronoun turns
+        (h%4=0), single-mention turns (h%4 in 1,2) and empty turns (h%4=3).
+        The DuckDB twin replays the same strictly-earlier
+        last_value-IGNORE-NULLS window, pinning the recency rule
+        value-by-value."""
+        from openapi_to_rdf_spark.operators.coref import resolve_anaphora
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        okey = F.col("o_orderkey")
+        h1 = F.conv(F.substring(F.md5(okey.cast("string")), 1, 8),
+                    16, 10).cast("long")
+        w = Window.partitionBy(F.pmod(okey, F.lit(211))).orderBy(okey)
+        turn_idx = (F.row_number().over(w) - 1).cast("int")
+        cls_arr = F.array(F.lit("AlarmRecord"), F.lit("TraceJob"),
+                          F.lit("ManagedElement"))
+        turns = ordr.select(
+            F.concat(F.lit("c"), F.pmod(okey, F.lit(211)).cast("string"))
+            .alias("conv_id"),
+            turn_idx.alias("turn_idx"),
+            F.when(F.pmod(h1, F.lit(4)) == 0, F.lit("please restart it"))
+            .when(F.pmod(h1, F.lit(4)) == 1,
+                  F.concat(F.lit("checking "),
+                           F.element_at(cls_arr,
+                                        (F.pmod(h1, F.lit(3)) + 1)
+                                        .cast("int")),
+                           F.lit("#srv-"),
+                           F.pmod(F.col("o_custkey"),
+                                  F.lit(97)).cast("string")))
+            .when(F.pmod(h1, F.lit(4)) == 2,
+                  F.concat(F.lit("status of TraceJob#node-"),
+                           F.pmod(okey, F.lit(53)).cast("string")))
+            .otherwise(F.lit("routine sync")).alias("text"))
+        return resolve_anaphora(turns)
+
+    def q_kg_violations(spark, sf_dir):
+        """shapes.validate_triples hash-verified end to end: a triple table
+        derived from orders with every violation kind planted at known
+        moduli — absent-minCount (k%11=0: no role triple at all, the dead
+        rule ADVICE r1 flagged), maxCount (k%11=1: two roles), notInList
+        (k%11=2), datatypeMismatch (k%11=3), patternMismatch (k%13=0),
+        nodeKindViolation (k%17=0), plus UNTYPED subjects (k%19=0) that
+        class-scoped rules must skip. The DuckDB twin derives the expected
+        violation set analytically (independent of the operator's join
+        plan), pinning violation labels, detail strings, scoping and the
+        focus-node anti-join value-by-value."""
+        from openapi_to_rdf_spark.operators.shapes import validate_triples
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        sh_iri = "http://www.w3.org/ns/shacl#IRI"
+
+        base = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.col("o_orderkey").alias("k")))
+        subj = F.concat(F.lit("turn#"), F.col("k").cast("string"))
+
+        def tri(df, p, o_kind, o, dt=None):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                subj.alias("s"), F.lit(p).alias("p"), o_kind.alias("o_kind"),
+                o.alias("o"),
+                (F.lit(dt) if dt else F.lit(None).cast("string"))
+                .alias("o_datatype"))
+
+        lit = F.lit("literal")
+        km = lambda n: F.pmod(F.col("k"), F.lit(n))  # noqa: E731
+        triples = (
+            tri(base.filter(km(19) != 0), rdf_type, F.lit("iri"),
+                F.lit(kg + "Turn"))
+            .unionByName(tri(base.filter(~km(11).isin(0, 1, 2, 3)),
+                             kg + "role", lit, F.lit("user"),
+                             xsd + "string"))
+            .unionByName(tri(base.filter(km(11) == 1), kg + "role", lit,
+                             F.lit("user"), xsd + "string"))
+            .unionByName(tri(base.filter(km(11) == 1), kg + "role", lit,
+                             F.lit("assistant"), xsd + "string"))
+            .unionByName(tri(base.filter(km(11) == 2), kg + "role", lit,
+                             F.lit("bogus"), xsd + "string"))
+            .unionByName(tri(base.filter(km(11) == 3), kg + "role", lit,
+                             F.lit("user"), xsd + "integer"))
+            .unionByName(tri(base, kg + "atTime", lit,
+                             F.when(km(13) == 0, F.lit("not-a-date"))
+                             .otherwise(F.lit("2026-01-01T00:00:00Z")),
+                             xsd + "dateTime"))
+            .unionByName(tri(base, kg + "mentions",
+                             F.when(km(17) == 0, lit).otherwise(F.lit("iri")),
+                             F.concat(F.lit("ent#e"),
+                                      km(50).cast("string")))))
+        rules = spark.createDataFrame(
+            [("kg", kg + "Turn", kg + "role", xsd + "string", 1, 1,
+              ["user", "assistant", "tool"], None, None),
+             ("kg", kg + "Turn", kg + "atTime", xsd + "dateTime", 1, 1,
+              None, None, "^[0-9]{4}-"),
+             ("kg", None, kg + "mentions", None, None, None, None,
+              sh_iri, None)],
+            "file string, target_class string, path string, "
+            "datatype string, min_count int, max_count int, "
+            "in_values array<string>, node_kind string, pattern string")
+        return validate_triples(triples, rules)
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -1735,6 +1837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extract_exact": q_kg_extract_exact,
         "kg_comention_exact": q_kg_comention_exact,
         "kg_degree_exact": q_kg_degree_exact,
+        "kg_violations": q_kg_violations,
+        "kg_coref": q_kg_coref,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_link_entities": q_kg_link_entities,
         "doc_pagerank": q_doc_pagerank,
@@ -2842,6 +2946,74 @@ def oracle_sql() -> dict[str, str]:
               ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
             WHERE a.m_key < b.m_key
             GROUP BY 1, 2
+        """,
+        "kg_coref": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderkey % 211 AS cg,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::UBIGINT AS BIGINT) AS h1
+              FROM orders),
+            t AS (
+              SELECT 'c' || CAST(cg AS VARCHAR) AS conv_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cg
+                                             ORDER BY o_orderkey) - 1
+                          AS INT) AS turn_idx,
+                     h1 % 4 AS kind,
+                     CASE h1 % 4
+                       WHEN 1 THEN 'srv-' || CAST(o_custkey % 97 AS VARCHAR)
+                       WHEN 2 THEN 'node-' || CAST(o_orderkey % 53
+                                                   AS VARCHAR)
+                     END AS m
+              FROM o),
+            r AS (
+              SELECT conv_id, turn_idx, kind,
+                     LAST_VALUE(m IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS antecedent
+              FROM t)
+            SELECT conv_id, turn_idx, 'it' AS pronoun, antecedent
+            FROM r WHERE kind = 0 AND antecedent IS NOT NULL
+        """,
+        "kg_violations": """
+            -- analytically-derived expected violation set for the planted
+            -- corruption moduli (independent of validate_triples' plan)
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            typed AS (SELECT k FROM kk WHERE k % 19 != 0)
+            SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                   'http://ericsson.com/models/3gpp/kg#role' AS p,
+                   CAST(NULL AS VARCHAR) AS o,
+                   'cardinalityViolation' AS violation,
+                   'count=0 min=1 max=-' AS detail
+            FROM typed WHERE k % 11 = 0
+            UNION ALL
+            SELECT 'turn#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#role', NULL,
+                   'cardinalityViolation', 'count=2 min=1 max=1'
+            FROM typed WHERE k % 11 = 1
+            UNION ALL
+            SELECT 'turn#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#role', 'bogus',
+                   'notInList', 'user,assistant,tool'
+            FROM typed WHERE k % 11 = 2
+            UNION ALL
+            SELECT 'turn#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#role', 'user',
+                   'datatypeMismatch',
+                   'expected http://www.w3.org/2001/XMLSchema#string got '
+                     || 'http://www.w3.org/2001/XMLSchema#integer'
+            FROM typed WHERE k % 11 = 3
+            UNION ALL
+            SELECT 'turn#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#atTime',
+                   'not-a-date', 'patternMismatch', 'pattern ^[0-9]{4}-'
+            FROM typed WHERE k % 13 = 0
+            UNION ALL
+            SELECT 'turn#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#mentions',
+                   'ent#e' || CAST(k % 50 AS VARCHAR),
+                   'nodeKindViolation', 'expected IRI got literal'
+            FROM kk WHERE k % 17 = 0
         """,
         "kg_degree_exact": """
             WITH o AS (
