@@ -718,6 +718,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("routine sync")).alias("text"))
         return resolve_anaphora(turns)
 
+    def q_kg_segments(spark, sf_dir):
+        """Dialogue topic segmentation (operators.segments) over
+        orders-derived conversations whose turn texts mix per-turn words
+        with a shared token — the DuckDB twin replays tokenization
+        (regexp_extract_all + distinct), adjacent-turn Jaccard, the 0.2
+        boundary rule and the running segment sum value-by-value."""
+        from openapi_to_rdf_spark.operators.segments import segment_turns
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        okey = F.col("o_orderkey")
+        md5 = F.md5(okey.cast("string"))
+        h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        w = Window.partitionBy(F.pmod(okey, F.lit(211))).orderBy(okey)
+        turns = ordr.select(
+            F.concat(F.lit("c"), F.pmod(okey, F.lit(211)).cast("string"))
+            .alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.concat(F.lit("w"), F.pmod(h1, F.lit(7)).cast("string"),
+                     F.lit(" w"), F.pmod(h2, F.lit(7)).cast("string"),
+                     F.lit(" common")).alias("text"))
+        return segment_turns(turns, threshold=0.2)
+
     def q_kg_violations(spark, sf_dir):
         """shapes.validate_triples hash-verified end to end: a triple table
         derived from orders with every violation kind planted at known
@@ -1839,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_exact": q_kg_degree_exact,
         "kg_violations": q_kg_violations,
         "kg_coref": q_kg_coref,
+        "kg_segments": q_kg_segments,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_link_entities": q_kg_link_entities,
         "doc_pagerank": q_doc_pagerank,
@@ -2946,6 +2970,49 @@ def oracle_sql() -> dict[str, str]:
               ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
             WHERE a.m_key < b.m_key
             GROUP BY 1, 2
+        """,
+        "kg_segments": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderkey % 211 AS cg,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::UBIGINT AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                          9, 8))::UBIGINT AS BIGINT) AS h2
+              FROM orders),
+            t AS (
+              SELECT 'c' || CAST(cg AS VARCHAR) AS conv_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cg
+                                             ORDER BY o_orderkey) - 1
+                          AS INT) AS turn_idx,
+                     'w' || CAST(h1 % 7 AS VARCHAR) || ' w'
+                       || CAST(h2 % 7 AS VARCHAR) || ' common' AS text
+              FROM o),
+            tok AS (
+              SELECT conv_id, turn_idx,
+                     list_distinct(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) AS tk
+              FROM t),
+            adj AS (
+              SELECT conv_id, turn_idx, tk,
+                     LAG(tk) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev
+              FROM tok),
+            j AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN prev IS NOT NULL THEN
+                       len(list_intersect(tk, prev))
+                       / GREATEST(len(list_distinct(list_concat(tk, prev))),
+                                  1)::DOUBLE
+                     END AS jac
+              FROM adj)
+            SELECT conv_id, turn_idx,
+                   CAST(SUM(CASE WHEN jac IS NULL OR jac < 0.2
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - 1 AS INT) AS segment,
+                   CAST(round(jac * 1000000) AS BIGINT) AS jaccard_e6
+            FROM j
         """,
         "kg_coref": """
             WITH o AS (
