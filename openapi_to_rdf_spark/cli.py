@@ -60,6 +60,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "class_name, prior); adds the links stage — every "
                         "canonical entity scored + linked against it "
                         "(operators.linker)")
+    k.add_argument("--coref", action="store_true",
+                   help="recover pronoun references (operators.coref) as a "
+                        "kg_coref snapshot stage")
     k.add_argument("--export-ntriples", default=None, metavar="DIR",
                    help="also export the final graph as distributed "
                         "N-Triples part files under DIR")
@@ -171,7 +174,7 @@ def cmd_kg(args) -> int:
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
         transcripts=transcripts, input_fp=input_fp,
         jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules,
-        registry=registry)
+        registry=registry, coref=args.coref)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

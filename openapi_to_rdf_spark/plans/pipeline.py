@@ -18,6 +18,10 @@ at the first uncommitted stage and recomputes nothing before it):
                subject/predicate/object layout RDF stores use; partition
                pruning makes single-predicate scans at 10^12 scale cheap)
 - violations:  SHACL-rule quarantine (operators.shapes)
+- coref:       (optional, coref=True / --coref) pronoun references recovered
+               by recency (operators.coref), remapped through the canonical
+               map so an alias-spelling antecedent lands on the canonical
+               entity; materialized as graph='kg_coref' mentions triples
 - links:       (optional, when a registry is given) entity-link scoring of
                each canonical entity's surface forms against the authority
                registry (operators.linker) → kg:linksTo/kg:linkScore triples
@@ -50,6 +54,7 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  spec_rules: DataFrame | None = None,
                  registry: DataFrame | None = None,
                  registry_ns: str = "http://ericsson.com/models/3gpp/registry#",
+                 coref: bool = False,
                  ) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests.
 
@@ -137,6 +142,24 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     stage("violations", fp_v,
           lambda: validate_triples(graph, rules),
           count_by=["violation"])
+
+    # -- coref recovery (optional): pronoun turns -> kg#mentions -------------
+    if coref:
+        from ..operators.coref import coref_triples, resolve_anaphora
+
+        # chained from transcripts (its input) AND the canonical map:
+        # recovered references name entities by surface key, so they are
+        # remapped exactly like extraction's mention edges — a pronoun
+        # resolved to an alias spelling lands on the canonical entity
+        # no pred partitioning: coref emits ONE predicate (kg#mentions), and
+        # an empty recovery set under partition_by would write zero
+        # directories (unreadable snapshot) — e.g. pronoun-free corpora
+        fp_cf = fingerprint(fp_t, fp_c, "coref", "v1")
+        stage("coref", fp_cf,
+              lambda: remap_triples(
+                  coref_triples(resolve_anaphora(turns), ENT_NS),
+                  cmap, ENT_NS),
+              count_by=["graph"])
 
     # -- entity links against the authority registry (optional) --------------
     if registry is not None:

@@ -428,3 +428,40 @@ def test_pipeline_links_stage_against_registry(spark, tmp_path):
     m2 = run_pipeline(spark, tmp_path / "wd", n_convs=120, seed=42,
                       registry=reg)
     assert m2["links"]["committed_at"] == m1["links"]["committed_at"]
+
+
+def test_pipeline_coref_stage(spark, tmp_path):
+    """Optional coref stage: a pronoun turn yields a recovered kg#mentions
+    triple whose object is the CANONICAL entity (an alias spelling in the
+    antecedent turn must remap through the canonical map)."""
+    import datetime as dt
+
+    from openapi_to_rdf_spark.operators.extract import ENT_NS
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "create AlarmRecord#alpha-bravo-0001 now",
+         None, ts),
+        # alias spelling of the same entity ("_" separators)
+        ("c1", 1, "user", "also tag AlarmRecord#alpha_bravo_0001",
+         None, ts),
+        ("c1", 2, "user", "then restart it", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    m = run_pipeline(spark, tmp_path / "wd", transcripts=df,
+                     input_fp="coref-fixture-1", coref=True)
+    assert m["coref"]["metrics"]["rows"] == 1
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+
+    got = read_snapshot(spark, tmp_path / "wd" / "coref").collect()
+    assert got[0].s.endswith("c1/2")
+    assert got[0].graph == "kg_coref"
+    # canonical map collapses both alias spellings to one entity; the
+    # recovered reference must point at that canonical IRI
+    canon = read_snapshot(spark, tmp_path / "wd" / "canonical_map")
+    canonical = {r.canonical for r in canon.collect()}
+    assert len(canonical) == 1
+    assert got[0].o in canonical
+    assert got[0].o.startswith(ENT_NS)
