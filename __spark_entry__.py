@@ -718,6 +718,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.lit("routine sync")).alias("text"))
         return resolve_anaphora(turns)
 
+    def q_entity_bursts(spark, sf_dir):
+        """Burst detection (operators.bursts) over per-user daily event
+        counts: groupBy + trailing-mean window on the SAME key (one
+        shuffle); the DuckDB twin replays bucketing, the sparse trailing
+        window, fixed-point mean and both burst guards."""
+        from openapi_to_rdf_spark.operators.bursts import detect_bursts
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return detect_bursts(ev, "user_id", ts_col="ts",
+                             baseline=3, factor=2.0, min_count=3)
+
     def q_kg_segments(spark, sf_dir):
         """Dialogue topic segmentation (operators.segments) over
         orders-derived conversations whose turn texts mix per-turn words
@@ -1863,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_violations": q_kg_violations,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
+        "entity_bursts": q_entity_bursts,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_link_entities": q_kg_link_entities,
         "doc_pagerank": q_doc_pagerank,
@@ -2970,6 +2982,25 @@ def oracle_sql() -> dict[str, str]:
               ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
             WHERE a.m_key < b.m_key
             GROUP BY 1, 2
+        """,
+        "entity_bursts": """
+            WITH c AS (
+              SELECT user_id AS key,
+                     -- floor, not //: DuckDB's // on DOUBLE rounds
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT key, bucket, n,
+                     CAST(round(AVG(n) OVER (
+                       PARTITION BY key ORDER BY bucket
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       * 1000000) AS BIGINT) AS trailing_mean_e6
+              FROM c)
+            SELECT key, bucket, n, trailing_mean_e6,
+                   (trailing_mean_e6 IS NOT NULL AND n >= 3
+                    AND n * 1000000 > 2.0 * trailing_mean_e6) AS burst
+            FROM m
         """,
         "kg_segments": """
             WITH o AS (

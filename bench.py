@@ -139,7 +139,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "dict_encode", "context_windows", "distant_labels",
              # added r2 session 8
              "lm_perplexity", "embedding_cov", "clustering_coeff",
-             "communities"]
+             "communities",
+             # added r2 session 9
+             "kg_extract_exact", "kg_violations", "kg_coref",
+             "kg_segments"]
     out = {}
     for name in names:
         t0 = time.time()
