@@ -1760,6 +1760,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rdfs_entail(_rdfs_triples(spark, sf_dir))
 
+    def _owl_triples(spark, sf_dir):
+        """Deterministic OWL test graph from TPC-H: a geo:within
+        containment tree over customer keys (k within k DIV 10, depth
+        ~4), geo:contains declared owl:inverseOf geo:within (never
+        asserted — its extension exists only by entailment), and a
+        symmetric geo:adjacentTo ring over nations — same expressions
+        in the DuckDB oracle."""
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        within = (cust.filter(F.col("c_custkey") >= 10)
+                  .select(F.concat(F.lit("c"),
+                                   F.col("c_custkey").cast("string"))
+                          .alias("s"),
+                          F.lit("geo:within").alias("p"),
+                          F.concat(F.lit("c"),
+                                   F.expr("c_custkey DIV 10")
+                                   .cast("string")).alias("o")))
+        adj = (nation.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+            .alias("s"),
+            F.lit("geo:adjacentTo").alias("p"),
+            F.concat(F.lit("n"),
+                     ((F.col("n_nationkey") * 7) % 25).cast("string"))
+            .alias("o"))
+            .filter(F.col("s") != F.col("o")))
+        fixed = spark.createDataFrame([
+            ("geo:within", "rdf:type", "owl:TransitiveProperty"),
+            ("geo:contains", "owl:inverseOf", "geo:within"),
+            ("geo:adjacentTo", "rdf:type", "owl:SymmetricProperty"),
+        ], ["s", "p", "o"])
+        return within.unionByName(adj).unionByName(fixed).localCheckpoint()
+
+    def q_owl_entail(spark, sf_dir):
+        """OWL 2 RL property-semantics closure (operators/entailment.
+        owl_prp_entail): driver-closed property-alias map broadcast over
+        the instance edges, then ONE keyed semi-naive transitive closure.
+        Exact DuckDB oracle: recursive CTE over the same graph."""
+        from openapi_to_rdf_spark.operators.entailment import owl_prp_entail
+
+        return owl_prp_entail(_owl_triples(spark, sf_dir))
+
+    def q_doc_gopher(spark, sf_dir):
+        """Gopher/MassiveText rule-based quality filter (operators/
+        lm_quality.gopher_rules): all seven signals + composite pass flag
+        as one codegen projection. min_words lowered to 30 so the 10-99
+        word synthetic docs split into a real pass/fail mix."""
+        from openapi_to_rdf_spark.operators.lm_quality import gopher_rules
+
+        g = gopher_rules(_docs(spark, sf_dir), min_words=30)
+        return g.select(
+            "doc_id", "n_words",
+            _e6(F.col("mean_word_len")).alias("mean_word_len_e6"),
+            _e6(F.col("symbol_word_ratio")).alias("symbol_word_e6"),
+            _e6(F.col("alpha_word_frac")).alias("alpha_word_e6"),
+            F.col("stop_hits").cast("long").alias("stop_hits"),
+            F.col("gopher_pass").cast("int").alias("gopher_pass"))
+
     def _pii_docs(spark, sf_dir):
         """documents with deterministic PII planted by doc_id residue —
         identical expression in the DuckDB oracle, so detection counts
@@ -1916,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
         "rdfs_entail": q_rdfs_entail,
+        "owl_entail": q_owl_entail,
+        "doc_gopher": q_doc_gopher,
         "snapshot_diff": q_snapshot_diff,
         "bpe_merges": q_bpe_merges,
         "bpe_encoded": q_bpe_encoded,
@@ -3990,6 +4049,93 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'removed' AS op, s, p, o FROM
               (SELECT s, p, o FROM oldsnap EXCEPT SELECT s, p, o FROM newsnap)
+        """,
+        "owl_entail": """
+            WITH RECURSIVE base AS (
+              SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+                     'geo:within' AS p,
+                     'c' || CAST(c_custkey // 10 AS VARCHAR) AS o
+              FROM customer WHERE c_custkey >= 10
+              UNION ALL
+              SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                     'geo:adjacentTo',
+                     'n' || CAST((n_nationkey * 7) % 25 AS VARCHAR)
+              FROM nation
+              WHERE 'n' || CAST(n_nationkey AS VARCHAR)
+                 <> 'n' || CAST((n_nationkey * 7) % 25 AS VARCHAR)
+              UNION ALL SELECT 'geo:within', 'rdf:type',
+                               'owl:TransitiveProperty'
+              UNION ALL SELECT 'geo:contains', 'owl:inverseOf', 'geo:within'
+              UNION ALL SELECT 'geo:adjacentTo', 'rdf:type',
+                               'owl:SymmetricProperty'
+            ),
+            wcl AS (
+              SELECT s, o FROM base WHERE p = 'geo:within'
+              UNION
+              SELECT c.s, b.o FROM wcl c
+              JOIN (SELECT s, o FROM base WHERE p = 'geo:within') b
+                ON c.o = b.s
+            )
+            SELECT DISTINCT s, p, o FROM (
+              SELECT s, p, o FROM base
+              UNION ALL SELECT s, 'geo:within' AS p, o FROM wcl
+              UNION ALL SELECT o AS s, 'geo:contains' AS p, s AS o FROM wcl
+              UNION ALL SELECT o AS s, 'geo:adjacentTo' AS p, s AS o
+              FROM base WHERE p = 'geo:adjacentTo')
+        """,
+        "doc_gopher": """
+            WITH sig AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> w <> '') AS words,
+                     length(text)
+                       - length(replace(text, '#', ''))
+                       + (length(text)
+                          - length(replace(text, '...', ''))) // 3
+                       AS n_symbols
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(length(words) AS BIGINT) AS n_words,
+                     CASE WHEN length(words) > 0 THEN
+                       CAST(coalesce(list_aggregate(
+                         list_transform(words, w -> length(w)), 'sum'), 0)
+                         AS DOUBLE) / length(words)
+                     ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN length(words) > 0 THEN
+                       CAST(n_symbols AS DOUBLE) / length(words)
+                     ELSE 0.0 END AS symbol_word_ratio,
+                     CASE WHEN length(words) > 0 THEN
+                       CAST(length(list_filter(words,
+                         w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                         / length(words)
+                     ELSE 0.0 END AS alpha_word_frac,
+                     CAST(list_contains(words, 'the') AS INT)
+                       + CAST(list_contains(words, 'be') AS INT)
+                       + CAST(list_contains(words, 'to') AS INT)
+                       + CAST(list_contains(words, 'of') AS INT)
+                       + CAST(list_contains(words, 'and') AS INT)
+                       + CAST(list_contains(words, 'that') AS INT)
+                       + CAST(list_contains(words, 'have') AS INT)
+                       + CAST(list_contains(words, 'with') AS INT)
+                       AS stop_hits
+              FROM sig
+            )
+            SELECT doc_id, n_words,
+                   CAST(ROUND(mean_word_len * 1e6) AS BIGINT)
+                     AS mean_word_len_e6,
+                   CAST(ROUND(symbol_word_ratio * 1e6) AS BIGINT)
+                     AS symbol_word_e6,
+                   CAST(ROUND(alpha_word_frac * 1e6) AS BIGINT)
+                     AS alpha_word_e6,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(n_words >= 30 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_word_ratio <= 0.1
+                        AND alpha_word_frac >= 0.8
+                        AND stop_hits >= 2 AS INT) AS gopher_pass
+            FROM m
         """,
         "rdfs_entail": """
             WITH RECURSIVE base AS (

@@ -190,6 +190,157 @@ def entailed_only(triples: DataFrame, **kw) -> DataFrame:
                        ["s", "p", "o"], "left_anti")
 
 
+OWL_INV = "owl:inverseOf"
+OWL_SYM = "owl:SymmetricProperty"
+OWL_TRP = "owl:TransitiveProperty"
+
+
+def _property_aliases(triples: DataFrame,
+                      type_pred: str = RDF_TYPE) -> list[tuple]:
+    """Driver-side closure of the property-ALIAS relation induced by
+    ``owl:inverseOf`` and ``owl:SymmetricProperty`` declarations.
+
+    An alias ``(p, q, flip)`` means every instance edge ``(x p y)``
+    entails ``(y q x)`` when ``flip`` else ``(x q y)``. inverseOf
+    contributes both directions with flip=True; a symmetric property
+    contributes ``(p, p, True)``. Chained vocabularies compose (``p inv
+    q`` ∧ ``q inv r`` ⇒ ``p`` aliases ``r`` un-flipped), so we BFS over
+    (property, flip) states until fixpoint — on the driver, because the
+    declaration set is vocabulary-sized by construction (same argument
+    as :func:`_driver_closure`; the 10^12-row instance side never moves).
+
+    Returns non-identity aliases as (src_prop, dst_prop, flip).
+    """
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    inv = (triples.filter(F.col("p") == OWL_INV)
+           .select("s", "o").collect())
+    for r in inv:
+        adj[r.s].add((r.o, True))
+        adj[r.o].add((r.s, True))
+    sym = (triples.filter((F.col("p") == type_pred)
+                          & (F.col("o") == OWL_SYM))
+           .select("s").collect())
+    for r in sym:
+        adj[r.s].add((r.s, True))
+    out = []
+    for src in list(adj):
+        seen: set = set()
+        stack = [(q, f) for (q, f) in adj[src]]
+        while stack:
+            q, f = stack.pop()
+            if (q, f) in seen:
+                continue
+            seen.add((q, f))
+            stack.extend((r, f ^ g) for (r, g) in adj.get(q, ()))
+        out.extend((src, q, f) for (q, f) in seen if (q, f) != (src, False))
+    return out
+
+
+def _keyed_closure(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Distinct (p, s, o) connected by ≥1 step of same-predicate edges —
+    the per-predicate transitive closure, all predicates in ONE semi-
+    naive loop (round r joins only rows first derived in round r-1, so
+    the frontier shrinks as paths saturate). Join key is (p, node):
+    the closure reuses one hash-partitioning across rounds, and a hot
+    (p, node) key is exactly the skew AQE's skew-join split handles;
+    localCheckpoint per round truncates the growing lineage."""
+    base = edges.dropDuplicates(["p", "s", "o"]).localCheckpoint()
+    reached = base
+    frontier = base
+    for _ in range(max_rounds):
+        nxt = (frontier.select("p", "s", F.col("o").alias("m"))
+               .join(base.select("p", F.col("s").alias("m"), "o"),
+                     ["p", "m"])
+               .select("p", "s", "o")
+               .dropDuplicates(["p", "s", "o"])
+               .join(reached, ["p", "s", "o"], "left_anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            return reached
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive-property closure did not converge in {max_rounds} "
+        "rounds — raise max_rounds (a transitive predicate has longer "
+        "chains than expected)")
+
+
+def owl_prp_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
+                   max_rounds: int = 32, dedup: bool = True) -> DataFrame:
+    """OWL 2 RL property-semantics fragment over the triple table:
+    prp-inv1/2 (``owl:inverseOf``), prp-symp (``owl:SymmetricProperty``)
+    and prp-trp (``owl:TransitiveProperty``), complementing
+    :func:`rdfs_entail`'s ρdf rules. Input/output schema: (s, p, o).
+
+    Staged fixpoint (proved sufficient, no loop over the corpus):
+
+    1. alias emission — ONE broadcast join applies the driver-closed
+       alias map (see :func:`_property_aliases`) to every instance edge;
+    2. transitive closure of declared-transitive predicates over
+       asserted ∪ aliased edges (:func:`_keyed_closure`, the one
+       genuinely iterative instance-side step);
+    3. alias emission again over the closure rows only.
+
+    Stage 3 cannot feed stage 2 again: the alias image of a predicate's
+    closure is the closure of the alias image (mirror paths reverse),
+    and stage 2 already closed over ALL aliased edges — asserting this
+    equivalence is tests/test_entailment.py's job. prp-fp/ifp and the
+    eq-* sameAs rules are deliberately out of scope: equivalence
+    merging is the canonicalization pipeline (operators/components.py),
+    which handles it with salted CC instead of rule firing.
+    """
+    t = triples.select("s", "p", "o")
+    aliases = _property_aliases(t, type_pred)
+    trp = [r.s for r in t.filter((F.col("p") == type_pred)
+                                 & (F.col("o") == OWL_TRP))
+           .select("s").collect()]
+
+    inst = t.filter(F.col("p") != OWL_INV)
+    if aliases:
+        alias_b = F.broadcast(t.sparkSession.createDataFrame(
+            aliases, schema="pp string, qq string, flip boolean"))
+
+        def _apply_alias(df: DataFrame) -> DataFrame:
+            return (df.join(alias_b, df["p"] == alias_b["pp"])
+                    .select(F.when(F.col("flip"), F.col("o"))
+                            .otherwise(F.col("s")).alias("s"),
+                            F.col("qq").alias("p"),
+                            F.when(F.col("flip"), F.col("s"))
+                            .otherwise(F.col("o")).alias("o")))
+        aliased = _apply_alias(inst)
+    else:
+        aliased = inst.limit(0)
+
+    base = inst.unionByName(aliased)
+    if trp:
+        edges = base.filter(F.col("p").isin(*trp))
+        trans = _keyed_closure(edges, max_rounds)
+        trans_aliased = (_apply_alias(trans) if aliases
+                         else trans.limit(0))
+    else:
+        trans = base.limit(0)
+        trans_aliased = trans
+
+    branches = [
+        (t, "asserted"),
+        (aliased, "prp-inv/prp-symp"),
+        (trans, "prp-trp"),
+        (trans_aliased, "prp-trp+alias"),
+    ]
+    if not dedup:
+        out = None
+        for df, rule in branches:
+            tagged = df.withColumn("rule", F.lit(rule))
+            out = tagged if out is None else out.unionByName(tagged)
+        return out
+    out = None
+    for df, _ in branches:
+        out = df if out is None else out.unionByName(df)
+    return out.dropDuplicates(["s", "p", "o"])
+
+
 def rdfs_entail_increment(new_triples: DataFrame, schema: DataFrame, *,
                           type_pred: str = RDF_TYPE,
                           max_rounds: int = 32) -> DataFrame:

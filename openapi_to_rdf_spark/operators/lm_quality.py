@@ -110,3 +110,90 @@ def perplexity_filter(docs: DataFrame, lm: DataFrame,
     return (docs.join(scores.select(id_col, "ppl_e6"), id_col)
             .filter(F.col("ppl_e6").isNull()
                     | (F.col("ppl_e6") <= max_ppl * 1e6)))
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021, MassiveText, Table A1)
+# --------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher/MassiveText rule-based document filter as ONE projection:
+    per-doc signals + a composite ``gopher_pass`` flag.
+
+    Signals (defaults are the published MassiveText thresholds):
+
+    - ``n_words`` in [min_words, max_words] and ``mean_word_len`` in
+      [min_mean_word_len, max_mean_word_len];
+    - ``symbol_word_ratio`` (occurrences of '#' or '...' per word) ≤ max;
+    - ``bullet_frac`` / ``ellipsis_frac`` — fraction of non-empty lines
+      starting with a bullet / ending with an ellipsis — ≤ max;
+    - ``alpha_word_frac`` — fraction of words containing a [A-Za-z]
+      character — ≥ min;
+    - ``stop_hits`` — how many of the 8 MassiveText stopwords appear — ≥
+      min (the "is this prose at all" test).
+
+    Scale design: every signal is a higher-order array expression over the
+    in-row token/line arrays (filter/transform/aggregate) — whole-stage
+    codegen, zero shuffles, zero Python; the filter is embarrassingly
+    parallel at any corpus size and composes with the WITHIN-doc
+    repetition signals (operators/dedup.doc_repetition) and the LM score
+    (lm_perplexity above) for the full Gopher §A1.1 battery. Every
+    expression has an exact DuckDB twin (driver query ``doc_gopher``).
+    Within-doc dup-line/top-n-gram rules live in doc_repetition; combine
+    with a join on ``id_col`` when the complete rule set is wanted.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_len = F.aggregate(words, F.lit(0).cast("long"),
+                               lambda acc, w: acc + F.length(w))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = ((F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+             / 3).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"^\s*[-*•]")))
+    n_ell_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(words, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def ratio(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        ratio(sum_word_len, n_words).alias("mean_word_len"),
+        ratio(n_hash + n_ell, n_words).alias("symbol_word_ratio"),
+        ratio(n_bullet, n_lines).alias("bullet_frac"),
+        ratio(n_ell_lines, n_lines).alias("ellipsis_frac"),
+        ratio(n_alpha, n_words).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits))
