@@ -108,6 +108,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.countDistinct("o_custkey").alias("n_customers"))
                 .orderBy("n_name"))
 
+    def q_shipping_priority(spark, sf_dir):
+        """TPC-H Q3 shape: selective dim filters on both join sides, a
+        broadcast customer dim, per-order revenue agg, rounded-value
+        top-k with a deterministic orderkey tiebreak (ties at the LIMIT
+        boundary must pick the same rows in both engines)."""
+        cutoff = F.lit("1998-06-01").cast("timestamp")
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .filter(F.col("o_orderdate") < cutoff)
+                  .select("o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter(F.col("l_shipdate") > cutoff)
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        return (li.join(orders.join(F.broadcast(cust),
+                                    orders.o_custkey == cust.c_custkey),
+                        li.l_orderkey == orders.o_orderkey)
+                .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                .agg(_e6(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                     .alias("revenue_e6"))
+                .orderBy(F.desc("revenue_e6"), "l_orderkey")
+                .limit(10))
+
+    def q_doc_chunks(spark, sf_dir):
+        """Fixed-size overlapping word chunking (operators/packing.
+        chunk_documents): RAG-index / long-context assembly as one
+        shuffle-free projection. Exact DuckDB twin via unnest(range)."""
+        from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), 40, overlap=10)
+
     def q_latest_event_per_user(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id").orderBy(
@@ -1869,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
+        "doc_chunks": q_doc_chunks,
         "latest_event_per_user": q_latest_event_per_user,
         "event_type_stats": q_event_type_stats,
         "top_parts": q_top_parts,
@@ -2084,6 +2120,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6)
+                        AS BIGINT) AS revenue_e6
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e6 DESC, l_orderkey
+            LIMIT 10
+        """,
+        "doc_chunks": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, words,
+                     CASE WHEN length(words) <= 40 THEN 1
+                          ELSE CAST(CEIL(CAST(length(words) - 40 AS DOUBLE)
+                                         / 30) AS INT) + 1
+                     END AS k
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(
+                     list_slice(words, i * 30 + 1, i * 30 + 40), ' ')
+                     AS chunk_text,
+                   CAST(length(
+                     list_slice(words, i * 30 + 1, i * 30 + 40)) AS INT)
+                     AS n_tokens
+            FROM (SELECT doc_id, words, unnest(range(0, k)) AS i FROM m)
         """,
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type,

@@ -197,3 +197,45 @@ def sft_pairs(turns: DataFrame, k: int = 4,
     return (out.filter((F.col("role") == target_role)
                        & (F.col("n_context") >= 1))
             .select("conv_id", "turn_idx", "n_context", "context", "target"))
+
+
+def chunk_documents(docs: DataFrame, chunk: int, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size overlapping word chunks — the
+    RAG-index / long-context training-data assembly step (each chunk is
+    one retrieval unit or one training row).
+
+    Semantics (pinned exactly; DuckDB twin is driver query ``doc_chunks``):
+    chunk ``i`` covers words ``[i*step, i*step + chunk)`` with ``step =
+    chunk - overlap``; a document emits ``1`` chunk if it has ≤ ``chunk``
+    words, else ``ceil((n - chunk)/step) + 1`` — full coverage, every
+    chunk start < n, last chunk possibly short. Zero-word documents emit
+    one empty chunk (the caller decides whether to drop them; silently
+    losing rows is worse).
+
+    Scale design: the whole operator is ONE narrow projection —
+    split/filter into an in-row word array, explode a per-row index
+    sequence, slice — no shuffle, no Python, embarrassingly parallel.
+    The word array is projected BELOW the explode, and the Generate
+    boundary stops CollapseProject from re-inlining the split into each
+    downstream reference (asserted in tests/test_packing.py: one
+    ``split(`` in the optimized plan) — the expression-explosion trap
+    functions/text.word_ngrams documents.
+    """
+    if not 0 <= overlap < chunk:
+        raise ValueError(f"need 0 <= overlap < chunk, got {overlap=} {chunk=}")
+    step = chunk - overlap
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    base = docs.select(F.col(id_col), words.alias("w"))
+    n = F.size(F.col("w"))
+    k = (F.when(n <= chunk, F.lit(1))
+         .otherwise(F.ceil((n - F.lit(chunk)) / F.lit(step)) + 1)
+         .cast("int"))
+    sliced = F.slice(F.col("w"), F.col("i") * step + 1, chunk)
+    return (base.select(id_col, "w",
+                        F.explode(F.sequence(F.lit(0), k - 1)).alias("i"))
+            .select(F.col(id_col),
+                    F.col("i").cast("int").alias("chunk_idx"),
+                    F.array_join(sliced, " ").alias("chunk_text"),
+                    F.size(sliced).cast("int").alias("n_tokens")))

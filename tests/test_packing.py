@@ -166,3 +166,52 @@ def test_sft_pairs_from_transcripts(spark):
         assert got["target"] == r["text"]
         assert got["n_context"] == min(i, 3)
     turns.unpersist()
+
+
+# ---- chunk_documents -------------------------------------------------------
+
+def test_chunk_documents_exact_layout(spark):
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "")],
+        ["doc_id", "text"])
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(docs, 4, overlap=1).collect()}
+    # 10 words, chunk 4, step 3 -> starts 0,3,6
+    assert rows[(1, 0)] == ("a b c d", 4)
+    assert rows[(1, 1)] == ("d e f g", 4)
+    assert rows[(1, 2)] == ("g h i j", 4)
+    assert rows[(2, 0)] == ("x y", 2)      # short doc: one chunk
+    assert rows[(3, 0)] == ("", 0)         # empty doc: one empty chunk
+    assert len(rows) == 5
+
+
+def test_chunk_documents_full_coverage_no_overlap(spark):
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = (chunk_documents(docs, 5).orderBy("chunk_idx").collect())
+    # step == chunk: concatenation reconstructs the document exactly
+    assert " ".join(r.chunk_text for r in got) == text
+    assert [r.n_tokens for r in got] == [5, 5, 5, 5, 3]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 4, overlap=4)
+
+
+def test_chunk_documents_splits_word_array_once(spark):
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (chunk_documents(docs, 2, overlap=1)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("split(") == 1
