@@ -142,7 +142,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "communities",
              # added r2 session 9
              "kg_extract_exact", "kg_violations", "kg_coref",
-             "kg_segments"]
+             "kg_segments",
+             # added r2 session 11
+             "owl_entail", "doc_gopher", "doc_chunks",
+             "shipping_priority"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -183,3 +183,21 @@ def class_vocab_df(spark: SparkSession, class_iris: list[str] | None = None) -> 
     rows = [(c, f"http://ericsson.com/models/3gpp/kg#{c}") for c in CLASS_TOKENS] \
         if class_iris is None else [(i.rsplit("#", 1)[-1], i) for i in class_iris]
     return spark.createDataFrame(rows, ["class_name", "class_iri"])
+
+
+def synth_tool_results(turns: DataFrame, seed: int = 42) -> DataFrame:
+    """Deterministic tool-RESULT event stream derived from the tool turns
+    of ``turns``: one result per invocation, arriving 1-80s later (so a
+    60s join bound leaves a deterministic ~25% unmatched — the interval
+    join's negative path is data, not a mock), status 'error' for ~1/5.
+    Columns: (conv_id, tool, result_id, status, ts)."""
+    t = turns.filter(F.col("tool").isNotNull())
+    h = F.xxhash64("conv_id", "turn_idx", F.lit(seed))
+    delay = (F.pmod(h, F.lit(80)) + 1).cast("int")
+    return t.select(
+        "conv_id", "tool",
+        F.concat(F.lit("res-"), F.col("conv_id"), F.lit("-"),
+                 F.col("turn_idx").cast("string")).alias("result_id"),
+        F.when(F.pmod(h, F.lit(5)) == 0, F.lit("error"))
+        .otherwise(F.lit("ok")).alias("status"),
+        (F.col("ts") + F.make_interval(secs=delay)).alias("ts"))
