@@ -285,33 +285,39 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
         s_types, (F.col("s") == F.col("ts")) & (F.col("target_class") == F.col("stype")),
         "left_semi")
     per_triple = joined.filter(F.col("target_class").isNull()).unionByName(scoped)
-    dt_viol = (
-        per_triple
-        .filter(F.col("datatype").isNotNull() & (F.col("o_kind") == "literal")
-                & (F.col("o_datatype") != F.col("datatype")))
-        .select("s", "p", "o", F.lit("datatypeMismatch").alias("violation"),
-                F.concat(F.lit("expected "), "datatype", F.lit(" got "),
-                         F.coalesce("o_datatype", F.lit("null"))).alias("detail")))
-    in_viol = (
-        per_triple
-        .filter(F.col("in_values").isNotNull()
-                & ~F.array_contains(F.col("in_values"), F.col("o")))
-        .select("s", "p", "o", F.lit("notInList").alias("violation"),
-                F.concat_ws(",", "in_values").alias("detail")))
-    kind_viol = (
-        per_triple
-        .filter((F.col("node_kind") == SH + "IRI") & (F.col("o_kind") != "iri"))
-        .select("s", "p", "o", F.lit("nodeKindViolation").alias("violation"),
-                F.concat(F.lit("expected IRI got "), "o_kind").alias("detail")))
-    # sh:pattern: XPath matches() semantics = PARTIAL match, exactly RLIKE.
-    # The pattern is a per-rule column (non-foldable regexp) — still JVM
-    # codegen; SHACL applies it to the literal's lexical form only.
-    pat_viol = (
-        per_triple
-        .filter(F.col("pattern").isNotNull() & (F.col("o_kind") == "literal")
-                & ~F.regexp_like(F.col("o"), F.col("pattern")))
-        .select("s", "p", "o", F.lit("patternMismatch").alias("violation"),
-                F.concat(F.lit("pattern "), "pattern").alias("detail")))
+
+    # the four per-triple checks run in ONE pass: a conditional array of
+    # violation structs, exploded and null-filtered (the shape_drift
+    # trick). Four separate filter branches would each re-run the
+    # rule-join scan when unioned — at corpus scale that's 4 traversals
+    # of the triple table for one validation.
+    def _viol(cond, name, detail):
+        return F.when(cond, F.struct(F.lit(name).alias("violation"),
+                                     detail.alias("detail")))
+
+    checks = F.array(
+        _viol(F.col("datatype").isNotNull() & (F.col("o_kind") == "literal")
+              & (F.col("o_datatype") != F.col("datatype")),
+              "datatypeMismatch",
+              F.concat(F.lit("expected "), "datatype", F.lit(" got "),
+                       F.coalesce("o_datatype", F.lit("null")))),
+        _viol(F.col("in_values").isNotNull()
+              & ~F.array_contains(F.col("in_values"), F.col("o")),
+              "notInList", F.concat_ws(",", "in_values")),
+        _viol((F.col("node_kind") == SH + "IRI") & (F.col("o_kind") != "iri"),
+              "nodeKindViolation",
+              F.concat(F.lit("expected IRI got "), "o_kind")),
+        # sh:pattern: XPath matches() semantics = PARTIAL match, exactly
+        # RLIKE. The pattern is a per-rule column (non-foldable regexp) —
+        # still JVM codegen; SHACL applies it to the lexical form only.
+        _viol(F.col("pattern").isNotNull() & (F.col("o_kind") == "literal")
+              & ~F.regexp_like(F.col("o"), F.col("pattern")),
+              "patternMismatch", F.concat(F.lit("pattern "), "pattern")),
+    )
+    row_viol = (per_triple
+                .select("s", "p", "o", F.explode(checks).alias("v"))
+                .filter(F.col("v").isNotNull())
+                .select("s", "p", "o", "v.violation", "v.detail"))
 
     # cardinality over the already rule-scoped rows: partial (map-side)
     # aggregation handles the fan-in; (s, p) keys are near-unique so no skew.
@@ -362,9 +368,8 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                          F.lit(" max=-")).alias("detail")))
 
     # dedupe: a triple matched by several rules reports each violation once
-    return (dt_viol.unionByName(in_viol).unionByName(kind_viol)
-            .unionByName(pat_viol)
-            .unionByName(card_viol).unionByName(absent_viol).dropDuplicates())
+    return (row_viol.unionByName(card_viol).unionByName(absent_viol)
+            .dropDuplicates())
 
 
 def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
