@@ -59,3 +59,33 @@ def windowed_conv_sketch(stream: DataFrame, window: str = "10 minutes",
         .select(F.col("win.start").alias("win_start"),
                 F.col("win.end").alias("win_end"),
                 "role", "register", "max_rank")
+
+
+def session_turn_stats(stream: DataFrame, gap: str = "5 minutes",
+                       watermark: str = "15 minutes") -> DataFrame:
+    """Event-time SESSION windows per conversation: turns closer than
+    ``gap`` merge into one session; a session closes (and its single row
+    emits, append mode) when the watermark passes last_ts + gap. This is
+    the dynamic-window counterpart to the tumbling/sliding aggregations
+    above — the window's extent comes from the data, not the clock grid.
+
+    State bound: one open session per conversation within the watermark
+    horizon (Spark merges session fragments across micro-batches; the
+    merge is count/min/max, all retractless). The same expression runs in
+    batch — F.session_window is a grouping expression, not a streaming-
+    only construct — which is how tests pin stream == batch equality.
+
+    Output: (conv_id, sess_start, sess_end, n_turns, first_turn,
+    last_turn); ``sess_end`` is last event ts + gap (Spark's session
+    close semantics), so session DURATION is sess_end - sess_start - gap
+    for point events.
+    """
+    wm = stream.withWatermark("ts", watermark)
+    return (wm.groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.min("turn_idx").alias("first_turn"),
+                 F.max("turn_idx").alias("last_turn"))
+            .select("conv_id",
+                    F.col("sw.start").alias("sess_start"),
+                    F.col("sw.end").alias("sess_end"),
+                    "n_turns", "first_turn", "last_turn"))

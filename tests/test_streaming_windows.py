@@ -121,3 +121,73 @@ def test_windowed_conv_sketch_equals_batch(spark, tmp_path):
                 .select(F.col("win.start").alias("win_start"), "role",
                         "register", "max_rank").collect()}
     assert got == expected and got
+
+
+# ---- session windows --------------------------------------------------------
+
+def test_session_window_batch_semantics(spark):
+    from openapi_to_rdf_spark.streaming.windows import session_turn_stats
+
+    rows = [
+        ("c1", 0, "user", "x", None, _t(0, 0)),
+        ("c1", 1, "assistant", "x", None, _t(0, 30)),   # within 1m gap
+        ("c1", 2, "user", "x", None, _t(5, 0)),         # > gap: new session
+        ("c2", 0, "user", "x", None, _t(0, 10)),
+    ]
+    got = {(r.conv_id, r.sess_start): r
+           for r in session_turn_stats(
+               spark.createDataFrame(rows, SCHEMA), gap="1 minute")
+           .collect()}
+    s1 = got[("c1", _t(0, 0))]
+    assert (s1.n_turns, s1.first_turn, s1.last_turn) == (2, 0, 1)
+    assert s1.sess_end == _t(1, 30)        # last event + gap
+    s2 = got[("c1", _t(5, 0))]
+    assert (s2.n_turns, s2.sess_end) == (1, _t(6, 0))
+    assert got[("c2", _t(0, 10))].n_turns == 1
+    assert len(got) == 3
+
+
+def test_session_window_stream_merges_fragments(spark, tmp_path):
+    import time
+
+    from openapi_to_rdf_spark.streaming.windows import session_turn_stats
+
+    src = tmp_path / "src"
+    # one session SPLIT across micro-batches (state must merge fragments);
+    # final batch pushes the watermark far past everything so all
+    # sessions close and emit in append mode
+    spark.createDataFrame(
+        [("c1", 0, "user", "x", None, _t(0, 0)),
+         ("c2", 0, "user", "x", None, _t(2, 0))], SCHEMA) \
+        .coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("c1", 1, "assistant", "x", None, _t(0, 40)),
+         ("c1", 2, "user", "x", None, _t(7, 0))], SCHEMA) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("c9", 0, "user", "x", None, dt.datetime(2026, 3, 1, 12, 0))],
+        SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (session_turn_stats(stream, gap="1 minute", watermark="10 minutes")
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = session_turn_stats(
+        spark.read.parquet(str(src), recursiveFileLookup=True),
+        gap="1 minute").filter(F.col("conv_id") != "c9")
+    got = {(r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+           for r in spark.table("sessions").collect()
+           if r.conv_id != "c9"}
+    expected = {(r.conv_id, r.sess_start, r.sess_end, r.n_turns)
+                for r in batch.collect()}
+    assert got == expected
+    # the split session really merged: c1's first session has both turns
+    assert ("c1", _t(0, 0), _t(1, 40), 2) in got
