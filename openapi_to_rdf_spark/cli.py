@@ -63,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--coref", action="store_true",
                    help="recover pronoun references (operators.coref) as a "
                         "kg_coref snapshot stage")
+    k.add_argument("--entail", action="store_true",
+                   help="materialize the RDFS closure delta over the graph "
+                        "(kg vocabulary schema + forward chaining) as an "
+                        "'entailed' snapshot stage")
     k.add_argument("--export-ntriples", default=None, metavar="DIR",
                    help="also export the final graph as distributed "
                         "N-Triples part files under DIR")
@@ -174,7 +178,7 @@ def cmd_kg(args) -> int:
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
         transcripts=transcripts, input_fp=input_fp,
         jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules,
-        registry=registry, coref=args.coref)
+        registry=registry, coref=args.coref, entail=args.entail)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

@@ -95,15 +95,16 @@ def _driver_closure(pairs: DataFrame) -> DataFrame:
 
 
 def schema_closures(schema: DataFrame, max_rounds: int = 32, *,
-                    distributed: bool = False
+                    distributed: bool = False,
+                    sco_pred: str = SCO, spo_pred: str = SPO
                     ) -> tuple[DataFrame, DataFrame]:
     """(sco_closure, spo_closure) as distinct ≥1-step (s, o) pairs.
     Driver-side BFS by default (see :func:`_driver_closure`);
     ``distributed=True`` switches to the semi-naive DataFrame fixpoint
     (paths._closure_pairs) for schemas too big to collect — at which
     point the broadcast strategy below needs rethinking anyway."""
-    sco = _pairs(schema, SCO)
-    spo = _pairs(schema, SPO)
+    sco = _pairs(schema, sco_pred)
+    spo = _pairs(schema, spo_pred)
     if not distributed:
         return _driver_closure(sco), _driver_closure(spo)
     empty = sco.limit(0)
@@ -113,26 +114,32 @@ def schema_closures(schema: DataFrame, max_rounds: int = 32, *,
 
 
 def rdfs_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
+                sco: str = SCO, spo: str = SPO,
+                dom: str = DOM, rng: str = RNG,
                 max_rounds: int = 32, dedup: bool = True) -> DataFrame:
     """The RDFS-closed graph: asserted triples ∪ everything the six ρdf
     rules derive. Input/output schema: (s, p, o) strings; extra columns
     are dropped. With ``dedup=False`` returns the bag with a ``rule``
-    column ('asserted' on input rows) instead of the distinct set."""
+    column ('asserted' on input rows) instead of the distinct set.
+    The five vocabulary predicates default to the compact ``rdf:``/
+    ``rdfs:`` names the driver oracle uses; graphs holding FULL IRIs
+    (e.g. the KG pipeline's) pass their own."""
+    schema_preds = (sco, spo, dom, rng)
     t = triples.select("s", "p", "o")
-    schema = t.filter(F.col("p").isin(*_SCHEMA_PREDS))
-    sco_c, spo_c = schema_closures(schema, max_rounds)
+    schema = t.filter(F.col("p").isin(*schema_preds))
+    sco_c, spo_c = schema_closures(schema, max_rounds, sco_pred=sco, spo_pred=spo)
     sco_b = F.broadcast(sco_c.select(F.col("s").alias("sub"),
                                      F.col("o").alias("sup")))
     spo_b = F.broadcast(spo_c.select(F.col("s").alias("sub"),
                                      F.col("o").alias("sup")))
-    dom_b = F.broadcast(_pairs(schema, DOM)
+    dom_b = F.broadcast(_pairs(schema, dom)
                         .select(F.col("s").alias("pp"),
                                 F.col("o").alias("cls")))
-    rng_b = F.broadcast(_pairs(schema, RNG)
+    rng_b = F.broadcast(_pairs(schema, rng)
                         .select(F.col("s").alias("pp"),
                                 F.col("o").alias("cls")))
 
-    inst = t.filter(~F.col("p").isin(*_SCHEMA_PREDS))
+    inst = t.filter(~F.col("p").isin(*schema_preds))
 
     # prp-spo1: one broadcast join over the corpus scan.
     spo_derived = (inst.join(spo_b, inst["p"] == spo_b["sub"])
@@ -158,8 +165,8 @@ def rdfs_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
                          F.col("sup").alias("o")))
 
     # scm-sco / scm-spo closures re-emitted as schema triples.
-    sco_triples = sco_c.select("s", F.lit(SCO).alias("p"), "o")
-    spo_triples = spo_c.select("s", F.lit(SPO).alias("p"), "o")
+    sco_triples = sco_c.select("s", F.lit(sco).alias("p"), "o")
+    spo_triples = spo_c.select("s", F.lit(spo).alias("p"), "o")
 
     branches = [
         (t, "asserted"),

@@ -237,6 +237,30 @@ KG_NS = "http://ericsson.com/models/3gpp/kg#"
 ENT_NS = "http://ericsson.com/models/3gpp/entity#"
 TURN_NS = "http://ericsson.com/models/3gpp/turn#"
 CONV_NS = "http://ericsson.com/models/3gpp/conv#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+def kg_schema_triples(class_vocab: DataFrame) -> DataFrame:
+    """The KG vocabulary's own RDFS schema as (s, p, o) triples: every
+    mention class is a subclass of ``kg#Entity``, ``kg#mentions`` is a
+    subproperty of ``kg#relatedTo``, and the structural predicates carry
+    domain/range facts. This is what the pipeline's optional ``entailed``
+    stage forward-chains over the materialized graph (entailment.
+    rdfs_entail with full-IRI predicate names) — the reasoning layer the
+    converted vocabulary exists to feed, closed over transcript data."""
+    spark = class_vocab.sparkSession
+    fixed = spark.createDataFrame([
+        (KG_NS + "mentions", RDFS_NS + "subPropertyOf", KG_NS + "relatedTo"),
+        (KG_NS + "hasTurn", RDFS_NS + "domain", KG_NS + "Conversation"),
+        (KG_NS + "hasTurn", RDFS_NS + "range", KG_NS + "Turn"),
+        (KG_NS + "mentions", RDFS_NS + "domain", KG_NS + "Turn"),
+        (KG_NS + "mentions", RDFS_NS + "range", KG_NS + "Entity"),
+    ], ["s", "p", "o"])
+    sco = class_vocab.select(
+        F.col("class_iri").alias("s"),
+        F.lit(RDFS_NS + "subClassOf").alias("p"),
+        F.lit(KG_NS + "Entity").alias("o"))
+    return fixed.unionByName(sco)
 
 # surface mention syntax embedded by the synthetic generator AND matched by
 # the extractor: "ClassName#entity-key". The pattern is anchored on the

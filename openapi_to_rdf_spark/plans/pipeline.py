@@ -55,6 +55,7 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  registry: DataFrame | None = None,
                  registry_ns: str = "http://ericsson.com/models/3gpp/registry#",
                  coref: bool = False,
+                 entail: bool = False,
                  ) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests.
 
@@ -142,6 +143,42 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     stage("violations", fp_v,
           lambda: validate_triples(graph, rules),
           count_by=["violation"])
+
+    # -- RDFS entailment materialization (optional) ---------------------------
+    if entail:
+        from ..operators.entailment import rdfs_entail
+        from ..operators.extract import kg_schema_triples
+
+        rdf_type ="http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+        fp_en = fingerprint(fp_g, "entail", "v1")
+
+        def _entailed():
+            # schema = the KG vocabulary's own RDFS facts (broadcast-tiny);
+            # rdfs_entail broadcasts its closures, so the graph side is
+            # scanned, never shuffled, for the reasoning
+            schema = kg_schema_triples(class_vocab_df(spark))
+            closed = rdfs_entail(
+                graph.select("s", "p", "o").unionByName(schema),
+                type_pred=rdf_type,
+                sco=rdfs + "subClassOf", spo=rdfs + "subPropertyOf",
+                dom=rdfs + "domain", rng=rdfs + "range")
+            # the snapshot holds the DELTA vs the asserted graph (derived
+            # triples + the vocabulary itself): graph ∪ entailed = the
+            # closed graph a SPARQL endpoint answers over. Derived objects
+            # are all IRIs (type lifts and spo-derived edge mirrors).
+            delta = closed.join(
+                graph.select("s", "p", "o").dropDuplicates(),
+                ["s", "p", "o"], "left_anti")
+            return (delta.select(
+                F.lit("entail").alias("file"), F.lit("kg").alias("graph"),
+                "s", "p", F.lit("iri").alias("o_kind"), "o",
+                F.lit(None).cast("string").alias("o_datatype"))
+                .withColumn("pred", F.regexp_extract(
+                    "p", r"([A-Za-z0-9_]+)$", 1)))
+
+        stage("entailed", fp_en, _entailed,
+              partition_by=["pred"], count_by=["pred"])
 
     # -- coref recovery (optional): pronoun turns -> kg#mentions -------------
     if coref:

@@ -465,3 +465,50 @@ def test_pipeline_coref_stage(spark, tmp_path):
     assert len(canonical) == 1
     assert got[0].o in canonical
     assert got[0].o.startswith(ENT_NS)
+
+
+def test_pipeline_entailed_stage(spark, tmp_path):
+    """--entail materializes the RDFS closure delta: every kg#mentions
+    edge gains its kg#relatedTo super-edge (prp-spo1), every typed entity
+    is lifted to kg#Entity (cax-sco), the vocabulary itself is included,
+    and resume returns the identical snapshot."""
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+
+    wd = tmp_path / "kg"
+    m1 = run_pipeline(spark, wd, n_convs=120, seed=3, entail=True)
+    assert "entailed" in m1
+
+    graph = read_snapshot(spark, wd / "graph")
+    ent = read_snapshot(spark, wd / "entailed")
+    kg = "http://ericsson.com/models/3gpp/kg#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    mentions = {(r.s, r.o) for r in
+                graph.filter(F.col("p") == kg + "mentions")
+                .select("s", "o").collect()}
+    related = {(r.s, r.o) for r in
+               ent.filter(F.col("p") == kg + "relatedTo")
+               .select("s", "o").collect()}
+    assert mentions and related == mentions
+
+    typed_ents = {r.s for r in
+                  graph.filter((F.col("p") == rdf_type)
+                               & F.col("s").contains("/entity#"))
+                  .select("s").collect()}
+    lifted = {r.s for r in
+              ent.filter((F.col("p") == rdf_type)
+                         & (F.col("o") == kg + "Entity"))
+              .select("s").collect()}
+    # every class-typed entity lifts to kg#Entity; turns lift too (range
+    # of hasTurn) but entities must all be covered
+    assert typed_ents and typed_ents <= lifted
+
+    # vocabulary present in the delta
+    assert ent.filter(
+        F.col("p") == "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+    ).count() == 1
+
+    # resume: identical fingerprints, no recompute
+    m2 = run_pipeline(spark, wd, n_convs=120, seed=3, entail=True)
+    assert m2["entailed"]["fingerprint"] == m1["entailed"]["fingerprint"]
