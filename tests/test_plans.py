@@ -97,3 +97,43 @@ def test_pricing_summary_partial_aggregation(spark):
     # partial (map-side) then final aggregate — one exchange on the group key
     assert plan.count("HashAggregate") >= 2
     assert "PushedFilters" in plan
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_filters(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["shipping_priority"](spark, SF))
+    # BUILDING filter reaches the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # date filters reach the fact scans (pushed as timestamp predicates)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    # filtered customer dim is broadcast, never sort-merge-shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_is_one_shuffle_free_projection(spark):
+    from openapi_to_rdf_spark.operators.lm_quality import gopher_rules
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_rules(docs))
+    assert "Exchange" not in plan               # zero shuffles
+    assert "EvalPython" not in plan             # zero Python
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(chunk_documents(docs, 40, overlap=10))
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_owl_alias_emission_broadcasts_alias_map(spark):
+    from openapi_to_rdf_spark.operators.entailment import owl_prp_entail
+
+    rows = [("contains", "owl:inverseOf", "within"),
+            ("a", "within", "b")]
+    plan = _plan(owl_prp_entail(
+        spark.createDataFrame(rows, ["s", "p", "o"])))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
