@@ -1329,6 +1329,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (deterministic_sample(d, 0.05, "doc_id")
                 .select("doc_id", "source").orderBy("doc_id"))
 
+    def q_weighted_sample(spark, sf_dir):
+        """Efraimidis-Spirakis weighted sampling without replacement,
+        derandomized via md5 uniforms (operators/sampling.weighted_sample):
+        50 docs weighted by length. Exact oracle: same ln(u)/w ranking."""
+        from openapi_to_rdf_spark.operators.sampling import weighted_sample
+
+        return (weighted_sample(_docs(spark, sf_dir), 50,
+                                "n_chars", "doc_id")
+                .select("doc_id", "n_chars", "rank"))
+
+    def q_conv_quality(spark, sf_dir):
+        """Per-conversation structural curation report (operators/events.
+        conversation_quality) replayed over the events table (user=conv,
+        event_type=role, purchase=target): role diversity, alternation
+        violations, danglers, max stall. Exact DuckDB window twin."""
+        from openapi_to_rdf_spark.operators.events import conversation_quality
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = conversation_quality(
+            ev, target_role="purchase", conv_col="user_id",
+            order_cols=["ts", "event_id"], role_col="event_type",
+            ts_col="ts")
+        return out.select(
+            "user_id", "n_turns", "n_roles", "consec_same_role",
+            "n_target", "first_role", "last_role", "max_gap_s",
+            F.col("well_formed").cast("int").alias("well_formed"))
+
     def q_doc_winnowing(spark, sf_dir):
         from openapi_to_rdf_spark.functions.text import winnowing_fingerprints
 
@@ -1937,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "corpus_curation": q_corpus_curation,
         "doc_sample": q_doc_sample,
+        "weighted_sample": q_weighted_sample,
+        "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -4059,6 +4088,42 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM h GROUP BY 1
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars, CAST(rn AS INT) AS rank FROM (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0) / n_chars DESC, doc_id) AS rn
+              FROM documents WHERE n_chars > 0)
+            WHERE rn <= 50
+        """,
+        "conv_quality": """
+            WITH t AS (
+              SELECT user_id, event_type, event_id, ts,
+                     ROW_NUMBER() OVER w AS rn,
+                     CASE WHEN LAG(event_type) OVER w = event_type
+                          THEN 1 ELSE 0 END AS same_as_prev,
+                     date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_turns,
+                   COUNT(DISTINCT event_type) AS n_roles,
+                   CAST(SUM(same_as_prev) AS BIGINT) AS consec_same_role,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+                   arg_min(event_type, rn) AS first_role,
+                   arg_max(event_type, rn) AS last_role,
+                   CAST(FLOOR(MAX(gap_us) / 1000000.0) AS BIGINT)
+                     AS max_gap_s,
+                   CAST(COUNT(DISTINCT event_type) >= 2
+                        AND SUM(same_as_prev) = 0
+                        AND SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= 1
+                        AND arg_max(event_type, rn) = 'purchase'
+                        AS INT) AS well_formed
+            FROM t GROUP BY user_id
         """,
         "doc_sample": """
             SELECT doc_id, source FROM documents

@@ -269,3 +269,63 @@ def label_path_counts(df: DataFrame, group_col: str, order_cols: list[str],
         F.transform(F.array(F.col("_seq").getField("_lab")), grams_of), 1))
         .alias("path"))
     return grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def conversation_quality(turns: DataFrame, target_role: str = "assistant",
+                         conv_col: str = "conv_id",
+                         order_cols: list[str] | None = None,
+                         role_col: str = "role",
+                         ts_col: str | None = "ts") -> DataFrame:
+    """Per-conversation structural quality report — the transcript-level
+    curation gate (SFT corpora drop conversations that are single-role,
+    never reach the target role, or stall for hours mid-dialogue):
+
+    - ``n_turns`` / ``n_roles`` — size and role diversity;
+    - ``consec_same_role`` — adjacent turns by the same speaker (role-
+      alternation violations);
+    - ``n_target`` — turns by ``target_role`` (the trainable signal);
+    - ``first_role`` / ``last_role`` — openers and danglers (a
+      conversation ending on a user turn has no trainable completion);
+    - ``max_gap_s`` — longest wall-clock stall (None without ``ts_col``);
+    - ``well_formed`` — ≥2 roles, no alternation violation, ≥1 target
+      turn, ends on the target role.
+
+    ONE window pass per conversation (lag on the conv_id partition) +
+    one groupBy on the same key — Catalyst reuses the exchange, so the
+    whole report is a single shuffle keyed by conversation, the same
+    partitioning every per-conversation op here uses.
+    """
+    order_cols = order_cols or ["turn_idx"]
+    w = Window.partitionBy(conv_col).orderBy(*order_cols)
+    same = (F.lag(role_col).over(w) == F.col(role_col)).cast("int")
+    base = turns
+    cols = [F.col(conv_col), F.col(role_col),
+            F.coalesce(same, F.lit(0)).alias("same_as_prev"),
+            F.struct(*order_cols).alias("ord")]
+    if ts_col is not None:
+        # microsecond-exact epoch: SECOND-truncating diffs disagree with
+        # DuckDB's boundary-counting date_diff on fractional timestamps;
+        # exact µs diffs (then ONE floor after the max — floor is
+        # monotone, so max∘floor == floor∘max) are engine-portable
+        base = turns.withColumn("_ep_us", F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"timestamp_ntz'1970-01-01 00:00:00', "
+            f"cast({ts_col} as timestamp_ntz))"))
+        cols.append((F.col("_ep_us") - F.lag("_ep_us").over(w))
+                    .alias("gap_us"))
+    enriched = base.select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct(role_col).alias("n_roles"),
+            F.sum("same_as_prev").alias("consec_same_role"),
+            F.sum((F.col(role_col) == target_role).cast("int"))
+            .alias("n_target"),
+            F.min_by(role_col, F.col("ord")).alias("first_role"),
+            F.max_by(role_col, F.col("ord")).alias("last_role")]
+    if ts_col is not None:
+        aggs.append(F.floor(F.max("gap_us") / 1_000_000)
+                    .cast("long").alias("max_gap_s"))
+    out = enriched.groupBy(conv_col).agg(*aggs)
+    return out.withColumn(
+        "well_formed",
+        (F.col("n_roles") >= 2) & (F.col("consec_same_role") == 0)
+        & (F.col("n_target") >= 1) & (F.col("last_role") == target_role))

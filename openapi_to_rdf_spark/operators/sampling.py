@@ -130,3 +130,39 @@ def train_val_test_split(df: DataFrame, key_col: str,
         F.when(h < test, F.lit("test"))
         .when(h < test + val, F.lit("val"))
         .otherwise(F.lit("train")))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str, key_col: str,
+                    group_col: str | None = None) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement,
+    derandomized: each row's uniform draw is ``hash_fraction(key)`` and
+    the k rows with the largest ``u^(1/w)`` — equivalently the largest
+    ``ln(u)/w``, computed that way to stay in a numerically tame range —
+    are kept. Per the ES result this yields inclusion probabilities
+    proportional to weight for sampling without replacement, but
+    content-addressed: the same rows win on any engine, partitioning, or
+    rerun. Rows with ``weight <= 0`` are excluded (zero weight means
+    never sampled; ES is undefined there).
+
+    Scale design: with ``group_col`` the ranking is one window per group
+    (shuffle on the group key only); the global form is orderBy+limit,
+    which Spark plans as TakeOrderedAndProject — per-partition top-k
+    heaps + a k-row driver merge, never a global sort. The u = 0 corner
+    (md5 prefix 00000000, p = 2^-32) maps to ln(0) = -inf = never
+    sampled — consistent with the continuous formulation.
+
+    Output: input columns + ``rank`` (1-based within the sample).
+    """
+    u = hash_fraction(F.col(key_col))
+    es_key = F.log(u) / F.col(weight_col)
+    eligible = df.filter(F.col(weight_col) > 0)
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            es_key.desc(), F.col(key_col).asc())
+        return (eligible.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    ranked = (eligible
+              .orderBy(es_key.desc(), F.col(key_col).asc())
+              .limit(k))
+    w = Window.orderBy(es_key.desc(), F.col(key_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w))

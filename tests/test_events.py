@@ -204,3 +204,113 @@ def test_label_path_n2_equals_endpointfree_transitions(spark):
         d = r.dst if r.dst is not None else "__NULL__"
         edges[f"{s}>{d}"] = r.n
     assert paths == edges
+
+
+# ---- conversation_quality ---------------------------------------------------
+
+def _cq_rows(spark, rows, **kw):
+    from openapi_to_rdf_spark.operators.events import conversation_quality
+
+    schema = "conv_id string, turn_idx int, role string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    return {r.conv_id: r for r in conversation_quality(df, **kw).collect()}
+
+
+def test_conversation_quality_clean_dialogue(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+    rows = [("c1", i, r, t0 + dt.timedelta(seconds=10 * i))
+            for i, r in enumerate(["user", "assistant", "user", "assistant"])]
+    r = _cq_rows(spark, rows)["c1"]
+    assert (r.n_turns, r.n_roles, r.consec_same_role, r.n_target) == (4, 2, 0, 2)
+    assert (r.first_role, r.last_role) == ("user", "assistant")
+    assert r.max_gap_s == 10 and r.well_formed
+
+
+def test_conversation_quality_flags_violations(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+    # double user turn + ends on user + a 2h stall
+    seq = ["user", "user", "assistant", "user"]
+    rows = [("c1", i, r, t0 + dt.timedelta(hours=2 * (i == 3), seconds=i))
+            for i, r in enumerate(seq)]
+    r = _cq_rows(spark, rows)["c1"]
+    assert r.consec_same_role == 1
+    assert r.last_role == "user"
+    assert not r.well_formed
+    assert r.max_gap_s == 7201  # 2h stall + the 1s step
+
+
+def test_conversation_quality_single_role_and_no_target(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 4, 1, 9, 0, 0)
+    rows = [("c1", i, "user", t0) for i in range(3)]
+    r = _cq_rows(spark, rows)["c1"]
+    assert r.n_roles == 1 and r.n_target == 0 and not r.well_formed
+
+
+def test_conversation_quality_without_timestamps(spark):
+    rows = [("c1", 0, "user", None), ("c1", 1, "assistant", None)]
+    r = _cq_rows(spark, rows, ts_col=None)["c1"]
+    assert r.well_formed and "max_gap_s" not in r.asDict()
+
+
+# ---- weighted_sample --------------------------------------------------------
+
+def _es_reference(items, k):
+    """Pure-python A-ES with the SAME md5-derived uniforms."""
+    import hashlib
+    import math
+
+    def u_of(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    keyed = [(math.log(u_of(i)) / w, i) for (i, w) in items if w > 0]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return [i for (_, i) in keyed[:k]]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from openapi_to_rdf_spark.operators.sampling import weighted_sample
+
+    items = [(i, float(1 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(items, ["item_id", "w"])
+    got = (weighted_sample(df, 20, "w", "item_id")
+           .orderBy("rank").collect())
+    assert [r.item_id for r in got] == _es_reference(items, 20)
+    assert [r.rank for r in got] == list(range(1, 21))
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from openapi_to_rdf_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], ["item_id", "w"])
+    got = {r.item_id for r in weighted_sample(df, 10, "w", "item_id").collect()}
+    assert got == {1, 4}
+
+
+def test_weighted_sample_grouped_k_per_group(spark):
+    from openapi_to_rdf_spark.operators.sampling import weighted_sample
+
+    rows = [(g, i, 1.0 + i) for g in ("a", "b") for i in range(30)]
+    df = spark.createDataFrame(rows, ["grp", "item_id", "w"])
+    got = weighted_sample(df, 5, "w", "item_id", group_col="grp").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.grp, []).append(r.rank)
+    assert set(by_g) == {"a", "b"}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_g.values())
+
+
+def test_weighted_sample_heavy_weights_win_more(spark):
+    from openapi_to_rdf_spark.operators.sampling import weighted_sample
+
+    # weight 100 vs weight 1: the heavy half should dominate the sample
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["item_id", "w"])
+    got = [r.item_id for r in weighted_sample(df, 20, "w", "item_id").collect()]
+    assert sum(1 for i in got if i < 50) >= 15
