@@ -81,3 +81,32 @@ def test_empty_text_is_all_zero_fail(spark):
     r = _rows(spark, [(1, "")])[1]
     assert (r.n_words, r.stop_hits, r.mean_word_len) == (0, 0, 0.0)
     assert not r.gopher_pass
+
+
+def test_gopher_signals_bounded_on_adversarial_text(spark):
+    """Ratios stay in [0,1], counts non-negative, nothing null/NaN —
+    across unicode, control chars, whitespace-only and symbol-only docs."""
+    import math
+
+    adversarial = [
+        "", " ", "\n\n\n", "\t \r\n", "####", "...", "…", "• - *",
+        "日本語のテキストです これはテストです",
+        "🎉🎉🎉 emoji only 🎉", "a", "a\nb\nc", "- bullet\n- bullet",
+        "x " * 500, "ALL CAPS SHOUTING TEXT HERE",
+        "mixed 123 numbers 456 and words",
+        "ümlaut café naïve façade", "\x00\x01\x02",
+    ]
+    df = spark.createDataFrame(list(enumerate(adversarial)),
+                               ["doc_id", "text"])
+    from openapi_to_rdf_spark.operators.lm_quality import gopher_rules
+
+    for r in gopher_rules(df).collect():
+        assert r.n_words >= 0 and r.stop_hits in range(9)
+        for v in (r.bullet_frac, r.ellipsis_frac, r.alpha_word_frac):
+            assert v is not None and not math.isnan(v) and 0.0 <= v <= 1.0
+        # symbols PER WORD — legitimately exceeds 1 on symbol-heavy docs
+        assert (r.symbol_word_ratio is not None
+                and not math.isnan(r.symbol_word_ratio)
+                and r.symbol_word_ratio >= 0.0)
+        assert r.mean_word_len >= 0.0
+        assert r.gopher_pass in (True, False)

@@ -215,3 +215,32 @@ def test_chunk_documents_splits_word_array_once(spark):
     plan = (chunk_documents(docs, 2, overlap=1)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert plan.count("split(") == 1
+
+
+def test_chunk_documents_invariants_sweep(spark):
+    """One job, 121 docs × 3 (chunk, overlap) configs: drop-overlap
+    reconstruction recovers every document exactly, chunk sizes are
+    bounded, and chunk counts match the pinned ceil arithmetic."""
+    import math
+
+    from openapi_to_rdf_spark.operators.packing import chunk_documents
+
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(121)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for chunk, overlap in ((7, 0), (10, 3), (4, 3)):
+        step = chunk - overlap
+        out = {}
+        for r in chunk_documents(df, chunk, overlap=overlap).collect():
+            out.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_text,
+                                                         r.n_tokens)
+        for n, text in docs:
+            chunks = [out[n][i] for i in range(len(out[n]))]
+            expect_k = 1 if n <= chunk else math.ceil((n - chunk) / step) + 1
+            assert len(chunks) == expect_k, (n, chunk, overlap)
+            assert all(c[1] <= chunk for c in chunks)
+            # reconstruction: chunk 0 whole, then drop `overlap` words
+            words = []
+            for i, (ct, _) in enumerate(chunks):
+                ws = ct.split() if ct else []
+                words.extend(ws if i == 0 else ws[overlap:])
+            assert " ".join(words) == text, (n, chunk, overlap)
