@@ -1356,6 +1356,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_target", "first_role", "last_role", "max_gap_s",
             F.col("well_formed").cast("int").alias("well_formed"))
 
+    def q_mixture_sample(spark, sf_dir):
+        """Fixed-recipe corpus mixing (operators/sampling.mixture_sample):
+        max feasible token budget for a 50/30/20 three-source recipe,
+        per-source rates, content-hash selection. Exact relational twin."""
+        from openapi_to_rdf_spark.operators.sampling import mixture_sample
+
+        return (mixture_sample(_docs(spark, sf_dir),
+                               {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                               token_col="n_chars")
+                .select("doc_id", "source"))
+
     def q_doc_winnowing(spark, sf_dir):
         from openapi_to_rdf_spark.functions.text import winnowing_fingerprints
 
@@ -1965,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "doc_sample": q_doc_sample,
         "weighted_sample": q_weighted_sample,
+        "mixture_sample": q_mixture_sample,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4088,6 +4100,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM h GROUP BY 1
+        """,
+        "mixture_sample": """
+            WITH tg AS (
+              SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+                                    ('src2', 0.2)) t(grp, share)
+            ),
+            tot AS (
+              SELECT source AS grp, CAST(SUM(n_chars) AS DOUBLE) AS t_g
+              FROM documents GROUP BY source
+            ),
+            j AS (SELECT tot.grp, t_g, share FROM tot JOIN tg USING (grp)),
+            b AS (SELECT MIN(t_g / share) AS budget FROM j),
+            r AS (SELECT grp, budget * share / t_g AS rate FROM j, b)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.grp
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < r.rate
         """,
         "weighted_sample": """
             SELECT doc_id, n_chars, CAST(rn AS INT) AS rank FROM (

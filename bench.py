@@ -145,7 +145,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "kg_segments",
              # added r2 session 11
              "owl_entail", "doc_gopher", "doc_chunks",
-             "shipping_priority", "weighted_sample", "conv_quality"]
+             "shipping_priority", "weighted_sample", "conv_quality",
+             "mixture_sample"]
     out = {}
     for name in names:
         t0 = time.time()

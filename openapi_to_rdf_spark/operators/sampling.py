@@ -166,3 +166,43 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str, key_col: str,
               .limit(k))
     w = Window.orderBy(es_key.desc(), F.col(key_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def mixture_sample(docs: DataFrame, targets: dict[str, float],
+                   group_col: str = "source", key_col: str = "doc_id",
+                   token_col: str | None = None) -> DataFrame:
+    """Fixed-recipe corpus mixing (the Dolma/RedPajama "data recipe"
+    step): given target RELATIVE shares per group, pick the LARGEST
+    budget B for which every targeted group can supply ``B * share_g``
+    tokens without upsampling — i.e. ``B = min_g(T_g / share_g)`` over
+    the groups present — then keep each document with
+    ``hash_fraction(key) < rate_g`` where ``rate_g = B*share_g/T_g``
+    (the binding group gets rate 1.0 and survives whole). Shares need
+    not sum to 1 (only ratios matter); groups missing from ``targets``
+    are dropped; ``token_col=None`` mixes by document count instead of
+    tokens.
+
+    Sampled token mass per group ≈ B·share_g (exact in expectation;
+    content-hash selection makes the realized subset deterministic and
+    append-stable). Everything is relational — the budget travels as a
+    broadcast one-row cross join, no driver collect — and engine-
+    portable (exact DuckDB oracle: driver query ``mixture_sample``).
+    """
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError("targets must be a non-empty {group: share>0} map")
+    spark = docs.sparkSession
+    tok = F.col(token_col) if token_col else F.lit(1)
+    tgt = F.broadcast(spark.createDataFrame(
+        sorted(targets.items()), ["grp", "share"]))
+    totals = (docs.select(F.col(group_col).alias("grp"), tok.alias("tk"))
+              .groupBy("grp").agg(F.sum("tk").alias("t_g"))
+              .join(tgt, "grp"))
+    budget = F.broadcast(totals.agg(
+        F.min(F.col("t_g") / F.col("share")).alias("budget")))
+    rates = (totals.crossJoin(budget)
+             .select("grp", (F.col("budget") * F.col("share")
+                             / F.col("t_g")).alias("rate")))
+    return (docs.join(F.broadcast(rates),
+                      docs[group_col] == rates["grp"])
+            .filter(hash_fraction(F.col(key_col)) < F.col("rate"))
+            .drop("grp", "rate"))

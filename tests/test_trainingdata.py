@@ -472,3 +472,66 @@ def test_dup_span_census_overlap_coverage(spark):
     for d in (0, 1):
         assert got[d]["dup_starts"] == 2
         assert got[d]["dup_tokens"] == 9
+
+
+# ---- mixture_sample ---------------------------------------------------------
+
+def _mix_reference(rows, targets):
+    """Pure-python twin of mixture_sample (md5 selection included)."""
+    import hashlib
+    from collections import defaultdict
+
+    tot = defaultdict(float)
+    for (i, g, tk) in rows:
+        tot[g] += tk
+    budget = min(tot[g] / s for g, s in targets.items() if g in tot)
+    rates = {g: budget * s / tot[g] for g, s in targets.items() if g in tot}
+
+    def u(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    return {i for (i, g, tk) in rows if g in rates and u(i) < rates[g]}
+
+
+def test_mixture_sample_matches_python_reference(spark):
+    from openapi_to_rdf_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"s{i % 4}", 10 + (i % 13)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    targets = {"s0": 0.5, "s1": 0.25, "s2": 0.25}
+    got = {r.doc_id for r in mixture_sample(
+        df, targets, token_col="n_tok").collect()}
+    assert got == _mix_reference(rows, targets)
+    # untargeted group dropped entirely
+    assert not any(i % 4 == 3 for i in got)
+
+
+def test_mixture_sample_binding_group_kept_whole(spark):
+    from openapi_to_rdf_spark.operators.sampling import mixture_sample
+
+    # s0 tiny but demands half the mix -> it binds the budget, rate 1.0
+    rows = [(i, "s0" if i < 10 else "s1", 100) for i in range(110)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    got = mixture_sample(df, {"s0": 0.5, "s1": 0.5}, token_col="n_tok")
+    by_src = {g: [r.doc_id for r in rs] for g, rs in
+              __import__("itertools").groupby(
+                  sorted(got.collect(), key=lambda r: r.source),
+                  key=lambda r: r.source)}
+    assert sorted(by_src["s0"]) == list(range(10))   # binding group whole
+    # s1 subsampled to ~the same token mass (10 docs of 100 tokens)
+    assert 0 < len(by_src["s1"]) < 100
+
+
+def test_mixture_sample_doc_count_mode_and_validation(spark):
+    import pytest
+
+    from openapi_to_rdf_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "source"])
+    # token_col=None mixes by count; equal shares keep both whole
+    got = {r.doc_id for r in mixture_sample(df, {"a": 1, "b": 1}).collect()}
+    assert got == {1, 2}
+    with pytest.raises(ValueError):
+        mixture_sample(df, {})
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"a": 0})
