@@ -1356,6 +1356,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_target", "first_role", "last_role", "max_gap_s",
             F.col("well_formed").cast("int").alias("well_formed"))
 
+    def q_graph_walks(spark, sf_dir):
+        """Deterministic random walks (operators/graphrank.random_walks):
+        hash-chosen steps over a 100-node orders-derived graph, 2 walks
+        per node, length 3. Exact oracle: the steps unrolled as CTEs
+        with the same md5 arithmetic."""
+        from openapi_to_rdf_spark.operators.graphrank import random_walks
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string"))
+            .alias("dst"))
+        return random_walks(edges, 3, walks_per_node=2)
+
     def q_mixture_sample(spark, sf_dir):
         """Fixed-recipe corpus mixing (operators/sampling.mixture_sample):
         max feasible token budget for a 50/30/20 three-source recipe,
@@ -1977,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "weighted_sample": q_weighted_sample,
         "mixture_sample": q_mixture_sample,
+        "graph_walks": q_graph_walks,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4100,6 +4116,62 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM h GROUP BY 1
+        """,
+        "graph_walks": """
+            WITH e AS (
+              SELECT DISTINCT
+                     'n' || CAST(o_custkey % 100 AS VARCHAR) AS e_src,
+                     'n' || CAST(o_orderkey % 100 AS VARCHAR) AS e_dst
+              FROM orders
+            ),
+            ranked AS (
+              SELECT e_src AS r_src, e_dst,
+                     ROW_NUMBER() OVER (PARTITION BY e_src
+                                        ORDER BY e_dst) - 1 AS rk
+              FROM e
+            ),
+            deg AS (SELECT r_src AS d_src, COUNT(*) AS deg
+                    FROM ranked GROUP BY r_src),
+            w0 AS (
+              SELECT d_src AS start, CAST(widx AS INT) AS widx,
+                     0 AS step, d_src AS node
+              FROM deg, UNNEST([0, 1]) AS t(widx)
+            ),
+            w1 AS (
+              SELECT w0.start, w0.widx, 1 AS step,
+                     r.e_dst AS node
+              FROM w0
+              JOIN deg d ON w0.node = d.d_src
+              JOIN ranked r ON w0.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w0.start || '|' || CAST(w0.widx AS VARCHAR)
+                     || '|1|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            w2 AS (
+              SELECT w1.start, w1.widx, 2 AS step,
+                     r.e_dst AS node
+              FROM w1
+              JOIN deg d ON w1.node = d.d_src
+              JOIN ranked r ON w1.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w1.start || '|' || CAST(w1.widx AS VARCHAR)
+                     || '|2|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            w3 AS (
+              SELECT w2.start, w2.widx, 3 AS step,
+                     r.e_dst AS node
+              FROM w2
+              JOIN deg d ON w2.node = d.d_src
+              JOIN ranked r ON w2.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w2.start || '|' || CAST(w2.widx AS VARCHAR)
+                     || '|3|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            sel AS (
+              SELECT * FROM w0 UNION ALL SELECT * FROM w1
+              UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+            )
+            SELECT start, widx, CAST(step AS INT) AS step, node FROM sel
         """,
         "mixture_sample": """
             WITH tg AS (

@@ -197,3 +197,67 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                     F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
                     F.when(F.col("degree") >= 2, F.round(lcc * 1e6))
                     .otherwise(F.lit(0)).cast("long").alias("lcc_e6")))
+
+
+def random_walks(edges: DataFrame, walk_len: int, walks_per_node: int = 1,
+                 src: str = "src", dst: str = "dst",
+                 seed: int = 42) -> DataFrame:
+    """Deterministic uniform random walks over a directed graph — the
+    GNN / node2vec corpus-generation step (each walk is one training
+    sequence), derandomized with the repo's content-hash discipline:
+    step t of walk (start, widx) picks neighbor number
+    ``uint32(md5(start|widx|t|seed)) % out_degree(cur)`` from the
+    current node's dst-sorted adjacency ranks. Same walks on any
+    engine, partitioning, or rerun (exact DuckDB twin unrolls the steps
+    as CTEs — driver query ``graph_walks``).
+
+    Walks start at every distinct source node, ``walks_per_node`` each,
+    and stop early at sinks (nodes without out-edges) — shorter walks
+    are data, not errors. Output: (start, widx, step, node), step 0 =
+    the start node.
+
+    Scale design: ranking the adjacency is one window over the edge
+    partitioning (rank = dense 0..deg-1 per src); each step is TWO
+    equi-joins — (cur = deg.src) for the modulus, then
+    (cur, pick) = (ranked.src, ranked.rk) — never a sample() or an
+    RNG; walk state is one row per walk, localCheckpointed per step so
+    the plan stays flat. Hot nodes concentrate the per-step join key
+    exactly like PageRank's fan-in; AQE skew-split handles it (same
+    argument as `pagerank` above).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")).dropDuplicates()
+    w = Window.partitionBy("e_src").orderBy("e_dst")
+    ranked = (e.withColumn("rk", F.row_number().over(w) - 1)
+              .select(F.col("e_src").alias("r_src"), "e_dst", "rk")
+              .localCheckpoint())
+    deg = (ranked.groupBy("r_src")
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .select(F.col("r_src").alias("d_src"), "deg")
+           .localCheckpoint())
+
+    starts = (deg.select(F.col("d_src").alias("start"))
+              .withColumn("widx", F.explode(
+                  F.sequence(F.lit(0), F.lit(walks_per_node - 1)))))
+    state = starts.select("start", "widx", F.lit(0).alias("step"),
+                          F.col("start").alias("node")).localCheckpoint()
+    out = state
+    for t in range(1, walk_len + 1):
+        h = (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("start"), F.col("widx").cast("string"),
+            F.lit(str(t)), F.lit(str(seed)))), 1, 8), 16, 10)
+            .cast("long"))
+        nxt = (state.join(deg, state["node"] == deg["d_src"])
+               .withColumn("pick", h % F.col("deg"))
+               .join(ranked, (F.col("node") == ranked["r_src"])
+                     & (F.col("pick") == ranked["rk"]))
+               .select("start", "widx", F.lit(t).alias("step"),
+                       F.col("e_dst").alias("node"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        state = nxt
+    return out

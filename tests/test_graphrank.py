@@ -98,3 +98,70 @@ def test_graphrank_plans_jvm_only(spark):
     src = spark.createDataFrame([("a",)], ["node"])
     assert "EvalPython" not in _plan(
         k_hop(e, src, k=1))
+
+
+# ---- random_walks -----------------------------------------------------------
+
+def _walks_reference(edge_list, walk_len, wpn, seed=42):
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edge_list:
+        adj[s].add(d)
+    ranked = {s: sorted(ds) for s, ds in adj.items()}
+    rows = set()
+    for s in ranked:
+        for widx in range(wpn):
+            cur = s
+            rows.add((s, widx, 0, s))
+            for t in range(1, walk_len + 1):
+                if cur not in ranked:
+                    break
+                h = int(hashlib.md5(
+                    f"{s}|{widx}|{t}|{seed}".encode()).hexdigest()[:8], 16)
+                cur = ranked[cur][h % len(ranked[cur])]
+                rows.add((s, widx, t, cur))
+    return rows
+
+
+def test_random_walks_match_python_reference(spark):
+    from openapi_to_rdf_spark.operators.graphrank import random_walks
+
+    # branching graph with a sink (z) and a 2-cycle
+    edge_list = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"),
+                 ("b", "z"), ("c", "a"), ("d", "z"), ("e", "z")]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {(r.start, r.widx, r.step, r.node)
+           for r in random_walks(df, 4, walks_per_node=3).collect()}
+    assert got == _walks_reference(edge_list, 4, 3)
+
+
+def test_random_walks_stop_at_sinks_and_are_deterministic(spark):
+    from openapi_to_rdf_spark.operators.graphrank import random_walks
+
+    df = spark.createDataFrame([("a", "z")], ["src", "dst"])
+    got = sorted((r.step, r.node)
+                 for r in random_walks(df, 5).collect())
+    # one walk: a -> z, then stops (z is a sink); no steps 2..5
+    assert got == [(0, "a"), (1, "z")]
+    again = sorted((r.step, r.node)
+                   for r in random_walks(df, 5).collect())
+    assert got == again
+
+
+def test_random_walks_follow_edges(spark):
+    from openapi_to_rdf_spark.operators.graphrank import random_walks
+
+    edge_list = [(f"n{i}", f"n{(i * 3 + j) % 20}")
+                 for i in range(20) for j in range(3)]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    walks = random_walks(df, 3, walks_per_node=2).collect()
+    edges = set(edge_list)
+    by_walk = {}
+    for r in walks:
+        by_walk.setdefault((r.start, r.widx), {})[r.step] = r.node
+    for (s, _), steps in by_walk.items():
+        assert steps[0] == s
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in edges
