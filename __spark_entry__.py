@@ -1371,6 +1371,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_graph_skipgrams(spark, sf_dir):
+        """Skip-gram (center, context, offset) pairs from the same
+        deterministic walks (operators/graphrank.skipgram_pairs) —
+        node2vec step 2. Bag semantics; exact oracle shares the walks
+        CTE with graph_walks."""
+        from openapi_to_rdf_spark.operators.graphrank import (
+            random_walks, skipgram_pairs,
+        )
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string"))
+            .alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string"))
+            .alias("dst"))
+        return skipgram_pairs(random_walks(edges, 3, walks_per_node=2),
+                              window=2)
+
     def q_mixture_sample(spark, sf_dir):
         """Fixed-recipe corpus mixing (operators/sampling.mixture_sample):
         max feasible token budget for a 50/30/20 three-source recipe,
@@ -1993,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "mixture_sample": q_mixture_sample,
         "graph_walks": q_graph_walks,
+        "graph_skipgrams": q_graph_skipgrams,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -2155,6 +2174,61 @@ def _zorder_bits():
 
 
 _zorder_sql_expr = _zorder_bits()
+
+
+_WALKS_CTE = """WITH e AS (
+              SELECT DISTINCT
+                     'n' || CAST(o_custkey % 100 AS VARCHAR) AS e_src,
+                     'n' || CAST(o_orderkey % 100 AS VARCHAR) AS e_dst
+              FROM orders
+            ),
+            ranked AS (
+              SELECT e_src AS r_src, e_dst,
+                     ROW_NUMBER() OVER (PARTITION BY e_src
+                                        ORDER BY e_dst) - 1 AS rk
+              FROM e
+            ),
+            deg AS (SELECT r_src AS d_src, COUNT(*) AS deg
+                    FROM ranked GROUP BY r_src),
+            w0 AS (
+              SELECT d_src AS start, CAST(widx AS INT) AS widx,
+                     0 AS step, d_src AS node
+              FROM deg, UNNEST([0, 1]) AS t(widx)
+            ),
+            w1 AS (
+              SELECT w0.start, w0.widx, 1 AS step,
+                     r.e_dst AS node
+              FROM w0
+              JOIN deg d ON w0.node = d.d_src
+              JOIN ranked r ON w0.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w0.start || '|' || CAST(w0.widx AS VARCHAR)
+                     || '|1|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            w2 AS (
+              SELECT w1.start, w1.widx, 2 AS step,
+                     r.e_dst AS node
+              FROM w1
+              JOIN deg d ON w1.node = d.d_src
+              JOIN ranked r ON w1.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w1.start || '|' || CAST(w1.widx AS VARCHAR)
+                     || '|2|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            w3 AS (
+              SELECT w2.start, w2.widx, 3 AS step,
+                     r.e_dst AS node
+              FROM w2
+              JOIN deg d ON w2.node = d.d_src
+              JOIN ranked r ON w2.node = r.r_src
+               AND r.rk = CAST(('0x' || substr(md5(
+                     w2.start || '|' || CAST(w2.widx AS VARCHAR)
+                     || '|3|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
+            ),
+            sel AS (
+              SELECT * FROM w0 UNION ALL SELECT * FROM w1
+              UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4117,61 +4191,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM h GROUP BY 1
         """,
-        "graph_walks": """
-            WITH e AS (
-              SELECT DISTINCT
-                     'n' || CAST(o_custkey % 100 AS VARCHAR) AS e_src,
-                     'n' || CAST(o_orderkey % 100 AS VARCHAR) AS e_dst
-              FROM orders
-            ),
-            ranked AS (
-              SELECT e_src AS r_src, e_dst,
-                     ROW_NUMBER() OVER (PARTITION BY e_src
-                                        ORDER BY e_dst) - 1 AS rk
-              FROM e
-            ),
-            deg AS (SELECT r_src AS d_src, COUNT(*) AS deg
-                    FROM ranked GROUP BY r_src),
-            w0 AS (
-              SELECT d_src AS start, CAST(widx AS INT) AS widx,
-                     0 AS step, d_src AS node
-              FROM deg, UNNEST([0, 1]) AS t(widx)
-            ),
-            w1 AS (
-              SELECT w0.start, w0.widx, 1 AS step,
-                     r.e_dst AS node
-              FROM w0
-              JOIN deg d ON w0.node = d.d_src
-              JOIN ranked r ON w0.node = r.r_src
-               AND r.rk = CAST(('0x' || substr(md5(
-                     w0.start || '|' || CAST(w0.widx AS VARCHAR)
-                     || '|1|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
-            ),
-            w2 AS (
-              SELECT w1.start, w1.widx, 2 AS step,
-                     r.e_dst AS node
-              FROM w1
-              JOIN deg d ON w1.node = d.d_src
-              JOIN ranked r ON w1.node = r.r_src
-               AND r.rk = CAST(('0x' || substr(md5(
-                     w1.start || '|' || CAST(w1.widx AS VARCHAR)
-                     || '|2|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
-            ),
-            w3 AS (
-              SELECT w2.start, w2.widx, 3 AS step,
-                     r.e_dst AS node
-              FROM w2
-              JOIN deg d ON w2.node = d.d_src
-              JOIN ranked r ON w2.node = r.r_src
-               AND r.rk = CAST(('0x' || substr(md5(
-                     w2.start || '|' || CAST(w2.widx AS VARCHAR)
-                     || '|3|42'), 1, 8))::UBIGINT AS BIGINT) % d.deg
-            ),
-            sel AS (
-              SELECT * FROM w0 UNION ALL SELECT * FROM w1
-              UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
-            )
+        "graph_walks": f"""
+            {_WALKS_CTE}
             SELECT start, widx, CAST(step AS INT) AS step, node FROM sel
+        """,
+        "graph_skipgrams": f"""
+            {_WALKS_CTE}
+            SELECT a.node AS center, b.node AS context,
+                   CAST(b.step - a.step AS INT) AS offset
+            FROM sel a JOIN sel b
+              ON a.start = b.start AND a.widx = b.widx
+             AND b.step <> a.step
+             AND b.step BETWEEN a.step - 2 AND a.step + 2
         """,
         "mixture_sample": """
             WITH tg AS (

@@ -146,7 +146,7 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              # added r2 session 11
              "owl_entail", "doc_gopher", "doc_chunks",
              "shipping_priority", "weighted_sample", "conv_quality",
-             "mixture_sample", "graph_walks"]
+             "mixture_sample", "graph_walks", "graph_skipgrams"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -261,3 +261,33 @@ def random_walks(edges: DataFrame, walk_len: int, walks_per_node: int = 1,
         out = out.unionByName(nxt)
         state = nxt
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) skip-gram training pairs from random walks —
+    node2vec/DeepWalk step 2 (each pair is one row of the embedding
+    trainer's input). For every walk, emits (node_at(t), node_at(t+d))
+    for all 0 < |d| <= window, with the signed offset kept (callers
+    wanting symmetric bags just drop the column). BAG semantics — pair
+    multiplicity IS the training signal.
+
+    One self-equi-join on the walk identity (start, widx) with the
+    |Δstep| window as a residual filter: per-walk groups are walk_len
+    rows, so the join fan-out is bounded by walk_len·2·window per walk,
+    and the shuffle key is the walk id — uniform by construction
+    (hash-minted), no skew.
+    """
+    a = walks.select(F.col("start"), F.col("widx"),
+                     F.col("step").alias("a_step"),
+                     F.col("node").alias("center"))
+    b = walks.select(F.col("start").alias("b_start"),
+                     F.col("widx").alias("b_widx"),
+                     F.col("step").alias("b_step"),
+                     F.col("node").alias("context"))
+    return (a.join(b, (a["start"] == b["b_start"])
+                   & (a["widx"] == b["b_widx"])
+                   & (b["b_step"] != a["a_step"])
+                   & (b["b_step"] >= a["a_step"] - window)
+                   & (b["b_step"] <= a["a_step"] + window))
+            .select("center", "context",
+                    (F.col("b_step") - F.col("a_step")).alias("offset")))

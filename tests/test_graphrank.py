@@ -165,3 +165,40 @@ def test_random_walks_follow_edges(spark):
         assert steps[0] == s
         for t in range(1, max(steps) + 1):
             assert (steps[t - 1], steps[t]) in edges
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from openapi_to_rdf_spark.operators.graphrank import skipgram_pairs
+
+    walk = [("a", 0, t, n) for t, n in
+            enumerate(["n1", "n2", "n3", "n4", "n5"])]
+    df = spark.createDataFrame(walk, ["start", "widx", "step", "node"])
+    got = {(r.center, r.context, r.offset)
+           for r in skipgram_pairs(df, window=2).collect()}
+    assert ("n3", "n1", -2) in got and ("n3", "n5", 2) in got
+    assert ("n1", "n2", 1) in got and ("n1", "n3", 2) in got
+    assert ("n1", "n4", 3) not in got          # outside the window
+    assert not any(c == ctx and o == 0 for c, ctx, o in got)
+    # count: sum over positions of min(window, reachable) both sides
+    assert len(got) == 2 * (4 + 3)  # offsets ±1: 4 pairs, ±2: 3 pairs
+
+
+def test_skipgram_pairs_keep_bag_multiplicity(spark):
+    from openapi_to_rdf_spark.operators.graphrank import skipgram_pairs
+
+    # the same (center, context, offset) from TWO different walks must
+    # appear twice — multiplicity is the training signal
+    rows = [("a", 0, 0, "x"), ("a", 0, 1, "y"),
+            ("a", 1, 0, "x"), ("a", 1, 1, "y")]
+    df = spark.createDataFrame(rows, ["start", "widx", "step", "node"])
+    got = [r for r in skipgram_pairs(df, window=1).collect()
+           if (r.center, r.context) == ("x", "y")]
+    assert len(got) == 2
+
+
+def test_skipgram_pairs_isolate_walks(spark):
+    from openapi_to_rdf_spark.operators.graphrank import skipgram_pairs
+
+    rows = [("a", 0, 0, "x"), ("b", 0, 1, "y")]
+    df = spark.createDataFrame(rows, ["start", "widx", "step", "node"])
+    assert skipgram_pairs(df, window=3).count() == 0
