@@ -1371,6 +1371,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_edit_dup_pairs(spark, sf_dir):
+        """Edit-distance similarity join (operators/editjoin): all
+        customer-name pairs within Levenshtein 1 via PassJoin segment
+        pigeonhole + exact verify. Oracle: brute-force levenshtein."""
+        from openapi_to_rdf_spark.operators.editjoin import (
+            edit_distance_pairs,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return edit_distance_pairs(
+            cust.select(F.col("c_custkey").alias("id"),
+                        F.col("c_name").alias("text")), k=1)
+
     def q_graph_skipgrams(spark, sf_dir):
         """Skip-gram (center, context, offset) pairs from the same
         deterministic walks (operators/graphrank.skipgram_pairs) —
@@ -2012,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "graph_walks": q_graph_walks,
         "graph_skipgrams": q_graph_skipgrams,
+        "edit_dup_pairs": q_edit_dup_pairs,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4203,6 +4217,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.start = b.start AND a.widx = b.widx
              AND b.step <> a.step
              AND b.step BETWEEN a.step - 2 AND a.step + 2
+        """,
+        "edit_dup_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "mixture_sample": """
             WITH tg AS (
