@@ -1371,6 +1371,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_rrf_events(spark, sf_dir):
+        """Reciprocal-rank fusion (operators/retrieval.rrf_fuse) of two
+        event-type rankings (by count, by e2-rounded revenue — rounded
+        BEFORE ranking in both engines so float ulps can't flip order).
+        The generic hybrid-retrieval combiner, exact-oracle'd."""
+        from pyspark.sql import Window
+
+        from openapi_to_rdf_spark.operators.retrieval import rrf_fuse
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        by_n = (ev.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("m"))
+                .withColumn("rank", F.row_number().over(
+                    Window.orderBy(F.desc("m"), F.col("event_type")))))
+        by_v = (ev.groupBy("event_type")
+                .agg(F.round(F.sum("value") * 100).cast("long").alias("m"))
+                .withColumn("rank", F.row_number().over(
+                    Window.orderBy(F.desc("m"), F.col("event_type")))))
+        return rrf_fuse([by_n.select("event_type", "rank"),
+                         by_v.select("event_type", "rank")],
+                        id_col="event_type")
+
     def q_edit_dup_pairs(spark, sf_dir):
         """Edit-distance similarity join (operators/editjoin): all
         customer-name pairs within Levenshtein 1 via PassJoin segment
@@ -2026,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_skipgrams": q_graph_skipgrams,
         "edit_dup_pairs": q_edit_dup_pairs,
+        "rrf_events": q_rrf_events,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4217,6 +4240,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.start = b.start AND a.widx = b.widx
              AND b.step <> a.step
              AND b.step BETWEEN a.step - 2 AND a.step + 2
+        """,
+        "rrf_events": """
+            WITH a AS (
+              SELECT event_type, ROW_NUMBER() OVER (
+                ORDER BY COUNT(*) DESC, event_type) AS r
+              FROM events GROUP BY event_type),
+            b AS (
+              SELECT event_type, ROW_NUMBER() OVER (
+                ORDER BY CAST(ROUND(SUM(value) * 100) AS BIGINT) DESC,
+                         event_type) AS r
+              FROM events GROUP BY event_type),
+            u AS (
+              SELECT event_type, 1.0::DOUBLE / (60 + r) AS c FROM a
+              UNION ALL
+              SELECT event_type, 1.0::DOUBLE / (60 + r) FROM b)
+            SELECT event_type,
+                   CAST(ROUND(SUM(c) * 1e6) AS BIGINT) AS rrf_e6,
+                   COUNT(*) AS n_lists,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY CAST(ROUND(SUM(c) * 1e6) AS BIGINT) DESC,
+                              event_type) AS INT) AS fused_rank
+            FROM u GROUP BY event_type
         """,
         "edit_dup_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

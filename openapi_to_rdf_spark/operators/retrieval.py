@@ -92,3 +92,36 @@ def bm25_topk(index: DataFrame, query_terms: list[str], k: int = 10,
     w = Window.orderBy(F.col("score_e6").desc(), F.col("doc").asc())
     return top.withColumn("rank",
                           F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-retrieval combiner (BM25 ∪ dense ∪ anything ranked):
+    ``rrf(d) = Σ_lists 1/(k + rank_list(d))``, higher = better. Items
+    missing from a list simply contribute nothing — RRF's robustness is
+    exactly that absence isn't a zero score but a no-op.
+
+    ``group_cols`` scopes the fusion (e.g. per query_id). One union +
+    one groupBy on (group, id) — rankings are top-k-sized, so this is
+    vocabulary-scale work no matter the corpus; the heavy lifting
+    happened inside each retriever. rrf_e6 is emitted as an e6-scaled
+    integer (engine-portable; exact DuckDB twin ``rrf_events``), with
+    (rrf desc, id) ordering made deterministic by the id tiebreak.
+    """
+    gc = group_cols or []
+    parts = [r.select(*gc, F.col(id_col),
+                      (F.lit(1.0) / (F.lit(k) + F.col(rank_col)))
+                      .alias("contrib"))
+             for r in rankings]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = (un.groupBy(*gc, id_col)
+             .agg(F.round(F.sum("contrib") * 1e6).cast("long")
+                  .alias("rrf_e6"),
+                  F.count(F.lit(1)).alias("n_lists")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(*gc).orderBy(F.desc("rrf_e6"), F.col(id_col))
+    return fused.withColumn("fused_rank", F.row_number().over(w))

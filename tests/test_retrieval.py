@@ -77,3 +77,43 @@ def test_bm25_topk_plans_take_ordered(spark):
     plan = bm25_topk(build_term_index(docs), ["spark"], k=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---- rrf_fuse ---------------------------------------------------------------
+
+def test_rrf_fuse_hand_computed(spark):
+    from openapi_to_rdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([("d1", 1), ("d2", 2), ("d3", 3)],
+                              ["doc_id", "rank"])
+    b = spark.createDataFrame([("d3", 1), ("d1", 2), ("d4", 3)],
+                              ["doc_id", "rank"])
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    assert got["d1"].rrf_e6 == round((1 / 61 + 1 / 62) * 1e6)
+    assert got["d3"].rrf_e6 == round((1 / 63 + 1 / 61) * 1e6)
+    assert got["d2"].n_lists == 1 and got["d4"].n_lists == 1
+    # d1 (ranks 1+2) beats d3 (ranks 3+1): 1/61+1/62 > 1/63+1/61
+    assert got["d1"].fused_rank == 1 and got["d3"].fused_rank == 2
+
+
+def test_rrf_fuse_missing_is_noop_not_zero(spark):
+    from openapi_to_rdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([("d1", 1)], ["doc_id", "rank"])
+    b = spark.createDataFrame([("d2", 1), ("d1", 50)], ["doc_id", "rank"])
+    got = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    # d1: strong in one list, weak in the other — still above d2's single
+    assert got["d1"].rrf_e6 > got["d2"].rrf_e6
+
+
+def test_rrf_fuse_grouped(spark):
+    from openapi_to_rdf_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([("q1", "d1", 1), ("q2", "d9", 1)],
+                              ["query_id", "doc_id", "rank"])
+    b = spark.createDataFrame([("q1", "d1", 2), ("q2", "d8", 1)],
+                              ["query_id", "doc_id", "rank"])
+    got = rrf_fuse([a, b], group_cols=["query_id"]).collect()
+    ranks = {(r.query_id, r.doc_id): r.fused_rank for r in got}
+    assert ranks[("q1", "d1")] == 1
+    assert ranks[("q2", "d8")] == 1 and ranks[("q2", "d9")] == 2  # id tiebreak
