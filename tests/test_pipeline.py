@@ -512,3 +512,63 @@ def test_pipeline_entailed_stage(spark, tmp_path):
     # resume: identical fingerprints, no recompute
     m2 = run_pipeline(spark, wd, n_convs=120, seed=3, entail=True)
     assert m2["entailed"]["fingerprint"] == m1["entailed"]["fingerprint"]
+
+
+def test_pipeline_all_optional_stages_together(spark, tmp_path):
+    """Capstone: every optional stage at once — converted-spec shape rules,
+    authority-registry linking, coref recovery, and RDFS entailment — all
+    stages present, mutually consistent, and the whole DAG resumes as a
+    no-op. Exercises stage-fingerprint chaining across the full option
+    surface, not just each flag in isolation."""
+    from openapi_to_rdf_spark.operators.extract import (
+        KG_NS, convert_specs_df,
+    )
+    from openapi_to_rdf_spark.operators.shapes import (
+        align_rules_to_namespace, shape_rules_from_shacl,
+    )
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+    from openapi_to_rdf_spark.sources.specs import (
+        spec_paths_df, with_content,
+    )
+    from openapi_to_rdf_spark.sources.transcripts import entity_registry_df
+
+    spec = ("/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI/"
+            "TS28623_ComDefs.yaml")
+    shacl = convert_specs_df(
+        with_content(spec_paths_df(spark, [spec]))
+    ).filter(F.col("graph") == "shacl")
+    spec_rules = align_rules_to_namespace(shape_rules_from_shacl(shacl),
+                                          KG_NS)
+
+    wd = tmp_path / "wd"
+    m1 = run_pipeline(spark, wd, n_convs=150, seed=7,
+                      spec_rules=spec_rules,
+                      registry=entity_registry_df(spark),
+                      coref=True, entail=True)
+    expected = {"transcripts", "extract", "entities", "canonical_map",
+                "graph", "violations", "entailed", "coref", "links"}
+    assert expected <= set(m1)
+    assert m1["violations"]["metrics"]["rows"] == 0   # clean corpus
+    assert m1["entailed"]["metrics"]["rows"] > 0
+    assert m1["links"]["metrics"]["rows"] > 0
+
+    # cross-stage consistency: every entity the linker linked exists in
+    # the graph, and its entailed kg#Entity type is present
+    kg = "http://ericsson.com/models/3gpp/kg#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    linked = {r.s for r in read_snapshot(spark, wd / "links")
+              .filter(F.col("p") == kg + "linksTo").select("s").collect()}
+    graph_subjects = {r.s for r in read_snapshot(spark, wd / "graph")
+                      .select("s").distinct().collect()}
+    lifted = {r.s for r in read_snapshot(spark, wd / "entailed")
+              .filter((F.col("p") == rdf_type)
+                      & (F.col("o") == kg + "Entity")).collect()}
+    assert linked and linked <= graph_subjects
+    assert linked <= lifted
+
+    m2 = run_pipeline(spark, wd, n_convs=150, seed=7,
+                      spec_rules=spec_rules,
+                      registry=entity_registry_df(spark),
+                      coref=True, entail=True)
+    for stage in expected:
+        assert m2[stage]["committed_at"] == m1[stage]["committed_at"], stage
