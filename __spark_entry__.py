@@ -1371,6 +1371,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_user_setop_sketch(spark, sf_dir):
+        """HLL set algebra (operators/sketch.hll_setop_estimates):
+        pairwise audience overlap between event types from ONE register
+        table — lossless union (register-max), inclusion-exclusion
+        intersection, integer-derived Jaccard. Exact DuckDB twin."""
+        from openapi_to_rdf_spark.operators.sketch import (
+            hll_registers, hll_setop_estimates,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        regs = hll_registers(ev, "user_id", ["event_type"], p=8)
+        return hll_setop_estimates(regs, "event_type", p=8)
+
     def q_rrf_events(spark, sf_dir):
         """Reciprocal-rank fusion (operators/retrieval.rrf_fuse) of two
         event-type rankings (by count, by e2-rounded revenue — rounded
@@ -2049,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_skipgrams": q_graph_skipgrams,
         "edit_dup_pairs": q_edit_dup_pairs,
         "rrf_events": q_rrf_events,
+        "user_setop_sketch": q_user_setop_sketch,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4240,6 +4254,59 @@ def oracle_sql() -> dict[str, str]:
               ON a.start = b.start AND a.widx = b.widx
              AND b.step <> a.step
              AND b.step BETWEEN a.step - 2 AND a.step + 2
+        """,
+        "user_setop_sketch": """
+            WITH regs AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 256 AS register,
+                     MAX(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT = 0
+                              THEN 33
+                              ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT AS BIGINT)))
+                         END) AS max_rank
+              FROM events GROUP BY 1, 2),
+            agg AS (
+              SELECT event_type, SUM(POW(2.0, -max_rank)) AS present,
+                     COUNT(*) AS occupied
+              FROM regs GROUP BY event_type),
+            est AS (
+              SELECT event_type,
+                     CAST(ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                                     THEN 256.0 * LN(256.0 / zeros)
+                                     ELSE raw END) AS BIGINT) AS n
+              FROM (SELECT event_type, (256 - occupied) AS zeros,
+                           (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                             / (present + (256 - occupied)) AS raw
+                    FROM agg)),
+            prs AS (
+              SELECT a.event_type AS ga, b.event_type AS gb,
+                     a.n AS n_a, b.n AS n_b
+              FROM est a JOIN est b ON a.event_type < b.event_type),
+            uregs AS (
+              SELECT p.ga, p.gb, r.register, MAX(r.max_rank) AS max_rank
+              FROM prs p JOIN regs r
+                ON r.event_type = p.ga OR r.event_type = p.gb
+              GROUP BY 1, 2, 3),
+            uagg AS (
+              SELECT ga, gb, SUM(POW(2.0, -max_rank)) AS present,
+                     COUNT(*) AS occupied
+              FROM uregs GROUP BY ga, gb),
+            uest AS (
+              SELECT ga, gb,
+                     CAST(ROUND(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                                     THEN 256.0 * LN(256.0 / zeros)
+                                     ELSE raw END) AS BIGINT) AS n_union
+              FROM (SELECT ga, gb, (256 - occupied) AS zeros,
+                           (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+                             / (present + (256 - occupied)) AS raw
+                    FROM uagg))
+            SELECT p.ga, p.gb, p.n_a, p.n_b, u.n_union,
+                   CAST(GREATEST(p.n_a + p.n_b - u.n_union, 0) AS BIGINT)
+                     AS n_inter,
+                   CASE WHEN u.n_union > 0 THEN
+                     CAST(ROUND(CAST(GREATEST(p.n_a + p.n_b - u.n_union, 0)
+                                     AS DOUBLE) * 1e6 / u.n_union) AS BIGINT)
+                   ELSE 0 END AS jaccard_e6
+            FROM prs p JOIN uest u USING (ga, gb)
         """,
         "rrf_events": """
             WITH a AS (

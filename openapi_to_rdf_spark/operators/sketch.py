@@ -167,3 +167,48 @@ def cms_estimate(registers: DataFrame, keys_df: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("freq_est")))
+
+
+def hll_setop_estimates(registers: DataFrame, group_col: str,
+                        p: int = 8) -> DataFrame:
+    """Pairwise set-algebra cardinalities between every two groups of ONE
+    register table (audience-overlap analytics from sketches alone):
+    |A|, |B|, |A ∪ B| — the union is LOSSLESS sketch algebra
+    (register-wise max IS the union's sketch) — plus inclusion-exclusion
+    |A ∩ B| (clamped at 0) and the derived Jaccard. Intersection error
+    compounds the three estimates' errors, so both operands and the
+    union are reported alongside it, never just the derived number.
+
+    Work is sketch-sized: the pair table is G², each pair's union holds
+    ≤ m occupied registers — the 10^12-row side was consumed once by
+    hll_registers; everything here is register arithmetic.
+    """
+    singles = hll_estimate(registers, [group_col], p)
+    a = singles.select(F.col(group_col).alias("ga"),
+                       F.col("n_distinct_est").alias("n_a"))
+    b = singles.select(F.col(group_col).alias("gb"),
+                       F.col("n_distinct_est").alias("n_b"))
+    pairs = a.join(b, F.col("ga") < F.col("gb"))
+
+    a_regs = (registers.join(F.broadcast(pairs.select("ga", "gb")),
+                             registers[group_col] == F.col("ga"))
+              .select("ga", "gb", "register", "max_rank"))
+    b_regs = (registers.join(F.broadcast(pairs.select("ga", "gb")),
+                             registers[group_col] == F.col("gb"))
+              .select("ga", "gb", "register", "max_rank"))
+    union_regs = (a_regs.unionByName(b_regs)
+                  .groupBy("ga", "gb", "register")
+                  .agg(F.max("max_rank").alias("max_rank")))
+    union_est = (hll_estimate(union_regs, ["ga", "gb"], p)
+                 .withColumnRenamed("n_distinct_est", "n_union"))
+
+    out = pairs.join(union_est, ["ga", "gb"])
+    inter = F.greatest(F.col("n_a") + F.col("n_b") - F.col("n_union"),
+                       F.lit(0))
+    # jaccard from the ROUNDED longs — integer arithmetic, engine-portable
+    return out.select(
+        "ga", "gb", "n_a", "n_b", "n_union",
+        inter.cast("long").alias("n_inter"),
+        F.when(F.col("n_union") > 0,
+               F.round(inter.cast("double") * 1e6 / F.col("n_union"))
+               .cast("long")).otherwise(F.lit(0)).alias("jaccard_e6"))

@@ -104,3 +104,51 @@ def test_hll_registers_partition_independent(spark):
     b = sorted((r.register, r.max_rank) for r in
                hll_registers(df.repartition(23), "key", ["grp"]).collect())
     assert a == b
+
+
+# ---- hll_setop_estimates ----------------------------------------------------
+
+def test_hll_setops_accuracy_and_union_losslessness(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        hll_estimate, hll_registers, hll_setop_estimates,
+    )
+
+    # A = 0..1999, B = 1000..3999 -> |A|=2000 |B|=3000 |A∩B|=1000 |A∪B|=4000
+    rows = [("A", i) for i in range(2000)] + \
+           [("B", i) for i in range(1000, 4000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    regs = hll_registers(df, "key", ["grp"], p=10)
+    got = hll_setop_estimates(regs, "grp", p=10).collect()[0]
+    assert (got.ga, got.gb) == ("A", "B")
+    # 3-sigma-ish tolerance at p=10 (~3.25% per estimate)
+    assert abs(got.n_a - 2000) < 2000 * 0.1
+    assert abs(got.n_b - 3000) < 3000 * 0.1
+    assert abs(got.n_union - 4000) < 4000 * 0.1
+    # intersection inherits summed error: generous floor, still informative
+    assert 500 < got.n_inter < 1500
+    assert 100_000 < got.jaccard_e6 < 450_000  # true jaccard 0.25
+
+    # union losslessness: pairwise-union estimate == estimate of the
+    # sketch built from the concatenated keys
+    both = df.select(F.lit("U").alias("grp"), "key")
+    direct = hll_estimate(hll_registers(both, "key", ["grp"], p=10),
+                          ["grp"], p=10).collect()[0].n_distinct_est
+    assert got.n_union == direct
+
+
+def test_hll_setops_disjoint_and_identical(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        hll_registers, hll_setop_estimates,
+    )
+
+    rows = [("A", f"a{i}") for i in range(500)] + \
+           [("B", f"a{i}") for i in range(500)] + \
+           [("C", f"c{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    got = {(r.ga, r.gb): r for r in hll_setop_estimates(
+        hll_registers(df, "key", ["grp"], p=10), "grp", p=10).collect()}
+    ab = got[("A", "B")]          # identical sets
+    assert ab.n_union == ab.n_a == ab.n_b
+    assert ab.n_inter == ab.n_a and ab.jaccard_e6 == 1_000_000
+    ac = got[("A", "C")]          # disjoint sets
+    assert ac.jaccard_e6 < 150_000
