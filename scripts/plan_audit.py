@@ -23,6 +23,8 @@ AUDIT = [
     "kg_violations", "doc_gopher", "doc_chunks", "doc_packing",
     "mixture_sample", "weighted_sample", "conv_quality", "strip_boilerplate",
     "semantic_dedup", "bgp_orders", "doc_pagerank", "dict_encode",
+    "graph_walks", "graph_skipgrams", "edit_dup_pairs", "rrf_events",
+    "user_setop_sketch",
 ]
 
 
