@@ -1371,6 +1371,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_image_dups(spark, sf_dir):
+        """Perceptual-hash image near-dup pairs (multimodal.image_ahash →
+        dedup.hamming_pairs): the corpus is doubled under offset ids, so
+        every image has a planted exact duplicate (hamming 0; the id offset is a multiple of 3 to preserve the kind selector). Rows-only:
+        aHash is a numpy mapInPandas stage; reference exactness is
+        asserted in tests/test_trainingdata.py."""
+        from openapi_to_rdf_spark.operators.multimodal import (
+            image_dup_pairs, synth_media,
+        )
+
+        d = _docs(spark, sf_dir)
+        doubled = d.unionByName(
+            d.withColumn("doc_id", F.col("doc_id") + 999_999))
+        return image_dup_pairs(synth_media(doubled), max_hamming=4)
+
     def q_user_setop_sketch(spark, sf_dir):
         """HLL set algebra (operators/sketch.hll_setop_estimates):
         pairwise audience overlap between event types from ONE register
@@ -2063,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dup_pairs": q_edit_dup_pairs,
         "rrf_events": q_rrf_events,
         "user_setop_sketch": q_user_setop_sketch,
+        "image_dups": q_image_dups,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,

@@ -197,7 +197,27 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sigs = docs.select(F.col(id_col).alias("id"),
                        simhash64(F.col(text_col)).alias("sig"))
+    return hamming_pairs(sigs, max_hamming=max_hamming, n_blocks=n_blocks,
+                         max_bucket=max_bucket)
 
+
+def hamming_pairs(sigs: DataFrame, max_hamming: int = 3, n_blocks: int = 5,
+                  max_bucket: int | None = 10_000) -> DataFrame:
+    """EXACT pairs within Hamming distance ``max_hamming`` over a 64-bit
+    signature table (id, sig) — the Manku block-banding equi-join that
+    :func:`simhash_pairs` (text) and multimodal.image_dup_pairs
+    (perceptual hashes) share. Semantics, banding math, the bucket cap
+    and the dedup-free first-combo emission are documented on
+    simhash_pairs; this is that machinery signature-source-agnostic.
+    Output: (id_a, id_b, hamming) with id_a < id_b. Requires
+    ``max_hamming < n_blocks`` (the pigeonhole needs at least one clean
+    block); larger radii need more blocks — at the cost of narrower,
+    hotter keys — or a different scheme (multi-index Hamming).
+    """
+    if not 0 <= max_hamming < n_blocks:
+        raise ValueError(
+            f"need 0 <= max_hamming < n_blocks, got {max_hamming=} "
+            f"{n_blocks=} — the banding pigeonhole requires a clean block")
     # block i covers bits [starts[i], starts[i+1]) of the 64-bit signature
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]

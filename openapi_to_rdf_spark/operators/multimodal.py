@@ -237,3 +237,78 @@ def sample_video_frames(media: DataFrame, every_n: int = 4,
                                               "frame_payload_len"])
 
     return pruned.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ahash", LongType(), False),
+])
+
+
+def ahash64_numpy(img) -> int:
+    """Reference aHash: luminance → 8×8 block means → threshold at their
+    mean → 64 bits MSB-first, returned as a SIGNED two's-complement int
+    (Spark LongType). Pure numpy; shared by the operator and its tests."""
+    import numpy as np
+
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    rb = np.linspace(0, h, 9).astype(int)
+    cb = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            blocks[i, j] = luma[r0:r1, c0:c1].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash per raw-RGB8 image (the perceptual fingerprint
+    pHash pipelines start from): decode → luminance → 8×8 block means →
+    threshold. REAL computation — raw-rgb8 needs no codec — batched via
+    mapInPandas (Arrow), schema-pruned to (id, payload, dims) before the
+    Python stage like every multimodal path here."""
+    pruned = (media.filter((F.col("kind") == "image")
+                           & (F.col("meta.mime") == RAW_RGB_MIME))
+              .select("media_id", "payload",
+                      F.col("meta.width").alias("w"),
+                      F.col("meta.height").alias("h")))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, w, h in zip(pdf["media_id"], pdf["payload"],
+                                          pdf["w"], pdf["h"]):
+                w, h = int(w), int(h)
+                img = (np.frombuffer(payload, dtype=np.uint8)[:w * h * 3]
+                       .reshape(h, w, 3).astype(np.float64) / 255.0)
+                rows.append((mid, ahash64_numpy(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return pruned.mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_dup_pairs(media: DataFrame, max_hamming: int = 5,
+                    n_blocks: int = 5,
+                    max_bucket: int | None = 10_000) -> DataFrame:
+    """EXACT near-duplicate image pairs by perceptual-hash Hamming
+    distance: aHash signatures fed through the SAME Manku block-banding
+    join text SimHash uses (operators/dedup.hamming_pairs) — the image
+    dedup story is the text dedup machinery with a different signature
+    source, which is exactly how production pipelines compose it.
+    Output: (id_a, id_b, hamming)."""
+    from .dedup import hamming_pairs
+
+    sigs = image_ahash(media).select(F.col("media_id").alias("id"),
+                                     F.col("ahash").alias("sig"))
+    return hamming_pairs(sigs, max_hamming=max_hamming, n_blocks=n_blocks,
+                         max_bucket=max_bucket)

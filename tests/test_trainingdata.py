@@ -535,3 +535,82 @@ def test_mixture_sample_doc_count_mode_and_validation(spark):
         mixture_sample(df, {})
     with pytest.raises(ValueError):
         mixture_sample(df, {"a": 0})
+
+
+# ---- perceptual image dedup -------------------------------------------------
+
+def _raw_image(arr):
+    """HxWx3 uint8 numpy array -> (payload bytes, w, h)."""
+    return bytes(arr.tobytes()), arr.shape[1], arr.shape[0]
+
+
+def _media_df(spark, images):
+    from openapi_to_rdf_spark.operators.multimodal import RAW_RGB_MIME
+
+    rows = [(mid, "image", payload,
+             {"mime": RAW_RGB_MIME, "source_len": 0, "width": w,
+              "height": h})
+            for mid, (payload, w, h) in images.items()]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta struct<mime:string, source_len:long, width:int, "
+              "height:int>")
+
+
+def test_image_ahash_matches_numpy_reference(spark):
+    import numpy as np
+
+    from openapi_to_rdf_spark.operators.multimodal import (
+        ahash64_numpy, image_ahash,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: _raw_image(rng.integers(0, 256, (12, 16, 3), dtype=np.uint8))
+            for i in range(5)}
+    got = {r.media_id: r.ahash
+           for r in image_ahash(_media_df(spark, imgs)).collect()}
+    for i, (payload, w, h) in imgs.items():
+        arr = (np.frombuffer(payload, dtype=np.uint8)
+               .reshape(h, w, 3).astype(np.float64) / 255.0)
+        assert got[i] == ahash64_numpy(arr), i
+
+
+def test_image_dup_pairs_find_noisy_copies_not_strangers(spark):
+    import numpy as np
+
+    from openapi_to_rdf_spark.operators.multimodal import image_dup_pairs
+
+    rng = np.random.default_rng(11)
+    # STRUCTURED content (a gradient): perceptual hashes are stable where
+    # block means are separated — on uniform random noise every bit sits
+    # at the threshold and aHash is rightly fragile
+    ramp = np.linspace(0, 255, 32, dtype=np.uint8)
+    base = np.broadcast_to(ramp[None, :, None], (24, 32, 3)).copy()
+    noisy = np.clip(base.astype(int)
+                    + rng.integers(-12, 13, base.shape), 0, 255) \
+        .astype(np.uint8)
+    stranger = base[:, ::-1, :].copy()  # mirrored gradient: opposite bits
+    imgs = {0: _raw_image(base), 1: _raw_image(noisy),
+            2: _raw_image(stranger), 3: _raw_image(base)}  # 3 = exact copy
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_dup_pairs(_media_df(spark, imgs),
+                                    max_hamming=4).collect()}
+    assert got[(0, 3)] == 0                      # exact copy: distance 0
+    assert (0, 1) in got and got[(0, 1)] <= 4    # noisy copy survives
+    assert not any(2 in p for p in got)          # stranger pairs with nobody
+
+
+def test_image_dup_pairs_on_synth_media_deterministic(spark):
+    from openapi_to_rdf_spark.operators.multimodal import (
+        image_dup_pairs, synth_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(30)], ["doc_id", "text"])
+    media = synth_media(docs)
+    a = sorted((r.id_a, r.id_b, r.hamming)
+               for r in image_dup_pairs(media, max_hamming=4).collect())
+    b = sorted((r.id_a, r.id_b, r.hamming)
+               for r in image_dup_pairs(media.repartition(7),
+                                        max_hamming=4).collect())
+    assert a == b  # partitioning-invariant (content-addressed end to end)
