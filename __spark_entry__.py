@@ -1371,6 +1371,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return random_walks(edges, 3, walks_per_node=2)
 
+    def q_value_anomalies(spark, sf_dir):
+        """Trailing z-score anomaly flags per user (operators/bursts.
+        value_anomalies): 20-row prior window, z=3, warm-up guarded.
+        Exact DuckDB window twin."""
+        from openapi_to_rdf_spark.operators.bursts import value_anomalies
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = value_anomalies(ev, "user_id", order_extra=["event_id"])
+        return out.select(
+            "user_id", "ts", "event_id",
+            _e6(F.col("value")).alias("value_e6"),
+            "n_history", "z_e6",
+            F.col("is_anomaly").cast("int").alias("is_anomaly"))
+
+    def q_value_equidepth(spark, sf_dir):
+        """Equi-depth value histogram (operators/profiler.
+        equidepth_histogram): 10 equal-count buckets with value bounds —
+        the skew-proof complement to the equi-width value_histogram.
+        Exact NTILE twin."""
+        from openapi_to_rdf_spark.operators.profiler import (
+            equidepth_histogram,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return equidepth_histogram(ev, "value", ["event_id"], k=10)
+
     def q_image_dups(spark, sf_dir):
         """Perceptual-hash image near-dup pairs (multimodal.image_ahash →
         dedup.hamming_pairs): the corpus is doubled under offset ids, so
@@ -2079,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_events": q_rrf_events,
         "user_setop_sketch": q_user_setop_sketch,
         "image_dups": q_image_dups,
+        "value_anomalies": q_value_anomalies,
+        "value_equidepth": q_value_equidepth,
         "conv_quality": q_conv_quality,
         "doc_winnowing": q_doc_winnowing,
         "bpe_tokens": q_bpe_tokens,
@@ -4323,6 +4351,38 @@ def oracle_sql() -> dict[str, str]:
                                      AS DOUBLE) * 1e6 / u.n_union) AS BIGINT)
                    ELSE 0 END AS jaccard_e6
             FROM prs p JOIN uest u USING (ga, gb)
+        """,
+        "value_anomalies": """
+            WITH t AS (
+              SELECT user_id, ts, event_id, value,
+                     COUNT(value) OVER w AS n_history,
+                     AVG(value) OVER w AS m,
+                     STDDEV_SAMP(value) OVER w AS s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, ts, event_id,
+                   CAST(ROUND(value * 1e6) AS BIGINT) AS value_e6,
+                   n_history,
+                   CASE WHEN n_history >= 5 AND s > 0
+                        THEN CAST(ROUND(ABS(value - m) / s * 1e6) AS BIGINT)
+                   END AS z_e6,
+                   CAST(COALESCE(
+                     CASE WHEN n_history >= 5 AND s > 0
+                          THEN CAST(ROUND(ABS(value - m) / s * 1e6)
+                                    AS BIGINT) > 3000000 END,
+                     FALSE) AS INT) AS is_anomaly
+            FROM t
+        """,
+        "value_equidepth": """
+            SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+                   CAST(ROUND(MIN(v) * 1e6) AS BIGINT) AS lo_e6,
+                   CAST(ROUND(MAX(v) * 1e6) AS BIGINT) AS hi_e6
+            FROM (SELECT value AS v,
+                         NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+                  FROM events)
+            GROUP BY bucket
         """,
         "rrf_events": """
             WITH a AS (

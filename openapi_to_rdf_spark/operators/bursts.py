@@ -76,3 +76,36 @@ def first_seen(events: DataFrame, key_col: str,
             .agg(F.min(ts_col).alias("first_ts"),
                  F.max(ts_col).alias("last_ts"),
                  F.count(F.lit(1)).alias("n_total")))
+
+
+def value_anomalies(events: DataFrame, key_col: str, value_col: str = "value",
+                    ts_col: str = "ts", order_extra: list[str] | None = None,
+                    window: int = 20, z: float = 3.0,
+                    min_history: int = 5) -> DataFrame:
+    """Per-key trailing z-score anomaly flags — the value-based companion
+    to the count-based burst detector above: each event is scored against
+    the mean/stddev of its key's PREVIOUS ``window`` values (current row
+    excluded: an outlier must not dilute its own baseline), flagged when
+    ``|x - mean| > z * std`` with at least ``min_history`` priors and a
+    nonzero std.
+
+    One window pass over the (key, time) partitioning every keyed op here
+    uses — single shuffle, O(window) state per row, no self-joins. z_e6
+    is emitted e6-rounded (engine-portable; exact DuckDB twin
+    ``value_anomalies``).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_extra or [])]
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-window, -1))
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    score = F.when((n >= min_history) & (std > 0),
+                   F.abs(F.col(value_col) - mean) / std)
+    return (events.select(key_col, ts_col, *(order_extra or []), value_col,
+                          n.alias("n_history"),
+                          F.round(score * 1e6).cast("long").alias("z_e6"))
+            .withColumn("is_anomaly",
+                        F.coalesce(F.col("z_e6") > z * 1e6, F.lit(False))))

@@ -62,3 +62,26 @@ def top_keys(df: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:
     top = counts.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def equidepth_histogram(df: DataFrame, value_col: str,
+                        tiebreak_cols: list[str], k: int = 10) -> DataFrame:
+    """Equi-DEPTH histogram: k buckets of (near-)equal row count with
+    per-bucket [lo, hi] value bounds — the quantile-sketch summary a
+    planner or drift monitor wants where the equi-WIDTH histogram
+    (value_histogram) hides skew in a few fat bins. NTILE over a total
+    order made deterministic by ``tiebreak_cols``; remainder rows land in
+    the leading buckets (NTILE's standard split, identical in DuckDB —
+    exact oracle ``value_equidepth``). One sort-shuffle; at corpus scale
+    swap the window for repartitionByRange + per-partition bounds, the
+    same trade zorder_locality documents."""
+    from pyspark.sql import Window as W
+
+    order = [F.col("v")] + [F.col(c) for c in tiebreak_cols]
+    tile = F.ntile(k).over(W.orderBy(*order))
+    return (df.select(F.col(value_col).alias("v"), *tiebreak_cols)
+            .withColumn("bucket", tile)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _e6(F.min("v")).alias("lo_e6"),
+                 _e6(F.max("v")).alias("hi_e6")))

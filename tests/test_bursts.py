@@ -76,3 +76,41 @@ def test_first_seen(spark):
     first, last, n = rows["a"]
     assert n == 3
     assert (last - first).days == 3
+
+
+# ---- value_anomalies --------------------------------------------------------
+
+def test_value_anomalies_flags_planted_spike(spark):
+    import datetime as dt
+
+    from openapi_to_rdf_spark.operators.bursts import value_anomalies
+
+    t0 = dt.datetime(2026, 5, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 500.0, 10.1]
+    rows = [("k1", t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    out = {r.ts: r for r in value_anomalies(
+        spark.createDataFrame(rows, "key string, ts timestamp, value double"),
+        "key").collect()}
+    spike = out[t0 + dt.timedelta(minutes=6)]
+    assert spike.is_anomaly and spike.n_history == 6
+    # the spike does NOT poison the next row's baseline into silence:
+    # 10.1 against a window CONTAINING 500 is itself unremarkable
+    after = out[t0 + dt.timedelta(minutes=7)]
+    assert not after.is_anomaly
+    # warm-up rows (fewer than min_history priors) are never flagged
+    assert not any(out[t0 + dt.timedelta(minutes=i)].is_anomaly
+                   for i in range(5))
+
+
+def test_value_anomalies_constant_series_never_divides_by_zero(spark):
+    import datetime as dt
+
+    from openapi_to_rdf_spark.operators.bursts import value_anomalies
+
+    t0 = dt.datetime(2026, 5, 1)
+    rows = [("k", t0 + dt.timedelta(minutes=i), 7.0) for i in range(10)]
+    out = value_anomalies(
+        spark.createDataFrame(rows, "key string, ts timestamp, value double"),
+        "key").collect()
+    assert all(not r.is_anomaly and r.z_e6 is None for r in out)

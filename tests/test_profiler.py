@@ -41,3 +41,29 @@ def test_top_keys_deterministic_ties(spark):
     got = [(r.k, r.key_count, r.rank)
            for r in top_keys(df, ["k"], k=3).orderBy("rank").collect()]
     assert got == [("c", 5, 1), ("a", 3, 2), ("b", 3, 3)]
+
+
+def test_equidepth_histogram_balanced_buckets_and_bounds(spark):
+    from openapi_to_rdf_spark.operators.profiler import equidepth_histogram
+
+    # skewed values: equi-width would put 90% in one bin; equi-depth
+    # must split 100 rows into 4 buckets of exactly 25
+    rows = [(i, float(i if i < 90 else i * 1000)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["rid", "v"])
+    got = {r.bucket: r for r in
+           equidepth_histogram(df, "v", ["rid"], k=4).collect()}
+    assert [got[b].n for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    # bucket bounds are contiguous and ordered
+    for b in (1, 2, 3):
+        assert got[b].hi_e6 <= got[b + 1].lo_e6
+    assert got[1].lo_e6 == 0 and got[4].hi_e6 == 99_000 * 10**6
+
+
+def test_equidepth_remainder_goes_to_leading_buckets(spark):
+    from openapi_to_rdf_spark.operators.profiler import equidepth_histogram
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               ["rid", "v"])
+    got = {r.bucket: r.n for r in
+           equidepth_histogram(df, "v", ["rid"], k=3).collect()}
+    assert got == {1: 4, 2: 3, 3: 3}  # NTILE's remainder split
