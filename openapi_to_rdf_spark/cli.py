@@ -41,6 +41,14 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--parallelism", type=int, default=None)
     c.add_argument("--cores", type=int, default=None)
 
+    v = sub.add_parser("validate", help="run the reference test-suite "
+                                         "equivalent (completeness / "
+                                         "semantic / syntax validators + "
+                                         "run_tests.py coverage scores) "
+                                         "over converted specs")
+    v.add_argument("input", nargs="+", help="YAML files or directories")
+    v.add_argument("--cores", type=int, default=None)
+
     k = sub.add_parser("kg", help="run the transcript→KG pipeline")
     k.add_argument("--workdir", required=True, help="snapshot/checkpoint root")
     k.add_argument("--n-convs", type=int, default=10_000)
@@ -139,6 +147,48 @@ def cmd_convert(args) -> int:
     print(f"\n{len(ok)} succeeded, {len(bad)} failed; "
           f"{len(results)} Turtle files → {args.output_dir}")
     return 1 if bad else 0
+
+
+def cmd_validate(args) -> int:
+    """Reference tests/run_tests.py re-expressed: convert, run the three
+    validator reports + coverage scores, print per-file summary + grade.
+    Exit 1 if any file grades below EXCELLENT (the reference's 95% bar)."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import convert_specs_df
+    from .operators.validators import (
+        coverage_scores, semantic_report, spec_inventory, syntax_report,
+    )
+    from .session import get_spark
+    from .sources.specs import spec_paths_df, with_content
+
+    spark = get_spark(app_name="openapi-validate", cores=args.cores)
+    specs = with_content(spec_paths_df(spark, args.input)).localCheckpoint()
+    triples = convert_specs_df(specs).localCheckpoint()
+    inventory = spec_inventory(specs)
+
+    scores = {r.file: r for r in coverage_scores(triples, inventory).collect()}
+    sem = (semantic_report(triples).groupBy("file")
+           .agg(F.count(F.lit(1)).alias("n")).collect())
+    syn = (syntax_report(triples)
+           .filter(F.col("severity") == "error").groupBy("file")
+           .agg(F.count(F.lit(1)).alias("n")).collect())
+    sem_by, syn_by = ({r.file: r.n for r in rows} for rows in (sem, syn))
+
+    worst_ok = True
+    for fname in sorted(scores):
+        r = scores[fname]
+        print(f"  {fname}: schema {r.schema_pct}%  property "
+              f"{r.property_pct}%  description {r.description_pct}%  "
+              f"overall {r.overall_pct}% [{r.grade}]  "
+              f"semantic-issues {sem_by.get(fname, 0)}  "
+              f"syntax-errors {syn_by.get(fname, 0)}")
+        if r.grade != "EXCELLENT":
+            worst_ok = False
+    n = len(scores)
+    print(f"{n} file(s) validated; "
+          f"{'all EXCELLENT' if worst_ok else 'some grades below EXCELLENT'}")
+    return 0
 
 
 def cmd_kg(args) -> int:
@@ -245,6 +295,7 @@ def cmd_stream(args) -> int:
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     return {"convert": cmd_convert, "kg": cmd_kg,
+            "validate": cmd_validate,
             "stream": cmd_stream}[args.cmd](args)
 
 

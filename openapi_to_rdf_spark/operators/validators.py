@@ -163,3 +163,111 @@ def syntax_report(triples: DataFrame) -> DataFrame:
 
     return (leaked.unionByName(quoted).unionByName(no_ns)
             .unionByName(no_tc).unionByName(invalid))
+
+
+def spec_inventory(specs: DataFrame) -> DataFrame:
+    """YAML-side ground truth for the coverage checks, one row per schema:
+    (file, schema_name, has_description, properties array<string>) —
+    parsed executor-side in Arrow batches, mirroring reference
+    tests/test_completeness.py:41-60's yaml walks."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("file", StringType(), False),
+        StructField("schema_name", StringType(), False),
+        StructField("has_description", BooleanType(), False),
+        StructField("properties", ArrayType(StringType()), False),
+    ])
+
+    def run(batches):
+        import pathlib
+
+        import pandas as pd
+        import yaml
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = pathlib.Path(path).name
+                try:
+                    data = yaml.safe_load(content) or {}
+                except Exception:
+                    continue
+                schemas = (data.get("components") or {}).get("schemas") or {}
+                for name, sdef in schemas.items():
+                    if not isinstance(sdef, dict):
+                        sdef = {}
+                    rows.append((fname, name, "description" in sdef,
+                                 list((sdef.get("properties") or {}).keys())))
+            yield pd.DataFrame(rows, columns=["file", "schema_name",
+                                              "has_description",
+                                              "properties"])
+
+    return specs.mapInPandas(run, schema)
+
+
+def coverage_scores(triples: DataFrame, inventory: DataFrame) -> DataFrame:
+    """The reference run_tests.py summary, distributed: per file —
+    schema coverage (yaml schemas ↔ rdfs:Class, SET semantics after
+    dash→underscore normalization), property coverage (union of yaml
+    property names ↔ rdf:Property), description preservation (schemas
+    WITH a description ↔ a commented class of the same local name), the
+    equal-weight overall score and the reference's grade bands
+    (tests/run_tests.py:60-85). Anti-join arithmetic only — runs over
+    any corpus size."""
+    norm = lambda c: F.regexp_replace(c, "-", "_")  # noqa: E731
+    rdf_g = triples.filter(F.col("graph") == "rdf")
+
+    classes = (rdf_g.filter((F.col("p") == RDF + "type")
+                            & (F.col("o") == RDFS + "Class"))
+               .select("file", _local(F.col("s")).alias("name"))
+               .dropDuplicates())
+    rdf_props = (rdf_g.filter((F.col("p") == RDF + "type")
+                              & (F.col("o") == RDF + "Property"))
+                 .select("file", _local(F.col("s")).alias("name"))
+                 .dropDuplicates())
+    commented = (rdf_g.filter(F.col("p") == RDFS + "comment")
+                 .select("file", _local(F.col("s")).alias("name"))
+                 .dropDuplicates())
+
+    y_schemas = (inventory.select("file", norm(F.col("schema_name"))
+                                  .alias("name")).dropDuplicates())
+    y_props = (inventory.select("file", F.explode("properties").alias("p"))
+               .select("file", norm(F.col("p")).alias("name"))
+               .dropDuplicates())
+    y_desc = (inventory.filter(F.col("has_description"))
+              .select("file", norm(F.col("schema_name")).alias("name"))
+              .dropDuplicates())
+
+    def cov(expected, present, out):
+        hit = (expected.join(present, ["file", "name"], "left_semi")
+               .groupBy("file").agg(F.count(F.lit(1)).alias("n_hit")))
+        tot = expected.groupBy("file").agg(F.count(F.lit(1)).alias("n"))
+        return (tot.join(hit, "file", "left")
+                .select("file",
+                        (F.coalesce("n_hit", F.lit(0)) * 100.0 / F.col("n"))
+                        .alias(out)))
+
+    files = triples.select("file").dropDuplicates()
+    out = (files
+           .join(cov(y_schemas, classes, "schema_pct"), "file", "left")
+           .join(cov(y_props, rdf_props, "property_pct"), "file", "left")
+           .join(cov(y_desc, commented, "description_pct"), "file", "left")
+           # zero-denominator branches mirror the reference exactly
+           # (test_completeness.py): no schemas → 0, no properties → 0,
+           # no descriptions → 100
+           .fillna({"schema_pct": 0.0, "property_pct": 0.0,
+                    "description_pct": 100.0}))
+    overall = (F.col("schema_pct") + F.col("property_pct")
+               + F.col("description_pct")) / 3
+    grade = (F.when(overall >= 95, "EXCELLENT")
+             .when(overall >= 85, "GOOD")
+             .when(overall >= 70, "FAIR").otherwise("POOR"))
+    return (out.withColumn("overall_pct", F.round(overall, 1))
+            .withColumn("grade", grade)
+            .select("file", F.round("schema_pct", 1).alias("schema_pct"),
+                    F.round("property_pct", 1).alias("property_pct"),
+                    F.round("description_pct", 1).alias("description_pct"),
+                    "overall_pct", "grade"))

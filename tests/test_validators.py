@@ -102,3 +102,85 @@ def test_reference_test_suite_results_identical(spark):
                  if t[2] == "potentially_invalid_shacl_property"
                  and t[3].endswith("#or_")}
     assert len(or_warned) > 0
+
+
+def test_coverage_scores_mirror_reference_harness(spark):
+    """run_tests.py's summary scores re-expressed: hand-built YAML with a
+    known hole in each dimension — one unconverted schema name, one
+    top-level property the graph lacks, one description dropped."""
+    from openapi_to_rdf_spark.operators.validators import (
+        coverage_scores, spec_inventory,
+    )
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    ns = "http://x#"
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      description: an alarm
+      properties:
+        severity: {type: string}
+        count: {type: integer}
+    Dangling-Schema:
+      type: object
+      description: never converted
+      properties:
+        ghost: {type: string}
+"""
+    specs = spark.createDataFrame([("a.yaml", yaml_text)],
+                                  ["path", "content"])
+    triples = spark.createDataFrame([
+        ("a.yaml", "rdf", ns + "Alarm", rdf + "type", "iri",
+         rdfs + "Class", None),
+        ("a.yaml", "rdf", ns + "Alarm", rdfs + "comment", "literal",
+         "an alarm", None),
+        ("a.yaml", "rdf", ns + "severity", rdf + "type", "iri",
+         rdf + "Property", None),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    r = coverage_scores(triples, spec_inventory(specs)).collect()[0]
+    assert r.schema_pct == 50.0        # Alarm yes, Dangling_Schema no
+    # severity converted; count + ghost not: 1 of 3
+    assert r.property_pct == 33.3
+    assert r.description_pct == 50.0   # Alarm commented, Dangling not
+    assert r.grade == "POOR"
+
+
+def test_coverage_scores_on_reference_fixture_parity(spark):
+    """On the reference's own HeartbeatNtf fixture the scores must
+    reproduce the reference harness's OWN quirks: schema 100 (all three
+    schemas emit classes), property 0 (its validator only reads
+    TOP-LEVEL `properties:`, and this file nests them in allOf — so the
+    yaml set is empty → the reference's zero-denominator 0 branch)."""
+    import pathlib
+
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.validators import (
+        coverage_scores, spec_inventory,
+    )
+
+    src = pathlib.Path("/root/reference/assets/MnS-Rel-19-OpenAPI/"
+                       "OpenAPI/TS28532_HeartbeatNtf.yaml")
+    specs = spark.createDataFrame([(src.name, src.read_text())],
+                                  ["path", "content"])
+    r = coverage_scores(convert_specs_df(specs),
+                        spec_inventory(specs)).collect()[0]
+    assert r.schema_pct == 100.0
+    assert r.property_pct == 0.0
+    assert r.description_pct == 100.0
+
+
+def test_cli_validate_subcommand(spark, capsys):
+    from openapi_to_rdf_spark.cli import main
+
+    rc = main(["validate",
+               "/root/reference/assets/MnS-Rel-19-OpenAPI/OpenAPI/"
+               "TS28623_ComDefs.yaml"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "TS28623_ComDefs.yaml" in out and "[EXCELLENT]" in out
+    assert "overall 100.0%" in out
