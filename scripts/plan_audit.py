@@ -24,7 +24,8 @@ AUDIT = [
     "mixture_sample", "weighted_sample", "conv_quality", "strip_boilerplate",
     "semantic_dedup", "bgp_orders", "doc_pagerank", "dict_encode",
     "graph_walks", "graph_skipgrams", "edit_dup_pairs", "rrf_events",
-    "user_setop_sketch",
+    "user_setop_sketch", "value_anomalies", "value_equidepth",
+    "image_dups",
 ]
 
 
