@@ -134,6 +134,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("revenue_e6"), "l_orderkey")
                 .limit(10))
 
+    def q_min_cost_supplier(spark, sf_dir):
+        """TPC-H Q2 shape (correlated min): per part, the supplier with
+        the lowest observed unit price — window min + deterministic
+        supplier tiebreak AFTER e6 rounding (so both engines tie-break
+        the same values)."""
+        from pyspark.sql import Window
+
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter(F.col("l_quantity") > 0))
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        costs = (li.groupBy("l_partkey", "l_suppkey")
+                 .agg(_e6(F.min(F.col("l_extendedprice")
+                                / F.col("l_quantity")))
+                      .alias("unit_cost_e6")))
+        w = Window.partitionBy("l_partkey").orderBy(
+            "unit_cost_e6", "l_suppkey")
+        best = (costs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+        return (best.join(F.broadcast(sup.select("s_suppkey", "s_name")),
+                          best.l_suppkey == sup.s_suppkey)
+                .select("l_partkey", "l_suppkey", "s_name", "unit_cost_e6"))
+
+    def q_large_orders(spark, sf_dir):
+        """TPC-H Q18 shape (HAVING over a grouped fact + dim join): orders
+        whose total line quantity exceeds 160, with the customer name."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+               .filter(F.col("sum_qty") > 160))
+        return (big.join(o, big.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c.select("c_custkey", "c_name")),
+                      o.o_custkey == c.c_custkey)
+                .select("l_orderkey", "c_name", "o_orderdate",
+                        _e6(F.col("o_totalprice")).alias("totalprice_e6"),
+                        "sum_qty"))
+
+    def q_important_parts(spark, sf_dir):
+        """TPC-H Q11 shape (global-fraction HAVING): parts whose revenue
+        exceeds 0.06% of total revenue — the threshold travels as a
+        broadcast one-row cross join, no driver collect."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        per_part = (li.groupBy("l_partkey")
+                    .agg(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))).alias("val")))
+        total = per_part.agg((F.sum("val") * 0.0006).alias("cutoff"))
+        return (per_part.crossJoin(F.broadcast(total))
+                .filter(F.col("val") > F.col("cutoff"))
+                .select("l_partkey", _e6(F.col("val")).alias("value_e6")))
+
     def q_doc_chunks(spark, sf_dir):
         """Fixed-size overlapping word chunking (operators/packing.
         chunk_documents): RAG-index / long-context assembly as one
@@ -2064,6 +2115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "shipping_priority": q_shipping_priority,
+        "min_cost_supplier": q_min_cost_supplier,
+        "large_orders": q_large_orders,
+        "important_parts": q_important_parts,
         "doc_chunks": q_doc_chunks,
         "latest_event_per_user": q_latest_event_per_user,
         "event_type_stats": q_event_type_stats,
@@ -2360,6 +2414,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_e6 DESC, l_orderkey
             LIMIT 10
+        """,
+        "min_cost_supplier": """
+            WITH costs AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(ROUND(MIN(l_extendedprice / l_quantity) * 1e6)
+                          AS BIGINT) AS unit_cost_e6
+              FROM lineitem WHERE l_quantity > 0
+              GROUP BY l_partkey, l_suppkey),
+            best AS (
+              SELECT l_partkey, l_suppkey, unit_cost_e6,
+                     ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                        ORDER BY unit_cost_e6, l_suppkey)
+                       AS rn
+              FROM costs)
+            SELECT l_partkey, l_suppkey, s_name, unit_cost_e6
+            FROM best JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rn = 1
+        """,
+        "large_orders": """
+            SELECT l_orderkey, c_name, o_orderdate,
+                   CAST(ROUND(o_totalprice * 1e6) AS BIGINT)
+                     AS totalprice_e6,
+                   sum_qty
+            FROM (SELECT l_orderkey,
+                         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING CAST(SUM(l_quantity) AS BIGINT) > 160)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     SUM(l_extendedprice * (1 - l_discount)) AS val
+              FROM lineitem GROUP BY l_partkey),
+            t AS (SELECT SUM(val) * 0.0006 AS cutoff FROM per_part)
+            SELECT l_partkey,
+                   CAST(ROUND(val * 1e6) AS BIGINT) AS value_e6
+            FROM per_part, t WHERE val > cutoff
         """,
         "doc_chunks": """
             WITH w AS (
