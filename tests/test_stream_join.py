@@ -102,3 +102,60 @@ def test_stream_matches_batch(spark, tmp_path):
     got = {(r.conv_id, r.turn_idx, r.result_id)
            for r in spark.table("prov").collect()}
     assert got == _expected_pairs(turns, results)
+
+
+def test_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """STREAMING left-outer semantics: an invocation with no result emits
+    its NULL-padded row only once the watermark passes t_ts + bound —
+    driven here by two later watermark-pusher batches (emission happens
+    a batch after the advance, hence two)."""
+    import datetime as dt
+    import time
+
+    SCHEMA_T = ("conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp")
+    SCHEMA_R = "conv_id string, tool string, result_id string, " \
+               "status string, ts timestamp"
+    t0 = dt.datetime(2026, 6, 1, 10, 0, 0)
+
+    tdir, rdir = tmp_path / "t", tmp_path / "r"
+    # b0: one matched invocation (c1) and one that will NEVER match (c2)
+    spark.createDataFrame(
+        [("c1", 0, "tool", "x", "search", t0),
+         ("c2", 0, "tool", "x", "query_nrm", t0)], SCHEMA_T) \
+        .coalesce(1).write.parquet(str(tdir / "b0"))
+    spark.createDataFrame(
+        [("c1", "search", "res-1", "ok",
+          t0 + dt.timedelta(seconds=30))], SCHEMA_R) \
+        .coalesce(1).write.parquet(str(rdir / "b0"))
+    # b1 + b2: watermark pushers far beyond t0 + bound + watermark,
+    # on BOTH sides (the join watermark is the min of the two)
+    for i, delta in ((1, dt.timedelta(hours=2)), (2, dt.timedelta(hours=4))):
+        time.sleep(1.1)
+        spark.createDataFrame(
+            [("cz", 99, "tool", "x", "noop", t0 + delta)], SCHEMA_T) \
+            .coalesce(1).write.parquet(str(tdir / f"b{i}"))
+        spark.createDataFrame(
+            [("cz", "noop", f"res-z{i}", "ok", t0 + delta)], SCHEMA_R) \
+            .coalesce(1).write.parquet(str(rdir / f"b{i}"))
+
+    ts = (spark.readStream.schema(SCHEMA_T)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(str(tdir)))
+    rs = (spark.readStream.schema(SCHEMA_R)
+          .option("recursiveFileLookup", "true")
+          .option("maxFilesPerTrigger", "1").parquet(str(rdir)))
+    q = (tool_result_provenance(ts, rs, watermark="10 minutes",
+                                how="leftOuter")
+         .writeStream.format("memory").queryName("prov_outer")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = {r.conv_id: r for r in spark.table("prov_outer").collect()}
+    assert rows["c1"].result_id == "res-1"          # matched normally
+    # the unmatched invocation DID emit, NULL-padded, after the
+    # watermark passed — the streaming outer-join guarantee
+    assert "c2" in rows and rows["c2"].result_id is None
+    assert rows["c2"].latency_ms is None
