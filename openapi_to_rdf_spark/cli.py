@@ -71,6 +71,12 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--coref", action="store_true",
                    help="recover pronoun references (operators.coref) as a "
                         "kg_coref snapshot stage")
+    k.add_argument("--tool-results", default=None, metavar="PARQUET",
+                   help="tool-result events table (conv_id, tool, "
+                        "result_id, status, ts): adds a 'provenance' "
+                        "stage joining invocations to results within the "
+                        "interval bound and materializing "
+                        "kg#producedResult/resultStatus triples")
     k.add_argument("--entail", action="store_true",
                    help="materialize the RDFS closure delta over the graph "
                         "(kg vocabulary schema + forward chaining) as an "
@@ -224,11 +230,14 @@ def cmd_kg(args) -> int:
         # documented; schema alone would silently resume over new data
         input_fp = fingerprint("external", args.input_table, transcripts.count())
     registry = spark.read.parquet(args.registry) if args.registry else None
+    tool_results = (spark.read.parquet(args.tool_results)
+                    if args.tool_results else None)
     manifests = run_pipeline(
         spark, args.workdir, n_convs=args.n_convs, seed=args.seed,
         transcripts=transcripts, input_fp=input_fp,
         jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules,
-        registry=registry, coref=args.coref, entail=args.entail)
+        registry=registry, coref=args.coref, entail=args.entail,
+        tool_results=tool_results)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

@@ -56,6 +56,7 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  registry_ns: str = "http://ericsson.com/models/3gpp/registry#",
                  coref: bool = False,
                  entail: bool = False,
+                 tool_results: DataFrame | None = None,
                  ) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests.
 
@@ -143,6 +144,36 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     stage("violations", fp_v,
           lambda: validate_triples(graph, rules),
           count_by=["violation"])
+
+    # -- tool-result provenance (optional) ------------------------------------
+    if tool_results is not None:
+        from ..operators.extract import TURN_NS
+        from ..streaming.joins import (
+            provenance_triples, tool_result_provenance,
+        )
+
+        # metadata-only fingerprint, same convention as the registry stage
+        fp_p = fingerprint(fp_t, "provenance", str(tool_results.schema),
+                           tool_results.count())
+
+        def _prov_triples():
+            prov = tool_result_provenance(turns, tool_results)
+            return (provenance_triples(
+                prov, kg_ns=KG_NS, turn_ns=TURN_NS,
+                result_ns="http://ericsson.com/models/3gpp/result#")
+                    .select(F.lit("provenance").alias("file"),
+                            F.lit("kg").alias("graph"),
+                            "s", "p",
+                            F.when(F.col("p").endswith("resultStatus"),
+                                   "literal").otherwise("iri")
+                            .alias("o_kind"),
+                            "o",
+                            F.lit(None).cast("string").alias("o_datatype"))
+                    .withColumn("pred", F.regexp_extract(
+                        "p", r"([A-Za-z0-9_]+)$", 1)))
+
+        stage("provenance", fp_p, _prov_triples,
+              partition_by=["pred"], count_by=["pred"])
 
     # -- RDFS entailment materialization (optional) ---------------------------
     if entail:

@@ -70,15 +70,18 @@ def tool_result_provenance(turns: DataFrame, results: DataFrame, *,
          - F.unix_millis(F.col("t_ts"))).alias("latency_ms"))
 
 
-def provenance_triples(prov: DataFrame, *, ent_ns: str,
-                       kg_ns: str) -> DataFrame:
+def provenance_triples(prov: DataFrame, *, kg_ns: str, turn_ns: str,
+                       result_ns: str) -> DataFrame:
     """Matched provenance rows → (s, p, o) triples: the turn IRI gets a
     ``producedResult`` edge and the result node a ``resultStatus`` — the
     enrichment the graph materializer appends alongside the extraction
-    triples (same IRI scheme as operators/extract.py)."""
-    turn_iri = F.concat(F.lit(ent_ns), F.col("conv_id"), F.lit("/t"),
+    triples. ``turn_ns`` must be the SAME namespace extraction mints
+    turn subjects under (operators/extract.TURN_NS, scheme
+    ``{ns}{conv_id}/{turn_idx}``) so the edges attach to existing graph
+    nodes rather than orphan IRIs."""
+    turn_iri = F.concat(F.lit(turn_ns), F.col("conv_id"), F.lit("/"),
                         F.col("turn_idx").cast("string"))
-    res_iri = F.concat(F.lit(ent_ns), F.lit("result/"), F.col("result_id"))
+    res_iri = F.concat(F.lit(result_ns), F.col("result_id"))
     produced = prov.select(turn_iri.alias("s"),
                            F.lit(kg_ns + "producedResult").alias("p"),
                            res_iri.alias("o"))

@@ -572,3 +572,36 @@ def test_pipeline_all_optional_stages_together(spark, tmp_path):
                       coref=True, entail=True)
     for stage in expected:
         assert m2[stage]["committed_at"] == m1[stage]["committed_at"], stage
+
+
+def test_pipeline_provenance_stage(spark, tmp_path):
+    """--tool-results: the provenance stage joins invocations to results
+    within the bound and its producedResult edges attach to TURN IRIs that
+    exist in the graph (not orphans); resume is a no-op."""
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+    from openapi_to_rdf_spark.sources.transcripts import synth_tool_results
+
+    wd = tmp_path / "kg"
+    turns = synth_transcripts(spark, 150, seed=9)
+    results = synth_tool_results(turns, seed=9)
+    m1 = run_pipeline(spark, wd, n_convs=150, seed=9, tool_results=results)
+    assert m1["provenance"]["metrics"]["rows"] > 0
+    assert set(m1["provenance"]["metrics"]["counts"]) == {
+        "producedResult", "resultStatus"}
+
+    kg = "http://ericsson.com/models/3gpp/kg#"
+    prov = read_snapshot(spark, wd / "provenance")
+    graph = read_snapshot(spark, wd / "graph")
+    turn_subjects = {
+        r.s for r in graph.filter(F.col("s").contains("/turn#"))
+        .select("s").distinct().collect()}
+    edges = prov.filter(F.col("p") == kg + "producedResult").collect()
+    assert edges and all(r.s in turn_subjects for r in edges)
+    assert all(r.o_kind == "iri" for r in edges)
+    status = prov.filter(F.col("p") == kg + "resultStatus").collect()
+    assert {r.o for r in status} <= {"ok", "error"}
+    assert all(r.o_kind == "literal" for r in status)
+
+    m2 = run_pipeline(spark, wd, n_convs=150, seed=9, tool_results=results)
+    assert (m2["provenance"]["committed_at"]
+            == m1["provenance"]["committed_at"])

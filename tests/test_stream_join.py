@@ -66,7 +66,8 @@ def test_batch_left_outer_pads_unmatched(spark):
 def test_provenance_triples_shape(spark):
     turns = synth_transcripts(spark, 20, seed=5)
     prov = tool_result_provenance(turns, synth_tool_results(turns, seed=5))
-    trip = provenance_triples(prov, ent_ns="ent:", kg_ns="kg:")
+    trip = provenance_triples(prov, kg_ns="kg:", turn_ns="turn:",
+                              result_ns="res:")
     rows = trip.collect()
     n = prov.count()
     assert len(rows) == 2 * n
