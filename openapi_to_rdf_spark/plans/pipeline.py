@@ -25,6 +25,13 @@ at the first uncommitted stage and recomputes nothing before it):
 - links:       (optional, when a registry is given) entity-link scoring of
                each canonical entity's surface forms against the authority
                registry (operators.linker) → kg:linksTo/kg:linkScore triples
+- provenance:  (optional, when a tool-result table is given /
+               --tool-results) interval join of tool invocations to
+               results (streaming.joins run in batch mode) →
+               kg#producedResult / kg#resultStatus triples
+- entailed:    (optional, entail=True / --entail) RDFS closure delta over
+               the graph ∪ the KG vocabulary schema (operators.entailment
+               with full-IRI predicate names)
 
 Every stage stays DataFrame/SQL + Arrow-vectorized UDFs (input_hint: no
 per-row Python).
