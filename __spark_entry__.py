@@ -1511,6 +1511,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cust.select(F.col("c_custkey").alias("id"),
                         F.col("c_name").alias("text")), k=1)
 
+    def q_mixture_upsample(spark, sf_dir):
+        """Recipe mixing WITH upsampling (operators/sampling.
+        mixture_upsample): budget = the largest group's full-use point,
+        rare sources repeat floor(rate) + hash-Bernoulli(frac) times.
+        Exact relational twin."""
+        from openapi_to_rdf_spark.operators.sampling import mixture_upsample
+
+        return (mixture_upsample(_docs(spark, sf_dir),
+                                 {"src0": 0.2, "src1": 0.2, "src2": 0.6},
+                                 token_col="n_chars")
+                .select("doc_id", "source", "copy_idx"))
+
     def q_graph_skipgrams(spark, sf_dir):
         """Skip-gram (center, context, offset) pairs from the same
         deterministic walks (operators/graphrank.skipgram_pairs) —
@@ -2155,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "graph_walks": q_graph_walks,
         "graph_skipgrams": q_graph_skipgrams,
+        "mixture_upsample": q_mixture_upsample,
         "edit_dup_pairs": q_edit_dup_pairs,
         "rrf_events": q_rrf_events,
         "user_setop_sketch": q_user_setop_sketch,
@@ -4505,6 +4518,28 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
             WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
               AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "mixture_upsample": """
+            WITH tg AS (
+              SELECT * FROM (VALUES ('src0', 0.2), ('src1', 0.2),
+                                    ('src2', 0.6)) t(grp, share)
+            ),
+            tot AS (
+              SELECT source AS grp, CAST(SUM(n_chars) AS DOUBLE) AS t_g
+              FROM documents GROUP BY source
+            ),
+            j AS (SELECT tot.grp, t_g, share FROM tot JOIN tg USING (grp)),
+            b AS (SELECT MAX(t_g / share) AS budget FROM j),
+            r AS (SELECT grp, budget * share / t_g AS rate FROM j, b),
+            d AS (
+              SELECT doc_id, source,
+                     CAST(FLOOR(rate) AS INT)
+                       + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 < rate - FLOOR(rate)
+                              THEN 1 ELSE 0 END AS reps
+              FROM documents JOIN r ON source = r.grp)
+            SELECT doc_id, source, CAST(i AS INT) AS copy_idx
+            FROM (SELECT doc_id, source, unnest(range(0, reps)) AS i
+                  FROM d WHERE reps > 0)
         """,
         "mixture_sample": """
             WITH tg AS (

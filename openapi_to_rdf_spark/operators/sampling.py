@@ -206,3 +206,53 @@ def mixture_sample(docs: DataFrame, targets: dict[str, float],
                       docs[group_col] == rates["grp"])
             .filter(hash_fraction(F.col(key_col)) < F.col("rate"))
             .drop("grp", "rate"))
+
+
+def mixture_upsample(docs: DataFrame, targets: dict[str, float],
+                     group_col: str = "source", key_col: str = "doc_id",
+                     token_col: str | None = None,
+                     max_budget_tokens: float | None = None) -> DataFrame:
+    """:func:`mixture_sample` with UPSAMPLING: instead of capping the
+    budget at the scarcest group, each group meets its share by
+    REPEATING documents — ``rate_g`` may exceed 1, and a document is
+    emitted ``floor(rate)`` times plus one more when its hash fraction
+    falls under the fractional remainder (epochs-per-source, the way
+    recipes actually oversample rare high-quality sources). The budget
+    is the LARGEST group's full-use point (``max_g(T_g / share_g)``) or
+    an explicit ``max_budget_tokens`` cap.
+
+    Output = input columns + ``copy_idx`` (0-based repetition index) —
+    downstream shuffles must keep it in dedup keys or the copies
+    collapse right back. Same relational shape as mixture_sample
+    (broadcast one-row budget, content-hash remainder); exact DuckDB
+    twin ``mixture_upsample``.
+    """
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError("targets must be a non-empty {group: share>0} map")
+    spark = docs.sparkSession
+    tok = F.col(token_col) if token_col else F.lit(1)
+    tgt = F.broadcast(spark.createDataFrame(
+        sorted(targets.items()), ["grp", "share"]))
+    totals = (docs.select(F.col(group_col).alias("grp"), tok.alias("tk"))
+              .groupBy("grp").agg(F.sum("tk").alias("t_g"))
+              .join(tgt, "grp"))
+    budget_expr = F.max(F.col("t_g") / F.col("share")).alias("budget")
+    budget = F.broadcast(totals.agg(budget_expr))
+    if max_budget_tokens is not None:
+        budget = F.broadcast(totals.agg(
+            F.least(F.max(F.col("t_g") / F.col("share")),
+                    F.lit(float(max_budget_tokens))).alias("budget")))
+    rates = (totals.crossJoin(budget)
+             .select("grp", (F.col("budget") * F.col("share")
+                             / F.col("t_g")).alias("rate")))
+    base = F.floor(F.col("rate")).cast("int")
+    extra = (hash_fraction(F.col(key_col))
+             < (F.col("rate") - F.floor(F.col("rate")))).cast("int")
+    reps = base + extra
+    return (docs.join(F.broadcast(rates),
+                      docs[group_col] == rates["grp"])
+            .withColumn("_reps", reps)
+            .filter(F.col("_reps") > 0)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
+            .drop("grp", "rate", "_reps"))

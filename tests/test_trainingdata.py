@@ -614,3 +614,59 @@ def test_image_dup_pairs_on_synth_media_deterministic(spark):
                for r in image_dup_pairs(media.repartition(7),
                                         max_hamming=4).collect())
     assert a == b  # partitioning-invariant (content-addressed end to end)
+
+
+def _upsample_reference(rows, targets, cap=None):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    tot = defaultdict(float)
+    for (i, g, tk) in rows:
+        tot[g] += tk
+    budget = max(tot[g] / s for g, s in targets.items() if g in tot)
+    if cap is not None:
+        budget = min(budget, cap)
+    rates = {g: budget * s / tot[g] for g, s in targets.items() if g in tot}
+
+    def u(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / 2**32
+
+    out = set()
+    for (i, g, tk) in rows:
+        if g not in rates:
+            continue
+        r = rates[g]
+        reps = math.floor(r) + (1 if u(i) < r - math.floor(r) else 0)
+        out |= {(i, c) for c in range(int(reps))}
+    return out
+
+
+def test_mixture_upsample_matches_python_reference(spark):
+    from openapi_to_rdf_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "rare" if i < 40 else "common", 10) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    targets = {"rare": 0.5, "common": 0.5}
+    got = {(r.doc_id, r.copy_idx)
+           for r in mixture_upsample(df, targets,
+                                     token_col="n_tok").collect()}
+    assert got == _upsample_reference(rows, targets)
+    # the rare source is genuinely oversampled: every rare doc appears
+    # >= 4 times (rate = 9/2... floor >= 4), common docs exactly once
+    rare_counts = {}
+    for i, c in got:
+        rare_counts[i] = rare_counts.get(i, 0) + 1
+    assert all(v >= 4 for k, v in rare_counts.items() if k < 40)
+    assert all(v == 1 for k, v in rare_counts.items() if k >= 40)
+
+
+def test_mixture_upsample_budget_cap(spark):
+    from openapi_to_rdf_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    # cap equal to current total: each group targets 500 tokens -> rate 1.0
+    got = mixture_upsample(df, {"a": 0.5, "b": 0.5}, token_col="n_tok",
+                           max_budget_tokens=1000).collect()
+    assert len(got) == 100 and all(r.copy_idx == 0 for r in got)
