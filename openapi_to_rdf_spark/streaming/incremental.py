@@ -237,3 +237,103 @@ def incremental_links(spark, state_dir: str, registry: DataFrame,
 
     return (reps.join(cache, "m_key", "left")
             .select("ent", "entity_id", "sim", "score"))
+
+
+# --------------------------------------------------------------------------
+# incremental DOCUMENT dedup (batch-vs-corpus, no recompute)
+# --------------------------------------------------------------------------
+
+_DOC_SCHEMA = "id string, fingerprint string, text string"
+
+
+def merge_dedup_batch(spark, state_dir: str | pathlib.Path, docs: DataFrame,
+                      batch_id: int, threshold: float = 0.9,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 64, bands: int | None = None,
+                      shingle: int = 3) -> None:
+    """Merge one batch of documents into the corpus dedup state — the
+    document-level sibling of :func:`merge_batch` (same state discipline:
+    append-only batch_id partitions for docs / bands / edges, a rewritten
+    ``cluster/`` map): dedup a NEW crawl slice against everything already
+    ingested WITHOUT recomputing the corpus.
+
+    - EXACT duplicates: normalized-text md5 equality — new×all edges via
+      a fingerprint equi-join (never pairs within a fingerprint beyond
+      the min witness: one edge per new doc suffices for CC).
+    - NEAR duplicates: MinHash bands for NEW docs only; candidates =
+      new bands × cumulative band state (|new| × matching buckets, never
+      all × all); exact-Jaccard verify at ``threshold``.
+    - Resolution: connected components over the CUMULATIVE edge set
+      (edges only grow; cluster/ holds doc_id → canonical for every doc
+      ingested so far). Replaying a batch_id is a no-op (anti-join on
+      the doc state), same as the entity path.
+    """
+    from ..functions.text import doc_fingerprint
+    from ..operators.canonicalize import (
+        band_table, nonempty_normalized, verify_pairs,
+    )
+    from ..operators.components import connected_components
+
+    if bands is None:
+        bands = k // 8 if threshold >= 0.85 else k // 4
+    sd = pathlib.Path(state_dir)
+
+    seen = _read_or_empty(spark, sd / "docs", _DOC_SCHEMA,
+                          exclude_batch=batch_id)
+    incoming = (docs.select(F.col(id_col).cast("string").alias("id"),
+                            F.col(text_col).alias("text"))
+                .dropDuplicates(["id"]))
+    new = (incoming.join(seen.select("id"), "id", "left_anti")
+           .withColumn("fingerprint", doc_fingerprint(F.col("text")))
+           .select("id", "fingerprint", "text")
+           .localCheckpoint())
+    (new.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "docs" / f"batch_id={batch_id}")))
+
+    # exact edges: each new doc connects to the minimum-id witness of its
+    # fingerprint (across state ∪ new) — one edge per doc, CC closes the rest
+    all_docs = seen.unionByName(new)
+    witness = (all_docs.groupBy("fingerprint")
+               .agg(F.min("id").alias("w_id")))
+    exact_edges = (new.join(witness, "fingerprint")
+                   .filter(F.col("id") != F.col("w_id"))
+                   .select(F.least("id", "w_id").alias("src"),
+                           F.greatest("id", "w_id").alias("dst")))
+
+    new_bands = band_table(nonempty_normalized(new, "text"),
+                           "id", "text", k=k, bands=bands,
+                           shingle=shingle).localCheckpoint()
+    (new_bands.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "bands" / f"batch_id={batch_id}")))
+    old_bands = _read_or_empty(spark, sd / "bands", _BAND_SCHEMA,
+                               exclude_batch=batch_id)
+    all_bands = old_bands.unionByName(new_bands)
+    cand = (new_bands.select("band", "band_hash", F.col("id").alias("n_id"))
+            .join(all_bands.select("band", "band_hash",
+                                   F.col("id").alias("o_id")),
+                  ["band", "band_hash"])
+            .filter(F.col("n_id") != F.col("o_id"))
+            .select(F.least("n_id", "o_id").alias("id_a"),
+                    F.greatest("n_id", "o_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    near_edges = verify_pairs(cand, all_docs, "id", "text",
+                              threshold=threshold, shingle=shingle)
+
+    (exact_edges.unionByName(near_edges)
+     .dropDuplicates(["src", "dst"])
+     .withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
+     .parquet(str(sd / "edges" / f"batch_id={batch_id}")))
+
+    edges = _read_or_empty(spark, sd / "edges", _EDGE_SCHEMA)
+    comps = connected_components(edges)
+    cmap = (all_docs.select(F.col("id").alias("node"))
+            .dropDuplicates(["node"])
+            .join(comps, "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce("component", F.col("node")).alias("canonical")))
+    cmap.write.mode("overwrite").parquet(str(sd / "cluster"))
+
+
+def read_dedup_map(spark, state_dir: str | pathlib.Path) -> DataFrame:
+    """The cumulative (doc_id, canonical) cluster map."""
+    return spark.read.parquet(str(pathlib.Path(state_dir) / "cluster"))

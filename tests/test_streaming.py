@@ -284,3 +284,73 @@ def test_incremental_links_score_once_and_match_batch(spark, tmp_path):
     # every linked representative resolves to its true registry id
     for r in l2.filter(F.col("entity_id").isNotNull()).collect():
         assert int(r.entity_id) == int(r.ent[-4:]), (r.ent, r.entity_id)
+
+
+def test_incremental_doc_dedup_matches_batch(spark, tmp_path):
+    """merge_dedup_batch: two-batch ingest produces the SAME cluster map
+    as a single-shot recompute — exact dups (same normalized text) and
+    near dups (small edit) both crossing the batch boundary; replaying a
+    batch is a no-op."""
+    from openapi_to_rdf_spark.operators.canonicalize import (
+        band_table, nonempty_normalized, verify_pairs,
+    )
+    from openapi_to_rdf_spark.operators.components import (
+        connected_components,
+    )
+    from openapi_to_rdf_spark.functions.text import doc_fingerprint
+    from openapi_to_rdf_spark.streaming.incremental import (
+        merge_dedup_batch, read_dedup_map,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the observers take careful notes about the behavior")
+    docs = [
+        (1, base),
+        (2, base + "!!"),                       # exact dup (normalizes equal)
+        (3, base.replace("careful", "detailed")),   # near dup of 1
+        (4, "completely unrelated text about spark shuffle partitions "
+            "and adaptive query execution behavior at scale"),
+        (5, base.replace("observers", "watchers")),  # near dup, batch 2
+        (6, base + " !?"),                      # exact dup, batch 2
+        (7, "another singleton document with its own vocabulary entirely"),
+    ]
+    b1 = spark.createDataFrame(docs[:4], ["doc_id", "text"])
+    b2 = spark.createDataFrame(docs[4:], ["doc_id", "text"])
+
+    sd = tmp_path / "state"
+    merge_dedup_batch(spark, sd, b1, batch_id=0, threshold=0.8)
+    merge_dedup_batch(spark, sd, b2, batch_id=1, threshold=0.8)
+    inc = {r.doc_id: r.canonical for r in read_dedup_map(spark, sd).collect()}
+    assert len(inc) == 7
+
+    # batch ground truth: same machinery in one shot
+    all_df = (spark.createDataFrame(docs, ["doc_id", "text"])
+              .select(F.col("doc_id").cast("string").alias("id"), "text")
+              .withColumn("fingerprint", doc_fingerprint(F.col("text"))))
+    witness = all_df.groupBy("fingerprint").agg(F.min("id").alias("w"))
+    exact = (all_df.join(witness, "fingerprint")
+             .filter(F.col("id") != F.col("w"))
+             .select(F.least("id", "w").alias("src"),
+                     F.greatest("id", "w").alias("dst")))
+    bands = band_table(nonempty_normalized(all_df, "text"), "id", "text",
+                       k=64, bands=8)
+    cand = (bands.alias("a").join(bands.alias("b"), ["band", "band_hash"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates())
+    near = verify_pairs(cand, all_df, "id", "text", threshold=0.8)
+    comps = connected_components(exact.unionByName(near)
+                                 .dropDuplicates(["src", "dst"]))
+    full = {r.node: r.component for r in comps.collect()}
+    expected = {int(i): int(full.get(str(i), str(i))) for i, _ in docs}
+    assert {int(k): int(v) for k, v in inc.items()} == expected
+
+    # the planted structure actually holds: {1,2,3,5,6} one cluster
+    assert len({inc[str(i)] for i in (1, 2, 3, 5, 6)}) == 1
+    assert inc["4"] != inc["1"] and inc["7"] != inc["1"]
+
+    # replay batch 1: cluster map unchanged (idempotent)
+    merge_dedup_batch(spark, sd, b2, batch_id=1, threshold=0.8)
+    again = {r.doc_id: r.canonical
+             for r in read_dedup_map(spark, sd).collect()}
+    assert again == inc
