@@ -2123,6 +2123,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (feats.agg(F.count(F.lit(1)).alias("n_images"),
                           F.sum(F.size("features")).cast("long").alias("n_features")))
 
+    def _event_triples(spark, sf_dir):
+        """User-centric RDF view of high-value events: (user#u, did_<type>,
+        event#e) for value > 95 — sparse enough that users diverge into
+        ~17 distinct characteristic sets at sf0.01 (the kgstats fixture)."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.filter(F.col("value") > 95).select(
+            F.concat(F.lit("user#"), F.col("user_id").cast("string"))
+            .alias("s"),
+            F.concat(F.lit("did_"), F.col("event_type")).alias("p"),
+            F.concat(F.lit("event#"), F.col("event_id").cast("string"))
+            .alias("o")))
+
+    def q_kg_char_sets(spark, sf_dir):
+        """Characteristic sets (Neumann & Moerkotte, ICDE 2011) over the
+        event-triple view: subjects partitioned by their exact predicate
+        set, with subject + triple totals per set (operators/kgstats)."""
+        from openapi_to_rdf_spark.operators.kgstats import (
+            characteristic_sets,
+        )
+
+        return characteristic_sets(_event_triples(spark, sf_dir))
+
+    def q_kg_star_card(spark, sf_dir):
+        """Star-BGP cardinality from characteristic-set statistics only:
+        exact distinct-subject count plus the e6 bag estimate for the
+        2-predicate star {did_click, did_purchase} — the ICDE 2011
+        estimator; the oracle recomputes both from the base table."""
+        from openapi_to_rdf_spark.operators.kgstats import (
+            estimate_star_count,
+        )
+
+        tr = _event_triples(spark, sf_dir)
+        stars = ["did_click", "did_purchase"]
+        subj = estimate_star_count(tr, stars, distinct_subjects=True) \
+            .select(F.col("est").alias("n_subjects"))
+        bag = estimate_star_count(tr, stars)
+        return subj.crossJoin(bag)
+
+    def q_kg_void(spark, sf_dir):
+        """W3C VoID dataset statistics (long format) over the RDF
+        encoding of orders/customer/nation (operators/kgstats)."""
+        from openapi_to_rdf_spark.operators.kgstats import void_stats
+
+        return void_stats(_order_triples(spark, sf_dir))
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2244,6 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": q_vocab_top,
         "vocab_oov": q_vocab_oov,
         "kg_graph_stats": q_kg_graph_stats,
+        "kg_char_sets": q_kg_char_sets,
+        "kg_star_card": q_kg_star_card,
+        "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
         "linker_accuracy": q_linker_accuracy,
         "rdfs_entail": q_rdfs_entail,
@@ -2735,6 +2783,94 @@ def oracle_sql() -> dict[str, str]:
                    'http://ericsson.com/models/3gpp/kg#livesIn' AS p,
                    n_name AS o
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "kg_char_sets": """
+            WITH tr AS (
+              SELECT 'user#' || CAST(user_id AS VARCHAR) AS s,
+                     'did_' || event_type AS p
+              FROM events WHERE value > 95),
+            per_sp AS (SELECT s, p, COUNT(*) AS m FROM tr GROUP BY s, p),
+            per_s AS (SELECT s, string_agg(p, ',' ORDER BY p) AS cs,
+                             SUM(m) AS nt
+                      FROM per_sp GROUP BY s)
+            SELECT cs, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                   CAST(SUM(nt) AS BIGINT) AS n_triples
+            FROM per_s GROUP BY cs
+        """,
+        "kg_star_card": """
+            WITH tr AS (
+              SELECT 'user#' || CAST(user_id AS VARCHAR) AS s,
+                     'did_' || event_type AS p
+              FROM events WHERE value > 95),
+            per_sp AS (SELECT s, p, COUNT(*) AS m FROM tr GROUP BY s, p),
+            per_s AS (SELECT s, string_agg(p, ',' ORDER BY p) AS cs
+                      FROM per_sp GROUP BY s),
+            stats AS (SELECT cs, COUNT(*) AS n_subjects
+                      FROM per_s GROUP BY cs),
+            occ AS (SELECT per_s.cs, per_sp.p, SUM(per_sp.m) AS occ
+                    FROM per_sp JOIN per_s USING (s)
+                    WHERE per_sp.p IN ('did_click', 'did_purchase')
+                    GROUP BY per_s.cs, per_sp.p),
+            qual AS (SELECT cs,
+                            SUM(CASE WHEN p = 'did_click'
+                                     THEN occ END) AS occ0,
+                            SUM(CASE WHEN p = 'did_purchase'
+                                     THEN occ END) AS occ1
+                     FROM occ GROUP BY cs
+                     HAVING COUNT(DISTINCT p) = 2)
+            SELECT CAST(COALESCE(SUM(n_subjects), 0) AS BIGINT)
+                       AS n_subjects,
+                   CAST(COALESCE(SUM(CAST(ROUND(
+                       occ0 * occ1 * 1000000.0 / n_subjects)
+                       AS BIGINT)), 0) AS BIGINT) AS est_e6
+            FROM qual JOIN stats USING (cs)
+        """,
+        "kg_void": """
+            WITH tr AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#totalPriceE6',
+                     CAST(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                          AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'cust#' || CAST(c_custkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#inNation',
+                     'nation#' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation#' || CAST(n_nationkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#name',
+                     n_name FROM nation
+              UNION ALL
+              SELECT 'nation#' || CAST(n_nationkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#inRegion',
+                     'region#' || CAST(n_regionkey AS VARCHAR) FROM nation
+              UNION ALL
+              SELECT 'region#' || CAST(r_regionkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#rname',
+                     r_name FROM region)
+            SELECT 'dataset' AS part, '' AS key, 'triples' AS metric,
+                   CAST(COUNT(*) AS BIGINT) AS value FROM tr
+            UNION ALL SELECT 'dataset', '', 'distinctSubjects',
+                   COUNT(DISTINCT s) FROM tr
+            UNION ALL SELECT 'dataset', '', 'properties',
+                   COUNT(DISTINCT p) FROM tr
+            UNION ALL SELECT 'dataset', '', 'distinctObjects',
+                   COUNT(DISTINCT o) FROM tr
+            UNION ALL SELECT 'property', p, 'triples',
+                   CAST(COUNT(*) AS BIGINT) FROM tr GROUP BY p
+            UNION ALL SELECT 'property', p, 'distinctSubjects',
+                   COUNT(DISTINCT s) FROM tr GROUP BY p
+            UNION ALL SELECT 'property', p, 'distinctObjects',
+                   COUNT(DISTINCT o) FROM tr GROUP BY p
         """,
         "doc_packing": f"""
             WITH RECURSIVE tok AS (
