@@ -334,6 +334,30 @@ def merge_dedup_batch(spark, state_dir: str | pathlib.Path, docs: DataFrame,
     cmap.write.mode("overwrite").parquet(str(sd / "cluster"))
 
 
+def start_incremental_doc_dedup(stream: DataFrame, state_dir: str,
+                                threshold: float = 0.9,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                trigger_once: bool = True):
+    """foreachBatch driver: document stream -> continuously-updated corpus
+    dedup cluster map under ``state_dir`` (read it back with
+    :func:`read_dedup_map`) — ingest-time dedup of each crawl slice
+    against the whole corpus, same state discipline as the entity path.
+    Returns the StreamingQuery."""
+    out = pathlib.Path(state_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_dedup_batch(batch_df.sparkSession, out, batch_df, batch_id,
+                          threshold=threshold, id_col=id_col,
+                          text_col=text_col)
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", str(out / "_checkpoint")))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_dedup_map(spark, state_dir: str | pathlib.Path) -> DataFrame:
     """The cumulative (doc_id, canonical) cluster map."""
     return spark.read.parquet(str(pathlib.Path(state_dir) / "cluster"))

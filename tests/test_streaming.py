@@ -354,3 +354,29 @@ def test_incremental_doc_dedup_matches_batch(spark, tmp_path):
     again = {r.doc_id: r.canonical
              for r in read_dedup_map(spark, sd).collect()}
     assert again == inc
+
+    # the same merge driven through Structured Streaming (one file per
+    # micro-batch) lands on an equivalent clustering: canonical picks may
+    # differ with arrival order, but the PARTITION of docs is identical
+    from openapi_to_rdf_spark.streaming.incremental import (
+        start_incremental_doc_dedup,
+    )
+    src = tmp_path / "src"
+    b1.coalesce(1).write.parquet(str(src / "slice0"))
+    b2.coalesce(1).write.parquet(str(src / "slice1"))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    st2 = tmp_path / "state2"
+    q = start_incremental_doc_dedup(stream, str(st2), threshold=0.8)
+    q.awaitTermination(180)
+    streamed = {r.doc_id: r.canonical
+                for r in read_dedup_map(spark, st2).collect()}
+
+    def groups(cmap):
+        inv = {}
+        for d, c in cmap.items():
+            inv.setdefault(c, set()).add(d)
+        return {frozenset(v) for v in inv.values()}
+
+    assert groups(streamed) == groups(inc)
