@@ -1669,6 +1669,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400).alias("dst"))
         return label_propagation(edges, iterations=2)
 
+    def q_kg_kcore(spark, sf_dir):
+        """k-core graph curation (graphrank.k_core), FIXED 2 peel rounds
+        (the deterministic SQL-expressible mode) at k=12 over a 2000-node
+        orders graph — real cascading (round 1 peels ~219 nodes, round 2
+        ~205 more); DuckDB unrolls the same two rounds."""
+        from openapi_to_rdf_spark.operators.graphrank import k_core
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 2000).alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 2000)
+            .alias("dst"))
+        return k_core(edges, 12, rounds=2)
+
     def q_lm_perplexity(spark, sf_dir):
         """CCNet-style char-trigram LM self-perplexity over documents —
         train + score in one call; DuckDB replays the identical add-alpha
@@ -2290,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": q_vocab_oov,
         "kg_graph_stats": q_kg_graph_stats,
         "kg_char_sets": q_kg_char_sets,
+        "kg_kcore": q_kg_kcore,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -2783,6 +2798,34 @@ def oracle_sql() -> dict[str, str]:
                    'http://ericsson.com/models/3gpp/kg#livesIn' AS p,
                    n_name AS o
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "kg_kcore": """
+            WITH raw AS (
+              SELECT o_orderkey % 2000 AS a,
+                     (o_orderkey // 7 + o_custkey) % 2000 AS b
+              FROM orders),
+            und AS (
+              SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a != b),
+            d0 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT u AS node FROM und
+                     UNION ALL SELECT v FROM und) GROUP BY node),
+            bad0 AS (SELECT node FROM d0 WHERE deg < 12),
+            e1 AS (SELECT u, v FROM und
+                   WHERE u NOT IN (SELECT node FROM bad0)
+                     AND v NOT IN (SELECT node FROM bad0)),
+            d1 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT u AS node FROM e1
+                     UNION ALL SELECT v FROM e1) GROUP BY node),
+            bad1 AS (SELECT node FROM d1 WHERE deg < 12),
+            e2 AS (SELECT u, v FROM e1
+                   WHERE u NOT IN (SELECT node FROM bad1)
+                     AND v NOT IN (SELECT node FROM bad1)),
+            d2 AS (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT u AS node FROM e2
+                     UNION ALL SELECT v FROM e2) GROUP BY node)
+            SELECT node, CAST(deg AS BIGINT) AS degree
+            FROM d2 WHERE deg >= 12
         """,
         "kg_char_sets": """
             WITH tr AS (

@@ -291,3 +291,61 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
                    & (b["b_step"] <= a["a_step"] + window))
             .select("center", "context",
                     (F.col("b_step") - F.col("a_step")).alias("offset")))
+
+
+def k_core(edges: DataFrame, k: int, rounds: int | None = None,
+           max_rounds: int = 50, src: str = "src",
+           dst: str = "dst") -> DataFrame:
+    """k-core of the undirected simple graph: iteratively peel nodes with
+    degree < k until every survivor has >= k surviving neighbors — the
+    standard graph-curation gate (keep densely-embedded entities, drop
+    tendrils/noise before community/embedding stages; Seidman 1983).
+
+    ``rounds=R`` fixes EXACTLY R peel rounds (each: degrees over the
+    surviving subgraph, drop nodes below k) — deterministic and
+    SQL-unrollable, the mode the driver's DuckDB oracle replays
+    (``kg_kcore``), same fixed-rounds-for-oracle pattern as
+    communities.label_propagation. ``rounds=None`` peels until a round
+    removes nothing (the true k-core), with a loud ``max_rounds`` cap;
+    the peel count is bounded by the graph's degeneracy ordering depth,
+    tiny in practice (power-law graphs: a few dozen).
+
+    Returns (node, degree): survivors with their k-core-subgraph degree.
+    Pinned fixed-rounds semantics: after EXACTLY R peels, degrees are
+    measured in the R-peeled subgraph and nodes below k are filtered
+    (not peeled — their edges still count toward neighbors' degrees);
+    converged mode makes the filter a no-op.
+
+    Scale: each round is one endpoint-exploded degree count (map-side
+    combine absorbs celebrity fan-in) + two anti-joins of the edge list
+    against the SMALL removed-node set; the edge set only shrinks.
+    ``localCheckpoint`` per round keeps lineage O(1); per-round driver
+    sync (the removal count) is the same accepted cost as
+    connected_components' convergence check.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    live = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .dropDuplicates().localCheckpoint())
+
+    def degrees(e):
+        return (e.select(F.col("u").alias("node")).unionAll(
+            e.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        bad = degrees(live).filter(F.col("degree") < k).select("node")
+        if rounds is None and bad.isEmpty():
+            break
+        live = (live.join(bad, live["u"] == bad["node"], "left_anti")
+                .join(bad, live["v"] == bad["node"], "left_anti")
+                .localCheckpoint())
+    else:
+        if rounds is None:
+            raise RuntimeError(f"k_core did not converge in "
+                               f"{max_rounds} rounds")
+    return degrees(live).filter(F.col("degree") >= k)

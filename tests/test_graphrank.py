@@ -8,6 +8,7 @@ import sys
 from collections import Counter
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -202,3 +203,51 @@ def test_skipgram_pairs_isolate_walks(spark):
     rows = [("a", 0, 0, "x"), ("b", 0, 1, "y")]
     df = spark.createDataFrame(rows, ["start", "widx", "step", "node"])
     assert skipgram_pairs(df, window=3).count() == 0
+
+
+def test_k_core_peels_chain_keeps_triangle(spark):
+    """Triangle {a,b,c} + pendant chain c-d-e: the 2-core is exactly the
+    triangle, found only through CASCADING peels (e first, then d)."""
+    from openapi_to_rdf_spark.operators.graphrank import k_core
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(g, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    assert k_core(g, 3).isEmpty()
+
+
+def test_k_core_fixed_rounds_semantics(spark):
+    """rounds=1 peels ONLY e; d survives the peel but fails the final
+    degree filter, and c still counts its live edge to d (degree 3)."""
+    from openapi_to_rdf_spark.operators.graphrank import k_core
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(g, 2, rounds=1).collect()}
+    assert got == {"a": 2, "b": 2, "c": 3}
+
+
+def test_k_core_convergence_guard_and_validation(spark):
+    from openapi_to_rdf_spark.operators.graphrank import k_core
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")],
+        ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        k_core(g, 2, max_rounds=1)
+    with pytest.raises(ValueError):
+        k_core(g, 0)
+
+
+def test_k_core_direction_and_multiedge_invariant(spark):
+    """Reversed duplicates and self-loops collapse before peeling."""
+    from openapi_to_rdf_spark.operators.graphrank import k_core
+
+    g = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("a", "a"),
+         ("c", "a")], ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(g, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
