@@ -994,6 +994,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bindings.select(F.col("o").alias("order_iri"),
                                F.col("nname").alias("nation_name"))
 
+    def q_bgp_optimized(spark, sf_dir):
+        """The SAME 4-pattern BGP as bgp_orders, but compiled through
+        statistics-driven greedy join ordering (bgp.bgp_query_optimized:
+        one predicate-stats scan, selectivity-ordered patterns) — the
+        oracle is identical because reordering is semantics-preserving;
+        the worst-first pattern order below is the point of the test."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_query_optimized
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        bindings = bgp_query_optimized(_order_triples(spark, sf_dir), [
+            ("?n", kg + "name", "?nname"),        # deliberately bad order:
+            ("?c", kg + "inNation", "?n"),        # the optimizer must find
+            ("?o", kg + "placedBy", "?c"),        # the selective priority
+            ("?o", kg + "priority", "1-URGENT"),  # pattern and connect out
+        ], select=["?o", "?nname"])
+        return bindings.select(F.col("o").alias("order_iri"),
+                               F.col("nname").alias("nation_name"))
+
     def q_bgp_optional(spark, sf_dir):
         """OPTIONAL group (SPARQL left join): every customer with their
         urgent orders, null where none — oracle = customer LEFT JOIN the
@@ -2271,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_khop": q_doc_khop,
         "kg_entity_rank": q_kg_entity_rank,
         "bgp_orders": q_bgp_orders,
+        "bgp_optimized": q_bgp_optimized,
         "bgp_optional": q_bgp_optional,
         "doc_packing": q_doc_packing,
         "bgp_minus": q_bgp_minus,
@@ -2778,6 +2797,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.8
         """,
         "bgp_orders": """
+            SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS order_iri,
+                   n_name AS nation_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderpriority = '1-URGENT'
+        """,
+        "bgp_optimized": """
             SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS order_iri,
                    n_name AS nation_name
             FROM orders JOIN customer ON o_custkey = c_custkey

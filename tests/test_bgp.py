@@ -241,3 +241,56 @@ def test_bgp_agg_rejects_unknown_fn(spark):
     with _pytest.raises(ValueError, match="unsupported"):
         bgp_agg(g, [("?x", "p", "?y")], ["?x"],
                 {"m": ("median", "?y")})
+
+
+def test_order_patterns_selectivity_and_connectivity():
+    from openapi_to_rdf_spark.operators.bgp import order_patterns
+
+    stats = {"knows": (1000, 100, 100), "name": (100, 100, 90),
+             "type": (100, 100, 2)}
+    pats = [("?x", "knows", "?y"),        # est 1000
+            ("?y", "type", "Person"),     # est 100/2 = 50  <- most selective
+            ("?x", "name", "?n")]         # est 100
+    got = order_patterns(pats, stats)
+    # starts at the selective type pattern, then stays CONNECTED: knows
+    # (est 1000) must precede name because name shares no var with ?y yet
+    assert got == [("?y", "type", "Person"), ("?x", "knows", "?y"),
+                   ("?x", "name", "?n")]
+
+
+def test_order_patterns_disconnected_fallback():
+    from openapi_to_rdf_spark.operators.bgp import order_patterns
+
+    stats = {"a": (10, 10, 10), "b": (5, 5, 5)}
+    got = order_patterns([("?x", "a", "?y"), ("?p", "b", "?q")], stats)
+    # no shared variables anywhere: falls back to global smallest first
+    assert got[0] == ("?p", "b", "?q")
+
+
+def test_optimized_bindings_equal_unoptimized(g):
+    from openapi_to_rdf_spark.operators.bgp import (
+        bgp_query_optimized, predicate_stats,
+    )
+
+    pats = [("?x", "knows", "?y"), ("?y", "name", "?n"),
+            ("?x", "name", "?xn")]
+    base = {tuple(sorted(r.asDict().items()))
+            for r in bgp_query(g, pats).collect()}
+    stats = predicate_stats(g)
+    opt = {tuple(sorted(r.asDict().items()))
+           for r in bgp_query_optimized(g, pats, stats=stats).collect()}
+    assert opt == base and len(base) > 0
+    # stats are what one scan says they are
+    assert stats["knows"] == (3, 2, 2) and stats["name"][0] == 3
+
+
+def test_estimate_pattern_shapes():
+    from openapi_to_rdf_spark.operators.bgp import estimate_pattern
+
+    stats = {"knows": (1000, 100, 200)}
+    assert estimate_pattern(("?x", "knows", "?y"), stats, 5000) == 1000
+    assert estimate_pattern(("?x", "knows", "bob"), stats, 5000) == 5.0
+    assert estimate_pattern(("a", "knows", "bob"), stats, 5000) == 1.0
+    assert estimate_pattern(("?x", "missing", "?y"), stats, 5000) == 1.0
+    # variable predicate: total-based with the 1/10 heuristic
+    assert estimate_pattern(("?x", "?p", "?y"), stats, 5000) == 5000.0
