@@ -544,6 +544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (strip_boilerplate(wrapped, min_df=3)
                 .select("doc_id", F.md5("text").alias("text_md5")))
 
+    def q_source_overlap(spark, sf_dir):
+        """Corpus-overlap matrix: pairwise exact word-3-gram Jaccard
+        between SOURCES (union shingle sets, zero-pairs completed) — the
+        recipe-design statistic (operators/dedup.source_overlap)."""
+        from openapi_to_rdf_spark.operators.dedup import source_overlap
+
+        return (source_overlap(_docs(spark, sf_dir), n=3)
+                .select("source_a", "source_b", "common", "n_a", "n_b",
+                        _e6(F.col("jaccard")).alias("jaccard_e6")))
+
     def q_ngram_dup_pairs(spark, sf_dir):
         return (ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
                 .select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6")))
@@ -2225,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "doc_repetition": q_doc_repetition,
         "ngram_dup_pairs": q_ngram_dup_pairs,
+        "source_overlap": q_source_overlap,
         "char_dup_pairs": q_char_dup_pairs,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_mentions": q_doc_mentions,
@@ -2753,6 +2764,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fp.fingerprint, canonical_id,
                    doc_id != canonical_id AS is_duplicate
             FROM fp JOIN canon ON fp.fingerprint = canon.fingerprint
+        """,
+        "source_overlap": f"""
+            WITH d AS (
+              SELECT source, {_SHINGLES} AS sh
+              FROM (SELECT source, {_NORM} AS toks, text FROM documents)),
+            ex AS (SELECT DISTINCT source AS g, unnest(sh) AS shingle
+                   FROM d),
+            sizes AS (SELECT g, COUNT(*) AS n_sh FROM ex GROUP BY g),
+            cm AS (SELECT a.g AS ga, b.g AS gb, COUNT(*) AS common
+                   FROM ex a JOIN ex b USING (shingle)
+                   WHERE a.g < b.g GROUP BY 1, 2),
+            pairs AS (SELECT a.g AS ga, b.g AS gb,
+                             a.n_sh AS n_a, b.n_sh AS n_b
+                      FROM sizes a JOIN sizes b ON a.g < b.g)
+            SELECT ga AS source_a, gb AS source_b,
+                   CAST(COALESCE(common, 0) AS BIGINT) AS common,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(ROUND(ROUND(COALESCE(common, 0) * 1.0
+                        / (n_a + n_b - COALESCE(common, 0)), 6) * 1e6)
+                        AS BIGINT) AS jaccard_e6
+            FROM pairs LEFT JOIN cm USING (ga, gb)
         """,
         "ngram_dup_pairs": f"""
             WITH d AS (

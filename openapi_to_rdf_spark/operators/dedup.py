@@ -516,3 +516,48 @@ def dup_span_census(docs: DataFrame, id_col: str = "doc_id",
                 F.when(F.col("n_tokens") > 0,
                        F.expr("(coalesce(dup_tokens, 0L) * 1000000L) div n_tokens"))
                 .otherwise(F.lit(0)).cast("long").alias("dup_frac_e6")))
+
+
+def source_overlap(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """Pairwise EXACT word-n-gram Jaccard BETWEEN GROUPS (sources/dumps/
+    snapshots) — the corpus-overlap matrix a data-recipe designer reads
+    before weighting sources (how redundant is src A with src B?) and the
+    cross-corpus companion of per-doc ngram_jaccard_pairs.
+
+    Each group's shingle SET is the union over its documents (presence,
+    not multiplicity); overlap = |A ∩ B| / |A ∪ B|. Returns every pair
+    (source_a < source_b) with (common, n_a, n_b, jaccard) — including
+    zero-overlap pairs, completed by construction from the per-group
+    sizes (a missing matrix cell reads as "not measured", not "0").
+
+    Scale: the heavy pass is the distinct (group, shingle) rollup — one
+    shuffle on shingle-hash, corpus consumed once. The pair join fans
+    out at most G(G-1)/2 per shingle (G = #groups, tens in practice);
+    for G in the thousands swap the exact intersection for per-group
+    MinHash signatures (operators/canonicalize machinery) — same
+    output shape, sketch-sized state.
+    """
+    sh = (docs.select(F.col(group_col).alias("g"),
+                      F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("shingle"))
+          .dropDuplicates())
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (sh.select(F.col("g").alias("ga"), "shingle")
+              .join(sh.select(F.col("g").alias("gb"), "shingle"), "shingle")
+              .filter(F.col("ga") < F.col("gb"))
+              .groupBy("ga", "gb").agg(F.count(F.lit(1)).alias("common")))
+    pairs = (sizes.alias("a").join(sizes.alias("b"),
+                                   F.col("a.g") < F.col("b.g"))
+             .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"),
+                     F.col("a.n_sh").alias("n_a"),
+                     F.col("b.n_sh").alias("n_b")))
+    return (pairs.join(common, ["ga", "gb"], "left")
+            .select(F.col("ga").alias("source_a"),
+                    F.col("gb").alias("source_b"),
+                    F.coalesce("common", F.lit(0)).alias("common"),
+                    "n_a", "n_b",
+                    (F.coalesce("common", F.lit(0))
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.coalesce("common", F.lit(0))))
+                    .alias("jaccard")))

@@ -670,3 +670,38 @@ def test_mixture_upsample_budget_cap(spark):
     got = mixture_upsample(df, {"a": 0.5, "b": 0.5}, token_col="n_tok",
                            max_budget_tokens=1000).collect()
     assert len(got) == 100 and all(r.copy_idx == 0 for r in got)
+
+
+def test_source_overlap_matrix(spark):
+    """Planted overlap: A and B share exactly the grams of one common
+    sentence; C is disjoint — and the C pairs still appear with 0."""
+    from openapi_to_rdf_spark.operators.dedup import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 4 trigrams
+    docs = spark.createDataFrame([
+        (1, "A", shared),
+        (2, "A", "one two three four"),                 # 2 trigrams
+        (3, "B", shared),
+        (4, "B", "five six seven eight"),               # 2 trigrams
+        (5, "C", "nine ten eleven twelve"),             # 2 trigrams
+    ], ["doc_id", "source", "text"])
+    got = {(r.source_a, r.source_b):
+           (r.common, r.n_a, r.n_b, round(r.jaccard, 6))
+           for r in source_overlap(docs, n=3).collect()}
+    assert got[("A", "B")] == (4, 6, 6, 0.5)
+    assert got[("A", "C")] == (0, 6, 2, 0.0)
+    assert got[("B", "C")] == (0, 6, 2, 0.0)
+    assert len(got) == 3
+
+
+def test_source_overlap_union_not_bag(spark):
+    """Group shingle sets are unions: a gram repeated across many docs
+    of one source counts ONCE."""
+    from openapi_to_rdf_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame([
+        (1, "A", "alpha beta gamma"), (2, "A", "alpha beta gamma"),
+        (3, "B", "alpha beta gamma"),
+    ], ["doc_id", "source", "text"])
+    [r] = source_overlap(docs, n=3).collect()
+    assert (r.common, r.n_a, r.n_b, r.jaccard) == (1, 1, 1, 1.0)
