@@ -1711,6 +1711,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return k_core(edges, 12, rounds=2)
 
+    def q_kg_asof(spark, sf_dir):
+        """Triple-level time travel (graphq.graph_asof): an orders-derived
+        changelog — insert at o_orderdate, delete at +30d for every third
+        order, re-insert at +60d for every sixth — reconstructed as of
+        1997-01-01; DuckDB replays the same lifecycle resolution."""
+        import datetime as dt
+
+        from openapi_to_rdf_spark.operators.graphq import graph_asof
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        k = F.col("o_orderkey")
+        mk = F.concat(F.lit("order#"), k.cast("string"))
+        ch = (ordr.select(F.explode(F.array(
+            F.struct(mk.alias("s"), F.lit(kg + "priority").alias("p"),
+                     F.col("o_orderpriority").alias("o"),
+                     F.lit("I").alias("op"),
+                     F.col("o_orderdate").alias("ts")),
+            F.when(k % 3 == 0, F.struct(
+                mk.alias("s"), F.lit(kg + "priority").alias("p"),
+                F.col("o_orderpriority").alias("o"),
+                F.lit("D").alias("op"),
+                F.expr("o_orderdate + INTERVAL 30 DAYS").alias("ts"))),
+            F.when(k % 6 == 0, F.struct(
+                mk.alias("s"), F.lit(kg + "priority").alias("p"),
+                F.col("o_orderpriority").alias("o"),
+                F.lit("I").alias("op"),
+                F.expr("o_orderdate + INTERVAL 60 DAYS").alias("ts"))),
+        )).alias("c")).filter(F.col("c").isNotNull()).select("c.*"))
+        return graph_asof(ch, dt.datetime(1997, 1, 1))
+
     def q_lm_perplexity(spark, sf_dir):
         """CCNet-style char-trigram LM self-perplexity over documents —
         train + score in one call; DuckDB replays the identical add-alpha
@@ -2335,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "kg_char_sets": q_kg_char_sets,
         "kg_kcore": q_kg_kcore,
+        "kg_asof": q_kg_asof,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -2856,6 +2888,30 @@ def oracle_sql() -> dict[str, str]:
                    'http://ericsson.com/models/3gpp/kg#livesIn' AS p,
                    n_name AS o
             FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "kg_asof": """
+            WITH ch AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#priority' AS p,
+                     o_orderpriority AS o, 'I' AS op, o_orderdate AS ts
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority, 'D', o_orderdate + INTERVAL 30 DAY
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority, 'I', o_orderdate + INTERVAL 60 DAY
+              FROM orders WHERE o_orderkey % 6 = 0),
+            hist AS (SELECT * FROM ch
+                     WHERE ts <= TIMESTAMP '1997-01-01 00:00:00'),
+            latest AS (
+              SELECT s, p, o, op, ROW_NUMBER() OVER (
+                PARTITION BY s, p, o ORDER BY ts DESC, op DESC) AS rn
+              FROM hist)
+            SELECT s, p, o FROM latest WHERE rn = 1 AND op = 'I'
         """,
         "kg_kcore": """
             WITH raw AS (

@@ -141,3 +141,29 @@ def related_docs(edges: DataFrame, min_shared: int = 2) -> DataFrame:
             .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def graph_asof(changelog: DataFrame, at, s_col: str = "s",
+               p_col: str = "p", o_col: str = "o", op_col: str = "op",
+               ts_col: str = "ts") -> DataFrame:
+    """Triple-level time travel: given a triple CHANGELOG (s, p, o, op,
+    ts) with op ∈ {'I','D'}, reconstruct the graph as of instant ``at`` —
+    a triple is present iff its latest event at-or-before ``at`` is an
+    insert. The temporal companion of plans/snapshot time travel: that
+    reads a materialized snapshot, this derives any instant from the
+    event log (CDC feeds, retraction streams).
+
+    Pinned semantics: events strictly after ``at`` are invisible; at an
+    exact (s, p, o, ts) tie the INSERT wins (max-struct order 'I' > 'D',
+    replayed by the oracle's ORDER BY ts DESC, op DESC). One shuffle on
+    the (s, p, o) key — the same high-cardinality key profile as every
+    graph groupBy, AQE-skew territory for hot triples rewritten often.
+    """
+    hist = changelog.filter(F.col(ts_col) <= F.lit(at))
+    latest = (hist.groupBy(F.col(s_col).alias("s"),
+                           F.col(p_col).alias("p"),
+                           F.col(o_col).alias("o"))
+              .agg(F.max(F.struct(F.col(ts_col).alias("ts"),
+                                  F.col(op_col).alias("op")))
+                   .alias("last")))
+    return latest.filter(F.col("last.op") == "I").select("s", "p", "o")

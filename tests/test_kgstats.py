@@ -105,3 +105,27 @@ def test_void_stats_approx_close(g):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(1, 0.05 * v), (k, approx[k], v)
+
+
+def test_graph_asof_lifecycle(spark):
+    """Insert → delete → re-insert lifecycle, exact-tie insert-wins, and
+    future events invisible (operators/graphq.graph_asof)."""
+    import datetime as dt
+
+    from openapi_to_rdf_spark.operators.graphq import graph_asof
+
+    t = [dt.datetime(2020, 1, d) for d in range(1, 8)]
+    ch = spark.createDataFrame([
+        ("a", "p", "1", "I", t[0]), ("a", "p", "1", "D", t[2]),
+        ("a", "p", "1", "I", t[4]),
+        ("b", "p", "2", "I", t[1]), ("b", "p", "2", "D", t[1]),  # tie
+        ("c", "p", "3", "I", t[6]),                     # future
+    ], ["s", "p", "o", "op", "ts"])
+
+    def at(ts):
+        return {(r.s, r.o) for r in graph_asof(ch, ts).collect()}
+
+    assert at(t[1]) == {("a", "1"), ("b", "2")}   # tie: insert wins
+    assert at(t[3]) == {("b", "2")}               # a deleted
+    assert at(t[5]) == {("a", "1"), ("b", "2")}   # a re-inserted; c future
+    assert at(t[6]) == {("a", "1"), ("b", "2"), ("c", "3")}
