@@ -25,7 +25,8 @@ AUDIT = [
     "semantic_dedup", "bgp_orders", "doc_pagerank", "dict_encode",
     "graph_walks", "graph_skipgrams", "edit_dup_pairs", "rrf_events",
     "user_setop_sketch", "value_anomalies", "value_equidepth",
-    "image_dups",
+    "image_dups", "kg_char_sets", "kg_star_card", "kg_void", "kg_kcore",
+    "kg_asof", "bgp_optimized", "source_overlap",
 ]
 
 
