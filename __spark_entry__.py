@@ -2224,15 +2224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         2-predicate star {did_click, did_purchase} — the ICDE 2011
         estimator; the oracle recomputes both from the base table."""
         from openapi_to_rdf_spark.operators.kgstats import (
-            estimate_star_count,
+            star_cardinalities,
         )
 
-        tr = _event_triples(spark, sf_dir)
-        stars = ["did_click", "did_purchase"]
-        subj = estimate_star_count(tr, stars, distinct_subjects=True) \
-            .select(F.col("est").alias("n_subjects"))
-        bag = estimate_star_count(tr, stars)
-        return subj.crossJoin(bag)
+        return star_cardinalities(_event_triples(spark, sf_dir),
+                                  ["did_click", "did_purchase"])
 
     def q_kg_void(spark, sf_dir):
         """W3C VoID dataset statistics (long format) over the RDF

@@ -190,3 +190,34 @@ def void_stats(triples: DataFrame, s_col: str = "s", p_col: str = "p",
     return (dataset.select(long)
             .unionByName(per_prop.select(long))
             .unionByName(per_class.select(long)))
+
+
+def star_cardinalities(triples: DataFrame, query_preds: list[str],
+                       s_col: str = "s", p_col: str = "p") -> DataFrame:
+    """Both star-cardinality answers in ONE statistics pass: a single
+    per-subject rollup feeds the exact distinct-subject count AND the
+    e6 bag estimate (same formulas as :func:`estimate_star_count`,
+    which builds each from scratch — at 10^12 triples you compute the
+    statistic once). One row: (n_subjects, est_e6)."""
+    k = len(query_preds)
+    if k == 0 or len(set(query_preds)) != k:
+        raise ValueError("star must be non-empty distinct predicates")
+    per_s = _per_subject(triples, s_col, p_col)
+    stats = per_s.groupBy("cs").agg(F.count(F.lit(1)).alias("n_subjects"))
+    preds = (per_s.select("cs", F.explode("pm").alias("x"))
+             .filter(F.col("x.p").isin(query_preds))
+             .groupBy("cs")
+             .agg(F.countDistinct("x.p").alias("n_hit"),
+                  *[F.sum(F.when(F.col("x.p") == p, F.col("x.m")))
+                    .alias(f"occ_{i}") for i, p in enumerate(query_preds)])
+             .filter(F.col("n_hit") == k))
+    qual = preds.join(stats, "cs")
+    prod = F.lit(1).cast("long")
+    for i in range(k):
+        prod = prod * F.col(f"occ_{i}")
+    contrib = F.round(prod * F.lit(1000000.0)
+                      / F.pow(F.col("n_subjects").cast("double"), k - 1)
+                      ).cast("long")
+    return (qual.select(F.col("n_subjects").alias("ns"), contrib.alias("c"))
+            .agg(F.coalesce(F.sum("ns"), F.lit(0)).alias("n_subjects"),
+                 F.coalesce(F.sum("c"), F.lit(0)).alias("est_e6")))

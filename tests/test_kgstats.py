@@ -129,3 +129,12 @@ def test_graph_asof_lifecycle(spark):
     assert at(t[3]) == {("b", "2")}               # a deleted
     assert at(t[5]) == {("a", "1"), ("b", "2")}   # a re-inserted; c future
     assert at(t[6]) == {("a", "1"), ("b", "2"), ("c", "3")}
+
+
+def test_star_cardinalities_single_pass_matches(g):
+    from openapi_to_rdf_spark.operators.kgstats import star_cardinalities
+
+    [r] = star_cardinalities(g, ["knows", "name"]).collect()
+    assert (r.n_subjects, r.est_e6) == (3, 4_000_000)
+    [r0] = star_cardinalities(g, ["knows", "missing"]).collect()
+    assert (r0.n_subjects, r0.est_e6) == (0, 0)
