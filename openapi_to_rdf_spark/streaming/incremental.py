@@ -361,3 +361,50 @@ def start_incremental_doc_dedup(stream: DataFrame, state_dir: str,
 def read_dedup_map(spark, state_dir: str | pathlib.Path) -> DataFrame:
     """The cumulative (doc_id, canonical) cluster map."""
     return spark.read.parquet(str(pathlib.Path(state_dir) / "cluster"))
+
+
+def compact_dedup_state(spark, state_dir: str | pathlib.Path) -> dict:
+    """Rewrite the dedup state's append-only ``batch_id=N`` partitions
+    into ONE consolidated base partition per table — the operational
+    bound on file/partition counts for long-running streams (10k
+    micro-batches = 30k state directories otherwise; the doc-dedup
+    sibling of the triple-store compaction in :func:`compact_graph`).
+
+    Crash-safe by alternating sentinels, never by atomic rename: the
+    consolidated base is written as the OTHER negative sentinel
+    (-1 ↔ -2) while every existing partition stays in place, and old
+    partitions are deleted only after the write action completes. A
+    crash anywhere leaves the union of partitions a SUPERSET of the
+    state, and every reader tolerates duplicate rows (fingerprint
+    witness = min, band candidates dedup, CC tolerates edge
+    multiplicity, the cluster map dedups nodes) — so replay/compaction
+    after a crash converges instead of losing state. Negative sentinel
+    ids are never excluded by ``exclude_batch`` (real batch ids are
+    ≥ 0), so replayed batches still see the consolidated state.
+
+    Returns {table: n_partitions_compacted}.
+    """
+    import shutil
+
+    sd = pathlib.Path(state_dir)
+    out = {}
+    # covers BOTH state layouts: the doc-dedup state (docs/) and the
+    # entity-canonicalization state (entities/) share bands/ + edges/
+    for sub, schema in (("docs", _DOC_SCHEMA), ("entities", _ENT_SCHEMA),
+                        ("bands", _BAND_SCHEMA), ("edges", _EDGE_SCHEMA)):
+        path = sd / sub
+        if not path.exists():
+            continue
+        dirs = sorted(path.glob("batch_id=*"))
+        if len(dirs) <= 1:
+            out[sub] = 0
+            continue
+        new_base = ("batch_id=-2" if (path / "batch_id=-1").exists()
+                    else "batch_id=-1")
+        cur = spark.read.schema(schema).parquet(*[str(d) for d in dirs])
+        (cur.dropDuplicates().write.mode("overwrite")
+         .parquet(str(path / new_base)))
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        out[sub] = len(dirs)
+    return out

@@ -380,3 +380,55 @@ def test_incremental_doc_dedup_matches_batch(spark, tmp_path):
         return {frozenset(v) for v in inv.values()}
 
     assert groups(streamed) == groups(inc)
+
+
+def test_compact_dedup_state_preserves_map_and_replay(spark, tmp_path):
+    """Compaction rewrites the batch_id partitions into one base sentinel:
+    cluster map identical, a FURTHER merge still finds cross-boundary
+    near-dups against the compacted state, replay stays a no-op, and a
+    second compaction alternates sentinels without loss."""
+    from openapi_to_rdf_spark.streaming.incremental import (
+        compact_dedup_state, merge_dedup_batch, read_dedup_map,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the observers take careful notes about the behavior")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark shuffle "
+                        "partitions and adaptive query execution")],
+        ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(3, base + "!!")], ["doc_id", "text"])              # exact dup of 1
+    b3 = spark.createDataFrame(
+        [(4, base.replace("careful", "detailed"))],          # near dup of 1
+        ["doc_id", "text"])
+
+    sd = tmp_path / "state"
+    merge_dedup_batch(spark, sd, b1, batch_id=0, threshold=0.8)
+    merge_dedup_batch(spark, sd, b2, batch_id=1, threshold=0.8)
+    before = {r.doc_id: r.canonical
+              for r in read_dedup_map(spark, sd).collect()}
+
+    n = compact_dedup_state(spark, sd)
+    assert n["docs"] == 2 and n["bands"] == 2 and n["edges"] == 2
+    assert [d.name for d in sorted((sd / "docs").glob("batch_id=*"))] \
+        == ["batch_id=-1"]
+
+    # replay batch 1 against the compacted state: still a no-op
+    merge_dedup_batch(spark, sd, b2, batch_id=1, threshold=0.8)
+    after = {r.doc_id: r.canonical
+             for r in read_dedup_map(spark, sd).collect()}
+    assert after == before
+
+    # a NEW batch still merges against compacted history (near dup of 1)
+    merge_dedup_batch(spark, sd, b3, batch_id=2, threshold=0.8)
+    m = {r.doc_id: r.canonical for r in read_dedup_map(spark, sd).collect()}
+    assert m["4"] == m["1"] == m["3"] and m["2"] != m["1"]
+
+    # second compaction alternates the sentinel, map still intact
+    n2 = compact_dedup_state(spark, sd)
+    assert n2["docs"] == 3  # base + replayed(empty) + new partitions
+    merge_dedup_batch(spark, sd, b3, batch_id=2, threshold=0.8)
+    m2 = {r.doc_id: r.canonical
+          for r in read_dedup_map(spark, sd).collect()}
+    assert m2 == m
