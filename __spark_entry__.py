@@ -1053,6 +1053,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bindings.select(F.col("c").alias("cust_iri"),
                                F.col("nname").alias("nation_name"))
 
+    def q_bgp_exists(spark, sf_dir):
+        """SPARQL FILTER EXISTS (bgp.bgp_exists): customers WITH at least
+        one urgent order — the positive complement of bgp_minus, against
+        DuckDB's EXISTS subquery."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_exists
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        bindings = bgp_exists(
+            _order_triples(spark, sf_dir),
+            [("?c", kg + "inNation", "?n"), ("?n", kg + "name", "?nname")],
+            exists=[("?o", kg + "placedBy", "?c"),
+                    ("?o", kg + "priority", "1-URGENT")])
+        return bindings.select(F.col("c").alias("cust_iri"),
+                               F.col("nname").alias("nation_name"))
+
     def q_bgp_construct(spark, sf_dir):
         """SPARQL CONSTRUCT (derived-triple materialization), vs a plain
         relational projection of the same template."""
@@ -2331,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "doc_packing": q_doc_packing,
         "bgp_minus": q_bgp_minus,
+        "bgp_exists": q_bgp_exists,
         "bgp_construct": q_bgp_construct,
         "bgp_path_orders": q_bgp_path_orders,
         "bgp_path_closure": q_bgp_path_closure,
@@ -2877,6 +2893,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
+        """,
+        "bgp_exists": """
+            SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS cust_iri,
+                   n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         """,
         "bgp_construct": """
             SELECT DISTINCT

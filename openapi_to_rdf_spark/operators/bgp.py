@@ -468,3 +468,25 @@ def bgp_query_optimized(triples: DataFrame, patterns: list[Pattern],
     if stats is None:
         stats = predicate_stats(triples)
     return bgp_query(triples, order_patterns(patterns, stats), **kwargs)
+
+
+def bgp_exists(triples: DataFrame, patterns: list[Pattern],
+               exists: list[Pattern],
+               select: list[str] | None = None,
+               distinct: bool = False) -> DataFrame:
+    """SPARQL FILTER EXISTS — the positive twin of :func:`bgp_minus`:
+    core bindings whose shared variables HAVE at least one solution in
+    the ``exists`` group. One semi-join on the shared variables (no
+    payload columns move; the probe never duplicates core rows, which a
+    plain inner join against a many-solution group would)."""
+    core = bgp_query(triples, patterns)
+    pos = bgp_query(triples, exists)
+    shared = sorted(set(core.columns) & set(pos.columns))
+    if not shared:
+        raise ValueError("EXISTS group shares no variable with the core "
+                         "patterns — it would keep everything or nothing")
+    out = core.join(pos.select(*shared).dropDuplicates(shared),
+                    shared, "left_semi")
+    if select:
+        out = out.select(*[v.lstrip("?") for v in select])
+    return out.dropDuplicates() if distinct else out

@@ -294,3 +294,18 @@ def test_estimate_pattern_shapes():
     assert estimate_pattern(("?x", "missing", "?y"), stats, 5000) == 1.0
     # variable predicate: total-based with the 1/10 heuristic
     assert estimate_pattern(("?x", "?p", "?y"), stats, 5000) == 5000.0
+
+
+def test_exists_keeps_only_matching_bindings(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_exists
+
+    # people with a name who know someone: a, b (c knows nobody)
+    got = {r.x for r in bgp_exists(
+        g, [("?x", "name", "?n")], [("?x", "knows", "?y")]).collect()}
+    assert got == {"a", "b"}
+    # semi-join: no duplication even though a knows TWO people
+    rows = bgp_exists(g, [("?x", "name", "?n")],
+                      [("?x", "knows", "?y")]).collect()
+    assert len(rows) == 2
+    with pytest.raises(ValueError):
+        bgp_exists(g, [("?x", "name", "?n")], [("?a", "likes", "?b")])
