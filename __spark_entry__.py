@@ -1163,6 +1163,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("n_orders").cast("long").alias("n_orders"),
                           "sum_price_e6", "min_price_e6", "max_price_e6")
 
+    def q_bgp_agg_distinct(spark, sf_dir):
+        """SPARQL COUNT(DISTINCT ?c) alongside the bag COUNT(?o) per
+        nation (bgp.bgp_agg count_distinct path, never eager) vs DuckDB's
+        COUNT(DISTINCT)."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        out = bgp_agg(
+            _order_triples(spark, sf_dir),
+            [("?o", kg + "placedBy", "?c"),
+             ("?o", kg + "priority", "1-URGENT"),
+             ("?c", kg + "inNation", "?n"),
+             ("?n", kg + "name", "?nname")],
+            ["?nname"],
+            {"n_custs": ("count_distinct", "?c"),
+             "n_orders": ("count", "?o")})
+        return out.withColumnRenamed("nname", "nation_name")
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2351,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_path_orders": q_bgp_path_orders,
         "bgp_path_closure": q_bgp_path_closure,
         "bgp_agg_orders": q_bgp_agg_orders,
+        "bgp_agg_distinct": q_bgp_agg_distinct,
         "pack_assembly": q_pack_assembly,
         "decontaminate": q_decontaminate,
         "temperature_sample": q_temperature_sample,
@@ -3101,6 +3120,15 @@ def oracle_sql() -> dict[str, str]:
               FROM walk w JOIN edges e ON w.dst = e.src
               WHERE w.hops < 3)
             SELECT DISTINCT src AS src_ev, dst AS dst_ev FROM walk
+        """,
+        "bgp_agg_distinct": """
+            SELECT n_name AS nation_name,
+                   COUNT(DISTINCT o_custkey) AS n_custs,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation   ON c_nationkey = n_nationkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY n_name
         """,
         "bgp_agg_orders": """
             SELECT n_name AS nation_name, COUNT(*) AS n_orders

@@ -256,7 +256,8 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     specs = {}
     for alias, spec in aggs.items():
         fn, var = spec[0], spec[1].lstrip("?")
-        if fn not in ("count", "sum", "min", "max", "avg"):
+        if fn not in ("count", "sum", "min", "max", "avg",
+                      "count_distinct"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         specs[alias] = (fn, var, spec[2] if len(spec) > 2 else None)
 
@@ -267,7 +268,13 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     a_pats = [pat for pat in patterns
               if avars & {t[1:] for t in pat if _is_var(t)}]
     b_pats = [pat for pat in patterns if pat not in a_pats]
+    # COUNT(DISTINCT ?x) never pre-aggregates: a distinct count is not
+    # decomposable into per-boundary partials (and unlike the bag
+    # aggregates, join fan-out is IRRELEVANT to it — duplicated rows
+    # collapse under distinct — so aggregate-after-join is exact)
     legal = (eager and a_pats and b_pats
+             and not any(fn == "count_distinct"
+                         for (fn, _, _) in specs.values())
              and not (avars & set(gvars))
              and not (avars & _vars_of(b_pats)))
     if legal:
@@ -302,6 +309,7 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     bindings = bgp_query(triples, patterns)
     direct = [
         (F.count(var) if fn == "count"
+         else F.countDistinct(var) if fn == "count_distinct"
          else getattr(F, fn)(term(var, cast))).alias(alias)
         for alias, (fn, var, cast) in specs.items()]
     return bindings.groupBy(*gvars).agg(*direct)

@@ -309,3 +309,22 @@ def test_exists_keeps_only_matching_bindings(g):
     assert len(rows) == 2
     with pytest.raises(ValueError):
         bgp_exists(g, [("?x", "name", "?n")], [("?a", "likes", "?b")])
+
+
+def test_agg_count_distinct(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    # per knower: distinct known people vs bag count with name fan-out
+    got = {r.x: (r.nd, r.nb) for r in bgp_agg(
+        g, [("?x", "knows", "?y"), ("?y", "name", "?yn")],
+        ["?x"], {"nd": ("count_distinct", "?y"),
+                 "nb": ("count", "?y")}).collect()}
+    assert got == {"a": (2, 2), "b": (1, 1)}
+    # distinct collapses what the bag count double-counts
+    g2 = g.unionByName(g.sparkSession.createDataFrame(
+        [("b", "name", "robert")], ["s", "p", "o"]))
+    got2 = {r.x: (r.nd, r.nb) for r in bgp_agg(
+        g2, [("?x", "knows", "?y"), ("?y", "name", "?yn")],
+        ["?x"], {"nd": ("count_distinct", "?y"),
+                 "nb": ("count", "?y")}).collect()}
+    assert got2["a"] == (2, 3)  # bob counted twice in the bag, once distinct
