@@ -257,7 +257,7 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     for alias, spec in aggs.items():
         fn, var = spec[0], spec[1].lstrip("?")
         if fn not in ("count", "sum", "min", "max", "avg",
-                      "count_distinct"):
+                      "count_distinct", "group_concat", "sample"):
             raise ValueError(f"unsupported aggregate {fn!r}")
         specs[alias] = (fn, var, spec[2] if len(spec) > 2 else None)
 
@@ -272,8 +272,11 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     # decomposable into per-boundary partials (and unlike the bag
     # aggregates, join fan-out is IRRELEVANT to it — duplicated rows
     # collapse under distinct — so aggregate-after-join is exact)
+    # (group_concat/sample likewise take the direct path: concat state
+    # is value-list-sized per group — SPARQL semantics, bounded by the
+    # caller's grouping; sample is derandomized to min for determinism)
     legal = (eager and a_pats and b_pats
-             and not any(fn == "count_distinct"
+             and not any(fn in ("count_distinct", "group_concat", "sample")
                          for (fn, _, _) in specs.values())
              and not (avars & set(gvars))
              and not (avars & _vars_of(b_pats)))
@@ -310,6 +313,9 @@ def bgp_agg(triples: DataFrame, patterns: list[Pattern],
     direct = [
         (F.count(var) if fn == "count"
          else F.countDistinct(var) if fn == "count_distinct"
+         else F.array_join(F.sort_array(F.collect_list(var)),
+                           cast or ",") if fn == "group_concat"
+         else F.min(var) if fn == "sample"
          else getattr(F, fn)(term(var, cast))).alias(alias)
         for alias, (fn, var, cast) in specs.items()]
     return bindings.groupBy(*gvars).agg(*direct)

@@ -328,3 +328,14 @@ def test_agg_count_distinct(g):
         ["?x"], {"nd": ("count_distinct", "?y"),
                  "nb": ("count", "?y")}).collect()}
     assert got2["a"] == (2, 3)  # bob counted twice in the bag, once distinct
+
+
+def test_agg_group_concat_and_sample(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    got = {r.x: (r.names, r.pick) for r in bgp_agg(
+        g, [("?x", "knows", "?y"), ("?y", "name", "?yn")],
+        ["?x"], {"names": ("group_concat", "?yn", "|"),
+                 "pick": ("sample", "?yn")}).collect()}
+    # group_concat sorted for determinism; sample derandomized to min
+    assert got == {"a": ("bob|carol", "bob"), "b": ("carol", "carol")}
