@@ -15,6 +15,9 @@ tuple form IS the public API, mirroring how bgp.py takes pattern tuples):
 - ``("?", p)``                — p?          zero-or-one
 - ``("between", p, lo, hi)``  — p{lo,hi}    bounded repetition (engine
   extension, as in Jena/Virtuoso; SPARQL 1.1 dropped it from the REC)
+- ``("nps", p1, p2, …)``      — !(p1|p2|…) negated property set: one
+  step over any predicate NOT listed (the REC's NegatedPropertySet;
+  inverse members compose as ``("inv", ("nps", …))``)
 
 Compilation: every sub-path compiles to a pair relation (s, o). Fixed-
 length forms keep SPARQL's bag semantics (a seq join yields one row per
@@ -209,6 +212,14 @@ def compile_path(triples: DataFrame, path, *,
                                              F.col("n").alias("o"))
         return (base.dropDuplicates(["s", "o"])
                 .unionByName(ident).dropDuplicates(["s", "o"]))
+    if op == "nps":
+        if len(path) < 2:
+            raise ValueError("nps needs >= 1 excluded predicate")
+        # one scan, NOT prunable by the pred partition (the complement
+        # spans partitions by construction) — the REC's NPS is inherently
+        # a full-predicate-space step; still one filter, no joins
+        return (triples.filter(~F.col("p").isin(list(path[1:])))
+                .select("s", "o"))
     if op == "between":
         _, sub, lo, hi = path
         base = compile_path(triples, sub, max_rounds=max_rounds)

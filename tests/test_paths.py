@@ -165,3 +165,23 @@ def test_bgp_count_falls_back_when_illegal(spark):
     got = sorted((r.o, r.n) for r in bgp_count(
         t, AGG_P, ["?o"], "?o").collect())
     assert got == [(f"o{i}", 1) for i in range(1, 5)]
+
+
+def test_negated_property_set(spark):
+    from openapi_to_rdf_spark.operators.paths import compile_path, path_query
+
+    g = spark.createDataFrame(
+        [("a", "knows", "b"), ("a", "hates", "c"), ("b", "likes", "d"),
+         ("d", "knows", "a")], ["s", "p", "o"])
+    got = {(r.s, r.o) for r in compile_path(g, ("nps", "knows")).collect()}
+    assert got == {("a", "c"), ("b", "d")}
+    # multi-exclusion and composition with inv / seq
+    got2 = {(r.s, r.o) for r in compile_path(
+        g, ("nps", "knows", "likes")).collect()}
+    assert got2 == {("a", "c")}
+    inv = {(r.s, r.o) for r in compile_path(
+        g, ("inv", ("nps", "knows"))).collect()}
+    assert inv == {("c", "a"), ("d", "b")}
+    import pytest
+    with pytest.raises(ValueError):
+        compile_path(g, ("nps",))
