@@ -504,3 +504,17 @@ def bgp_exists(triples: DataFrame, patterns: list[Pattern],
     if select:
         out = out.select(*[v.lstrip("?") for v in select])
     return out.dropDuplicates() if distinct else out
+
+
+def stats_from_manifest(manifest: dict) -> dict:
+    """Planner statistics from a graph snapshot manifest written with
+    ``stats_cols`` (plans/snapshot ANALYZE-on-write): the same
+    {predicate: (n, distinct_s, distinct_o)} shape
+    :func:`predicate_stats` computes by scanning — but read from table
+    metadata, so :func:`bgp_query_optimized` plans with ZERO instance
+    scans (exactly how an RDF store consults its stored statistics)."""
+    raw = manifest.get("metrics", {}).get("predicate_stats")
+    if raw is None:
+        raise ValueError("manifest carries no predicate_stats — snapshot "
+                         "was written without stats_cols")
+    return {p: tuple(v) for p, v in raw.items()}

@@ -83,9 +83,11 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     wd = pathlib.Path(workdir)
     manifests: dict[str, dict] = {}
 
-    def stage(name, fp, thunk, partition_by=None, count_by=None):
+    def stage(name, fp, thunk, partition_by=None, count_by=None,
+              stats_cols=None):
         df = materialize(thunk, spark, wd / name, fp,
-                         partition_by=partition_by, count_by=count_by)
+                         partition_by=partition_by, count_by=count_by,
+                         stats_cols=stats_cols)
         manifests[name] = read_manifest(wd / name, fp)
         return df
 
@@ -136,7 +138,10 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
         "graph", fp_g,
         lambda: (remap_triples(triples, cmap, ENT_NS)
                  .withColumn("pred", F.regexp_extract("p", r"([A-Za-z0-9_]+)$", 1))),
-        partition_by=["pred"], count_by=["pred"])
+        partition_by=["pred"], count_by=["pred"],
+        # ANALYZE-on-write: per-predicate planner statistics travel in the
+        # graph manifest for bgp.stats_from_manifest / bgp_query_optimized
+        stats_cols=("p", "s", "o"))
 
     # -- violations quarantine ----------------------------------------------
     rules = kg_shape_rules(spark, KG_NS)

@@ -51,13 +51,22 @@ def snapshot_exists(table_dir: str | pathlib.Path, fp: str) -> bool:
 
 def write_snapshot(df: DataFrame, table_dir: str | pathlib.Path, fp: str,
                    partition_by: list[str] | None = None,
-                   count_by: list[str] | None = None) -> dict:
+                   count_by: list[str] | None = None,
+                   stats_cols: tuple[str, str, str] | None = None) -> dict:
     """Materialize df as snapshot `fp` under table_dir; returns the manifest.
 
     Lineage is recorded per *output file* (the unit a resumed/percolated read
     actually consumes): after the write, one metadata-only Spark job groups by
     ``input_file_name`` for row counts. ``count_by`` adds aggregate metric
     counts (e.g. triples per graph) to the manifest.
+
+    ``stats_cols=(p, s, o)`` is ANALYZE-on-write for triple tables: one
+    extra pass over the written data records per-predicate (n_triples,
+    distinct_subjects, distinct_objects) planner statistics in the
+    manifest — vocabulary-sized, so they belong WITH the table metadata
+    (Iceberg keeps its column stats the same way). The BGP optimizer
+    loads them back via ``bgp.stats_from_manifest`` and orders joins
+    without ever scanning the instance data at plan time.
     """
     snap = _snap_dir(table_dir, fp)
     data_dir = snap / "data"
@@ -82,6 +91,15 @@ def write_snapshot(df: DataFrame, table_dir: str | pathlib.Path, fp: str,
         metrics["counts"] = {
             "|".join(str(r[c]) for c in count_by): r["n"]
             for r in back.groupBy(*count_by).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    if stats_cols:
+        p_col, s_col, o_col = stats_cols
+        metrics["predicate_stats"] = {
+            r["p"]: [r["n"], r["ds"], r["do"]]
+            for r in back.groupBy(F.col(p_col).alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct(s_col).alias("ds"),
+                 F.countDistinct(o_col).alias("do")).collect()
         }
 
     manifest = {
@@ -120,7 +138,8 @@ def read_manifest(table_dir: str | pathlib.Path, fp: str | None = None) -> dict:
 
 def materialize(df_thunk, spark: SparkSession, table_dir: str | pathlib.Path,
                 fp: str, partition_by: list[str] | None = None,
-                count_by: list[str] | None = None) -> DataFrame:
+                count_by: list[str] | None = None,
+                stats_cols: tuple[str, str, str] | None = None) -> DataFrame:
     """Resume-aware stage commit: skip the job if snapshot fp is committed.
 
     ``df_thunk`` is a zero-arg callable so a resumed stage pays zero plan
@@ -128,5 +147,5 @@ def materialize(df_thunk, spark: SparkSession, table_dir: str | pathlib.Path,
     """
     if not snapshot_exists(table_dir, fp):
         write_snapshot(df_thunk(), table_dir, fp, partition_by=partition_by,
-                       count_by=count_by)
+                       count_by=count_by, stats_cols=stats_cols)
     return read_snapshot(spark, table_dir, fp)

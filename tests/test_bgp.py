@@ -339,3 +339,33 @@ def test_agg_group_concat_and_sample(g):
                  "pick": ("sample", "?yn")}).collect()}
     # group_concat sorted for determinism; sample derandomized to min
     assert got == {"a": ("bob|carol", "bob"), "b": ("carol", "carol")}
+
+
+def test_optimizer_uses_manifest_stats(spark, tmp_path):
+    """ANALYZE-on-write loop: the pipeline's graph manifest carries
+    per-predicate planner stats identical to a fresh scan, and
+    bgp_query_optimized planning from them returns the same bindings."""
+    from openapi_to_rdf_spark.operators.bgp import (
+        bgp_query_optimized, predicate_stats, stats_from_manifest,
+    )
+    from openapi_to_rdf_spark.operators.extract import KG_NS
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+
+    out = run_pipeline(spark, tmp_path / "wd", n_convs=60, seed=42)
+    graph = read_snapshot(spark, tmp_path / "wd" / "graph")
+    stored = stats_from_manifest(out["graph"])
+    assert stored == predicate_stats(graph)
+    assert all(len(v) == 3 for v in stored.values()) and stored
+
+    pats = [("?turn", KG_NS + "atTime", "?ts"),
+            ("?turn", KG_NS + "role", "user")]
+    base = {(r.turn, r.ts)
+            for r in bgp_query_optimized(graph, pats).collect()}
+    direct = {(r.turn, r.ts)
+              for r in bgp_query_optimized(graph, pats,
+                                           stats=stored).collect()}
+    assert base == direct and len(base) > 0
+
+    with pytest.raises(ValueError, match="no predicate_stats"):
+        stats_from_manifest({"metrics": {}})
