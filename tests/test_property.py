@@ -126,3 +126,73 @@ def test_simhash_block_banding_pigeonhole(sig, flip_bits):
     assert len(combos) == 10  # C(5,2)
     assert any(all(block(sig, i) == block(other, i) for i in combo)
                for combo in combos)
+
+
+# -- Spark-backed graph-operator properties (small random graphs vs pure-
+# python references; low example counts — each example is a Spark job) ----
+
+edge_lists = st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                      min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists, st.integers(1, 3))
+def test_k_core_matches_python_peel(spark, edges, k):
+    """k_core == the sequential peel on any random multigraph (direction,
+    duplicates and self-loops collapse first)."""
+    from collections import defaultdict
+
+    from openapi_to_rdf_spark.operators.graphrank import k_core
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    expected = {n: len(vs) for n, vs in adj.items()}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.degree for r in k_core(df, k).collect()}
+    assert got == expected
+
+
+triple_lists = st.lists(
+    st.tuples(st.integers(0, 7), st.sampled_from(["p", "q", "r", "s"]),
+              st.integers(0, 9)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(triple_lists)
+def test_characteristic_sets_partition_property(spark, ts):
+    """Characteristic sets PARTITION subjects and triples on any random
+    graph, and per-set stats equal the python reference."""
+    from collections import defaultdict
+
+    from openapi_to_rdf_spark.operators.kgstats import characteristic_sets
+
+    by_s = defaultdict(list)
+    for s, p, _ in ts:
+        by_s[s].append(p)
+    expected = defaultdict(lambda: [0, 0])
+    for s, preds in by_s.items():
+        cs = ",".join(sorted(set(preds)))
+        expected[cs][0] += 1
+        expected[cs][1] += len(preds)
+
+    df = spark.createDataFrame([(str(s), p, str(o)) for s, p, o in ts],
+                               ["s", "p", "o"])
+    got = {r.cs: [r.n_subjects, r.n_triples]
+           for r in characteristic_sets(df).collect()}
+    assert got == dict(expected)
+    assert sum(v[0] for v in got.values()) == len(by_s)
+    assert sum(v[1] for v in got.values()) == len(ts)
