@@ -103,6 +103,19 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="keep running for new files (default: availableNow "
                         "— drain what exists, then exit)")
     s.add_argument("--cores", type=int, default=None)
+    q = sub.add_parser("query", help="SPARQL-style BGP over a materialized "
+                                    "kg workdir graph (statistics-ordered)")
+    q.add_argument("--workdir", required=True,
+                   help="the kg pipeline workdir (reads graph/ LATEST)")
+    q.add_argument("patterns",
+                   help="dot-separated triple patterns; ?x marks variables, "
+                        "kg: expands to the KG namespace — e.g. "
+                        "\"?t kg:role user . ?t kg:atTime ?ts\"")
+    q.add_argument("--select", default=None,
+                   help="comma-separated variables to project")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--distinct", action="store_true")
+    q.add_argument("--cores", type=int, default=None)
     return p
 
 
@@ -301,11 +314,49 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    from .operators.bgp import bgp_query_optimized, stats_from_manifest
+    from .operators.extract import KG_NS
+    from .plans.snapshot import read_manifest, read_snapshot
+    from .session import get_spark
+
+    spark = get_spark(app_name="kg-query", cores=args.cores)
+    wd = args.workdir.rstrip("/") + "/graph"
+    graph = read_snapshot(spark, wd)
+    try:
+        stats = stats_from_manifest(read_manifest(wd))
+    except ValueError:
+        stats = None  # pre-statistics snapshot: optimizer scans once
+
+    def term(tok):
+        return KG_NS + tok[3:] if tok.startswith("kg:") else tok
+
+    patterns = []
+    for pat in args.patterns.split("."):
+        toks = pat.split()
+        if len(toks) != 3:
+            print(f"bad pattern: {pat.strip()!r} (need 3 terms)")
+            return 2
+        patterns.append(tuple(term(t) for t in toks))
+    select = ([v if v.startswith("?") else "?" + v
+               for v in args.select.split(",")] if args.select else None)
+    out = bgp_query_optimized(graph, patterns, stats=stats, select=select,
+                              distinct=args.distinct)
+    rows = out.limit(args.limit).collect()
+    cols = out.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join(str(r[c]) for c in cols))
+    print(f"({len(rows)} row(s) shown, limit {args.limit})")
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     return {"convert": cmd_convert, "kg": cmd_kg,
             "validate": cmd_validate,
-            "stream": cmd_stream}[args.cmd](args)
+            "stream": cmd_stream,
+            "query": cmd_query}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -369,3 +369,31 @@ def test_optimizer_uses_manifest_stats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no predicate_stats"):
         stats_from_manifest({"metrics": {}})
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    """`query` CLI: statistics-ordered BGP over a materialized workdir
+    graph, kg: prefix expansion, select/limit, and the row count agrees
+    with the direct operator."""
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.operators.extract import KG_NS
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+    from openapi_to_rdf_spark.plans.snapshot import read_snapshot
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=40, seed=42)
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "?t kg:role user . ?t kg:atTime ?ts",
+               "--select", "t,ts", "--limit", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert lines[0] == "t\tts"
+    assert lines[-1].startswith("(5 row(s) shown")
+
+    graph = read_snapshot(spark, tmp_path / "wd" / "graph")
+    n = bgp_query(graph, [("?t", KG_NS + "role", "user"),
+                          ("?t", KG_NS + "atTime", "?ts")]).count()
+    assert n >= 5
+
+    assert main(["query", "--workdir", str(tmp_path / "wd"),
+                 "?t kg:role"]) == 2  # malformed pattern
