@@ -115,6 +115,8 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="comma-separated variables to project")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--distinct", action="store_true")
+    q.add_argument("--explain", action="store_true",
+                   help="print the optimized physical plan instead of rows")
     q.add_argument("--cores", type=int, default=None)
     return p
 
@@ -331,17 +333,31 @@ def cmd_query(args) -> int:
     def term(tok):
         return KG_NS + tok[3:] if tok.startswith("kg:") else tok
 
+    def pred(tok):
+        # property-path suffixes on the predicate position: p+ / p* ;
+        # ^p inverts (compose: ^p+ = inverse then closure)
+        inv = tok.startswith("^")
+        if inv:
+            tok = tok[1:]
+        out = (("+", term(tok[:-1])) if tok.endswith("+")
+               else ("*", term(tok[:-1])) if tok.endswith("*")
+               else term(tok))
+        return ("inv", out) if inv else out
+
     patterns = []
     for pat in args.patterns.split("."):
         toks = pat.split()
         if len(toks) != 3:
             print(f"bad pattern: {pat.strip()!r} (need 3 terms)")
             return 2
-        patterns.append(tuple(term(t) for t in toks))
+        patterns.append((term(toks[0]), pred(toks[1]), term(toks[2])))
     select = ([v if v.startswith("?") else "?" + v
                for v in args.select.split(",")] if args.select else None)
     out = bgp_query_optimized(graph, patterns, stats=stats, select=select,
                               distinct=args.distinct)
+    if args.explain:
+        out.explain("formatted")
+        return 0
     rows = out.limit(args.limit).collect()
     cols = out.columns
     print("\t".join(cols))

@@ -397,3 +397,23 @@ def test_cli_query_subcommand(spark, tmp_path, capsys):
 
     assert main(["query", "--workdir", str(tmp_path / "wd"),
                  "?t kg:role"]) == 2  # malformed pattern
+
+
+def test_cli_query_path_suffix_and_explain(spark, tmp_path, capsys):
+    """query CLI path syntax: kg:pred+ compiles to a closure in predicate
+    position; --explain prints a plan instead of rows."""
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=30, seed=42)
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "?c kg:hasTurn+ ?t . ?t kg:role user",
+               "--select", "c,t", "--limit", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "c\tt"
+
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "?t kg:role user", "--explain"])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
