@@ -1744,6 +1744,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("dst"))
         return k_core(edges, 12, rounds=2)
 
+    def q_kg_dangling(spark, sf_dir):
+        """Referential-integrity audit (graphq.dangling_objects): drop the
+        rname triples of odd-keyed regions from the order-triple view so
+        their inRegion references dangle; DuckDB replays the prune and the
+        anti-join census."""
+        from openapi_to_rdf_spark.operators.graphq import dangling_objects
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        tr = _order_triples(spark, sf_dir)
+        pruned = tr.filter(~(
+            (F.col("p") == kg + "rname")
+            & (F.regexp_extract("s", r"region#(\d+)", 1).cast("long")
+               % 2 == 1)))
+        return dangling_objects(pruned, "region#")
+
     def q_kg_asof(spark, sf_dir):
         """Triple-level time travel (graphq.graph_asof): an orders-derived
         changelog — insert at o_orderdate, delete at +30d for every third
@@ -2398,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": q_kg_char_sets,
         "kg_kcore": q_kg_kcore,
         "kg_asof": q_kg_asof,
+        "kg_dangling": q_kg_dangling,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3020,6 +3036,54 @@ def oracle_sql() -> dict[str, str]:
                        occ0 * occ1 * 1000000.0 / n_subjects)
                        AS BIGINT)), 0) AS BIGINT) AS est_e6
             FROM qual JOIN stats USING (cs)
+        """,
+        "kg_dangling": """
+            WITH tr AS (
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#placedBy' AS p,
+                     'cust#' || CAST(o_custkey AS VARCHAR) AS o
+              FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#priority',
+                     o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'order#' || CAST(o_orderkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#totalPriceE6',
+                     CAST(CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                          AS VARCHAR) FROM orders
+              UNION ALL
+              SELECT 'cust#' || CAST(c_custkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#inNation',
+                     'nation#' || CAST(c_nationkey AS VARCHAR)
+              FROM customer
+              UNION ALL
+              SELECT 'nation#' || CAST(n_nationkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#name',
+                     n_name FROM nation
+              UNION ALL
+              SELECT 'nation#' || CAST(n_nationkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#inRegion',
+                     'region#' || CAST(n_regionkey AS VARCHAR) FROM nation
+              UNION ALL
+              SELECT 'region#' || CAST(r_regionkey AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#rname',
+                     r_name FROM region),
+            pruned AS (
+              SELECT * FROM tr
+              WHERE NOT (p = 'http://ericsson.com/models/3gpp/kg#rname'
+                         AND CAST(regexp_extract(s, 'region#(\\d+)', 1)
+                                  AS BIGINT) % 2 = 1)),
+            subs AS (SELECT DISTINCT s AS node FROM pruned),
+            refs AS (SELECT DISTINCT p, o AS node FROM pruned
+                     WHERE o LIKE 'region#%'),
+            nr AS (SELECT p, COUNT(*) AS n_refs FROM refs GROUP BY p),
+            nd AS (SELECT r.p, COUNT(*) AS n_dangling
+                   FROM refs r LEFT JOIN subs s ON r.node = s.node
+                   WHERE s.node IS NULL GROUP BY r.p)
+            SELECT nr.p, nr.n_refs,
+                   COALESCE(nd.n_dangling, 0) AS n_dangling
+            FROM nr LEFT JOIN nd ON nr.p = nd.p
         """,
         "kg_void": """
             WITH tr AS (

@@ -167,3 +167,29 @@ def graph_asof(changelog: DataFrame, at, s_col: str = "s",
                                   F.col(op_col).alias("op")))
                    .alias("last")))
     return latest.filter(F.col("last.op") == "I").select("s", "p", "o")
+
+
+def dangling_objects(triples: DataFrame, iri_prefix: str,
+                     s_col: str = "s", p_col: str = "p",
+                     o_col: str = "o") -> DataFrame:
+    """Referential-integrity audit: per predicate, how many DISTINCT
+    objects under ``iri_prefix`` are referenced but never occur as a
+    subject anywhere in the graph — the broken edges that appear after
+    filtering/sampling/quarantining upstream of materialization (the KG
+    sibling of a foreign-key check).
+
+    Returns (p, n_refs, n_dangling). One distinct-subject projection
+    (anti-join build side), one pruned reference rollup — both shuffles
+    on the node key; nothing corpus-wide beyond the two scans.
+    """
+    subs = (triples.select(F.col(s_col).alias("node"))
+            .dropDuplicates())
+    refs = (triples.filter(F.col(o_col).startswith(iri_prefix))
+            .select(F.col(p_col).alias("p"), F.col(o_col).alias("node"))
+            .dropDuplicates())
+    n_refs = refs.groupBy("p").agg(F.count(F.lit(1)).alias("n_refs"))
+    n_dang = (refs.join(subs, "node", "left_anti")
+              .groupBy("p").agg(F.count(F.lit(1)).alias("n_dangling")))
+    return (n_refs.join(n_dang, "p", "left")
+            .select("p", "n_refs",
+                    F.coalesce("n_dangling", F.lit(0)).alias("n_dangling")))

@@ -138,3 +138,20 @@ def test_star_cardinalities_single_pass_matches(g):
     assert (r.n_subjects, r.est_e6) == (3, 4_000_000)
     [r0] = star_cardinalities(g, ["knows", "missing"]).collect()
     assert (r0.n_subjects, r0.est_e6) == (0, 0)
+
+
+def test_dangling_objects_audit(spark):
+    """Planted broken edge: ent#2 is referenced but never a subject;
+    literals and out-of-prefix objects are ignored."""
+    from openapi_to_rdf_spark.operators.graphq import dangling_objects
+
+    g = spark.createDataFrame([
+        ("ent#1", "rel", "ent#2"),          # dangling: ent#2 never subject
+        ("ent#1", "rel", "ent#3"),          # ok: ent#3 is a subject below
+        ("ent#3", "name", "charlie"),       # literal object, ignored
+        ("ent#1", "near", "ent#3"),         # ok
+        ("ent#3", "near", "other:thing"),   # out-of-prefix, ignored
+    ], ["s", "p", "o"])
+    got = {r.p: (r.n_refs, r.n_dangling)
+           for r in dangling_objects(g, "ent#").collect()}
+    assert got == {"rel": (2, 1), "near": (1, 0)}
