@@ -1181,6 +1181,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "n_orders": ("count", "?o")})
         return out.withColumnRenamed("nname", "nation_name")
 
+    def q_bgp_subquery(spark, sf_dir):
+        """SPARQL subquery + BIND (bgp.bgp_query subqueries/bind): a
+        nested per-customer urgent-order COUNT joins the outer
+        customer→nation patterns on ?c, BIND derives a tag from the bound
+        variables, and a FILTER constrains the subquery's aggregate —
+        vs the equivalent correlated GROUP-BY join in DuckDB."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_agg, bgp_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        triples = _order_triples(spark, sf_dir)
+        per_cust = bgp_agg(
+            triples,
+            [("?o", kg + "placedBy", "?c"),
+             ("?o", kg + "priority", "1-URGENT")],
+            ["?c"], {"n_orders": ("count", "?o")})
+        out = bgp_query(
+            triples,
+            [("?c", kg + "inNation", "?n"), ("?n", kg + "name", "?nname")],
+            subqueries=[per_cust],
+            bind={"?tag": "concat(nname, '#', cast(n_orders as string))"},
+            filters=["n_orders >= 2"])
+        return out.select(F.col("c").alias("cust_iri"),
+                          F.col("nname").alias("nation_name"),
+                          F.col("n_orders").cast("long").alias("n_orders"),
+                          "tag")
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2414,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_asof": q_kg_asof,
         "kg_dangling": q_kg_dangling,
+        "bgp_subquery": q_bgp_subquery,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3084,6 +3111,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT nr.p, nr.n_refs,
                    COALESCE(nd.n_dangling, 0) AS n_dangling
             FROM nr LEFT JOIN nd ON nr.p = nd.p
+        """,
+        "bgp_subquery": """
+            WITH uc AS (
+              SELECT 'cust#' || CAST(o_custkey AS VARCHAR) AS cust_iri,
+                     COUNT(*) AS n_orders
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY o_custkey)
+            SELECT uc.cust_iri, n.n_name AS nation_name,
+                   CAST(uc.n_orders AS BIGINT) AS n_orders,
+                   n.n_name || '#' || CAST(uc.n_orders AS VARCHAR) AS tag
+            FROM uc
+            JOIN customer c
+              ON uc.cust_iri = 'cust#' || CAST(c.c_custkey AS VARCHAR)
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE uc.n_orders >= 2
         """,
         "kg_void": """
             WITH tr AS (

@@ -50,6 +50,8 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
               optional: list[list[Pattern]] | None = None,
               filters: list | None = None,
               values: dict[str, list] | None = None,
+              bind: dict[str, object] | None = None,
+              subqueries: list[DataFrame] | None = None,
               order_by: list[str] | None = None,
               limit: int | None = None,
               offset: int | None = None) -> DataFrame:
@@ -78,6 +80,19 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
       joined in as a broadcast inner join on the shared variables (the
       standard VALUES-as-join semantics; a one-var VALUES degenerates to
       a pushed-down IN-list).
+    - ``subqueries``: SPARQL subqueries — nested SELECTs evaluated
+      bottom-up and joined into the group on their shared variables
+      (projected-variable visibility, per the SPARQL algebra). Pass the
+      already-compiled binding DataFrames (e.g. a :func:`bgp_agg` result,
+      columns named like the outer variables); each inner-joins the core
+      bindings on the column intersection. An aggregate subquery is how
+      SPARQL expresses "join each ?c against its COUNT" — the join key is
+      the subquery's group variable, so the shuffle is the narrow
+      (key, aggregates) relation, never the re-expanded bindings.
+    - ``bind``: SPARQL BIND(expr AS ?var) — {var: SQL-string-or-Column}
+      computed over the bound variables, extending every solution.
+      Applied before ``filters`` so a FILTER can constrain a BIND-ed
+      variable, exactly as a later FILTER in the group sees it.
     - ``order_by``: variable names, "-var" for DESC. With ``limit``,
       Spark plans TakeOrderedAndProject — a per-partition top-k plus one
       singleton reduce, never a global sort of the bindings.
@@ -129,6 +144,12 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
             # (SPARQL allows it) but it's the caller's cartesian to own
             out = (out.join(scan, shared) if shared
                    else out.crossJoin(scan))
+    for sub in subqueries or []:
+        shared = sorted(set(out.columns) & set(sub.columns))
+        if not shared:
+            raise ValueError("subquery shares no variable with the core "
+                             "patterns — its join would be a product")
+        out = out.join(sub, shared)
     for group in optional or []:
         grp = bgp_query(triples, group)
         shared = sorted(set(out.columns) & set(grp.columns))
@@ -145,6 +166,12 @@ def bgp_query(triples: DataFrame, patterns: list[Pattern],
         rows = list(zip(*vals.values()))
         inline = triples.sparkSession.createDataFrame(rows, list(vals))
         out = out.join(F.broadcast(inline), list(vals))
+    for var, expr in (bind or {}).items():
+        name = var.lstrip("?")
+        if name in out.columns:
+            raise ValueError(f"BIND target ?{name} is already bound")
+        out = out.withColumn(
+            name, F.expr(expr) if isinstance(expr, str) else expr)
     for cond in filters or []:
         out = out.filter(cond)
     if select:

@@ -417,3 +417,38 @@ def test_cli_query_path_suffix_and_explain(spark, tmp_path, capsys):
                "?t kg:role user", "--explain"])
     assert rc == 0
     assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_bind_extends_solutions_and_filters_see_it(g):
+    """BIND adds a computed variable to every solution; a FILTER after it
+    constrains the bound value (SPARQL group-element order)."""
+    rows = bgp_query(g, [("?x", "name", "?n")],
+                     bind={"?tag": "concat(x, '/', n)"},
+                     filters=["tag <> 'b/bob'"]).collect()
+    assert sorted(r.tag for r in rows) == ["a/alice", "c/carol"]
+
+
+def test_bind_rejects_rebinding(g):
+    with pytest.raises(ValueError):
+        bgp_query(g, [("?x", "name", "?n")], bind={"?n": "x"})
+
+
+def test_subquery_joins_aggregate_bindings(g):
+    """A nested SELECT (here a per-?x degree aggregate) inner-joins the
+    outer bindings on the shared variable; carol (no knows edge) drops,
+    per subselect-join semantics."""
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    sub = bgp_agg(g, [("?x", "knows", "?y")], ["?x"],
+                  {"deg": ("count", "?y")})
+    rows = bgp_query(g, [("?x", "name", "?n")], subqueries=[sub]).collect()
+    assert {(r.n, r.deg) for r in rows} == {("alice", 2), ("bob", 1)}
+
+
+def test_subquery_without_shared_variable_rejected(g):
+    from openapi_to_rdf_spark.operators.bgp import bgp_agg
+
+    sub = bgp_agg(g, [("?q", "knows", "?y")], ["?q"],
+                  {"deg": ("count", "?y")})
+    with pytest.raises(ValueError):
+        bgp_query(g, [("?x", "name", "?n")], subqueries=[sub])
