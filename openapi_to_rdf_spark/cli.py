@@ -115,6 +115,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="comma-separated variables to project")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--distinct", action="store_true")
+    q.add_argument("--filter", action="append", dest="filters",
+                   metavar="COND",
+                   help="SPARQL FILTER as a SQL condition over the bound "
+                        "variables (repeatable), e.g. \"role = 'user'\"")
+    q.add_argument("--bind", action="append", dest="binds",
+                   metavar="VAR=EXPR",
+                   help="SPARQL BIND: computed variable from a SQL "
+                        "expression over bound variables (repeatable)")
     q.add_argument("--explain", action="store_true",
                    help="print the optimized physical plan instead of rows")
     q.add_argument("--cores", type=int, default=None)
@@ -353,8 +361,16 @@ def cmd_query(args) -> int:
         patterns.append((term(toks[0]), pred(toks[1]), term(toks[2])))
     select = ([v if v.startswith("?") else "?" + v
                for v in args.select.split(",")] if args.select else None)
+    binds = {}
+    for b in args.binds or []:
+        if "=" not in b:
+            print(f"bad --bind {b!r} (need VAR=EXPR)")
+            return 2
+        var, expr = b.split("=", 1)
+        binds[var.strip()] = expr
     out = bgp_query_optimized(graph, patterns, stats=stats, select=select,
-                              distinct=args.distinct)
+                              distinct=args.distinct,
+                              filters=args.filters, bind=binds or None)
     if args.explain:
         out.explain("formatted")
         return 0

@@ -452,3 +452,25 @@ def test_subquery_without_shared_variable_rejected(g):
                   {"deg": ("count", "?y")})
     with pytest.raises(ValueError):
         bgp_query(g, [("?x", "name", "?n")], subqueries=[sub])
+
+
+def test_cli_query_filter_and_bind(spark, tmp_path, capsys):
+    """query CLI --filter/--bind: FILTER prunes bindings by a SQL
+    condition; BIND derives a projectable variable."""
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=30, seed=42)
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "?t kg:role ?r",
+               "--filter", "r <> 'user'",
+               "--bind", "tag=concat(r, '!')",
+               "--select", "r,tag", "--limit", "4"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "r\ttag"
+    body = [ln.split("\t") for ln in lines[1:-1]]
+    assert body and all(r != "user" and tag == r + "!" for r, tag in body)
+
+    assert main(["query", "--workdir", str(tmp_path / "wd"),
+                 "?t kg:role ?r", "--bind", "notanassignment"]) == 2
