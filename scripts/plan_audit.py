@@ -26,7 +26,8 @@ AUDIT = [
     "graph_walks", "graph_skipgrams", "edit_dup_pairs", "rrf_events",
     "user_setop_sketch", "value_anomalies", "value_equidepth",
     "image_dups", "kg_char_sets", "kg_star_card", "kg_void", "kg_kcore",
-    "kg_asof", "bgp_optimized", "source_overlap",
+    "kg_asof", "bgp_optimized", "source_overlap", "kg_dangling",
+    "bgp_subquery",
 ]
 
 
