@@ -1207,6 +1207,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("n_orders").cast("long").alias("n_orders"),
                           "tag")
 
+    def q_bgp_union(spark, sf_dir):
+        """SPARQL UNION (bgp.bgp_union): nation-name and region-name
+        branches, columns aligned by variable name — ?n binds only in the
+        first branch and ?r only in the second, so each branch null-pads
+        the other's variable (SPARQL union semantics, bag). Oracle =
+        UNION ALL with explicit NULL columns."""
+        from openapi_to_rdf_spark.operators.bgp import bgp_union
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        out = bgp_union(_order_triples(spark, sf_dir),
+                        [[("?n", kg + "name", "?label")],
+                         [("?r", kg + "rname", "?label")]])
+        return out.select(F.col("n").alias("nation_iri"),
+                          F.col("label").alias("label"),
+                          F.col("r").alias("region_iri"))
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2441,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof": q_kg_asof,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
+        "bgp_union": q_bgp_union,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3126,6 +3143,15 @@ def oracle_sql() -> dict[str, str]:
               ON uc.cust_iri = 'cust#' || CAST(c.c_custkey AS VARCHAR)
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE uc.n_orders >= 2
+        """,
+        "bgp_union": """
+            SELECT 'nation#' || CAST(n_nationkey AS VARCHAR) AS nation_iri,
+                   n_name AS label, CAST(NULL AS VARCHAR) AS region_iri
+            FROM nation
+            UNION ALL
+            SELECT CAST(NULL AS VARCHAR), r_name,
+                   'region#' || CAST(r_regionkey AS VARCHAR)
+            FROM region
         """,
         "kg_void": """
             WITH tr AS (
