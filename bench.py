@@ -152,7 +152,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "important_parts", "mixture_upsample",
              # added r2 session 12
              "kg_char_sets", "kg_star_card", "kg_void", "kg_kcore",
-             "bgp_optimized", "source_overlap", "kg_asof"]
+             "bgp_optimized", "source_overlap", "kg_asof",
+             # added r2 session 13
+             "kg_dangling", "bgp_subquery", "bgp_union"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case
