@@ -1223,6 +1223,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("label").alias("label"),
                           F.col("r").alias("region_iri"))
 
+    def q_kg_update(spark, sf_dir):
+        """SPARQL 1.1 Update (update.delete_insert): one DELETE/INSERT
+        WHERE rewrites every urgent order's priority triple to
+        '0-REVIEWED' and stamps a reviewed marker; the per-(p, o) census
+        of the updated graph must reproduce the CASE rewrite DuckDB runs
+        on the base table — hash equality proves the anti-join delete +
+        dedup-insert keep exact set semantics."""
+        from openapi_to_rdf_spark.operators.update import delete_insert
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        updated = delete_insert(
+            _order_triples(spark, sf_dir),
+            [("?o", kg + "priority", "1-URGENT")],
+            delete=[("?o", kg + "priority", "1-URGENT")],
+            insert=[("?o", kg + "priority", "0-REVIEWED"),
+                    ("?o", kg + "reviewed", "true")])
+        return (updated
+                .filter(F.col("p").isin(kg + "priority", kg + "reviewed"))
+                .groupBy("p", "o").agg(F.count(F.lit(1)).alias("n")))
+
+    def q_bgp_graphs(spark, sf_dir):
+        """Named-graph dataset queries (quads.quad_query): the orders
+        facts live in one named graph per order priority, customers and
+        nations in g#CUST / g#REF reference graphs; a GRAPH ?g star over
+        placedBy+totalPriceE6 joins through the constant-graph customer
+        and nation patterns (the graph column participating in the joins
+        exactly like s/p/o), then aggregates per (graph, nation) — vs the
+        relational join DuckDB runs on the base tables."""
+        from openapi_to_rdf_spark.operators.quads import quad_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+        def iri(prefix, col):
+            return F.concat(F.lit(prefix), F.col(col).cast("string"))
+
+        def quad(g, s, p, o):
+            return F.struct(g.alias("g"), s.alias("s"),
+                            F.lit(p).alias("p"), o.alias("o"))
+
+        prio_graph = F.concat(F.lit("g#"), F.col("o_orderpriority"))
+        quads = (orders.select(F.explode(F.array(
+            quad(prio_graph, iri("order#", "o_orderkey"), kg + "placedBy",
+                 iri("cust#", "o_custkey")),
+            quad(prio_graph, iri("order#", "o_orderkey"),
+                 kg + "totalPriceE6",
+                 F.round(F.col("o_totalprice") * 1000000).cast("long")
+                 .cast("string")))).alias("q"))
+            .unionAll(cust.select(F.explode(F.array(
+                quad(F.lit("g#CUST"), iri("cust#", "c_custkey"),
+                     kg + "inNation", iri("nation#", "c_nationkey"))))
+                .alias("q")))
+            .unionAll(nation.select(F.explode(F.array(
+                quad(F.lit("g#REF"), iri("nation#", "n_nationkey"),
+                     kg + "name", F.col("n_name")))).alias("q")))
+            .select("q.g", "q.s", "q.p", "q.o"))
+
+        bindings = quad_query(quads, [
+            ("?g", "?o", kg + "placedBy", "?c"),
+            ("?g", "?o", kg + "totalPriceE6", "?t"),
+            ("g#CUST", "?c", kg + "inNation", "?n"),
+            ("g#REF", "?n", kg + "name", "?nname"),
+        ], filters=["cast(t as bigint) >= 100000000000"])
+        return (bindings.groupBy(F.col("g").alias("graph"),
+                                 F.col("nname").alias("nation_name"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2458,6 +2527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
+        "kg_update": q_kg_update,
+        "bgp_graphs": q_bgp_graphs,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3152,6 +3223,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS VARCHAR), r_name,
                    'region#' || CAST(r_regionkey AS VARCHAR)
             FROM region
+        """,
+        "kg_update": """
+            WITH pr AS (
+              SELECT 'http://ericsson.com/models/3gpp/kg#priority' AS p,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN '0-REVIEWED' ELSE o_orderpriority END AS o
+              FROM orders
+              UNION ALL
+              SELECT 'http://ericsson.com/models/3gpp/kg#reviewed', 'true'
+              FROM orders WHERE o_orderpriority = '1-URGENT')
+            SELECT p, o, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pr GROUP BY p, o
+        """,
+        "bgp_graphs": """
+            SELECT 'g#' || o.o_orderpriority AS graph,
+                   n.n_name AS nation_name, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
+                  >= 100000000000
+            GROUP BY 1, 2
         """,
         "kg_void": """
             WITH tr AS (
