@@ -1292,6 +1292,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  F.col("nname").alias("nation_name"))
                 .agg(F.count(F.lit(1)).alias("n")))
 
+    def q_sparql_select(spark, sf_dir):
+        """SPARQL 1.1 text front-end (sparql.sparql_query): a standard
+        SELECT string — prefixes, predicate-object lists, OPTIONAL,
+        FILTER with STRSTARTS/||, BIND — parsed and compiled onto the
+        tuple-API operators; must reproduce DuckDB's relational join on
+        the base tables (text → algebra → DataFrame, hash-verified)."""
+        from openapi_to_rdf_spark.sparql import sparql_query
+
+        return sparql_query(_order_triples(spark, sf_dir), """
+            PREFIX kg: <http://ericsson.com/models/3gpp/kg#>
+            SELECT ?nation_name ?priority ?order_iri ?region_name WHERE {
+              ?o kg:placedBy ?c ; kg:priority ?priority .
+              ?c kg:inNation ?n .
+              ?n kg:name ?nation_name .
+              OPTIONAL { ?n kg:inRegion ?r . ?r kg:rname ?region_name }
+              FILTER(STRSTARTS(?priority, "1") || ?priority = "2-HIGH")
+              BIND(?o AS ?order_iri)
+            }""")
+
+    def q_sparql_agg(spark, sf_dir):
+        """SPARQL text aggregates: GROUP BY + COUNT/SUM(xsd:long cast) +
+        HAVING parsed from standard syntax; the plain-pattern WHERE group
+        routes through bgp_agg's eager pre-aggregation pushdown, so the
+        text path inherits the scale rewrite. Hash-checked vs DuckDB's
+        GROUP BY on the base tables."""
+        from openapi_to_rdf_spark.sparql import sparql_query
+
+        return sparql_query(_order_triples(spark, sf_dir), """
+            PREFIX kg: <http://ericsson.com/models/3gpp/kg#>
+            SELECT ?nation_name (COUNT(?o) AS ?n_orders)
+                   (SUM(xsd:long(?t)) AS ?sum_e6) WHERE {
+              ?o kg:placedBy ?c ; kg:priority "1-URGENT" ;
+                 kg:totalPriceE6 ?t .
+              ?c kg:inNation ?n .
+              ?n kg:name ?nation_name .
+            } GROUP BY ?nation_name HAVING (COUNT(?o) > 100)""")
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2529,6 +2566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_union": q_bgp_union,
         "kg_update": q_kg_update,
         "bgp_graphs": q_bgp_graphs,
+        "sparql_select": q_sparql_select,
+        "sparql_agg": q_sparql_agg,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3245,6 +3284,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
                   >= 100000000000
             GROUP BY 1, 2
+        """,
+        "sparql_select": """
+            SELECT n.n_name AS nation_name,
+                   o.o_orderpriority AS priority,
+                   'order#' || CAST(o.o_orderkey AS VARCHAR) AS order_iri,
+                   r.r_name AS region_name
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE o.o_orderpriority LIKE '1%'
+               OR o.o_orderpriority = '2-HIGH'
+        """,
+        "sparql_agg": """
+            SELECT n.n_name AS nation_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_e6
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY 1 HAVING COUNT(*) > 100
         """,
         "kg_void": """
             WITH tr AS (

@@ -21,6 +21,7 @@ existing session/conf is reused by getOrCreate).
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 VERSION = "0.1.0"
@@ -103,14 +104,17 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="keep running for new files (default: availableNow "
                         "— drain what exists, then exit)")
     s.add_argument("--cores", type=int, default=None)
-    q = sub.add_parser("query", help="SPARQL-style BGP over a materialized "
-                                    "kg workdir graph (statistics-ordered)")
+    q = sub.add_parser("query", help="SPARQL over a materialized kg "
+                                    "workdir graph (statistics-ordered)")
     q.add_argument("--workdir", required=True,
                    help="the kg pipeline workdir (reads graph/ LATEST)")
     q.add_argument("patterns",
-                   help="dot-separated triple patterns; ?x marks variables, "
-                        "kg: expands to the KG namespace — e.g. "
-                        "\"?t kg:role user . ?t kg:atTime ?ts\"")
+                   help="a full SPARQL query (anything starting with "
+                        "PREFIX/BASE/SELECT/ASK/CONSTRUCT/DESCRIBE — "
+                        "sparql.py's SPARQL 1.1 surface, kg: predeclared) "
+                        "OR shorthand dot-separated triple patterns; ?x "
+                        "marks variables, kg: expands to the KG namespace "
+                        "— e.g. \"?t kg:role user . ?t kg:atTime ?ts\"")
     q.add_argument("--select", default=None,
                    help="comma-separated variables to project")
     q.add_argument("--limit", type=int, default=20)
@@ -126,6 +130,19 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true",
                    help="print the optimized physical plan instead of rows")
     q.add_argument("--cores", type=int, default=None)
+
+    u = sub.add_parser("update", help="apply a SPARQL 1.1 Update request "
+                                      "to the workdir graph and commit the "
+                                      "result as a NEW snapshot (the old "
+                                      "one stays readable by fingerprint)")
+    u.add_argument("--workdir", required=True,
+                   help="the kg pipeline workdir (reads graph/ LATEST, "
+                        "writes the updated graph/ snapshot)")
+    u.add_argument("request",
+                   help="SPARQL Update text: DELETE/INSERT .. WHERE, "
+                        "DELETE WHERE, INSERT DATA, DELETE DATA, "
+                        "';'-separated sequences (kg: predeclared)")
+    u.add_argument("--cores", type=int, default=None)
     return p
 
 
@@ -338,6 +355,21 @@ def cmd_query(args) -> int:
     except ValueError:
         stats = None  # pre-statistics snapshot: optimizer scans once
 
+    if re.match(r"\s*(PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE)\b",
+                args.patterns, re.IGNORECASE):
+        from .sparql import sparql_query
+        out = sparql_query(graph, args.patterns, stats=stats)
+        if args.explain:
+            out.explain("formatted")
+            return 0
+        rows = out.limit(args.limit).collect()
+        cols = out.columns
+        print("\t".join(cols))
+        for r in rows:
+            print("\t".join(str(r[c]) for c in cols))
+        print(f"({len(rows)} row(s) shown, limit {args.limit})")
+        return 0
+
     def term(tok):
         return KG_NS + tok[3:] if tok.startswith("kg:") else tok
 
@@ -383,12 +415,50 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .plans.snapshot import (fingerprint, read_manifest, read_snapshot,
+                                 write_snapshot)
+    from .session import get_spark
+    from .sparql import sparql_update
+
+    spark = get_spark(app_name="kg-update", cores=args.cores)
+    wd = args.workdir.rstrip("/") + "/graph"
+    graph = read_snapshot(spark, wd)
+    prev_fp = read_manifest(wd)["fingerprint"]
+
+    spo = graph.select("s", "p", "o")
+    new_spo = sparql_update(spo, args.request)
+    # survivors keep their lineage metadata (two probe-side joins of the
+    # graph, never a graph-sized build); inserted triples get synthesized
+    # update provenance and the heuristic iri/literal object kind
+    kept = graph.join(new_spo, ["s", "p", "o"], "left_semi")
+    added = (new_spo.join(spo, ["s", "p", "o"], "left_anti")
+             .withColumn("file", F.lit("update"))
+             .withColumn("graph", F.lit("kg"))
+             .withColumn("o_kind", F.when(F.col("o").rlike("^[a-z][a-z0-9+.-]*://"),
+                                          "iri").otherwise("literal"))
+             .withColumn("o_datatype", F.lit(None).cast("string"))
+             .withColumn("pred", F.regexp_extract("p",
+                                                  r"([A-Za-z0-9_]+)$", 1))
+             .select(*graph.columns))
+    updated = kept.unionByName(added)
+    fp = fingerprint(prev_fp, "update", args.request)
+    man = write_snapshot(updated, wd, fp, partition_by=["pred"],
+                         count_by=["pred"], stats_cols=("p", "s", "o"))
+    print(f"graph updated: {man['metrics']['rows']} rows, "
+          f"snap {man['fingerprint']} (previous {prev_fp})")
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     return {"convert": cmd_convert, "kg": cmd_kg,
             "validate": cmd_validate,
             "stream": cmd_stream,
-            "query": cmd_query}[args.cmd](args)
+            "query": cmd_query,
+            "update": cmd_update}[args.cmd](args)
 
 
 if __name__ == "__main__":
