@@ -85,6 +85,10 @@ def _build_parser() -> argparse.ArgumentParser:
     k.add_argument("--export-ntriples", default=None, metavar="DIR",
                    help="also export the final graph as distributed "
                         "N-Triples part files under DIR")
+    k.add_argument("--export-nquads", default=None, metavar="DIR",
+                   help="also export the final graph as distributed "
+                        "N-Quads part files under DIR, with the store's "
+                        "subgraph column as the named-graph term")
     k.add_argument("--cores", type=int, default=None)
 
     s = sub.add_parser("stream", help="continuous ingest: transcript parquet "
@@ -103,6 +107,10 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--follow", action="store_true",
                    help="keep running for new files (default: availableNow "
                         "— drain what exists, then exit)")
+    s.add_argument("--construct", default=None, metavar="SPARQL",
+                   help="a SPARQL CONSTRUCT run over each batch's triples; "
+                        "derived triples commit under derived/ (batch-local "
+                        "semantics — conversation-contained rules are exact)")
     s.add_argument("--cores", type=int, default=None)
     q = sub.add_parser("query", help="SPARQL over a materialized kg "
                                     "workdir graph (statistics-ordered)")
@@ -293,6 +301,15 @@ def cmd_kg(args) -> int:
         graph = read_snapshot(spark, pathlib.Path(args.workdir) / "graph")
         write_ntriples(graph, args.export_ntriples)
         print(f"  ntriples: exported to {args.export_ntriples}")
+    if args.export_nquads:
+        import pathlib
+
+        from .plans.snapshot import read_snapshot
+        from .sinks import write_nquads
+
+        graph = read_snapshot(spark, pathlib.Path(args.workdir) / "graph")
+        write_nquads(graph, args.export_nquads, g_col="graph")
+        print(f"  nquads: exported to {args.export_nquads}")
     return 0
 
 
@@ -317,7 +334,8 @@ def cmd_stream(args) -> int:
     canonicalize = args.canonicalize or args.compact
     once = not args.follow
     queries = [start_stream_pipeline(source(), args.output_dir, vocab,
-                                     trigger_once=once)]
+                                     trigger_once=once,
+                                     construct=args.construct)]
     canon_dir = str(pathlib.Path(args.output_dir) / "canonical_state")
     if canonicalize:
         queries.append(start_incremental_canonicalization(
@@ -358,6 +376,13 @@ def cmd_query(args) -> int:
     if re.match(r"\s*(PREFIX|BASE|SELECT|ASK|CONSTRUCT|DESCRIBE)\b",
                 args.patterns, re.IGNORECASE):
         from .sparql import sparql_query
+
+        # GRAPH queries read the store's subgraph column (kg / entail /
+        # kg_coref / linker — the pipeline's per-stage named graphs) as
+        # the SPARQL dataset's graph term
+        if re.search(r"\bGRAPH\b", args.patterns, re.IGNORECASE) \
+                and "graph" in graph.columns:
+            graph = graph.withColumnRenamed("graph", "g")
         out = sparql_query(graph, args.patterns, stats=stats)
         if args.explain:
             out.explain("formatted")

@@ -68,7 +68,8 @@ def write_turtle(triples: DataFrame, output_dir: str) -> DataFrame:
     return triples.groupBy("file", "graph").applyInPandas(serialize, RESULT_SCHEMA)
 
 
-def ntriples_line(s=None, p=None, o=None, o_kind=None, o_datatype=None):
+def ntriples_line(s=None, p=None, o=None, o_kind=None, o_datatype=None,
+                  graph=None):
     """One N-Triples line per triple row as a PURE JVM expression.
 
     N-Triples is the line-oriented RDF syntax — no prefixes, no per-file
@@ -104,6 +105,9 @@ def ntriples_line(s=None, p=None, o=None, o_kind=None, o_datatype=None):
            .when(kind == "bnode",
                  F.when(o.startswith("_:"), o).otherwise(F.concat(F.lit("_:"), o)))
            .otherwise(lit))
+    if graph is not None:           # N-Quads: graph term before the dot
+        return F.concat(subj, F.lit(" <"), p, F.lit("> "), obj,
+                        F.lit(" "), graph, F.lit(" ."))
     return F.concat(subj, F.lit(" <"), p, F.lit("> "), obj, F.lit(" ."))
 
 
@@ -115,6 +119,39 @@ def write_ntriples(triples: DataFrame, output_path: str,
     parallel-read the parts). No shuffle unless ``partitions`` asks for a
     specific output file count."""
     out = triples.select(ntriples_line().alias("value"))
+    if partitions is not None:
+        out = out.repartition(partitions)
+    out.write.mode(mode).text(output_path)
+
+
+def write_nquads(quads: DataFrame, output_path: str, g_col: str = "g",
+                 graph_base: str = "urn:graph:", mode: str = "overwrite",
+                 partitions: int | None = None) -> None:
+    """Distributed N-Quads export — the dataset twin of
+    :func:`write_ntriples`: same pure-codegen line projection with the
+    graph label as the fourth term, so named-graph provenance survives
+    the export. Works over both the wide store schema (o_kind /
+    o_datatype present — the pipeline's ``graph`` column names the
+    subgraph) and bare (g, s, p, o) frames from operators/quads, where
+    object kind falls back to the IRI-scheme heuristic. Graph labels
+    that are not absolute IRIs are minted under ``graph_base`` (the
+    N-Quads grammar requires an IRI/bnode graph term)."""
+    from pyspark.sql import functions as F
+
+    df = quads
+    if "o_kind" not in df.columns:
+        df = df.withColumn(
+            "o_kind", F.when(F.col("o").rlike("^[a-z][a-z0-9+.-]*://"),
+                             "iri").otherwise("literal"))
+    if "o_datatype" not in df.columns:
+        df = df.withColumn("o_datatype", F.lit(None).cast("string"))
+    g = F.col(g_col)
+    gterm = F.concat(
+        F.lit("<"),
+        F.when(g.rlike("^[a-z][a-z0-9+.-]*:"), g)
+        .otherwise(F.concat(F.lit(graph_base), g)),
+        F.lit(">"))
+    out = df.select(ntriples_line(graph=gterm).alias("value"))
     if partitions is not None:
         out = out.repartition(partitions)
     out.write.mode(mode).text(output_path)

@@ -48,14 +48,26 @@ def stream_turn_triples(stream: DataFrame, class_vocab: DataFrame | None = None,
 
 def start_stream_pipeline(stream: DataFrame, output_dir: str,
                           class_vocab: DataFrame | None = None,
-                          trigger_once: bool = True):
+                          trigger_once: bool = True,
+                          construct: str | None = None):
     """foreachBatch micro-batch pipeline: batch extractor + idempotent
     per-batch Parquet commit + per-batch metrics sidecar.
+
+    ``construct``: an optional SPARQL CONSTRUCT string (sparql.py surface)
+    run over each batch's freshly-extracted triples; the derived triples
+    commit idempotently under ``derived/`` — materialized inference
+    maintained incrementally. Semantics are BATCH-LOCAL: a rule fires when
+    all its premises are in the same micro-batch, which is exact for
+    conversation-contained rules because the ingest contract delivers a
+    conversation's turns together (the same premise-locality assumption
+    the incremental entailment stage makes); cross-conversation rules
+    belong in the batch pipeline over the merged snapshot.
 
     Returns the StreamingQuery (caller awaits termination).
     """
     out = pathlib.Path(output_dir)
     data_dir = out / "triples"
+    derived_dir = out / "derived"
     metrics_dir = out / "_batch_metrics"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -65,6 +77,15 @@ def start_stream_pipeline(stream: DataFrame, output_dir: str,
         (triples.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite")
          .parquet(str(data_dir / f"batch_id={batch_id}")))
+        if construct:
+            from ..sparql import sparql_query
+
+            committed = spark.read.parquet(
+                str(data_dir / f"batch_id={batch_id}"))
+            (sparql_query(committed.select("s", "p", "o"), construct)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(str(derived_dir / f"batch_id={batch_id}")))
         n = spark.read.parquet(str(data_dir / f"batch_id={batch_id}")).count()
         (spark.createDataFrame([(batch_id, n)], "batch_id long, triples long")
          .write.mode("overwrite")
@@ -82,3 +103,9 @@ def read_stream_triples(spark, output_dir: str) -> DataFrame:
     """Read back everything the streaming pipeline has committed."""
     return spark.read.option("basePath", str(pathlib.Path(output_dir) / "triples")) \
         .parquet(str(pathlib.Path(output_dir) / "triples" / "batch_id=*"))
+
+
+def read_stream_derived(spark, output_dir: str) -> DataFrame:
+    """Read back the CONSTRUCT-derived triples committed per batch."""
+    return spark.read.option("basePath", str(pathlib.Path(output_dir) / "derived")) \
+        .parquet(str(pathlib.Path(output_dir) / "derived" / "batch_id=*"))

@@ -74,3 +74,42 @@ def test_ntriples_plan_is_pure_projection(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_nquads_wide_schema_and_graph_minting(spark, tmp_path):
+    """write_nquads over the store's wide schema: graph labels that are
+    not absolute IRIs mint under urn:graph:, literals keep datatype."""
+    from openapi_to_rdf_spark.sinks import write_nquads
+
+    df = spark.createDataFrame(
+        [("kg", "http://x/s1", "http://x/p", "http://x/o", "iri", None),
+         ("entail", "http://x/s2", "http://x/p", "42", "literal",
+          "http://www.w3.org/2001/XMLSchema#integer"),
+         ("http://g/already-iri", "http://x/s3", "http://x/p", "hi",
+          "literal", None)],
+        ["g", "s", "p", "o", "o_kind", "o_datatype"])
+    write_nquads(df, str(tmp_path / "nq"))
+    lines = {l for l in _read_parts(tmp_path / "nq").splitlines() if l}
+    assert lines == {
+        "<http://x/s1> <http://x/p> <http://x/o> <urn:graph:kg> .",
+        '<http://x/s2> <http://x/p> "42"^^<http://www.w3.org/2001/'
+        'XMLSchema#integer> <urn:graph:entail> .',
+        '<http://x/s3> <http://x/p> "hi" <http://g/already-iri> .',
+    }
+
+
+def test_nquads_bare_quads_heuristic_kind(spark, tmp_path):
+    """Bare (g,s,p,o) frames (operators/quads shape): object kind falls
+    back to the IRI-scheme heuristic, datatype omitted."""
+    from openapi_to_rdf_spark.sinks import write_nquads
+
+    df = spark.createDataFrame(
+        [("g1", "http://x/s", "http://x/p", "http://x/o"),
+         ("g1", "http://x/s", "http://x/q", "plain text")],
+        ["g", "s", "p", "o"])
+    write_nquads(df, str(tmp_path / "nq"))
+    lines = {l for l in _read_parts(tmp_path / "nq").splitlines() if l}
+    assert lines == {
+        "<http://x/s> <http://x/p> <http://x/o> <urn:graph:g1> .",
+        '<http://x/s> <http://x/q> "plain text" <urn:graph:g1> .',
+    }

@@ -306,3 +306,19 @@ def test_cli_update_commits_new_snapshot(spark, tmp_path, capsys):
                'ASK WHERE { ?t kg:role "human" }'])
     assert rc == 0
     assert "true" in capsys.readouterr().out.lower()
+
+
+def test_cli_query_graph_over_store_dataset(spark, tmp_path, capsys):
+    """GRAPH queries against the materialized store read the pipeline's
+    subgraph column (kg / entail / ...) as the dataset's graph term."""
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=20, seed=42)
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "SELECT ?g (COUNT(?t) AS ?n) WHERE { "
+               "GRAPH ?g { ?t kg:role ?r } } GROUP BY ?g"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "g\tn"
+    assert "kg" in out

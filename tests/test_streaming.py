@@ -432,3 +432,42 @@ def test_compact_dedup_state_preserves_map_and_replay(spark, tmp_path):
     m2 = {r.doc_id: r.canonical
           for r in read_dedup_map(spark, sd).collect()}
     assert m2 == m
+
+
+def test_stream_construct_matches_batch(spark, tmp_path):
+    """Per-batch SPARQL CONSTRUCT (materialized inference maintained
+    incrementally): for a conversation-contained rule the streamed
+    derivation equals the batch CONSTRUCT over all triples, because the
+    ingest contract delivers a conversation's turns together."""
+    from openapi_to_rdf_spark.operators.extract import KG_NS
+    from openapi_to_rdf_spark.sparql import sparql_query
+    from openapi_to_rdf_spark.streaming.ingest import read_stream_derived
+
+    src = tmp_path / "incoming"
+    out = tmp_path / "out"
+    turns = synth_transcripts(spark, 60, seed=11)
+    turns.filter(F.col("conv_id") < "c000000030").coalesce(1) \
+        .write.parquet(str(src / "chunk0"))
+    turns.filter(F.col("conv_id") >= "c000000030").coalesce(1) \
+        .write.parquet(str(src / "chunk1"))
+
+    rule = (f'PREFIX kg: <{KG_NS}> '
+            'CONSTRUCT { ?c kg:hasUserTurn ?t } '
+            'WHERE { ?c kg:hasTurn ?t . ?t kg:role "user" }')
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = start_stream_pipeline(stream, str(out), class_vocab_df(spark),
+                              construct=rule)
+    q.awaitTermination(120)
+
+    got = read_stream_derived(spark, str(out)) \
+        .select("s", "p", "o").dropDuplicates()
+    expected = sparql_query(
+        extract_transcript_triples(turns, class_vocab_df(spark))
+        .select("s", "p", "o"), rule)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+    assert got.count() > 0
+    assert {r.p for r in got.select("p").distinct().collect()} == {
+        KG_NS + "hasUserTurn"}
