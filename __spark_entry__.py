@@ -1329,6 +1329,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               ?n kg:name ?nation_name .
             } GROUP BY ?nation_name HAVING (COUNT(?o) > 100)""")
 
+    def q_kg_sameas(spark, sf_dir):
+        """owl:sameAs smushing (entailment.sameas_smush): customers are
+        linked into same-residue identity chains (cust#c sameAs
+        cust#(c-100)), so the equivalence classes are analytically the
+        custkey residues mod 100 and the representative is the
+        lexicographic-min member IRI — which DuckDB computes directly
+        with a windowed MIN over the residue partition. Counting orders
+        per smushed customer hash-checks the salted-CC class computation
+        AND the representative rewrite end to end."""
+        from openapi_to_rdf_spark.operators.entailment import sameas_smush
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        same = "http://www.w3.org/2002/07/owl#sameAs"
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+        def iri(prefix, col):
+            return F.concat(F.lit(prefix), col.cast("string"))
+
+        facts = orders.select(
+            iri("order#", F.col("o_orderkey")).alias("s"),
+            F.lit(kg + "placedBy").alias("p"),
+            iri("cust#", F.col("o_custkey")).alias("o"))
+        edges = (cust.filter(F.col("c_custkey") >= 100)
+                 .select(iri("cust#", F.col("c_custkey")).alias("s"),
+                         F.lit(same).alias("p"),
+                         iri("cust#", F.col("c_custkey") - 100).alias("o")))
+        smushed = sameas_smush(facts.unionByName(edges), sameas_pred=same)
+        return (smushed.filter(F.col("p") == kg + "placedBy")
+                .groupBy(F.col("o").alias("canonical"))
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2568,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_graphs": q_bgp_graphs,
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
+        "kg_sameas": q_kg_sameas,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3307,6 +3340,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE o.o_orderpriority = '1-URGENT'
             GROUP BY 1 HAVING COUNT(*) > 100
+        """,
+        "kg_sameas": """
+            WITH canon AS (
+              SELECT c_custkey,
+                     MIN('cust#' || CAST(c_custkey AS VARCHAR))
+                       OVER (PARTITION BY c_custkey % 100) AS canonical
+              FROM customer)
+            SELECT canon.canonical AS canonical,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN canon ON o.o_custkey = canon.c_custkey
+            GROUP BY 1
         """,
         "kg_void": """
             WITH tr AS (

@@ -294,9 +294,11 @@ def owl_prp_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
     closure is the closure of the alias image (mirror paths reverse),
     and stage 2 already closed over ALL aliased edges — asserting this
     equivalence is tests/test_entailment.py's job. prp-fp/ifp and the
-    eq-* sameAs rules are deliberately out of scope: equivalence
-    merging is the canonicalization pipeline (operators/components.py),
-    which handles it with salted CC instead of rule firing.
+    eq-* sameAs rules are deliberately out of scope here: pairwise rule
+    firing would materialize quadratic identity cliques — sameAs is
+    handled by smushing instead (:func:`sameas_smush`: salted CC +
+    representative rewrite, the same machinery as the canonicalization
+    pipeline).
     """
     t = triples.select("s", "p", "o")
     aliases = _property_aliases(t, type_pred)
@@ -385,3 +387,78 @@ def rdfs_entail_increment(new_triples: DataFrame, schema: DataFrame, *,
         schema.select("s", "p", "o").unionByName(
             new_triples.select("s", "p", "o")),
         type_pred=type_pred, max_rounds=max_rounds)
+
+
+# --------------------------------------------------------------------------
+# owl:sameAs smushing (eq-rep-s / eq-rep-o, the materialized form)
+# --------------------------------------------------------------------------
+
+OWL_SAME = "owl:sameAs"
+
+
+def sameas_map(triples: DataFrame,
+               sameas_pred: str = OWL_SAME,
+               max_iter: int = 25) -> DataFrame:
+    """``owl:sameAs`` equivalence classes → (node, canonical) map.
+
+    The OWL 2 RL eq-* rules fire pairwise and would materialize the
+    QUADRATIC sameAs clique closure (a 10k-member identity cluster is
+    10^8 derived sameAs triples); every production triplestore instead
+    *smushes* — picks one representative per equivalence class and
+    rewrites. The class computation is exactly connected components over
+    the sameAs edge set (symmetry and transitivity for free), so this
+    reuses operators/components' salted, pointer-jumping CC: hot
+    identity hubs are salt-split and chain-shaped clusters converge in
+    O(log diameter) rounds. canonical = lexicographic min IRI of the
+    class (deterministic, engine-portable)."""
+    from .components import connected_components
+
+    edges = (triples.filter(F.col("p") == sameas_pred)
+             .filter(F.col("s") != F.col("o"))
+             .select(F.col("s").alias("src"), F.col("o").alias("dst")))
+    return (connected_components(edges, max_iter=max_iter)
+            .select(F.col("node"), F.col("component").alias("canonical")))
+
+
+def sameas_smush(triples: DataFrame,
+                 sameas_pred: str = OWL_SAME,
+                 max_iter: int = 25) -> DataFrame:
+    """Rewrite the graph through the sameAs equivalence classes: every
+    subject/object is replaced by its class representative and the
+    sameAs edges themselves are dropped (the map is re-derivable via
+    :func:`sameas_map` and belongs in a side table, not the fact graph
+    — the reason stores keep "sameAs indexes" out of the triple pool).
+
+    Input/output schema: (s, p, o) plus any extra columns, passed
+    through. When an ``o_kind`` column is present, only iri-kind objects
+    are rewritten (a literal that happens to equal a node IRI stays a
+    literal); without it, objects rewrite unconditionally — callers
+    with literal/IRI ambiguity should carry o_kind.
+
+    Scale shape: the map is class-member-sized (≪ graph); both rewrites
+    are left equi-joins against it (AQE broadcasts when small), and only
+    rows the map actually touched pass through the set-semantics dedup —
+    untouched rows bypass it, exactly the split-join-union discipline of
+    canonicalize.remap_triples."""
+    cols = triples.columns
+    cmap = sameas_map(triples, sameas_pred, max_iter)
+    base = triples.filter(F.col("p") != sameas_pred)
+    smap = cmap.select(F.col("node").alias("s"),
+                       F.col("canonical").alias("_s_canon"))
+    omap = cmap.select(F.col("node").alias("o"),
+                       F.col("canonical").alias("_o_canon"))
+    joined = base.join(smap, "s", "left").join(omap, "o", "left")
+    o_ok = (F.col("o_kind") == "iri") if "o_kind" in cols else F.lit(True)
+    new_s = F.coalesce("_s_canon", F.col("s"))
+    new_o = F.when(o_ok, F.coalesce("_o_canon", F.col("o"))) \
+        .otherwise(F.col("o"))
+    touched = F.col("_s_canon").isNotNull() | \
+        (o_ok & F.col("_o_canon").isNotNull())
+    rewritten = (joined.filter(touched)
+                 .select(*[new_s.alias("s") if c == "s"
+                           else new_o.alias("o") if c == "o"
+                           else F.col(c) for c in cols])
+                 .dropDuplicates(cols))  # remap_triples' dedup discipline:
+    # only rows the rewrite touched can have collapsed into duplicates
+    untouched = joined.filter(~touched).select(*cols)
+    return untouched.unionByName(rewritten)
