@@ -1361,6 +1361,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .groupBy(F.col("o").alias("canonical"))
                 .agg(F.count(F.lit(1)).alias("n_orders")))
 
+    def q_kg_ifp(spark, sf_dir):
+        """prp-ifp identity resolution (entailment.ifp_smush): kg:inNation
+        is declared owl:InverseFunctionalProperty, so customers sharing a
+        nation IRI merge into one individual — the equivalence classes
+        are analytically the nation partitions and the representative is
+        the windowed lexicographic-min customer IRI in DuckDB. Counting
+        orders per merged customer verifies the group-min star derivation
+        + CC closure + rewrite end to end."""
+        from openapi_to_rdf_spark.operators.entailment import ifp_smush
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+        def iri(prefix, col):
+            return F.concat(F.lit(prefix), col.cast("string"))
+
+        decl = spark.createDataFrame(
+            [(kg + "inNation", "rdf:type", "owl:InverseFunctionalProperty")],
+            ["s", "p", "o"])
+        keys = cust.select(iri("cust#", F.col("c_custkey")).alias("s"),
+                           F.lit(kg + "inNation").alias("p"),
+                           iri("nation#", F.col("c_nationkey")).alias("o"))
+        facts = orders.select(
+            iri("order#", F.col("o_orderkey")).alias("s"),
+            F.lit(kg + "placedBy").alias("p"),
+            iri("cust#", F.col("o_custkey")).alias("o"))
+        smushed = ifp_smush(decl.unionByName(keys).unionByName(facts))
+        return (smushed.filter(F.col("p") == kg + "placedBy")
+                .groupBy(F.col("o").alias("canonical"))
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+
     def q_pack_assembly(spark, sf_dir):
         """Pack assembly (packing.assemble_packs): per-pack membership,
         length, and an order-sensitive md5 digest of the concatenated
@@ -2601,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
         "kg_sameas": q_kg_sameas,
+        "kg_ifp": q_kg_ifp,
         "kg_star_card": q_kg_star_card,
         "kg_void": q_kg_void,
         "approx_recall": q_approx_recall,
@@ -3346,6 +3379,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey,
                      MIN('cust#' || CAST(c_custkey AS VARCHAR))
                        OVER (PARTITION BY c_custkey % 100) AS canonical
+              FROM customer)
+            SELECT canon.canonical AS canonical,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o JOIN canon ON o.o_custkey = canon.c_custkey
+            GROUP BY 1
+        """,
+        "kg_ifp": """
+            WITH canon AS (
+              SELECT c_custkey,
+                     MIN('cust#' || CAST(c_custkey AS VARCHAR))
+                       OVER (PARTITION BY c_nationkey) AS canonical
               FROM customer)
             SELECT canon.canonical AS canonical,
                    CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -442,7 +442,27 @@ def sameas_smush(triples: DataFrame,
     canonicalize.remap_triples."""
     cols = triples.columns
     cmap = sameas_map(triples, sameas_pred, max_iter)
-    base = triples.filter(F.col("p") != sameas_pred)
+    return _rewrite_through(
+        triples.filter(F.col('p') != sameas_pred), cmap)
+
+
+OWL_IFP = "owl:InverseFunctionalProperty"
+OWL_FP = "owl:FunctionalProperty"
+
+
+def _declared(t: DataFrame, type_pred: str, cls: str) -> list[str]:
+    """Predicates declared rdf:type <cls> — vocabulary-sized, one collect
+    (the schema-broadcast discipline of :func:`rdfs_entail`)."""
+    return [r.s for r in
+            t.filter((F.col("p") == type_pred) & (F.col("o") == cls))
+            .select("s").distinct().collect()]
+
+
+def _rewrite_through(base: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite s / (iri-kind) o through a (node, canonical) map with the
+    split-join-union discipline: only rows the map touched pay the
+    set-semantics dedup (see :func:`sameas_smush` for the contract)."""
+    cols = base.columns
     smap = cmap.select(F.col("node").alias("s"),
                        F.col("canonical").alias("_s_canon"))
     omap = cmap.select(F.col("node").alias("o"),
@@ -458,7 +478,71 @@ def sameas_smush(triples: DataFrame,
                  .select(*[new_s.alias("s") if c == "s"
                            else new_o.alias("o") if c == "o"
                            else F.col(c) for c in cols])
-                 .dropDuplicates(cols))  # remap_triples' dedup discipline:
-    # only rows the rewrite touched can have collapsed into duplicates
-    untouched = joined.filter(~touched).select(*cols)
-    return untouched.unionByName(rewritten)
+                 .dropDuplicates(cols))  # remap_triples' dedup discipline
+    return joined.filter(~touched).select(*cols).unionByName(rewritten)
+
+
+def ifp_sameas_edges(triples: DataFrame,
+                     type_pred: str = RDF_TYPE,
+                     ifp_class: str = OWL_IFP,
+                     fp_class: str = OWL_FP) -> DataFrame:
+    """prp-ifp / prp-fp as sameAs EDGE derivation: two subjects sharing a
+    declared-inverse-functional (p, o) are the same individual; two
+    objects sharing a declared-functional (s, p) likewise. Returns
+    (src, dst) edges ready for the sameAs class computation.
+
+    The OWL 2 RL rules fire PAIRWISE — a key value shared by k nodes
+    yields k² sameAs conclusions. This emits the group-min STAR instead
+    (every member links to its group's lexicographic-min node): k-1
+    edges with the identical connected-components closure, computed as
+    one aggregation plus one self-equi-join per side — linear in the
+    data, no per-group quadratic blowup; hot key values are just large
+    groups (AQE-splittable), never large join fanouts."""
+    t = triples.select("s", "p", "o")
+    ifps = _declared(t, type_pred, ifp_class)
+    fps = _declared(t, type_pred, fp_class)
+    outs = []
+    if ifps:
+        keyed = t.filter(F.col("p").isin(ifps))
+        anchors = keyed.groupBy("p", "o").agg(F.min("s").alias("dst"))
+        outs.append(keyed.join(anchors, ["p", "o"])
+                    .filter(F.col("s") != F.col("dst"))
+                    .select(F.col("s").alias("src"), "dst"))
+    if fps:
+        keyed = t.filter(F.col("p").isin(fps))
+        anchors = keyed.groupBy("s", "p").agg(F.min("o").alias("dst"))
+        outs.append(keyed.join(anchors, ["s", "p"])
+                    .filter(F.col("o") != F.col("dst"))
+                    .select(F.col("o").alias("src"), "dst"))
+    if not outs:
+        return t.sparkSession.createDataFrame([], "src string, dst string")
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out.dropDuplicates()
+
+
+def ifp_smush(triples: DataFrame,
+              type_pred: str = RDF_TYPE,
+              sameas_pred: str = OWL_SAME,
+              max_iter: int = 25) -> DataFrame:
+    """The composed OWL identity fragment: derive sameAs edges from
+    asserted owl:sameAs PLUS functional/inverse-functional key sharing,
+    close them as ONE equivalence relation, and smush. A single CC run
+    over the union edge set is both cheaper and more complete than
+    alternating rule firing (a chain alternating asserted-sameAs and
+    key-sharing hops still lands in one component). The declaration
+    triples and sameAs edges are dropped from the output; other
+    rdf:type rows pass through."""
+    from .components import connected_components
+
+    t = triples.select("s", "p", "o")
+    asserted = (t.filter(F.col("p") == sameas_pred)
+                .filter(F.col("s") != F.col("o"))
+                .select(F.col("s").alias("src"), F.col("o").alias("dst")))
+    edges = asserted.unionByName(ifp_sameas_edges(t, type_pred=type_pred))
+    cmap = (connected_components(edges, max_iter=max_iter)
+            .select("node", F.col("component").alias("canonical")))
+    decl = (F.col("p") == type_pred) & F.col("o").isin(OWL_IFP, OWL_FP)
+    base = triples.filter((F.col("p") != sameas_pred) & ~decl)
+    return _rewrite_through(base, cmap)

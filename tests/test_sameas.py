@@ -88,3 +88,46 @@ def test_smush_long_chain_exceeds_one_hop(spark):
     facts = [(f"n{i:02d}", "f", "v") for i in range(n)]
     df = spark.createDataFrame(edges + facts, ["s", "p", "o"])
     assert spo(sameas_smush(df)) == {("n00", "f", "v")}
+
+
+def test_ifp_sameas_edges_star_shape(spark):
+    from openapi_to_rdf_spark.operators.entailment import ifp_sameas_edges
+
+    rows = [
+        ("ssn", "rdf:type", "owl:InverseFunctionalProperty"),
+        ("spouse", "rdf:type", "owl:FunctionalProperty"),
+        # three subjects share an ssn value -> 2 star edges to the min
+        ("p1", "ssn", "123"), ("p2", "ssn", "123"), ("p3", "ssn", "123"),
+        ("p4", "ssn", "999"),                     # singleton: no edge
+        # one subject, two spouse objects -> objects merge
+        ("p1", "spouse", "qB"), ("p1", "spouse", "qA"),
+        ("p9", "likes", "123"),                   # not a declared key
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    got = {(r.src, r.dst) for r in ifp_sameas_edges(df).collect()}
+    assert got == {("p2", "p1"), ("p3", "p1"), ("qB", "qA")}
+
+
+def test_ifp_smush_composes_with_asserted_sameas(spark):
+    from openapi_to_rdf_spark.operators.entailment import ifp_smush
+
+    rows = [
+        ("ssn", "rdf:type", "owl:InverseFunctionalProperty"),
+        # identity chain alternating key-share and asserted sameAs:
+        # a ~ b (shared ssn), b owl:sameAs c  => {a, b, c} one class
+        ("a", "ssn", "k1"), ("b", "ssn", "k1"), ("b", SAME, "c"),
+        ("c", "worksAt", "Acme"), ("a", "age", "30"),
+        ("d", "knows", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    out = spo(ifp_smush(df))
+    assert out == {
+        ("a", "ssn", "k1"),          # collapsed from a/b's duplicate keys
+        ("a", "worksAt", "Acme"), ("a", "age", "30"), ("d", "knows", "a"),
+    }
+
+
+def test_ifp_smush_without_declarations_is_sameas_smush(g):
+    from openapi_to_rdf_spark.operators.entailment import (ifp_smush,
+                                                           sameas_smush)
+    assert spo(ifp_smush(g)) == spo(sameas_smush(g))
