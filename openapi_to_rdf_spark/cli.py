@@ -137,6 +137,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "expression over bound variables (repeatable)")
     q.add_argument("--explain", action="store_true",
                    help="print the optimized physical plan instead of rows")
+    q.add_argument("--format", choices=["table", "csv", "json"],
+                   default="table",
+                   help="output format: aligned table (default), CSV, or "
+                        "W3C SPARQL 1.1 Results JSON")
     q.add_argument("--cores", type=int, default=None)
 
     u = sub.add_parser("update", help="apply a SPARQL 1.1 Update request "
@@ -387,13 +391,7 @@ def cmd_query(args) -> int:
         if args.explain:
             out.explain("formatted")
             return 0
-        rows = out.limit(args.limit).collect()
-        cols = out.columns
-        print("\t".join(cols))
-        for r in rows:
-            print("\t".join(str(r[c]) for c in cols))
-        print(f"({len(rows)} row(s) shown, limit {args.limit})")
-        return 0
+        return _print_result(out, args)
 
     def term(tok):
         return KG_NS + tok[3:] if tok.startswith("kg:") else tok
@@ -431,8 +429,29 @@ def cmd_query(args) -> int:
     if args.explain:
         out.explain("formatted")
         return 0
+    return _print_result(out, args)
+
+
+def _print_result(out, args) -> int:
+    """Shared query-result printer: table (default), SPARQL 1.1 Results
+    JSON, or CSV to stdout — all bounded by --limit."""
+    fmt = getattr(args, "format", "table")
+    if fmt == "json":
+        from .sparql import sparql_results_json
+
+        print(sparql_results_json(out, limit=args.limit))
+        return 0
     rows = out.limit(args.limit).collect()
     cols = out.columns
+    if fmt == "csv":
+        import csv
+        import sys as _sys
+
+        w = csv.writer(_sys.stdout)
+        w.writerow(cols)
+        for r in rows:
+            w.writerow(["" if r[c] is None else r[c] for c in cols])
+        return 0
     print("\t".join(cols))
     for r in rows:
         print("\t".join(str(r[c]) for c in cols))

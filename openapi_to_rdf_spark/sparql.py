@@ -1144,3 +1144,45 @@ def sparql_update(frame: DataFrame, text: str) -> DataFrame:
             else:
                 out = getattr(Q, f"{kind}_graph")(out, op["src"], op["dst"])
     return out
+
+
+# --------------------------------------------------------------------------
+# result serialization (W3C SPARQL 1.1 Query Results JSON / CSV)
+# --------------------------------------------------------------------------
+
+def sparql_results_json(df: DataFrame, limit: int | None = 10_000) -> str:
+    """Serialize a SELECT/ASK result DataFrame as a W3C SPARQL 1.1 Query
+    Results JSON document. A results document is endpoint-response-sized
+    by design, so this is a deliberate driver-side collect — ``limit``
+    bounds it (None = unbounded, caller's risk); bulk exports belong in
+    the distributed sinks (CSV below, N-Triples/N-Quads for graphs).
+
+    The engine's value model is lexical strings, so term typing is the
+    IRI-scheme heuristic ('uri' vs 'literal') — same rule as
+    sinks.write_nquads' bare-frame path."""
+    import json as _json
+
+    if df.columns == ["ask"]:
+        return _json.dumps({"head": {},
+                            "boolean": bool(df.collect()[0].ask)})
+    rows = (df.limit(limit) if limit is not None else df).collect()
+    iri_re = re.compile(r"^[a-z][a-z0-9+.-]*://")
+
+    def term(v):
+        s = str(v)
+        return {"type": "uri" if iri_re.match(s) else "literal", "value": s}
+
+    bindings = [{k: term(v) for k, v in row.asDict().items()
+                 if v is not None} for row in rows]
+    return _json.dumps({"head": {"vars": df.columns},
+                        "results": {"bindings": bindings}}, indent=1)
+
+
+def write_results_csv(df: DataFrame, output_path: str,
+                      mode: str = "overwrite",
+                      partitions: int | None = None) -> None:
+    """Distributed SPARQL 1.1 Query Results CSV export: header + one line
+    per solution, unbound variables empty — a plain parallel text sink,
+    the bulk-result path (results JSON is the endpoint-sized path)."""
+    out = df if partitions is None else df.repartition(partitions)
+    out.write.mode(mode).option("header", True).csv(output_path)

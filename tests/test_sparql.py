@@ -322,3 +322,55 @@ def test_cli_query_graph_over_store_dataset(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.splitlines()[0] == "g\tn"
     assert "kg" in out
+
+
+def test_results_json_and_csv(g, tmp_path):
+    import json
+
+    from openapi_to_rdf_spark.sparql import (sparql_results_json,
+                                             write_results_csv)
+
+    sel = sparql_query(g, PFX + """SELECT ?x ?a WHERE {
+        ?x a "Person" . OPTIONAL { ?x ex:age ?a } } ORDER BY ?x""")
+    doc = json.loads(sparql_results_json(sel))
+    assert doc["head"]["vars"] == ["x", "a"]
+    got = {(b["x"]["value"], b.get("a", {}).get("value"))
+           for b in doc["results"]["bindings"]}
+    assert got == {("a", "42"), ("b", "7"), ("c", "19")}
+    # unbound OPTIONAL variable is OMITTED from its binding, per the spec
+    iris = sparql_query(g, PFX + "SELECT ?p WHERE { \"a\" ?p \"b\" }")
+    b0 = json.loads(sparql_results_json(iris))["results"]["bindings"][0]
+    assert b0["p"]["type"] == "uri"
+
+    ask = json.loads(sparql_results_json(
+        sparql_query(g, PFX + 'ASK WHERE { "a" ex:knows "b" }')))
+    assert ask == {"head": {}, "boolean": True}
+
+    write_results_csv(sel, str(tmp_path / "res"))
+    body = "\n".join(p.read_text() for p in sorted(
+        (tmp_path / "res").glob("part-*")))
+    lines = {l for l in body.splitlines() if l}
+    assert "x,a" in lines and "a,42" in lines
+
+
+def test_cli_query_formats(spark, tmp_path, capsys):
+    import json
+
+    from openapi_to_rdf_spark.cli import main
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+
+    run_pipeline(spark, tmp_path / "wd", n_convs=20, seed=42)
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "SELECT ?r (COUNT(?t) AS ?n) WHERE { ?t kg:role ?r } "
+               "GROUP BY ?r", "--format", "json"])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["head"]["vars"] == ["r", "n"]
+    assert {b["r"]["value"] for b in doc["results"]["bindings"]} >= {
+        "user", "assistant"}
+    rc = main(["query", "--workdir", str(tmp_path / "wd"),
+               "?t kg:role ?r", "--select", "r", "--distinct",
+               "--format", "csv"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "r" and "user" in out
