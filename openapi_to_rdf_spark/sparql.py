@@ -1099,6 +1099,8 @@ def sparql_update(frame: DataFrame, text: str) -> DataFrame:
         kind = op["kind"]
         if kind in ("insert_data", "delete_data"):
             graph, rows = op["graph"], op["rows"]
+            if not rows:          # empty DATA block: a no-op, per spec
+                continue
             if graph is not None:
                 if not is_quads:
                     raise ValueError("GRAPH-scoped DATA needs a quad frame")

@@ -374,3 +374,8 @@ def test_cli_query_formats(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "r" and "user" in out
+
+
+def test_update_empty_data_block_is_noop(g):
+    out = sparql_update(g, "INSERT DATA { }")
+    assert rows(out) == set(T)
