@@ -1,9 +1,24 @@
-"""Connected components over an edge DataFrame (Shiloach–Vishkin style
-root hooking + path compression) — the resolution step of entity
-canonicalization and owl:sameAs smushing.
+"""Connected components over an edge DataFrame — the resolution step of
+entity canonicalization and owl:sameAs smushing.
 
-Spark has no built-in graph operator (GraphFrames jars unavailable
-offline), so this is hand-rolled DataFrame iteration designed for scale:
+Two regimes, picked by measured edge count (the same small-side
+adaptivity the entailment layer applies to schema closure):
+
+- **driver union-find below ``DRIVER_EDGE_LIMIT`` distinct edges.** The
+  CC input here is never the corpus — it is the EQUIVALENCE edge set
+  (verified duplicate pairs, asserted sameAs links, shared-key stars),
+  which is duplicate-rate-sized: a 10^12-triple graph with 0.1% alias
+  rate yields millions of edges, not trillions. When that set fits on
+  the driver it is collected ONCE (off a localCheckpoint, so expensive
+  lineage like the LSH verify never re-runs) and closed with
+  path-compressed union-by-min in milliseconds, replacing ~10 Spark
+  jobs of iteration overhead. The resulting (node, component) map ships
+  back as an Arrow DataFrame and is class-member-sized — it was about
+  to be joined against the graph anyway. Not a hot-path collect: the
+  fact table never goes near the driver.
+- **Shiloach–Vishkin root hooking + path compression above the limit**
+  (hand-rolled DataFrame iteration; GraphFrames jars unavailable
+  offline), designed so the distributed path scales:
 
 - **root hooking, not boundary hooking**: each round joins every edge
   against both endpoints' current labels and hooks the LARGER root onto
@@ -36,6 +51,51 @@ from pyspark.sql import functions as F
 
 SALT_BUCKETS = 16
 
+# Distinct-edge count at or below which the equivalence relation is
+# closed on the driver. 2M edges of two short strings is low hundreds of
+# MB collected — far inside any driver that can also broadcast the
+# resulting map. Callers force the distributed path with
+# ``driver_limit=0`` (tests do, to keep Shiloach–Vishkin covered).
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def _driver_components(pairs: DataFrame) -> DataFrame:
+    """Union-find (union-by-min root + path compression) over a SMALL
+    collected pair set; returns the (node, component) map where the
+    component id is the lexicographic-min member — the same contract as
+    the distributed path, verified equal in tests."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:              # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs.toLocalIterator():
+        if a is None or b is None:
+            continue
+        for t in (a, b):
+            if t not in parent:
+                parent[t] = t
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min stays the root, so the final root IS the class min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = [(node, find(node)) for node in parent]
+    spark = pairs.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "node string, component string")
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["node", "component"]))
+
 
 def _compress(labels: DataFrame, max_jumps: int) -> DataFrame:
     """Iterate label := min(label, label[label]) to fixpoint (pointer
@@ -62,14 +122,27 @@ def _compress(labels: DataFrame, max_jumps: int) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_limit: int | None = None) -> DataFrame:
     """edges (src, dst) -> (node, component) where component is the
-    lexicographic min node id of the component. Deterministic: every
-    update is a min-aggregation, the min node's own label can never
-    grow, and termination forces per-component uniformity."""
-    sym = (
+    lexicographic min node id of the component. Deterministic on both
+    regimes: the driver path is exact union-by-min union-find; the
+    distributed path's every update is a min-aggregation, the min node's
+    own label can never grow, and termination forces per-component
+    uniformity. ``driver_limit`` overrides ``DRIVER_EDGE_LIMIT`` (0
+    forces the distributed Shiloach–Vishkin path)."""
+    if driver_limit is None:
+        driver_limit = DRIVER_EDGE_LIMIT
+    uniq = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()          # materialize ONCE: edge lineage (LSH
+    )                               # verify etc.) must not re-run per pass
+    if uniq.count() <= driver_limit:
+        return _driver_components(uniq)
+    sym = (
+        uniq
+        .unionByName(uniq.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .dropDuplicates(["a", "b"])
         .localCheckpoint()
     )

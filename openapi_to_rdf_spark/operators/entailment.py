@@ -450,12 +450,17 @@ OWL_IFP = "owl:InverseFunctionalProperty"
 OWL_FP = "owl:FunctionalProperty"
 
 
-def _declared(t: DataFrame, type_pred: str, cls: str) -> list[str]:
-    """Predicates declared rdf:type <cls> — vocabulary-sized, one collect
-    (the schema-broadcast discipline of :func:`rdfs_entail`)."""
-    return [r.s for r in
-            t.filter((F.col("p") == type_pred) & (F.col("o") == cls))
-            .select("s").distinct().collect()]
+def _declared(t: DataFrame, type_pred: str, *classes: str) -> dict[str, list]:
+    """Predicates declared rdf:type of each class in ``classes`` —
+    vocabulary-sized, ONE collect for all classes (the schema-broadcast
+    discipline of :func:`rdfs_entail`; one graph scan, not one per
+    class). Returns {class: [predicates]}."""
+    rows = (t.filter((F.col("p") == type_pred) & F.col("o").isin(*classes))
+            .select("s", "o").distinct().collect())
+    out: dict[str, list] = {c: [] for c in classes}
+    for r in rows:
+        out[r.o].append(r.s)
+    return out
 
 
 def _rewrite_through(base: DataFrame, cmap: DataFrame) -> DataFrame:
@@ -499,8 +504,8 @@ def ifp_sameas_edges(triples: DataFrame,
     data, no per-group quadratic blowup; hot key values are just large
     groups (AQE-splittable), never large join fanouts."""
     t = triples.select("s", "p", "o")
-    ifps = _declared(t, type_pred, ifp_class)
-    fps = _declared(t, type_pred, fp_class)
+    decls = _declared(t, type_pred, ifp_class, fp_class)
+    ifps, fps = decls[ifp_class], decls[fp_class]
     outs = []
     if ifps:
         keyed = t.filter(F.col("p").isin(ifps))

@@ -3,6 +3,7 @@ canonicalization ground truth, end-to-end run."""
 
 import pathlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
@@ -206,25 +207,48 @@ def test_canonicalize_empty_normalization_guard(spark):
     assert len(m) == 5
 
 
-def test_connected_components_high_diameter_chain(spark):
-    """A 40-node path graph converges to one component — the label-
-    propagation loop must iterate past the seeding pass (alias clusters are
-    shallow; this guards the general case)."""
+@pytest.mark.parametrize("driver_limit", [None, 0])
+def test_connected_components_high_diameter_chain(spark, driver_limit):
+    """A 40-node path graph converges to one component on BOTH regimes —
+    the distributed loop (driver_limit=0) must iterate past the seeding
+    pass (alias clusters are shallow; this guards the general case)."""
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(39)], ["src", "dst"])
     comp = {r.node: r.component
-            for r in connected_components(edges).collect()}
+            for r in connected_components(
+                edges, driver_limit=driver_limit).collect()}
     assert set(comp.values()) == {"n00"}
     assert len(comp) == 40
 
 
-def test_connected_components_salted(spark):
+@pytest.mark.parametrize("driver_limit", [None, 0])
+def test_connected_components_salted(spark, driver_limit):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "a")],
         ["src", "dst"])
-    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    comp = {r.node: r.component
+            for r in connected_components(
+                edges, driver_limit=driver_limit).collect()}
     assert comp["a"] == comp["b"] == comp["c"] == comp["p"] == comp["q"] == comp["r"]
     assert comp["x"] == comp["y"] != comp["a"]
+
+
+def test_connected_components_regimes_agree(spark):
+    """Driver union-find and distributed Shiloach–Vishkin return the SAME
+    (node, component) map on a messy random graph (self-loops, duplicate
+    and reversed edges, scrambled ids, singleton-free by construction)."""
+    import random
+
+    rng = random.Random(20260819)
+    ids = [f"v{rng.randrange(10**6):06d}" for _ in range(400)]
+    raw = [(rng.choice(ids), rng.choice(ids)) for _ in range(600)]
+    raw += [(b, a) for a, b in raw[:100]] + [(x, x) for x in ids[:20]]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    local = {(r.node, r.component)
+             for r in connected_components(edges).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(edges, driver_limit=0).collect()}
+    assert local == dist and local
 
 
 def test_canonicalization_ground_truth(spark):
@@ -364,7 +388,7 @@ def test_connected_components_hot_star(spark):
     salted two-stage aggregation exists for — correctness at volume."""
     edges = spark.createDataFrame(
         [("hub", f"leaf{i:05d}") for i in range(20_000)], ["src", "dst"])
-    comp = connected_components(edges)
+    comp = connected_components(edges, driver_limit=0)  # distributed path
     assert comp.count() == 20_001
     assert comp.select("component").distinct().count() == 1
     assert comp.filter(F.col("component") != "hub").count() == 0
