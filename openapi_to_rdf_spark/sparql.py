@@ -907,6 +907,25 @@ def _join_shared(left: DataFrame, right: DataFrame, how: str = "inner",
     if not shared:
         if how == "inner":
             return left.crossJoin(right)     # SPARQL allows the product
+        if what == "MINUS group":
+            # §8.3.3: MINUS keeps μ when dom(μ)∩dom(μ') = ∅ — with no
+            # shared variable every pair is domain-disjoint, so MINUS
+            # removes NOTHING (the spec's infamous asymmetry vs NOT
+            # EXISTS, which substitutes μ and so still filters)
+            return left
+        if how in ("left_semi", "left_anti"):
+            # EXISTS / NOT EXISTS with no shared variable: the pattern's
+            # solutions don't depend on μ, so keep all rows iff ANY
+            # solution exists (semi) / NONE exists (anti). One broadcast
+            # 0/1-row build side, condition always-true.
+            probe = F.broadcast(right.limit(1).select(F.lit(1).alias("__e")))
+            return left.join(probe, F.lit(True), how)
+        if how == "left":
+            # OPTIONAL with no shared variable = LeftJoin(Ω₁, Ω₂, true):
+            # the product when the optional side is non-empty, μ₁ with
+            # unbound (null) extension columns when it is empty —
+            # exactly Spark's left join on an always-true condition
+            return left.join(right, F.lit(True), "left")
         raise ValueError(f"{what} shares no variable with the group")
     if how in ("left_semi", "left_anti"):
         right = right.select(*shared).dropDuplicates(shared)
