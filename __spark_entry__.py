@@ -1329,6 +1329,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               ?n kg:name ?nation_name .
             } GROUP BY ?nation_name HAVING (COUNT(?o) > 100)""")
 
+    def q_sparql_from(spark, sf_dir):
+        """SPARQL dataset clause (sparql.py FROM): orders triples live in
+        one named graph per order priority; FROM <g#1-URGENT> FROM
+        <g#3-MEDIUM> merges exactly those two graphs into the default
+        graph, so a plain-pattern GROUP BY counts only urgent+medium
+        orders — vs the WHERE o_orderpriority IN (..) relational twin.
+        Hash equality pins the dataset-clause graph selection end to
+        end through the text front-end."""
+        from openapi_to_rdf_spark.sparql import sparql_query
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        quads = orders.select(
+            F.concat(F.lit("g#"), F.col("o_orderpriority")).alias("g"),
+            F.concat(F.lit("order#"),
+                     F.col("o_orderkey").cast("string")).alias("s"),
+            F.lit(kg + "placedBy").alias("p"),
+            F.concat(F.lit("cust#"),
+                     F.col("o_custkey").cast("string")).alias("o"))
+        return sparql_query(quads, """
+            PREFIX kg: <http://ericsson.com/models/3gpp/kg#>
+            SELECT ?cust (COUNT(?o) AS ?n_orders)
+            FROM <g#1-URGENT> FROM <g#3-MEDIUM>
+            WHERE { ?o kg:placedBy ?cust } GROUP BY ?cust""")
+
+
     def q_kg_sameas(spark, sf_dir):
         """owl:sameAs smushing (entailment.sameas_smush): customers are
         linked into same-residue identity chains (cust#c sameAs
@@ -2632,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_graphs": q_bgp_graphs,
         "sparql_select": q_sparql_select,
         "sparql_agg": q_sparql_agg,
+        "sparql_from": q_sparql_from,
         "kg_sameas": q_kg_sameas,
         "kg_ifp": q_kg_ifp,
         "kg_star_card": q_kg_star_card,
@@ -3373,6 +3400,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             WHERE o.o_orderpriority = '1-URGENT'
             GROUP BY 1 HAVING COUNT(*) > 100
+        """,
+        "sparql_from": """
+            SELECT 'cust#' || CAST(o_custkey AS VARCHAR) AS cust,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+            GROUP BY 1
         """,
         "kg_sameas": """
             WITH canon AS (

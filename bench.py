@@ -157,7 +157,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "kg_dangling", "bgp_subquery", "bgp_union",
              # added r2 session 14
              "kg_update", "bgp_graphs", "sparql_select", "sparql_agg",
-             "kg_sameas", "kg_ifp"]
+             "kg_sameas", "kg_ifp",
+             # added r2 session 15
+             "sparql_from"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -24,6 +24,8 @@ Supported surface (SPARQL 1.1 REC grammar, the subset the algebra has):
   OPTIONAL; UNION; BIND; VALUES (single- and multi-variable); nested
   groups; subqueries ``{ SELECT .. }``; ``GRAPH term { patterns }`` over
   a quad table.
+- Dataset clause over a quad frame: ``FROM <g>`` (set-semantics merge
+  into the default graph) and ``FROM NAMED <g>`` (restricts GRAPH).
 - Solution modifiers: ORDER BY (ASC/DESC), LIMIT, OFFSET.
 - Update: INSERT DATA / DELETE DATA (default graph or one GRAPH block),
   DELETE/INSERT .. WHERE, DELETE WHERE, and the graph-management ops
@@ -164,6 +166,8 @@ class Query:
         self.having: list[str] = []
         self.template: list[tuple] = []  # construct
         self.describe_var: str | None = None
+        self.from_default: list[str] = []   # FROM <g>
+        self.from_named: list[str] = []     # FROM NAMED <g>
         self.where: Group = Group()
         self.order_by: list[str] = []
         self.limit: int | None = None
@@ -667,6 +671,19 @@ class _Parser:
             self.eat()
         elif q.form == "describe":
             q.describe_var = self.expect("VAR")[1][1:]
+        while self.take_kw("FROM"):          # dataset clause (§13.2)
+            target = (q.from_named if self.take_kw("NAMED")
+                      else q.from_default)
+            kind, val, pos = self.peek()
+            if kind == "IRI":
+                self.eat()
+                target.append(val[1:-1])
+            elif kind == "PNAME":
+                self.eat()
+                target.append(self.expand_pname(val, pos))
+            else:
+                raise SparqlSyntaxError(
+                    f"FROM needs a graph IRI at offset {pos}")
         self.take_kw("WHERE")
         q.where = self.parse_group()
         if self.take_kw("GROUP"):
@@ -933,7 +950,8 @@ def _join_shared(left: DataFrame, right: DataFrame, how: str = "inner",
 
 
 def compile_group(triples: DataFrame, g: Group,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  quads: DataFrame | None = None) -> DataFrame:
     """Group graph pattern → bindings DataFrame. Pattern conjunction
     (incl. paths) goes through bgp_query so every physical decision —
     pruned scans, equi-join chaining — stays in the operator layer;
@@ -950,29 +968,30 @@ def compile_group(triples: DataFrame, g: Group,
         pats = (order_patterns(g.patterns, stats) if stats is not None
                 else g.patterns)
         out = bgp_query(triples, pats)
+    qframe = triples if quads is None else quads
     for sub in g.groups:
-        df = compile_group(triples, sub, stats)
+        df = compile_group(triples, sub, stats, quads)
         out = df if out is None else _join_shared(out, df)
     for branches in g.union:
-        parts = [compile_group(triples, b, stats) for b in branches]
+        parts = [compile_group(triples, b, stats, quads) for b in branches]
         udf = parts[0]
         for pdf in parts[1:]:
             udf = udf.unionByName(pdf, allowMissingColumns=True)
         out = udf if out is None else _join_shared(out, udf)
     for q in g.subselects:
-        df = compile_query(triples, q, stats)
+        df = compile_query(triples, q, stats, quads)
         out = df if out is None else _join_shared(out, df)
     for gterm, pats in g.graphs:
-        if "g" not in triples.columns:
+        if "g" not in qframe.columns:
             raise ValueError("GRAPH pattern over a plain triple table — "
                              "pass a quad (g,s,p,o) DataFrame")
-        df = quad_query(triples, [(gterm,) + tuple(pat) for pat in pats])
+        df = quad_query(qframe, [(gterm,) + tuple(pat) for pat in pats])
         out = df if out is None else _join_shared(out, df)
     if out is None:
         raise ValueError("group binds no variables")
     for og in g.optional:
-        out = _join_shared(out, compile_group(triples, og, stats), "left",
-                           "OPTIONAL group")
+        out = _join_shared(out, compile_group(triples, og, stats, quads),
+                           "left", "OPTIONAL group")
     if g.values:
         rows = list(zip(*g.values.values()))
         inline = triples.sparkSession.createDataFrame(rows, list(g.values))
@@ -982,13 +1001,13 @@ def compile_group(triples: DataFrame, g: Group,
             raise ValueError(f"BIND target ?{var} is already bound")
         out = out.withColumn(var, F.expr(expr))
     for mg in g.minus:
-        out = _join_shared(out, compile_group(triples, mg, stats),
+        out = _join_shared(out, compile_group(triples, mg, stats, quads),
                            "left_anti", "MINUS group")
     for eg in g.exists:
-        out = _join_shared(out, compile_group(triples, eg, stats),
+        out = _join_shared(out, compile_group(triples, eg, stats, quads),
                            "left_semi", "EXISTS group")
     for ng in g.not_exists:
-        out = _join_shared(out, compile_group(triples, ng, stats),
+        out = _join_shared(out, compile_group(triples, ng, stats, quads),
                            "left_anti", "NOT EXISTS group")
     for cond in g.filters:
         out = out.filter(F.expr(cond))
@@ -1019,7 +1038,8 @@ def _agg_column(alias: str, spec: tuple) -> F.Column:
 
 
 def compile_query(triples: DataFrame, q: Query,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  quads: DataFrame | None = None) -> DataFrame:
     """Parsed query → result DataFrame (SELECT/subquery shape)."""
     from .operators.bgp import bgp_agg
 
@@ -1035,10 +1055,10 @@ def compile_query(triples: DataFrame, q: Query,
                            in q.aggregates.items()})
         elif not q.aggregates:
             # GROUP BY with no aggregate: one row per group
-            out = (compile_group(triples, q.where, stats)
+            out = (compile_group(triples, q.where, stats, quads)
                    .select(*q.group_by).dropDuplicates())
         else:
-            bindings = compile_group(triples, q.where, stats)
+            bindings = compile_group(triples, q.where, stats, quads)
             aggs = [_agg_column(a, spec) for a, spec in q.aggregates.items()]
             out = (bindings.groupBy(*q.group_by).agg(*aggs) if q.group_by
                    else bindings.agg(*aggs))
@@ -1050,7 +1070,7 @@ def compile_query(triples: DataFrame, q: Query,
     else:
         if q.having:
             raise ValueError("HAVING without aggregates")
-        out = compile_group(triples, q.where, stats)
+        out = compile_group(triples, q.where, stats, quads)
     for item in q.project:
         if isinstance(item, tuple):
             alias, expr = item
@@ -1077,21 +1097,45 @@ def sparql_query(triples: DataFrame, text: str,
     (g,s,p,o) DataFrame; returns the result DataFrame (bindings for
     SELECT, one boolean ``ask`` row for ASK, (s,p,o) for CONSTRUCT /
     DESCRIBE). ``stats`` enables statistics-driven pattern ordering
-    (see :func:`compile_group`)."""
+    (see :func:`compile_group`).
+
+    A dataset clause (``FROM`` / ``FROM NAMED``, §13.2) needs a quad
+    frame: the default graph becomes the SET-semantics merge of the
+    ``FROM`` graphs (empty when only ``FROM NAMED`` is given) and GRAPH
+    patterns range over the ``FROM NAMED`` graphs only. Without a
+    dataset clause a quad frame behaves as before: plain patterns see
+    the union default graph, GRAPH sees every named graph."""
     q = parse_query(text)
+    quads = None
+    if q.from_default or q.from_named:
+        if "g" not in triples.columns:
+            raise ValueError("FROM / FROM NAMED needs a quad (g,s,p,o) "
+                             "frame — the dataset clause selects graphs")
+
+        def _in_graphs(names):
+            return (triples.filter(F.col("g").isin(names)) if names
+                    else triples.filter(F.lit(False)))
+
+        quads = _in_graphs(q.from_named)
+        plain = _in_graphs(q.from_default).select("s", "p", "o")
+        if len(q.from_default) > 1:
+            # graph MERGE is a set union: the same triple asserted in
+            # two FROM graphs contributes one solution, not two
+            plain = plain.dropDuplicates()
+        triples = plain
     if q.form == "select":
-        return compile_query(triples, q, stats)
+        return compile_query(triples, q, stats, quads)
     if q.form == "ask":
-        one = compile_group(triples, q.where, stats).limit(1)
+        one = compile_group(triples, q.where, stats, quads).limit(1)
         return one.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if q.form == "construct":
         from .operators.update import _instantiate
-        bindings = compile_group(triples, q.where, stats)
+        bindings = compile_group(triples, q.where, stats, quads)
         return _instantiate(bindings, q.template)
     # DESCRIBE ?v — bgp_describe's two-semi-join decomposition, over the
     # general compiled group
     v = q.describe_var
-    bindings = compile_group(triples, q.where, stats)
+    bindings = compile_group(triples, q.where, stats, quads)
     if v not in bindings.columns:
         raise ValueError(f"DESCRIBE variable ?{v} is not bound")
     nodes = F.broadcast(bindings.select(F.col(v).alias("_node"))

@@ -379,3 +379,35 @@ def test_cli_query_formats(spark, tmp_path, capsys):
 def test_update_empty_data_block_is_noop(g):
     out = sparql_update(g, "INSERT DATA { }")
     assert rows(out) == set(T)
+
+
+def test_from_dataset_clause_merges_graphs(spark):
+    quads = spark.createDataFrame(
+        [("g1", "a", EX + "p", "1"), ("g1", "b", EX + "p", "2"),
+         ("g2", "a", EX + "p", "1"), ("g2", "c", EX + "p", "3"),
+         ("g3", "d", EX + "p", "4")], ["g", "s", "p", "o"])
+    # FROM merges g1+g2 with SET semantics: (a p 1) asserted in both
+    # graphs yields ONE solution; g3 is outside the dataset
+    out = sparql_query(quads, PFX + """SELECT ?s FROM <g1> FROM <g2>
+        WHERE { ?s ex:p ?o }""")
+    got = [r.s for r in out.collect()]
+    assert sorted(got) == ["a", "b", "c"]
+    # only FROM NAMED -> the default graph is EMPTY per the spec
+    empty = sparql_query(quads, PFX + """SELECT ?s FROM NAMED <g1>
+        WHERE { ?s ex:p ?o }""")
+    assert empty.count() == 0
+
+
+def test_from_named_restricts_graph_patterns(spark):
+    quads = spark.createDataFrame(
+        [("g1", "a", EX + "p", "1"), ("g2", "c", EX + "p", "3"),
+         ("g3", "d", EX + "p", "4")], ["g", "s", "p", "o"])
+    out = sparql_query(quads, PFX + """SELECT ?g ?s
+        FROM NAMED <g1> FROM NAMED <g3>
+        WHERE { GRAPH ?g { ?s ex:p ?o } }""")
+    assert rows(out) == {("g1", "a"), ("g3", "d")}
+
+
+def test_from_requires_quad_frame(g):
+    with pytest.raises(ValueError, match="quad"):
+        sparql_query(g, PFX + "SELECT ?s FROM <g1> WHERE { ?s ex:p ?o }")

@@ -28,8 +28,13 @@ objects = st.one_of(st.builds(lambda v: "?" + v, var_names), iri_strs,
                     literal_texts)
 
 
+_VAR_SHAPE = __import__("re").compile(r"\?[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
 def render_term(t: str) -> str:
-    if t.startswith("?"):
+    # only VALID variable syntax renders raw: a literal_texts draw like
+    # "?:" or "?" must be quoted (it is a literal, not a variable)
+    if _VAR_SHAPE.match(t):
         return t
     if t.startswith("http://"):
         return f"<{t}>"
