@@ -29,12 +29,13 @@ adaptivity the entailment layer applies to schema closure):
   exact shape owl:sameAs identity chains produce; caught live when
   sameAs chains of 150 blew the old variant's iteration cap).
 - **path compression to fixpoint** after each hook: ``label :=
-  label[label]`` iterated until stable (tree height halves per jump, so
-  the inner loop is a couple of joins in practice). Hook + full
-  compression converges in O(log n) outer rounds — 3 rounds for a
-  scrambled 150-chain, 9 for a random 5,000-chain (measured) — and the
-  termination proof is local: if neither hooking nor compression changed
-  a label, no edge can still span two labels.
+  label[label]``, BATCHED ``JUMPS_PER_PASS`` jumps per materialization
+  (tree height divides by 2^k per pass; job count — not shuffle volume
+  — throttles iterative DataFrame algorithms, so the driver pays one
+  sync per pass instead of one per jump). Hook + full compression
+  converges in O(log n) outer rounds, and the termination proof is
+  local: if neither hooking nor compression changed a label, no edge
+  can still span two labels.
 - **salted two-stage min-aggregation** on the hook reduce: a giant
   component funnels every edge's candidate into its root's reducer;
   `groupBy(root, salt).min` then `groupBy(root).min` spreads that hot
@@ -97,28 +98,42 @@ def _driver_components(pairs: DataFrame) -> DataFrame:
         pd.DataFrame(rows, columns=["node", "component"]))
 
 
-def _compress(labels: DataFrame, max_jumps: int) -> DataFrame:
-    """Iterate label := min(label, label[label]) to fixpoint (pointer
-    jumping / path compression). Tree height halves per jump."""
-    for _ in range(max_jumps):
-        parents = labels.select(F.col("node").alias("p_node"),
-                                F.col("component").alias("p_comp"))
-        nxt = (
-            labels.join(parents, labels.component == parents.p_node, "left")
-            .select("node",
+JUMPS_PER_PASS = 3
+
+
+def _jump(labels: DataFrame) -> DataFrame:
+    """One pointer jump: label := min(label, label[label]). Preserves
+    every column except ``component``."""
+    parents = labels.select(F.col("node").alias("p_node"),
+                            F.col("component").alias("p_comp"))
+    keep = [c for c in labels.columns if c != "component"]
+    return (labels.join(parents, labels.component == parents.p_node, "left")
+            .select(*keep,
                     F.least(F.col("component"),
                             F.coalesce("p_comp", F.col("component")))
-                    .alias("new_component"),
-                    "component")
-        ).localCheckpoint()
-        changed = nxt.filter(
-            F.col("new_component") != F.col("component")).count()
-        labels = nxt.select("node",
-                            F.col("new_component").alias("component"))
+                    .alias("component")))
+
+
+def _compress(labels: DataFrame, max_passes: int) -> tuple[DataFrame, int]:
+    """Pointer jumping / path compression to fixpoint, BATCHED: each
+    materialized pass composes ``JUMPS_PER_PASS`` jumps in one plan
+    (tree height divides by 2^k per pass, and the driver pays one
+    sync per pass instead of one per jump — the job count, not the
+    shuffle volume, is what throttles iterative DataFrame algorithms).
+    Returns (labels, n_passes_that_changed_something)."""
+    changed_passes = 0
+    for _ in range(max_passes):
+        cur = labels.withColumn("orig", F.col("component"))
+        for _ in range(JUMPS_PER_PASS):
+            cur = _jump(cur)
+        nxt = cur.localCheckpoint()
+        changed = nxt.filter(F.col("component") != F.col("orig")).count()
+        labels = nxt.select("node", "component")
         if changed == 0:
-            return labels
+            return labels, changed_passes
+        changed_passes += 1
     raise RuntimeError("path compression did not converge — label forest "
-                       "deeper than 2^max_jumps is not plausible")
+                       "deeper than 2^(jumps*passes) is not plausible")
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -189,23 +204,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels = hooked.select("node",
                                F.col("new_component").alias("component"))
 
-        # compress to fixpoint; remember whether anything moved
-        parents = labels.select(F.col("node").alias("p_node"),
-                                F.col("component").alias("p_comp"))
-        first = (
-            labels.join(parents, labels.component == parents.p_node, "left")
-            .select("node",
-                    F.least(F.col("component"),
-                            F.coalesce("p_comp", F.col("component")))
-                    .alias("new_component"),
-                    "component")
-        ).localCheckpoint()
-        comp_changed = first.filter(
-            F.col("new_component") != F.col("component")).count()
-        labels = first.select("node",
-                              F.col("new_component").alias("component"))
-        if comp_changed:
-            labels = _compress(labels, max_iter)
+        # compress to fixpoint (batched pointer jumping)
+        labels, comp_changed = _compress(labels, max_iter)
 
         # if NEITHER pass changed a label, every edge is label-uniform:
         # an edge with labels x < y would have hooked y's root below y
