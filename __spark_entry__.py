@@ -2523,6 +2523,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return void_stats(_order_triples(spark, sf_dir))
 
+    def q_entity_consolidate(spark, sf_dir):
+        """Golden-record survivorship (operators/consolidate): customers as
+        mention records clustered 400-ways by custkey, three attributes per
+        mention (segment / nation / balance sign), majority rule with the
+        smallest-value tie-break; DuckDB replays the support count + argmax."""
+        from openapi_to_rdf_spark.operators.consolidate import (
+            consolidate_attributes,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        mk = F.concat(F.lit("cust#"), F.col("c_custkey").cast("string"))
+        attrs = (cust.select(mk.alias("ent"), F.explode(F.array(
+            F.struct(F.lit("segment").alias("attr"),
+                     F.col("c_mktsegment").alias("value")),
+            F.struct(F.lit("nation").alias("attr"),
+                     F.col("c_nationkey").cast("string").alias("value")),
+            F.struct(F.lit("baltier").alias("attr"),
+                     F.when(F.col("c_acctbal") < 0, "neg")
+                     .otherwise("pos").alias("value")),
+        )).alias("av")).select("ent", "av.attr", "av.value"))
+        cmap = cust.select(
+            mk.alias("ent"),
+            F.concat(F.lit("C"), (F.col("c_custkey") % 400).cast("string"))
+            .alias("canon"))
+        g = consolidate_attributes(attrs, cmap)
+        return (g.select("canon", "attr", "value",
+                         F.col("support").cast("long").alias("support"),
+                         "n_values", "n_records")
+                .orderBy("canon", "attr"))
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2651,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": q_kg_char_sets,
         "kg_kcore": q_kg_kcore,
         "kg_asof": q_kg_asof,
+        "entity_consolidate": q_entity_consolidate,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -5590,6 +5621,35 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": f"""
             WITH p AS ({_PII_DOCS})
             SELECT doc_id, md5({_PII_REDACT}) AS redacted_md5 FROM p
+        """,
+        "entity_consolidate": """
+            WITH attrs AS (
+              SELECT 'C' || CAST(c_custkey % 400 AS VARCHAR) AS canon,
+                     'segment' AS attr, c_mktsegment AS value FROM customer
+              UNION ALL
+              SELECT 'C' || CAST(c_custkey % 400 AS VARCHAR),
+                     'nation', CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION ALL
+              SELECT 'C' || CAST(c_custkey % 400 AS VARCHAR),
+                     'baltier',
+                     CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+              FROM customer
+            ),
+            pv AS (
+              SELECT canon, attr, value, COUNT(*) AS support
+              FROM attrs GROUP BY canon, attr, value
+            ),
+            ranked AS (
+              SELECT canon, attr, value, support,
+                     ROW_NUMBER() OVER (PARTITION BY canon, attr
+                                        ORDER BY support DESC, value ASC) AS rn,
+                     COUNT(*) OVER (PARTITION BY canon, attr) AS n_values,
+                     CAST(SUM(support) OVER (PARTITION BY canon, attr)
+                          AS BIGINT) AS n_records
+              FROM pv
+            )
+            SELECT canon, attr, value, support, n_values, n_records
+            FROM ranked WHERE rn = 1 ORDER BY canon, attr
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
