@@ -2553,6 +2553,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          "n_values", "n_records")
                 .orderBy("canon", "attr"))
 
+    def q_er_metrics(spark, sf_dir):
+        """ER clustering evaluation (operators/ermetrics): gold partition =
+        custkey % 200; predicted = the same partition with every 17th
+        customer displaced one cluster. Pairwise P/R/F1 + B-cubed from
+        contingency counts only (no pair materialization); DuckDB replays
+        the identical cell arithmetic."""
+        from openapi_to_rdf_spark.operators.ermetrics import (
+            clustering_metrics,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        mk = F.concat(F.lit("cust#"), F.col("c_custkey").cast("string"))
+        k = F.col("c_custkey")
+        pred = cust.select(mk.alias("ent"), F.concat(
+            F.lit("p"), ((k + F.when(k % 17 == 0, 1).otherwise(0)) % 200)
+            .cast("string")).alias("canon"))
+        gold = cust.select(mk.alias("ent"), F.concat(
+            F.lit("g"), (k % 200).cast("string")).alias("canon"))
+        return clustering_metrics(pred, gold)
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2682,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_asof": q_kg_asof,
         "entity_consolidate": q_entity_consolidate,
+        "er_metrics": q_er_metrics,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -5650,6 +5671,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT canon, attr, value, support, n_values, n_records
             FROM ranked WHERE rn = 1 ORDER BY canon, attr
+        """,
+        "er_metrics": """
+            WITH p AS (
+              SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS ent,
+                     'p' || CAST((c_custkey + CASE WHEN c_custkey % 17 = 0
+                                              THEN 1 ELSE 0 END) % 200
+                                 AS VARCHAR) AS pc
+              FROM customer
+            ),
+            g AS (
+              SELECT 'cust#' || CAST(c_custkey AS VARCHAR) AS ent,
+                     'g' || CAST(c_custkey % 200 AS VARCHAR) AS gc
+              FROM customer
+            ),
+            cells AS (
+              SELECT pc, gc, COUNT(*) AS nij
+              FROM p JOIN g USING (ent) GROUP BY pc, gc
+            ),
+            pm AS (SELECT pc, CAST(SUM(nij) AS BIGINT) AS ni
+                   FROM cells GROUP BY pc),
+            gm AS (SELECT gc, CAST(SUM(nij) AS BIGINT) AS nj
+                   FROM cells GROUP BY gc),
+            s AS (
+              SELECT CAST(SUM(nij) AS BIGINT) AS n_items,
+                     CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS tp_pairs,
+                     SUM(nij * nij / ni) AS b3p_sum,
+                     SUM(nij * nij / nj) AS b3r_sum
+              FROM cells JOIN pm USING (pc) JOIN gm USING (gc)
+            ),
+            tot AS (
+              SELECT
+                (SELECT CAST(SUM(ni * (ni - 1) / 2) AS BIGINT) FROM pm)
+                  AS pred_pairs,
+                (SELECT CAST(SUM(nj * (nj - 1) / 2) AS BIGINT) FROM gm)
+                  AS gold_pairs
+            ),
+            r AS (
+              SELECT n_items, tp_pairs, pred_pairs, gold_pairs,
+                     CASE WHEN pred_pairs > 0
+                          THEN CAST(tp_pairs AS DOUBLE) / pred_pairs
+                          ELSE 1.0 END AS pair_p,
+                     CASE WHEN gold_pairs > 0
+                          THEN CAST(tp_pairs AS DOUBLE) / gold_pairs
+                          ELSE 1.0 END AS pair_r,
+                     b3p_sum / n_items AS b3_p,
+                     b3r_sum / n_items AS b3_r
+              FROM s CROSS JOIN tot
+            )
+            SELECT n_items, tp_pairs, pred_pairs, gold_pairs,
+                   CAST(ROUND(pair_p * 1e6) AS BIGINT) AS pair_precision_e6,
+                   CAST(ROUND(pair_r * 1e6) AS BIGINT) AS pair_recall_e6,
+                   CAST(ROUND(CASE WHEN pair_p + pair_r > 0
+                              THEN 2 * pair_p * pair_r / (pair_p + pair_r)
+                              ELSE 0.0 END * 1e6) AS BIGINT) AS pair_f1_e6,
+                   CAST(ROUND(b3_p * 1e6) AS BIGINT) AS b3_precision_e6,
+                   CAST(ROUND(b3_r * 1e6) AS BIGINT) AS b3_recall_e6,
+                   CAST(ROUND(CASE WHEN b3_p + b3_r > 0
+                              THEN 2 * b3_p * b3_r / (b3_p + b3_r)
+                              ELSE 0.0 END * 1e6) AS BIGINT) AS b3_f1_e6
+            FROM r
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
