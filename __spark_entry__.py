@@ -2573,6 +2573,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("g"), (k % 200).cast("string")).alias("canon"))
         return clustering_metrics(pred, gold)
 
+    def q_graph_sssp(spark, sf_dir):
+        """Weighted shortest paths (graphrank.shortest_paths), FIXED 3
+        relaxation rounds (= min weight over paths of <= 3 edges, the
+        SQL-expressible mode) from sources {0..4} over the orders graph
+        with integer weights; DuckDB replays it as a step-bounded
+        recursive CTE."""
+        from openapi_to_rdf_spark.operators.graphrank import shortest_paths
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 400).cast("string").alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 400)
+            .cast("string").alias("dst"),
+            ((F.col("o_orderkey") % 7) + 1).cast("double").alias("weight"))
+        srcs = spark.createDataFrame([(str(i),) for i in range(5)], ["node"])
+        sp = shortest_paths(edges, srcs, rounds=3)
+        return (sp.select("node", F.col("dist").cast("long").alias("dist"))
+                .orderBy("node"))
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2703,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof": q_kg_asof,
         "entity_consolidate": q_entity_consolidate,
         "er_metrics": q_er_metrics,
+        "graph_sssp": q_graph_sssp,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -5731,6 +5751,26 @@ def oracle_sql() -> dict[str, str]:
                               THEN 2 * b3_p * b3_r / (b3_p + b3_r)
                               ELSE 0.0 END * 1e6) AS BIGINT) AS b3_f1_e6
             FROM r
+        """,
+        "graph_sssp": """
+            WITH RECURSIVE e0 AS (
+              SELECT CAST(o_orderkey % 400 AS VARCHAR) AS src,
+                     CAST((o_orderkey // 7 + o_custkey) % 400
+                          AS VARCHAR) AS dst,
+                     CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w
+              FROM orders
+            ),
+            e AS (SELECT src, dst, MIN(w) AS w FROM e0 GROUP BY src, dst),
+            walk(node, dist, step) AS (
+              SELECT CAST(x AS VARCHAR), CAST(0 AS DOUBLE), 0
+              FROM (VALUES (0), (1), (2), (3), (4)) t(x)
+              UNION ALL
+              SELECT e.dst, walk.dist + e.w, walk.step + 1
+              FROM walk JOIN e ON e.src = walk.node
+              WHERE walk.step < 3
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

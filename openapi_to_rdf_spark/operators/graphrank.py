@@ -349,3 +349,70 @@ def k_core(edges: DataFrame, k: int, rounds: int | None = None,
             raise RuntimeError(f"k_core did not converge in "
                                f"{max_rounds} rounds")
     return degrees(live).filter(F.col("degree") >= k)
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   rounds: int | None = None, max_rounds: int = 50,
+                   src_col: str = "src", dst_col: str = "dst",
+                   weight_col: str = "weight",
+                   node_col: str = "node") -> DataFrame:
+    """Weighted single/multi-source shortest paths -> (node, dist).
+
+    Distributed Bellman-Ford with FRONTIER relaxation: each round joins only
+    the nodes whose distance improved last round against the edge list,
+    min-aggregates tentative distances per destination, and keeps the
+    improvements. State is one (node, dist) row per reached node — never
+    paths — and the per-round shuffle is bounded by the frontier's out-edge
+    count, so late rounds on high-diameter graphs touch only the expanding
+    rim (delta-stepping's win, without its bucket machinery).
+
+    ``rounds=R`` pins EXACTLY R relaxation rounds: dist = the minimum weight
+    over paths using <= R edges — deterministic and SQL-expressible (the
+    driver oracle replays it as a step-bounded recursive CTE), the same
+    fixed-rounds-for-oracle pattern as k_core/label_propagation.
+    ``rounds=None`` relaxes to convergence (true shortest paths) with a
+    loud ``max_rounds`` cap; rounds needed = the shortest-path tree's max
+    edge count, small on small-world graphs.
+
+    Semantics pinned for the oracle: directed edges; multi-edges collapse
+    to the MINIMUM weight; negative weights rejected (Bellman-Ford would
+    need n-1 rounds and cycle detection — out of scope, loudly); sources
+    are dist 0; unreachable nodes are absent from the output. Weight sums
+    accumulate along each path left-to-right in both engines, so even
+    float weights compare hash-exactly.
+    """
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"),
+                      F.col(weight_col).cast("double").alias("w"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("shortest_paths requires non-negative weights")
+
+    dist = (sources.select(F.col(node_col).cast("string").alias("node"))
+            .dropDuplicates(["node"])
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint())
+    frontier = dist
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        cand = (e.join(frontier.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("new")))
+        improved = (cand.join(dist, "node", "left")
+                    .filter(F.col("dist").isNull()
+                            | (F.col("new") < F.col("dist")))
+                    .select("node", F.col("new").alias("dist"))
+                    .localCheckpoint())
+        if rounds is None and improved.isEmpty():
+            break
+        dist = (dist.unionByName(improved)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+        frontier = improved
+    else:
+        if rounds is None:
+            raise RuntimeError(f"shortest_paths did not converge in "
+                               f"{max_rounds} rounds")
+    return dist

@@ -251,3 +251,77 @@ def test_k_core_direction_and_multiedge_invariant(spark):
          ("c", "a")], ["src", "dst"])
     got = {r.node: r.degree for r in k_core(g, 2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_sssp_matches_dijkstra_reference(spark):
+    """Converged mode == a pure-Python Dijkstra over a branching graph
+    with a tempting-but-worse direct edge and an unreachable node."""
+    import heapq
+
+    from openapi_to_rdf_spark.operators.graphrank import shortest_paths
+
+    edges = [("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", 1.0),
+             ("s", "t", 10.0), ("s", "b", 5.0), ("t", "z", 2.0),
+             ("u", "v", 1.0)]  # u,v unreachable from s
+    g = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    srcs = spark.createDataFrame([("s",)], ["node"])
+    got = {r.node: r.dist
+           for r in shortest_paths(g, srcs).collect()}
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist, heap = {}, [(0.0, "s")]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj.get(n, []):
+            if m not in dist:
+                heapq.heappush(heap, (d + w, m))
+    assert got == dist
+    assert "u" not in got and "v" not in got
+
+
+def test_sssp_fixed_rounds_bounds_path_length(spark):
+    """rounds=R == min weight over paths of <= R edges: the cheap long
+    path only wins once enough rounds admit it."""
+    from openapi_to_rdf_spark.operators.graphrank import shortest_paths
+
+    g = spark.createDataFrame(
+        [("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", 1.0),
+         ("s", "t", 10.0)], ["src", "dst", "weight"])
+    srcs = spark.createDataFrame([("s",)], ["node"])
+    one = {r.node: r.dist for r in shortest_paths(g, srcs, rounds=1).collect()}
+    three = {r.node: r.dist
+             for r in shortest_paths(g, srcs, rounds=3).collect()}
+    assert one["t"] == 10.0
+    assert three["t"] == 3.0
+
+
+def test_sssp_multi_source_and_multiedge_min(spark):
+    """Multiple sources each seed dist 0; duplicate edges collapse to the
+    minimum weight."""
+    from openapi_to_rdf_spark.operators.graphrank import shortest_paths
+
+    g = spark.createDataFrame(
+        [("s1", "m", 4.0), ("s1", "m", 2.0), ("s2", "m", 3.0)],
+        ["src", "dst", "weight"])
+    srcs = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    got = {r.node: r.dist for r in shortest_paths(g, srcs).collect()}
+    assert got == {"s1": 0.0, "s2": 0.0, "m": 2.0}
+
+
+def test_sssp_guards(spark):
+    from openapi_to_rdf_spark.operators.graphrank import shortest_paths
+
+    srcs = spark.createDataFrame([("a",)], ["node"])
+    neg = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "weight"])
+    with pytest.raises(ValueError, match="non-negative"):
+        shortest_paths(neg, srcs)
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1.0) for i in range(5)]
+        + [("a", "n0", 1.0)], ["src", "dst", "weight"])
+    with pytest.raises(RuntimeError, match="converge"):
+        shortest_paths(chain, srcs, max_rounds=2)
