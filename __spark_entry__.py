@@ -2592,6 +2592,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (sp.select("node", F.col("dist").cast("long").alias("dist"))
                 .orderBy("node"))
 
+    def q_value_qsketch(spark, sf_dir):
+        """Mergeable quantile-sketch register table (sketch.qsketch_registers)
+        over event values scaled to integer cents, 2 significant digits;
+        DuckDB replays the decimal-string bucket surgery exactly."""
+        from openapi_to_rdf_spark.operators.sketch import qsketch_registers
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        vals = ev.select("event_type",
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("v"))
+        return (qsketch_registers(vals, "v", ["event_type"])
+                .orderBy("event_type", "bucket"))
+
+    def q_value_qsketch_quantiles(spark, sf_dir):
+        """p50/p90/p99 per event type answered from the sketch alone
+        (sketch.qsketch_quantiles, integer ceil-rank rule); DuckDB replays
+        registers + cumulative walk."""
+        from openapi_to_rdf_spark.operators.sketch import (
+            qsketch_quantiles, qsketch_registers,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        vals = ev.select("event_type",
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("v"))
+        regs = qsketch_registers(vals, "v", ["event_type"])
+        return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2723,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_consolidate": q_entity_consolidate,
         "er_metrics": q_er_metrics,
         "graph_sssp": q_graph_sssp,
+        "value_qsketch": q_value_qsketch,
+        "value_qsketch_quantiles": q_value_qsketch_quantiles,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -5771,6 +5801,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM walk GROUP BY node ORDER BY node
+        """,
+        "value_qsketch": """
+            WITH vals AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            b AS (
+              SELECT event_type,
+                     CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+                          ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2)
+                                    || repeat('0',
+                                              length(CAST(v AS VARCHAR)) - 2)
+                                    AS BIGINT)
+                     END AS bucket
+              FROM vals WHERE v >= 0
+            )
+            SELECT event_type, bucket, COUNT(*) AS n
+            FROM b GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
+        """,
+        "value_qsketch_quantiles": """
+            WITH vals AS (
+              SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+              FROM events
+            ),
+            b AS (
+              SELECT event_type,
+                     CASE WHEN length(CAST(v AS VARCHAR)) <= 2 THEN v
+                          ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2)
+                                    || repeat('0',
+                                              length(CAST(v AS VARCHAR)) - 2)
+                                    AS BIGINT)
+                     END AS bucket
+              FROM vals WHERE v >= 0
+            ),
+            regs AS (
+              SELECT event_type, bucket, COUNT(*) AS n
+              FROM b GROUP BY event_type, bucket
+            ),
+            cum AS (
+              SELECT event_type, bucket,
+                     SUM(n) OVER (PARTITION BY event_type
+                                  ORDER BY bucket) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS n_total
+              FROM regs
+            ),
+            px AS (SELECT * FROM (VALUES (50), (90), (99)) t(pct)),
+            hit AS (
+              SELECT c.event_type, p.pct, c.bucket, c.n_total
+              FROM cum c CROSS JOIN px p
+              WHERE c.cum >= (c.n_total * p.pct + 99) // 100
+            )
+            SELECT event_type, pct, MIN(bucket) AS value,
+                   CAST(MAX(n_total) AS BIGINT) AS n_total
+            FROM hit GROUP BY event_type, pct
+            ORDER BY event_type, pct
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -212,3 +212,93 @@ def hll_setop_estimates(registers: DataFrame, group_col: str,
         F.when(F.col("n_union") > 0,
                F.round(inter.cast("double") * 1e6 / F.col("n_union"))
                .cast("long")).otherwise(F.lit(0)).alias("jaccard_e6"))
+
+
+# --------------------------------------------------------------------------
+# mergeable quantile sketch (significant-digit buckets)
+# --------------------------------------------------------------------------
+
+def qsketch_registers(df: DataFrame, value_col: str,
+                      group_cols: list[str] | None = None,
+                      sig_digits: int = 2) -> DataFrame:
+    """Mergeable quantile sketch over NON-NEGATIVE INTEGER values:
+    (group..., bucket, n), one row per occupied bucket.
+
+    The bucket key is the value rounded DOWN to ``sig_digits`` significant
+    decimal digits (1234 -> 1200 at 2 digits) — a decimal DDSketch: buckets
+    guarantee relative error < 10^(1-sig_digits) (one part in ten at the
+    default), the register table is bounded by 9*10^(d-1) buckets per
+    decade regardless of input size, and merging sketches is a plain
+    count-sum groupBy. Unlike percentile_approx's engine-private GK state,
+    the bucket arithmetic is pure DECIMAL-STRING surgery (length/substr/
+    pad) that any engine reproduces bit-for-bit — the driver's DuckDB
+    oracle recomputes the register table exactly.
+
+    Scale: one linear scan; the only shuffle is the (group, bucket)
+    aggregation, map-side partial aggregation absorbs hot buckets — the
+    wire carries at most (buckets-per-group) rows. Fractional inputs
+    scale into an integer domain first (e.g. cents = round(x*100)),
+    exactly the *_e6 discipline the driver contract already uses.
+    """
+    if sig_digits < 1:
+        raise ValueError("sig_digits must be >= 1")
+    gcols = list(group_cols or [])
+    staged = df.select(*gcols,
+                       F.col(value_col).cast("long").cast("string")
+                       .alias("_vs"))
+    s, d = F.col("_vs"), F.length("_vs")
+    bucket = (F.when(F.substring(s, 1, 1) == "-", F.lit(None))
+              .when(d <= sig_digits, s.cast("long"))
+              .otherwise(F.concat(
+                  F.substring(s, 1, sig_digits),
+                  F.expr(f"repeat('0', length(_vs) - {sig_digits})"))
+                  .cast("long")))
+    return (staged.select(*gcols, bucket.alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy(*gcols, "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def qsketch_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches built with the same sig_digits: bucket counts add."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    keys = [c for c in merged.columns if c != "n"]
+    return merged.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def qsketch_quantiles(registers: DataFrame, percents: list[int],
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Quantile estimates from a qsketch register table:
+    (group..., pct, value, n_total) for each integer percent in
+    ``percents``. Pinned rank rule (pure integer arithmetic, portable):
+    the p-th percentile is the value at rank ceil(n*p/100) =
+    (n*p + 99) div 100 in the sorted multiset, answered as the smallest
+    bucket whose cumulative count reaches that rank — so the estimate is
+    the true quantile rounded down to the sketch's significant digits.
+
+    All work is sketch-sized: one cumulative window over the register
+    table + a tiny percent-list cross join.
+    """
+    from pyspark.sql import Window
+
+    if not percents or any(not 1 <= p <= 100 for p in percents):
+        raise ValueError("percents must be integers in [1, 100]")
+    gcols = list(group_cols or [])
+    w = (Window.partitionBy(*[F.col(c) for c in gcols]).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (registers
+           .withColumn("cum", F.sum("n").over(w))
+           .withColumn("n_total", F.sum("n").over(
+               Window.partitionBy(*[F.col(c) for c in gcols]))))
+    pcts = F.explode(F.array(*[F.lit(p) for p in sorted(set(percents))]))
+    # rank = ceil(n_total * pct / 100) in pure integer arithmetic
+    hit = (cum.select(*gcols, "bucket", "cum", "n_total",
+                      pcts.alias("pct"))
+           .filter(F.col("cum")
+                   >= F.expr("(n_total * pct + 99) div 100")))
+    return (hit.groupBy(*gcols, "pct")
+            .agg(F.min("bucket").alias("value"),
+                 F.max("n_total").alias("n_total"))
+            .orderBy(*gcols, "pct"))

@@ -5,6 +5,7 @@ itself is integer-exact vs DuckDB via the driver's ``user_hll`` oracle."""
 import pathlib
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
@@ -152,3 +153,88 @@ def test_hll_setops_disjoint_and_identical(spark):
     assert ab.n_inter == ab.n_a and ab.jaccard_e6 == 1_000_000
     ac = got[("A", "C")]          # disjoint sets
     assert ac.jaccard_e6 < 150_000
+
+
+# --------------------------------------------------------------------------
+# quantile sketch (significant-digit buckets)
+# --------------------------------------------------------------------------
+
+def _py_bucket(v, sig=2):
+    s = str(int(v))
+    return int(v) if len(s) <= sig else int(s[:sig] + "0" * (len(s) - sig))
+
+
+def test_qsketch_bucket_arithmetic_matches_python(spark):
+    from openapi_to_rdf_spark.operators.sketch import qsketch_registers
+
+    vals = [0, 1, 9, 10, 99, 100, 101, 1234, 56789, 49002, -5]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {r.bucket: r.n for r in qsketch_registers(df, "v").collect()}
+    expect = {}
+    for v in vals:
+        if v < 0:
+            continue  # negatives dropped
+        b = _py_bucket(v)
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
+
+
+def test_qsketch_merge_equals_whole_corpus(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        qsketch_merge, qsketch_registers)
+
+    rows = [(i % 3, (i * 37) % 1000) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    whole = qsketch_registers(df, "v", ["g"])
+    parts = [qsketch_registers(df.filter(F.col("v") % 2 == k), "v", ["g"])
+             for k in (0, 1)]
+    merged = qsketch_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_qsketch_quantiles_match_rank_rule(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        qsketch_quantiles, qsketch_registers)
+
+    vals = [(i * i) % 7919 for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = {r.pct: (r.value, r.n_total)
+           for r in qsketch_quantiles(
+               qsketch_registers(df, "v"), [50, 90, 99, 100]).collect()}
+    srt = sorted(vals)
+    for pct in (50, 90, 99, 100):
+        rank = (len(srt) * pct + 99) // 100
+        assert out[pct] == (_py_bucket(srt[rank - 1]), len(srt))
+
+
+def test_qsketch_grouped_quantiles_and_relative_error(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        qsketch_quantiles, qsketch_registers)
+
+    rows = [("a", i) for i in range(1, 1001)] + \
+           [("b", 10 * i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    regs = qsketch_registers(df, "v", ["g"])
+    out = {(r.g, r.pct): r.value
+           for r in qsketch_quantiles(regs, [50, 99], ["g"]).collect()}
+    # estimate = true quantile rounded down to 2 significant digits:
+    # within 10% below the true value, never above
+    for (g, pct), est in out.items():
+        vals = sorted(v for gg, v in rows if gg == g)
+        true = vals[(len(vals) * pct + 99) // 100 - 1]
+        assert est <= true < max(est * 1.112, est + 10)
+
+
+def test_qsketch_guards(spark):
+    from openapi_to_rdf_spark.operators.sketch import (
+        qsketch_quantiles, qsketch_registers)
+
+    df = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError):
+        qsketch_registers(df, "v", sig_digits=0)
+    regs = qsketch_registers(df, "v")
+    with pytest.raises(ValueError):
+        qsketch_quantiles(regs, [])
+    with pytest.raises(ValueError):
+        qsketch_quantiles(regs, [0, 50])
