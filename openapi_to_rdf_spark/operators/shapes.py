@@ -372,6 +372,104 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
             .dropDuplicates())
 
 
+_COMPONENT_OF = {
+    "datatypeMismatch": SH + "DatatypeConstraintComponent",
+    "notInList": SH + "InConstraintComponent",
+    "nodeKindViolation": SH + "NodeKindConstraintComponent",
+    "patternMismatch": SH + "PatternConstraintComponent",
+}
+XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
+
+
+def validation_report_triples(violations: DataFrame,
+                              file: str = "validation",
+                              graph: str = "report") -> DataFrame:
+    """validate_triples output -> a W3C SHACL validation report as TRIPLES
+    (the reference world's native result format: `sh:ValidationReport` /
+    `sh:ValidationResult`, SHACL spec §3.6), in the repo's standard
+    TRIPLES_SCHEMA so the report unions into the graph, exports through the
+    Turtle/N-Triples sinks, and is queryable with the BGP/SPARQL surface
+    ("which focus nodes fail which constraint components").
+
+    Shape emitted per violation row (one result node):
+      _:vr_<md5>  rdf:type sh:ValidationResult ;
+                  sh:focusNode <s> ; sh:resultPath <p> ;
+                  sh:value "o" (when present) ;
+                  sh:resultSeverity sh:Violation ;
+                  sh:sourceConstraintComponent <mapped component> ;
+                  sh:resultMessage "detail" .
+      _:report    rdf:type sh:ValidationReport ;
+                  sh:conforms false ; sh:result _:vr_<md5> .
+    plus, for an EMPTY violation table, the two-triple conforming report.
+
+    cardinalityViolation rows split into Min/MaxCountConstraintComponent by
+    parsing the pinned detail string (count vs min). Result-node ids are
+    content-hashed (md5 of the violation identity) — deterministic under
+    any partitioning, stable across runs. One projection pass over the
+    violations table + a one-row count aggregate for the header; no joins.
+    """
+    count_n = F.regexp_extract("detail", r"count=(\d+)", 1).cast("long")
+    min_n = F.regexp_extract("detail", r"min=(\d+)", 1)
+    component = (F.when(F.col("violation") == "cardinalityViolation",
+                        F.when((min_n != "") & (count_n < min_n.cast("long")),
+                               F.lit(SH + "MinCountConstraintComponent"))
+                        .otherwise(F.lit(SH + "MaxCountConstraintComponent")))
+                 .otherwise(F.element_at(
+                     F.create_map(*[F.lit(x) for kv in _COMPONENT_OF.items()
+                                    for x in kv]),
+                     F.col("violation"))))
+    rid = F.concat(F.lit("_:vr_"), F.md5(F.concat_ws(
+        "\x01", "s", "p", F.coalesce("o", F.lit("\x02")),
+        "violation", "detail")))
+
+    def emit(s, p, o_kind, o, dt=None):
+        return F.struct(
+            s.alias("s"), p.alias("p"), F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            (F.lit(dt) if dt else F.lit(None).cast("string"))
+            .alias("o_datatype"))
+
+    report = F.lit("_:report")
+    per_result = (violations.select(rid.alias("rid"), "s", "p", "o",
+                                    "violation", "detail",
+                                    component.alias("component"))
+                  .select(F.explode(F.array(
+                      emit(F.col("rid"), F.lit(RDF_TYPE), "iri",
+                           F.lit(SH + "ValidationResult")),
+                      emit(F.col("rid"), F.lit(SH + "focusNode"), "iri",
+                           F.col("s")),
+                      emit(F.col("rid"), F.lit(SH + "resultPath"), "iri",
+                           F.col("p")),
+                      emit(F.col("rid"), F.lit(SH + "resultSeverity"), "iri",
+                           F.lit(SH + "Violation")),
+                      emit(F.col("rid"),
+                           F.lit(SH + "sourceConstraintComponent"), "iri",
+                           F.col("component")),
+                      emit(F.col("rid"), F.lit(SH + "resultMessage"),
+                           "literal", F.col("detail")),
+                      F.when(F.col("o").isNotNull(),
+                             emit(F.col("rid"), F.lit(SH + "value"),
+                                  "literal", F.col("o"))),
+                      emit(report, F.lit(SH + "result"), "bnode",
+                           F.col("rid")),
+                  )).alias("t"))
+                  .filter(F.col("t").isNotNull())
+                  .select("t.*"))
+
+    header = (violations.agg(F.count(F.lit(1)).alias("n"))
+              .select(F.explode(F.array(
+                  emit(report, F.lit(RDF_TYPE), "iri",
+                       F.lit(SH + "ValidationReport")),
+                  emit(report, F.lit(SH + "conforms"), "literal",
+                       F.when(F.col("n") > 0, "false").otherwise("true"),
+                       XSD_BOOL),
+              )).alias("t")).select("t.*"))
+
+    return (header.unionByName(per_result)
+            .select(F.lit(file).alias("file"), F.lit(graph).alias("graph"),
+                    "s", "p", "o_kind", "o", "o_datatype"))
+
+
 def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     """Schema drift between two shape-rule snapshots (typically
     ``infer_shapes`` over two data generations, or an authored spec's rules

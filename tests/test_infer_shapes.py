@@ -175,3 +175,86 @@ def test_shape_drift_identical_is_empty(spark):
 
     src = _corpus(spark)
     assert shape_drift(infer_shapes(src), infer_shapes(src)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# W3C validation-report triples
+# --------------------------------------------------------------------------
+
+def _report(spark, violations_rows):
+    from openapi_to_rdf_spark.operators.shapes import (
+        validation_report_triples)
+
+    v = spark.createDataFrame(
+        violations_rows,
+        "s string, p string, o string, violation string, detail string")
+    return validation_report_triples(v)
+
+
+def test_report_conforms_true_when_no_violations(spark):
+    t = _report(spark, [])
+    rows = {(r.s, r.p, r.o) for r in t.collect()}
+    assert ("_:report", RDF_TYPE, SH + "ValidationReport") in rows
+    assert ("_:report", SH + "conforms", "true") in rows
+    assert len(rows) == 2
+
+
+def test_report_result_shape_and_components(spark):
+    t = _report(spark, [
+        ("e1", KG + "age", "abc", "datatypeMismatch",
+         "expected integer got string"),
+        ("e2", KG + "role", None, "cardinalityViolation",
+         "count=0 min=1 max=-"),
+        ("e3", KG + "tag", None, "cardinalityViolation",
+         "count=5 min=- max=2"),
+    ]).collect()
+    by_sp = {}
+    for r in t:
+        by_sp.setdefault((r.s, r.p), []).append(r)
+    # conforms false with results attached
+    assert any(r.o == "false" and r.o_datatype and r.o_datatype.endswith(
+        "boolean") for r in by_sp[("_:report", SH + "conforms")])
+    results = [r.o for r in by_sp[("_:report", SH + "result")]]
+    assert len(results) == 3 and all(o.startswith("_:vr_") for o in results)
+    comp = {r.s: r.o for r in t
+            if r.p == SH + "sourceConstraintComponent"}
+    focus = {r.o: r.s for r in t if r.p == SH + "focusNode"}
+    assert comp[focus["e1"]] == SH + "DatatypeConstraintComponent"
+    assert comp[focus["e2"]] == SH + "MinCountConstraintComponent"
+    assert comp[focus["e3"]] == SH + "MaxCountConstraintComponent"
+    # sh:value present only where o was non-null
+    vals = [r for r in t if r.p == SH + "value"]
+    assert len(vals) == 1 and vals[0].o == "abc"
+
+
+def test_report_ids_content_hashed_and_deterministic(spark):
+    rows = [("e1", KG + "x", "v", "notInList", "a,b"),
+            ("e2", KG + "x", "v", "notInList", "a,b")]
+    a = {(r.s, r.p, r.o) for r in _report(spark, rows).collect()}
+    b = {(r.s, r.p, r.o)
+         for r in _report(spark, list(reversed(rows))).collect()}
+    assert a == b
+    # distinct violations -> distinct result nodes
+    ids = {r.s for r in _report(spark, rows).collect()
+           if r.p == SH + "focusNode"}
+    assert len(ids) == 2
+
+
+def test_report_round_trips_from_validate_triples(spark):
+    """End to end: planted violation -> validate -> report triples are a
+    valid TRIPLES_SCHEMA frame queryable for the failing focus node."""
+    from openapi_to_rdf_spark.operators.shapes import (
+        validation_report_triples)
+
+    rules = spark.createDataFrame(
+        [("f", None, KG + "age", None, None, XSD + "integer", None, None,
+          None)],
+        "file string, target_class string, path string, min_count long, "
+        "max_count long, datatype string, in_values array<string>, "
+        "node_kind string, pattern string")
+    bad = _t(spark, [("e9", KG + "age", "xyz", "literal", XSD + "string")])
+    rep = validation_report_triples(validate_triples(bad, rules))
+    assert rep.columns == ["file", "graph", "s", "p", "o_kind", "o",
+                           "o_datatype"]
+    focus = [r.o for r in rep.collect() if r.p == SH + "focusNode"]
+    assert focus == ["e9"]
