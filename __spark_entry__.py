@@ -913,6 +913,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "in_values array<string>, node_kind string, pattern string")
         return validate_triples(triples, rules)
 
+    def q_kg_validation_report(spark, sf_dir):
+        """validation_report_triples hash-verified end to end: the planted
+        kg_violations table rendered as a W3C SHACL validation report
+        (sh:ValidationReport / sh:ValidationResult triples, SHACL spec
+        §3.6), vs a DuckDB twin that re-derives the report rows
+        analytically — pinning the content-hashed result-node ids
+        (md5 over the \\x01-joined violation identity), the
+        constraint-component mapping incl. the Min/MaxCount split parsed
+        from the detail string, the sh:value null-elision, and the
+        sh:conforms header."""
+        from openapi_to_rdf_spark.operators.shapes import (
+            validation_report_triples)
+
+        return validation_report_triples(q_kg_violations(spark, sf_dir))
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2701,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_exact": q_kg_comention_exact,
         "kg_degree_exact": q_kg_degree_exact,
         "kg_violations": q_kg_violations,
+        "kg_validation_report": q_kg_validation_report,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4430,6 +4446,126 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "kg_validation_report": """
+            -- W3C SHACL validation report re-derived analytically over the
+            -- same planted violation set as kg_violations: result-node ids
+            -- are md5 over the chr(1)-joined violation identity (null o ->
+            -- chr(2)), components map per violation kind with the
+            -- cardinality Min/Max split parsed from the detail string.
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            typed AS (SELECT k FROM kk WHERE k % 19 != 0),
+            v AS (
+              SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#role' AS p,
+                     CAST(NULL AS VARCHAR) AS o,
+                     'cardinalityViolation' AS violation,
+                     'count=0 min=1 max=-' AS detail
+              FROM typed WHERE k % 11 = 0
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#role', NULL,
+                     'cardinalityViolation', 'count=2 min=1 max=1'
+              FROM typed WHERE k % 11 = 1
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#role', 'bogus',
+                     'notInList', 'user,assistant,tool'
+              FROM typed WHERE k % 11 = 2
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#role', 'user',
+                     'datatypeMismatch',
+                     'expected http://www.w3.org/2001/XMLSchema#string got '
+                       || 'http://www.w3.org/2001/XMLSchema#integer'
+              FROM typed WHERE k % 11 = 3
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#atTime',
+                     'not-a-date', 'patternMismatch', 'pattern ^[0-9]{4}-'
+              FROM typed WHERE k % 13 = 0
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#mentions',
+                     'ent#e' || CAST(k % 50 AS VARCHAR),
+                     'nodeKindViolation', 'expected IRI got literal'
+              FROM kk WHERE k % 17 = 0),
+            r AS (
+              SELECT v.*,
+                     '_:vr_' || md5(s || chr(1) || p || chr(1)
+                                    || COALESCE(o, chr(2)) || chr(1)
+                                    || violation || chr(1) || detail)
+                       AS rid,
+                     CASE violation
+                       WHEN 'cardinalityViolation' THEN
+                         CASE WHEN regexp_extract(detail,
+                                     'min=([0-9]+)', 1) <> ''
+                               AND CAST(regexp_extract(detail,
+                                     'count=([0-9]+)', 1) AS BIGINT)
+                                 < CAST(regexp_extract(detail,
+                                     'min=([0-9]+)', 1) AS BIGINT)
+                          THEN 'http://www.w3.org/ns/shacl#'
+                                 || 'MinCountConstraintComponent'
+                          ELSE 'http://www.w3.org/ns/shacl#'
+                                 || 'MaxCountConstraintComponent'
+                         END
+                       WHEN 'datatypeMismatch' THEN
+                         'http://www.w3.org/ns/shacl#'
+                           || 'DatatypeConstraintComponent'
+                       WHEN 'notInList' THEN
+                         'http://www.w3.org/ns/shacl#InConstraintComponent'
+                       WHEN 'nodeKindViolation' THEN
+                         'http://www.w3.org/ns/shacl#'
+                           || 'NodeKindConstraintComponent'
+                       WHEN 'patternMismatch' THEN
+                         'http://www.w3.org/ns/shacl#'
+                           || 'PatternConstraintComponent'
+                     END AS component
+              FROM v),
+            body AS (
+              SELECT rid AS s,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                     'iri' AS o_kind,
+                     'http://www.w3.org/ns/shacl#ValidationResult' AS o,
+                     CAST(NULL AS VARCHAR) AS o_datatype
+              FROM r
+              UNION ALL
+              SELECT rid, 'http://www.w3.org/ns/shacl#focusNode', 'iri',
+                     r.s, NULL FROM r
+              UNION ALL
+              SELECT rid, 'http://www.w3.org/ns/shacl#resultPath', 'iri',
+                     r.p, NULL FROM r
+              UNION ALL
+              SELECT rid, 'http://www.w3.org/ns/shacl#resultSeverity',
+                     'iri', 'http://www.w3.org/ns/shacl#Violation', NULL
+              FROM r
+              UNION ALL
+              SELECT rid,
+                     'http://www.w3.org/ns/shacl#sourceConstraintComponent',
+                     'iri', component, NULL FROM r
+              UNION ALL
+              SELECT rid, 'http://www.w3.org/ns/shacl#resultMessage',
+                     'literal', detail, NULL FROM r
+              UNION ALL
+              SELECT rid, 'http://www.w3.org/ns/shacl#value', 'literal',
+                     r.o, NULL FROM r WHERE r.o IS NOT NULL
+              UNION ALL
+              SELECT '_:report', 'http://www.w3.org/ns/shacl#result',
+                     'bnode', rid, NULL FROM r
+              UNION ALL
+              SELECT '_:report',
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'iri', 'http://www.w3.org/ns/shacl#ValidationReport',
+                     NULL
+              UNION ALL
+              SELECT '_:report', 'http://www.w3.org/ns/shacl#conforms',
+                     'literal',
+                     CASE WHEN (SELECT COUNT(*) FROM r) > 0
+                          THEN 'false' ELSE 'true' END,
+                     'http://www.w3.org/2001/XMLSchema#boolean')
+            SELECT 'validation' AS file, 'report' AS graph,
+                   s, p, o_kind, o, o_datatype
+            FROM body
         """,
         "kg_degree_exact": """
             WITH o AS (
