@@ -928,6 +928,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return validation_report_triples(q_kg_violations(spark, sf_dir))
 
+    def q_kg_class_violations(spark, sf_dir):
+        """sh:class + sh:minInclusive/maxInclusive checks hash-verified end
+        to end: alarms typed kg#Alarm reference devices (odd device ids are
+        left untyped -> classViolation via the type-table anti-join;
+        k%31==0 plants a literal-valued reference -> per-row
+        classViolation) and carry a level literal swept through [-5, 17]
+        against bounds [0, 10] -> min/max range violations. The DuckDB twin
+        derives the expected violation set analytically."""
+        from openapi_to_rdf_spark.operators.shapes import validate_triples
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+        base = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.col("o_orderkey").alias("k")))
+        subj = F.concat(F.lit("alarm#"), F.col("k").cast("string"))
+        dev = F.concat(F.lit("dev#"),
+                       F.pmod(F.col("k"), F.lit(97)).cast("string"))
+        lvl = (F.pmod(F.col("k"), F.lit(23)) - F.lit(5)).cast("string")
+
+        def tri(df, s, p, o_kind, o, dt=None):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), o.alias("o"),
+                (F.lit(dt) if dt else F.lit(None).cast("string"))
+                .alias("o_datatype"))
+
+        typed_devs = (base.select(F.pmod(F.col("k"), F.lit(97)).alias("m"))
+                      .filter(F.col("m") % 2 == 0).dropDuplicates())
+        triples = (
+            tri(base, subj, rdf_type, "iri", F.lit(kg + "Alarm"))
+            .unionByName(tri(base, subj, kg + "source", "iri", dev))
+            .unionByName(tri(base.filter(F.pmod(F.col("k"), F.lit(31)) == 0),
+                             subj, kg + "source", "literal",
+                             F.lit("inline"), xsd + "string"))
+            .unionByName(tri(base, subj, kg + "level", "literal", lvl,
+                             xsd + "integer"))
+            .unionByName(tri(typed_devs,
+                             F.concat(F.lit("dev#"),
+                                      F.col("m").cast("string")),
+                             rdf_type, "iri", F.lit(kg + "Device"))))
+        rules = spark.createDataFrame(
+            [("kg", kg + "Alarm", kg + "source", None, None, None, None,
+              None, None, kg + "Device", None, None),
+             ("kg", kg + "Alarm", kg + "level", None, None, None, None,
+              None, None, None, "0", "10")],
+            "file string, target_class string, path string, "
+            "datatype string, min_count int, max_count int, "
+            "in_values array<string>, node_kind string, pattern string, "
+            "value_class string, min_inclusive string, "
+            "max_inclusive string")
+        return validate_triples(triples, rules)
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2717,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_exact": q_kg_degree_exact,
         "kg_violations": q_kg_violations,
         "kg_validation_report": q_kg_validation_report,
+        "kg_class_violations": q_kg_class_violations,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4446,6 +4502,38 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "kg_class_violations": """
+            -- analytically-derived expected sh:class / range violations
+            -- for the planted alarm/device/level construction
+            WITH kk AS (SELECT o_orderkey AS k FROM orders)
+            SELECT 'alarm#' || CAST(k AS VARCHAR) AS s,
+                   'http://ericsson.com/models/3gpp/kg#source' AS p,
+                   'dev#' || CAST(k % 97 AS VARCHAR) AS o,
+                   'classViolation' AS violation,
+                   'expected instance of '
+                     || 'http://ericsson.com/models/3gpp/kg#Device' AS detail
+            FROM kk WHERE (k % 97) % 2 = 1
+            UNION ALL
+            SELECT 'alarm#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#source', 'inline',
+                   'classViolation',
+                   'expected instance of '
+                     || 'http://ericsson.com/models/3gpp/kg#Device'
+                     || ' got literal'
+            FROM kk WHERE k % 31 = 0
+            UNION ALL
+            SELECT 'alarm#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#level',
+                   CAST(k % 23 - 5 AS VARCHAR), 'minInclusiveViolation',
+                   'minInclusive 0 got ' || CAST(k % 23 - 5 AS VARCHAR)
+            FROM kk WHERE k % 23 - 5 < 0
+            UNION ALL
+            SELECT 'alarm#' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#level',
+                   CAST(k % 23 - 5 AS VARCHAR), 'maxInclusiveViolation',
+                   'maxInclusive 10 got ' || CAST(k % 23 - 5 AS VARCHAR)
+            FROM kk WHERE k % 23 - 5 > 10
         """,
         "kg_validation_report": """
             -- W3C SHACL validation report re-derived analytically over the

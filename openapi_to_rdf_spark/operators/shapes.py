@@ -7,7 +7,8 @@ DataFrame schema rules)". Two entry points:
 - ``shape_rules_from_shacl``: pivots a SHACL triple table (as produced by
   operators.extract.convert_specs_df, graph='shacl') into a relational rules
   table (target_class, path, datatype, min_count, max_count, in_values,
-  node_kind) — pure DataFrame self-joins on the property-shape bnode, with
+  node_kind, pattern, value_class, min_inclusive, max_inclusive) — pure
+  DataFrame self-joins on the property-shape bnode, with
   rdf:first/rdf:rest list reconstruction for sh:in. Reference shape emission:
   shacl_converter.py:616-654 (property shapes), :344-353 (sh:in lists).
 
@@ -85,7 +86,8 @@ def _rdf_lists(triples: DataFrame) -> DataFrame:
 
 def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     """SHACL triple table -> rules(target_class, path, datatype, min_count,
-    max_count, in_values, node_kind)."""
+    max_count, in_values, node_kind, pattern, value_class [sh:class],
+    min_inclusive, max_inclusive)."""
     node_shape = _po(shacl, SH + "targetClass", "target_class")
     prop_link = _po(shacl, SH + "property", "prop_shape").withColumnRenamed("shape", "node")
     path = _po(shacl, SH + "path", "path", kind="iri")
@@ -94,6 +96,9 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     max_c = _po(shacl, SH + "maxCount", "max_count")
     node_kind = _po(shacl, SH + "nodeKind", "node_kind")
     pattern = _po(shacl, SH + "pattern", "pattern")
+    value_cls = _po(shacl, SH + "class", "value_class", kind="iri")
+    min_inc = _po(shacl, SH + "minInclusive", "min_inclusive")
+    max_inc = _po(shacl, SH + "maxInclusive", "max_inclusive")
     in_head = _po(shacl, SH + "in", "head")
     lists = _rdf_lists(shacl)
 
@@ -107,6 +112,9 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(max_c, ["file", "shape"], "left")
         .join(node_kind, ["file", "shape"], "left")
         .join(pattern, ["file", "shape"], "left")
+        .join(value_cls, ["file", "shape"], "left")
+        .join(min_inc, ["file", "shape"], "left")
+        .join(max_inc, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
     )
@@ -116,6 +124,10 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         F.col("max_count").cast("int").alias("max_count"),
         F.col("values").alias("in_values"),
         "node_kind", "pattern",
+        # sh:class / sh:minInclusive / sh:maxInclusive — kept as the shapes
+        # graph's lexical forms; validate_triples casts at check time so the
+        # detail strings stay engine-portable
+        "value_class", "min_inclusive", "max_inclusive",
     )
 
 
@@ -134,13 +146,20 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
     def realign(col):
         return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
 
+    extras = [c for c in ("pattern", "min_inclusive", "max_inclusive")
+              if c in rules.columns]
     aligned = rules.select(
         "file",
         F.when(F.col("target_class").isNotNull(),
                realign(F.col("target_class"))).alias("target_class"),
         realign(F.col("path")).alias("path"),
         "datatype", "min_count", "max_count", "in_values", "node_kind",
-        *(["pattern"] if "pattern" in rules.columns else []))
+        *extras,
+        # sh:class references spec-namespace classes; realign by local name
+        # like target_class so value typing checks hit the kg vocabulary
+        *([F.when(F.col("value_class").isNotNull(),
+                  realign(F.col("value_class"))).alias("value_class")]
+          if "value_class" in rules.columns else []))
     return aligned
 
 
@@ -261,9 +280,11 @@ def infer_shapes(triples: DataFrame, max_in: int = 8,
 def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     """Triple table vs rules -> violations(s, p, o, violation, detail).
 
-    Per-triple checks (datatype / sh:in / nodeKind) are a broadcast join;
-    cardinality checks aggregate counts per (s, p). Subjects with no matching
-    rule pass (open-world, as SHACL semantics dictate).
+    Per-triple checks (datatype / sh:in / nodeKind / sh:pattern /
+    sh:minInclusive / sh:maxInclusive) are a broadcast join; cardinality
+    checks aggregate counts per (s, p); sh:class anti-joins value nodes
+    against the type table. Subjects with no matching rule pass
+    (open-world, as SHACL semantics dictate).
 
     minCount for a wholly ABSENT property fires only for class-scoped rules:
     focus nodes are enumerated from rdf:type (SHACL target semantics), then
@@ -271,8 +292,9 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     unscoped (target_class null) min_count rule has no focus-node universe
     and is checked only for present-but-undercounted values.
     """
-    if "pattern" not in rules.columns:  # pre-sh:pattern rule tables
-        rules = rules.withColumn("pattern", F.lit(None).cast("string"))
+    for c in ("pattern", "value_class", "min_inclusive", "max_inclusive"):
+        if c not in rules.columns:  # older / hand-built rule tables
+            rules = rules.withColumn(c, F.lit(None).cast("string"))
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
     # class-scoped rules (target_class set) apply only to subjects typed with
@@ -313,6 +335,28 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
         _viol(F.col("pattern").isNotNull() & (F.col("o_kind") == "literal")
               & ~F.regexp_like(F.col("o"), F.col("pattern")),
               "patternMismatch", F.concat(F.lit("pattern "), "pattern")),
+        # sh:minInclusive / sh:maxInclusive: numeric comparison on the cast
+        # lexical form; a non-numeric literal cannot satisfy the bound, so
+        # it violates (SHACL treats incomparable values as violations). The
+        # rule columns stay lexical so detail strings are engine-portable.
+        # try_cast, not cast: ANSI mode makes cast THROW on a malformed
+        # lexical, and a dirty literal must yield a violation, not a crash
+        _viol(F.col("min_inclusive").isNotNull()
+              & (F.col("o_kind") == "literal")
+              & (F.col("o").try_cast("double").isNull()
+                 | (F.col("o").try_cast("double")
+                    < F.col("min_inclusive").try_cast("double"))),
+              "minInclusiveViolation",
+              F.concat(F.lit("minInclusive "), "min_inclusive",
+                       F.lit(" got "), "o")),
+        _viol(F.col("max_inclusive").isNotNull()
+              & (F.col("o_kind") == "literal")
+              & (F.col("o").try_cast("double").isNull()
+                 | (F.col("o").try_cast("double")
+                    > F.col("max_inclusive").try_cast("double"))),
+              "maxInclusiveViolation",
+              F.concat(F.lit("maxInclusive "), "max_inclusive",
+                       F.lit(" got "), "o")),
     )
     row_viol = (per_triple
                 .select("s", "p", "o", F.explode(checks).alias("v"))
@@ -367,8 +411,39 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                 F.concat(F.lit("count=0 min="), F.col("min_count").cast("string"),
                          F.lit(" max=-")).alias("detail")))
 
+    # sh:class: every value node of a constrained path must be typed with
+    # the rule's class (direct typing — run over an rdfs_entail-closed
+    # graph when subclass instances should count, mirroring SHACL's
+    # "SHACL instance of" semantics). Literals can never be instances, so
+    # they violate per-row; node values anti-join the type table on the
+    # OBJECT node — candidates are deduped first so the shuffle carries
+    # distinct (value, class) pairs, not the triple table.
+    cls_rows = per_triple.filter(F.col("value_class").isNotNull())
+    cls_lit = (cls_rows.filter(F.col("o_kind") == "literal")
+               .select("s", "p", "o",
+                       F.lit("classViolation").alias("violation"),
+                       F.concat(F.lit("expected instance of "),
+                                "value_class",
+                                F.lit(" got literal")).alias("detail")))
+    # bnode OBJECTS are bare labels while typed SUBJECTS carry the "_:"
+    # prefix (extract.TRIPLES_SCHEMA) — normalize before the anti-join
+    onode = F.when(F.col("o_kind") == "bnode",
+                   F.concat(F.lit("_:"), F.col("o"))).otherwise(F.col("o"))
+    cls_node = (cls_rows.filter(F.col("o_kind") != "literal")
+                .select("s", "p", "o", "value_class",
+                        onode.alias("onode"))
+                .dropDuplicates()
+                .join(s_types, (F.col("onode") == F.col("ts"))
+                      & (F.col("value_class") == F.col("stype")),
+                      "left_anti")
+                .select("s", "p", "o",
+                        F.lit("classViolation").alias("violation"),
+                        F.concat(F.lit("expected instance of "),
+                                 "value_class").alias("detail")))
+
     # dedupe: a triple matched by several rules reports each violation once
     return (row_viol.unionByName(card_viol).unionByName(absent_viol)
+            .unionByName(cls_lit).unionByName(cls_node)
             .dropDuplicates())
 
 
@@ -377,6 +452,9 @@ _COMPONENT_OF = {
     "notInList": SH + "InConstraintComponent",
     "nodeKindViolation": SH + "NodeKindConstraintComponent",
     "patternMismatch": SH + "PatternConstraintComponent",
+    "classViolation": SH + "ClassConstraintComponent",
+    "minInclusiveViolation": SH + "MinInclusiveConstraintComponent",
+    "maxInclusiveViolation": SH + "MaxInclusiveConstraintComponent",
 }
 XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
 
@@ -483,6 +561,10 @@ def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     snapshots (infer_shapes), not diffing them.
     """
     facets = ["min_count", "max_count", "datatype", "node_kind", "pattern"]
+    # sh:class / range facets diff only when both snapshots carry them —
+    # infer_shapes output predates these columns and must keep diffing
+    facets += [c for c in ("value_class", "min_inclusive", "max_inclusive")
+               if c in old_rules.columns and c in new_rules.columns]
 
     def side(df, tag):
         cols = [F.coalesce(F.col("target_class"), F.lit("")).alias(f"{tag}_tc"),

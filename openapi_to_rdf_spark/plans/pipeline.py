@@ -147,7 +147,9 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
     rules = kg_shape_rules(spark, KG_NS)
     rules_fp_part = "base"
     if spec_rules is not None:
-        rules = rules.unionByName(spec_rules)
+        # converted-spec rules may carry newer facet columns (value_class,
+        # min/max_inclusive) the hand-written kg rules predate
+        rules = rules.unionByName(spec_rules, allowMissingColumns=True)
         # rules are a broadcast-tiny dim: fingerprint their content so a
         # changed spec invalidates (only) the violations stage on resume
         rules_fp_part = fingerprint(

@@ -227,6 +227,22 @@ def test_report_result_shape_and_components(spark):
     assert len(vals) == 1 and vals[0].o == "abc"
 
 
+def test_report_components_for_class_and_range(spark):
+    t = _report(spark, [
+        ("e1", KG + "source", "me#ghost", "classViolation",
+         "expected instance of " + KG + "ManagedElement"),
+        ("e2", KG + "level", "-3", "minInclusiveViolation",
+         "minInclusive 0 got -3"),
+        ("e3", KG + "level", "99", "maxInclusiveViolation",
+         "maxInclusive 10 got 99"),
+    ]).collect()
+    comp = {r.s: r.o for r in t if r.p == SH + "sourceConstraintComponent"}
+    focus = {r.o: r.s for r in t if r.p == SH + "focusNode"}
+    assert comp[focus["e1"]] == SH + "ClassConstraintComponent"
+    assert comp[focus["e2"]] == SH + "MinInclusiveConstraintComponent"
+    assert comp[focus["e3"]] == SH + "MaxInclusiveConstraintComponent"
+
+
 def test_report_ids_content_hashed_and_deterministic(spark):
     rows = [("e1", KG + "x", "v", "notInList", "a,b"),
             ("e2", KG + "x", "v", "notInList", "a,b")]

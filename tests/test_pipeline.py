@@ -191,6 +191,94 @@ def test_validate_min_count_fires_for_absent_property(spark):
     }
 
 
+def test_converted_class_and_range_rules_enforced(spark):
+    """sh:class and sh:minInclusive/maxInclusive emitted by the converter
+    flow through shape_rules_from_shacl into validate_triples: an untyped
+    or literal value under a sh:class rule is flagged, a correctly-typed
+    one passes; numbers outside [min, max] (or non-numeric lexicals) are
+    flagged, in-range ones pass."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.shapes import shape_rules_from_shacl
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      properties:
+        source:
+          $ref: '#/components/schemas/ManagedElement'
+        level:
+          type: integer
+          minimum: 0
+          maximum: 10
+    ManagedElement:
+      type: object
+      properties:
+        name:
+          type: string
+"""
+    specs = spark.createDataFrame([("alarms.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = shape_rules_from_shacl(shacl)
+    by_path = {r["path"].rsplit("#", 1)[-1]: r for r in rules.collect()}
+    assert by_path["source"]["value_class"].endswith("#ManagedElement")
+    assert by_path["level"]["min_inclusive"] == "0"
+    assert by_path["level"]["max_inclusive"] == "10"
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    alarm = by_path["source"]["target_class"]
+    me_cls = by_path["source"]["value_class"]
+    src_p, lvl_p = by_path["source"]["path"], by_path["level"]["path"]
+    triples = spark.createDataFrame([
+        *[("c0", "kg", f"a#{i}", rdf_type, "iri", alarm, None)
+          for i in (1, 2, 3, 4, 5, 6, 7)],
+        ("c0", "kg", "me#ok", rdf_type, "iri", me_cls, None),
+        # typed object -> passes; untyped -> classViolation;
+        # literal -> classViolation
+        ("c0", "kg", "a#1", src_p, "iri", "me#ok", None),
+        ("c0", "kg", "a#2", src_p, "iri", "me#ghost", None),
+        ("c0", "kg", "a#3", src_p, "literal", "inline", xsd + "string"),
+        # in-range / below / above / non-numeric
+        ("c0", "kg", "a#4", lvl_p, "literal", "5", xsd + "integer"),
+        ("c0", "kg", "a#5", lvl_p, "literal", "-3", xsd + "integer"),
+        ("c0", "kg", "a#6", lvl_p, "literal", "99", xsd + "integer"),
+        ("c0", "kg", "a#7", lvl_p, "literal", "NaNish", xsd + "integer"),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    v = validate_triples(triples, rules)
+    got = {(r.s, r.violation) for r in v.collect()}
+    assert got == {
+        ("a#2", "classViolation"), ("a#3", "classViolation"),
+        ("a#5", "minInclusiveViolation"), ("a#6", "maxInclusiveViolation"),
+        # a non-numeric lexical can satisfy neither bound
+        ("a#7", "minInclusiveViolation"), ("a#7", "maxInclusiveViolation"),
+    }
+    details = {r.violation: r.detail for r in v.collect() if r.s == "a#5"}
+    assert details["minInclusiveViolation"] == "minInclusive 0 got -3"
+
+
+def test_align_rules_realigns_value_class(spark):
+    from openapi_to_rdf_spark.operators.shapes import (
+        align_rules_to_namespace)
+
+    rules = spark.createDataFrame(
+        [("f", "http://x/spec#Alarm", "http://x/spec#source", None, None,
+          None, None, None, None, "http://x/spec#ManagedElement", "0",
+          None)],
+        "file string, target_class string, path string, datatype string, "
+        "min_count int, max_count int, in_values array<string>, "
+        "node_kind string, pattern string, value_class string, "
+        "min_inclusive string, max_inclusive string")
+    row = align_rules_to_namespace(rules, KG_NS).collect()[0]
+    assert row["value_class"] == KG_NS + "ManagedElement"
+    assert row["target_class"] == KG_NS + "Alarm"
+    assert row["min_inclusive"] == "0"
+
+
 def test_canonicalize_empty_normalization_guard(spark):
     """Entities with no [a-z0-9] characters must self-map, never merge:
     their padded shingle sets would be degenerate-identical ('___'), so
