@@ -211,7 +211,12 @@ def infer_shapes(triples: DataFrame, max_in: int = 8,
     - in_values: the sorted distinct-object list iff all-literal and the
       distinct count is <= max_in (the enum heuristic — mirrors the
       reference's sh:in emission for schema enums, shacl_converter.py
-      ~:344-353, derived from data instead of the spec).
+      ~:344-353, derived from data instead of the spec);
+    - value_class: emitted iff all objects are IRIs and EVERY distinct
+      object node carries a common rdf:type (min IRI when several do) —
+      the data-derived counterpart of the converter's sh:class emission;
+    - min_inclusive / max_inclusive: observed numeric range (original
+      lexical forms) iff every literal of the group parses as a number.
 
     The output feeds validate_triples directly, and validating the SOURCE
     graph against its own inferred rules yields zero violations by
@@ -259,10 +264,42 @@ def infer_shapes(triples: DataFrame, max_in: int = 8,
                .groupBy("cls", "p")
                .agg(F.array_sort(F.collect_set("o")).alias("in_values")))
 
+    # sh:class discovery: a common type carried by EVERY distinct object
+    # node of the group (min IRI when several qualify, for determinism).
+    # Distinct (group, object) pairs first, so the type join and both
+    # aggregations run over object cardinality, not triple cardinality.
+    obj_nodes = (props.filter(F.col("o_kind") == "iri")
+                 .select("cls", "p", "o").dropDuplicates())
+    n_onodes = (obj_nodes.groupBy("cls", "p")
+                .agg(F.countDistinct("o").alias("n_onodes")))
+    vclass = (obj_nodes
+              .join(typed.select(F.col("s").alias("o"),
+                                 F.col("cls").alias("otype")), "o")
+              .groupBy("cls", "p", "otype")
+              .agg(F.countDistinct("o").alias("n_t"))
+              .join(n_onodes, ["cls", "p"])
+              .filter(F.col("n_t") == F.col("n_onodes"))
+              .groupBy("cls", "p")
+              .agg(F.min("otype").alias("value_class")))
+
+    # numeric-range discovery: when EVERY literal of the group parses as a
+    # number, emit observed [min, max] as sh:minInclusive/maxInclusive —
+    # keeping the ORIGINAL lexical forms (min_by/max_by on the cast value)
+    # so the rule stays engine-portable and self-validation is exact.
+    lits = (props.filter(F.col("o_kind") == "literal")
+            .select("cls", "p", "o",
+                    F.col("o").try_cast("double").alias("num")))
+    rng = (lits.groupBy("cls", "p")
+           .agg(F.count(F.when(F.col("num").isNull(), 1)).alias("n_nonnum"),
+                F.min_by("o", "num").alias("min_lex"),
+                F.max_by("o", "num").alias("max_lex")))
+
     return (card
             .join(obj, ["cls", "p"])
             .join(F.broadcast(class_sizes), "cls")
             .join(in_vals, ["cls", "p"], "left")
+            .join(vclass, ["cls", "p"], "left")
+            .join(rng, ["cls", "p"], "left")
             .select(
                 F.lit(file).alias("file"),
                 F.col("cls").alias("target_class"),
@@ -274,7 +311,13 @@ def infer_shapes(triples: DataFrame, max_in: int = 8,
                 F.col("max_count").cast("int").alias("max_count"),
                 F.col("in_values"),
                 F.when(F.col("n_noniri") == 0, F.lit(SH + "IRI")).alias("node_kind"),
-                F.lit(None).cast("string").alias("pattern")))
+                F.lit(None).cast("string").alias("pattern"),
+                F.when(F.col("n_noniri") == 0, F.col("value_class"))
+                .alias("value_class"),
+                F.when(F.col("n_nonnum") == 0, F.col("min_lex"))
+                .alias("min_inclusive"),
+                F.when(F.col("n_nonnum") == 0, F.col("max_lex"))
+                .alias("max_inclusive")))
 
 
 def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:

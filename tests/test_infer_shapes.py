@@ -177,6 +177,41 @@ def test_shape_drift_identical_is_empty(spark):
     assert shape_drift(infer_shapes(src), infer_shapes(src)).count() == 0
 
 
+def test_infer_value_class_and_numeric_range(spark):
+    """value_class requires a COMMON type across every distinct object
+    node; min/max_inclusive require every literal to parse numerically
+    and keep the original lexical forms."""
+    rows = [
+        ("a1", RDF_TYPE, KG + "Alarm", "iri", None),
+        ("a2", RDF_TYPE, KG + "Alarm", "iri", None),
+        # every source object typed Device -> value_class
+        ("a1", KG + "source", "d1", "iri", None),
+        ("a2", KG + "source", "d2", "iri", None),
+        ("d1", RDF_TYPE, KG + "Device", "iri", None),
+        ("d2", RDF_TYPE, KG + "Device", "iri", None),
+        # one untyped target -> no common class for seenBy
+        ("a1", KG + "seenBy", "d1", "iri", None),
+        ("a2", KG + "seenBy", "ghost", "iri", None),
+        # numeric literals -> observed range, lexical forms preserved
+        ("a1", KG + "level", "5", "literal", XSD + "integer"),
+        ("a2", KG + "level", "-3.5", "literal", XSD + "decimal"),
+        # one non-numeric literal poisons the range for note
+        ("a1", KG + "note", "7", "literal", XSD + "string"),
+        ("a2", KG + "note", "high", "literal", XSD + "string"),
+    ]
+    rules = {r.path: r for r in infer_shapes(_t(spark, rows)).collect()
+             if r.target_class == KG + "Alarm"}
+    assert rules[KG + "source"]["value_class"] == KG + "Device"
+    assert rules[KG + "seenBy"]["value_class"] is None
+    lvl = rules[KG + "level"]
+    assert (lvl["min_inclusive"], lvl["max_inclusive"]) == ("-3.5", "5")
+    assert rules[KG + "note"]["min_inclusive"] is None
+    # d1/d2 are typed subjects too: Device has no properties -> no rules
+    # beyond Alarm's; self-validation must stay clean with the new facets
+    src = _t(spark, rows)
+    assert validate_triples(src, infer_shapes(src)).count() == 0
+
+
 # --------------------------------------------------------------------------
 # W3C validation-report triples
 # --------------------------------------------------------------------------
