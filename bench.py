@@ -159,7 +159,11 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "kg_update", "bgp_graphs", "sparql_select", "sparql_agg",
              "kg_sameas", "kg_ifp",
              # added r2 session 15
-             "sparql_from"]
+             "sparql_from",
+             # added r2 session 16
+             "entity_consolidate", "er_metrics", "graph_sssp",
+             "value_qsketch", "kg_class_violations",
+             "kg_validation_report"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

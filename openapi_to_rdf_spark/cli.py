@@ -261,14 +261,19 @@ def cmd_kg(args) -> int:
 
         from .operators.extract import KG_NS, convert_specs_df
         from .operators.shapes import (
-            align_rules_to_namespace, shape_rules_from_shacl,
+            align_rules_to_namespace, resolve_scalar_aliases,
+            shape_rules_from_shacl,
         )
         from .sources.specs import spec_paths_df, with_content
 
         specs = with_content(spec_paths_df(spark, args.spec))
         shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+        # scalar-alias sh:class rules become datatype-set rules BEFORE
+        # namespace alignment, so alias literals aren't flagged as
+        # missing class instances
         spec_rules = align_rules_to_namespace(
-            shape_rules_from_shacl(shacl), KG_NS)
+            resolve_scalar_aliases(shape_rules_from_shacl(shacl), shacl),
+            KG_NS)
 
     transcripts, input_fp = None, None
     if args.input_table:

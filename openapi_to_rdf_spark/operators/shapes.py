@@ -84,6 +84,35 @@ def _rdf_lists(triples: DataFrame) -> DataFrame:
     return cells.groupBy("file").applyInPandas(walk, schema)
 
 
+def _alt_datatype_sets(shacl: DataFrame) -> DataFrame:
+    """(file, shape, any_datatype) for every shape carrying an sh:xone /
+    sh:or / sh:or_ alternative list whose members ALL resolve to
+    datatype-bearing node shapes (the converter's encoding of OpenAPI
+    oneOf/anyOf over primitives — ``sh:or_`` mirrors the reference's
+    attr-name quirk, shacl_converter.py logical-operator emission).
+    Members carrying extra facets (sh:in, sh:minInclusive) are accepted
+    by their datatype alone — a sound relaxation: validation may
+    under-flag alternatives, never wrongly flag a conforming value."""
+    heads = None
+    for pred in (SH + "xone", SH + "or", SH + "or_"):
+        h = _po(shacl, pred, "head")
+        heads = h if heads is None else heads.unionByName(h)
+    lists = _rdf_lists(shacl)
+    dt = (_po(shacl, SH + "datatype", "m_dt")
+          .withColumnRenamed("shape", "member"))
+    members = (heads.join(lists, ["file", "head"])
+               .select("file", "shape",
+                       F.explode("values").alias("member"),
+                       F.size("values").alias("n_members")))
+    agg = (members.join(dt, ["file", "member"], "left")
+           .groupBy("file", "shape")
+           .agg(F.max("n_members").alias("n_members"),
+                F.count("m_dt").alias("n_dt"),
+                F.array_sort(F.collect_set("m_dt")).alias("dts")))
+    return (agg.filter(F.col("n_dt") == F.col("n_members"))
+            .select("file", "shape", F.col("dts").alias("any_datatype")))
+
+
 def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     """SHACL triple table -> rules(target_class, path, datatype, min_count,
     max_count, in_values, node_kind, pattern, value_class [sh:class],
@@ -117,6 +146,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(max_inc, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
+        .join(_alt_datatype_sets(shacl), ["file", "shape"], "left")
     )
     return prop.select(
         "file", "target_class", "path", "datatype",
@@ -128,7 +158,65 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         # graph's lexical forms; validate_triples casts at check time so the
         # detail strings stay engine-portable
         "value_class", "min_inclusive", "max_inclusive",
+        # property-level sh:xone/or datatype alternatives
+        "any_datatype",
     )
+
+
+def resolve_scalar_aliases(rules: DataFrame, shacl: DataFrame) -> DataFrame:
+    """Rewrite ``value_class`` rules that point at SCALAR ALIAS shapes into
+    datatype-set rules.
+
+    The converter (mirroring the reference) encodes an OpenAPI alias like
+    ``Level: oneOf [integer, number]`` as a node shape ``sh:targetClass
+    :Level ; sh:xone (<integer shape> <number shape>)`` — and every
+    property referencing it gets ``sh:class :Level``. Taken literally,
+    sh:class demands an IRI instance, so the alias's LITERAL values would
+    all be flagged. This resolution step joins each rule's value_class
+    against the shapes graph: when the target is a node shape with NO
+    sh:property links but a direct sh:datatype or an all-datatype
+    alternative list, the rule's value_class is cleared and
+    ``any_datatype`` is filled with the allowed set instead. Plain
+    aliases the converter emits NO shape for at all (e.g. the reference's
+    ComDefs:DateTime — ``sh:class`` with no target shape anywhere) stay
+    untouched: there is nothing to resolve against, and validate_triples'
+    open-typing semantics are the caller's policy decision.
+
+    Both inputs are vocabulary-sized; every join here is dimension-scale.
+    """
+    if "any_datatype" not in rules.columns:
+        rules = rules.withColumn("any_datatype",
+                                 F.lit(None).cast("array<string>"))
+    alias_tc = _po(shacl, SH + "targetClass", "alias_class")
+    direct = _po(shacl, SH + "datatype", "direct_dt")
+    alts = _alt_datatype_sets(shacl)
+    has_prop = (_po(shacl, SH + "property", "x")
+                .select("file", "shape").dropDuplicates()
+                .withColumn("is_obj", F.lit(True)))
+    payload = F.coalesce(
+        F.col("alt_dts"),
+        F.when(F.col("direct_dt").isNotNull(), F.array("direct_dt")))
+    alias = (alias_tc
+             .join(direct, ["file", "shape"], "left")
+             .join(alts.withColumnRenamed("any_datatype", "alt_dts"),
+                   ["file", "shape"], "left")
+             .join(has_prop, ["file", "shape"], "left")
+             .filter(F.col("is_obj").isNull())
+             .select("file", "alias_class", payload.alias("alias_dts"))
+             .filter(F.col("alias_dts").isNotNull())
+             .dropDuplicates(["file", "alias_class"]))
+    joined = rules.join(
+        F.broadcast(alias),
+        (rules["file"] == alias["file"])
+        & (rules["value_class"] == alias["alias_class"]), "left")
+    keep = [c for c in rules.columns
+            if c not in ("value_class", "any_datatype")]
+    return joined.select(
+        *[rules[c] for c in keep],
+        F.when(F.col("alias_dts").isNull(), rules["value_class"])
+        .alias("value_class"),
+        F.coalesce(rules["any_datatype"], F.col("alias_dts"))
+        .alias("any_datatype"))
 
 
 def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
@@ -146,7 +234,8 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
     def realign(col):
         return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
 
-    extras = [c for c in ("pattern", "min_inclusive", "max_inclusive")
+    extras = [c for c in ("pattern", "min_inclusive", "max_inclusive",
+                          "any_datatype")
               if c in rules.columns]
     aligned = rules.select(
         "file",
@@ -335,9 +424,11 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     unscoped (target_class null) min_count rule has no focus-node universe
     and is checked only for present-but-undercounted values.
     """
-    for c in ("pattern", "value_class", "min_inclusive", "max_inclusive"):
+    for c, t in (("pattern", "string"), ("value_class", "string"),
+                 ("min_inclusive", "string"), ("max_inclusive", "string"),
+                 ("any_datatype", "array<string>")):
         if c not in rules.columns:  # older / hand-built rule tables
-            rules = rules.withColumn(c, F.lit(None).cast("string"))
+            rules = rules.withColumn(c, F.lit(None).cast(t))
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
     # class-scoped rules (target_class set) apply only to subjects typed with
@@ -400,6 +491,19 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
               "maxInclusiveViolation",
               F.concat(F.lit("maxInclusive "), "max_inclusive",
                        F.lit(" got "), "o")),
+        # sh:xone/sh:or over datatype-only alternatives (incl. resolved
+        # scalar aliases): the value must be a literal whose datatype is
+        # in the allowed set
+        _viol(F.col("any_datatype").isNotNull()
+              & ((F.col("o_kind") != "literal")
+                 | ~F.array_contains(
+                     F.col("any_datatype"),
+                     F.coalesce(F.col("o_datatype"), F.lit("\x02")))),
+              "noneOfDatatypes",
+              F.concat(F.lit("expected one of "),
+                       F.concat_ws(",", "any_datatype"),
+                       F.lit(" got "),
+                       F.coalesce("o_datatype", "o_kind"))),
     )
     row_viol = (per_triple
                 .select("s", "p", "o", F.explode(checks).alias("v"))
@@ -498,6 +602,9 @@ _COMPONENT_OF = {
     "classViolation": SH + "ClassConstraintComponent",
     "minInclusiveViolation": SH + "MinInclusiveConstraintComponent",
     "maxInclusiveViolation": SH + "MaxInclusiveConstraintComponent",
+    # datatype alternatives may originate from sh:or or sh:xone; for
+    # datatype-only members the two coincide, reported as sh:or
+    "noneOfDatatypes": SH + "OrConstraintComponent",
 }
 XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
 
@@ -606,7 +713,8 @@ def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     facets = ["min_count", "max_count", "datatype", "node_kind", "pattern"]
     # sh:class / range facets diff only when both snapshots carry them —
     # infer_shapes output predates these columns and must keep diffing
-    facets += [c for c in ("value_class", "min_inclusive", "max_inclusive")
+    facets += [c for c in ("value_class", "min_inclusive", "max_inclusive",
+                           "any_datatype")
                if c in old_rules.columns and c in new_rules.columns]
 
     def side(df, tag):

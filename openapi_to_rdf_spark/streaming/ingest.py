@@ -49,7 +49,8 @@ def stream_turn_triples(stream: DataFrame, class_vocab: DataFrame | None = None,
 def start_stream_pipeline(stream: DataFrame, output_dir: str,
                           class_vocab: DataFrame | None = None,
                           trigger_once: bool = True,
-                          construct: str | None = None):
+                          construct: str | None = None,
+                          rules: DataFrame | None = None):
     """foreachBatch micro-batch pipeline: batch extractor + idempotent
     per-batch Parquet commit + per-batch metrics sidecar.
 
@@ -63,11 +64,21 @@ def start_stream_pipeline(stream: DataFrame, output_dir: str,
     the incremental entailment stage makes); cross-conversation rules
     belong in the batch pipeline over the merged snapshot.
 
+    ``rules``: an optional shape-rules table (operators.shapes layout) —
+    each batch's triples are validated with validate_triples and the
+    violations commit idempotently under ``violations/``, the streaming
+    counterpart of the batch pipeline's quarantine stage. Same batch-local
+    caveat: class-scoped minCount (count=0) and sh:class checks see one
+    conversation's triples at a time, which is exact for the kg rules
+    because extraction emits a subject's rdf:type alongside its
+    properties in the same batch.
+
     Returns the StreamingQuery (caller awaits termination).
     """
     out = pathlib.Path(output_dir)
     data_dir = out / "triples"
     derived_dir = out / "derived"
+    viol_dir = out / "violations"
     metrics_dir = out / "_batch_metrics"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -86,6 +97,13 @@ def start_stream_pipeline(stream: DataFrame, output_dir: str,
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .parquet(str(derived_dir / f"batch_id={batch_id}")))
+        if rules is not None:
+            from ..operators.shapes import validate_triples
+
+            (validate_triples(triples, rules)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(str(viol_dir / f"batch_id={batch_id}")))
         n = spark.read.parquet(str(data_dir / f"batch_id={batch_id}")).count()
         (spark.createDataFrame([(batch_id, n)], "batch_id long, triples long")
          .write.mode("overwrite")
@@ -109,3 +127,10 @@ def read_stream_derived(spark, output_dir: str) -> DataFrame:
     """Read back the CONSTRUCT-derived triples committed per batch."""
     return spark.read.option("basePath", str(pathlib.Path(output_dir) / "derived")) \
         .parquet(str(pathlib.Path(output_dir) / "derived" / "batch_id=*"))
+
+
+def read_stream_violations(spark, output_dir: str) -> DataFrame:
+    """Read back the per-batch shape-validation quarantine."""
+    return spark.read.option(
+        "basePath", str(pathlib.Path(output_dir) / "violations")) \
+        .parquet(str(pathlib.Path(output_dir) / "violations" / "batch_id=*"))

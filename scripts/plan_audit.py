@@ -28,7 +28,9 @@ AUDIT = [
     "image_dups", "kg_char_sets", "kg_star_card", "kg_void", "kg_kcore",
     "kg_asof", "bgp_optimized", "source_overlap", "kg_dangling",
     "bgp_subquery", "kg_update", "bgp_graphs", "sparql_select",
-    "sparql_agg", "kg_sameas", "kg_ifp",
+    "sparql_agg", "kg_sameas", "kg_ifp", "sparql_from",
+    "entity_consolidate", "er_metrics", "graph_sssp", "value_qsketch",
+    "kg_class_violations", "kg_validation_report",
 ]
 
 

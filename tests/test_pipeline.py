@@ -261,6 +261,65 @@ components:
     assert details["minInclusiveViolation"] == "minInclusive 0 got -3"
 
 
+def test_scalar_alias_rules_resolve_to_datatype_sets(spark):
+    """A property whose sh:class points at a scalar alias (OpenAPI oneOf
+    over primitives -> targetClass + sh:xone of datatype shapes) must
+    validate literals against the datatype SET, not demand an IRI
+    instance; a plain alias the converter emits no shape for stays a
+    class rule."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.shapes import (
+        resolve_scalar_aliases, shape_rules_from_shacl)
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      properties:
+        severity:
+          $ref: '#/components/schemas/Level'
+        thresh:
+          $ref: '#/components/schemas/Hysteresis'
+    Level:
+      oneOf:
+        - type: integer
+        - type: number
+    Hysteresis:
+      type: number
+"""
+    specs = spark.createDataFrame([("alarms.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = resolve_scalar_aliases(shape_rules_from_shacl(shacl), shacl)
+    by_path = {r["path"].rsplit("#", 1)[-1]: r for r in rules.collect()}
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    sev = by_path["severity"]
+    assert sev["value_class"] is None
+    assert sorted(sev["any_datatype"]) == [xsd + "double", xsd + "integer"]
+    # no shape exists for Hysteresis -> nothing to resolve against
+    assert by_path["thresh"]["value_class"].endswith("#Hysteresis")
+    assert by_path["thresh"]["any_datatype"] is None
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    alarm, sev_p = sev["target_class"], sev["path"]
+    triples = spark.createDataFrame([
+        *[("c0", "kg", f"a#{i}", rdf_type, "iri", alarm, None)
+          for i in (1, 2, 3)],
+        ("c0", "kg", "a#1", sev_p, "literal", "3", xsd + "integer"),
+        ("c0", "kg", "a#2", sev_p, "literal", "oops", xsd + "string"),
+        ("c0", "kg", "a#3", sev_p, "iri", "lvl#3", None),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    v = validate_triples(triples, rules)
+    got = {(r.s, r.violation) for r in v.collect()}
+    assert got == {("a#2", "noneOfDatatypes"), ("a#3", "noneOfDatatypes")}
+    d = {r.s: r.detail for r in v.collect()}
+    assert d["a#2"].endswith("got " + xsd + "string")
+    assert d["a#3"].endswith("got iri")
+
+
 def test_align_rules_realigns_value_class(spark):
     from openapi_to_rdf_spark.operators.shapes import (
         align_rules_to_namespace)

@@ -471,3 +471,45 @@ def test_stream_construct_matches_batch(spark, tmp_path):
     assert got.count() > 0
     assert {r.p for r in got.select("p").distinct().collect()} == {
         KG_NS + "hasUserTurn"}
+
+
+def test_stream_validation_matches_batch(spark, tmp_path):
+    """Per-batch shape validation (streaming quarantine): for
+    conversation-contained rules the streamed violation set equals batch
+    validate_triples over all extracted triples."""
+    from openapi_to_rdf_spark.operators.extract import KG_NS
+    from openapi_to_rdf_spark.operators.shapes import validate_triples
+    from openapi_to_rdf_spark.streaming.ingest import read_stream_violations
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    # stricter-than-real rule so the synthetic corpus actually violates:
+    # only "user" is an allowed role
+    rules = spark.createDataFrame(
+        [("kg", KG_NS + "Turn", KG_NS + "role", xsd + "string", 1, 1,
+          ["user"], None, None)],
+        "file string, target_class string, path string, datatype string, "
+        "min_count int, max_count int, in_values array<string>, "
+        "node_kind string, pattern string")
+
+    src = tmp_path / "incoming"
+    out = tmp_path / "out"
+    turns = synth_transcripts(spark, 60, seed=13)
+    turns.filter(F.col("conv_id") < "c000000030").coalesce(1) \
+        .write.parquet(str(src / "chunk0"))
+    turns.filter(F.col("conv_id") >= "c000000030").coalesce(1) \
+        .write.parquet(str(src / "chunk1"))
+
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = start_stream_pipeline(stream, str(out), class_vocab_df(spark),
+                              rules=rules)
+    q.awaitTermination(120)
+
+    got = read_stream_violations(spark, str(out)) \
+        .select("s", "p", "o", "violation", "detail").dropDuplicates()
+    expected = validate_triples(
+        extract_transcript_triples(turns, class_vocab_df(spark)), rules)
+    assert got.exceptAll(expected).isEmpty()
+    assert expected.exceptAll(got).isEmpty()
+    assert got.filter(F.col("violation") == "notInList").count() > 0
