@@ -983,6 +983,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "max_inclusive string")
         return validate_triples(triples, rules)
 
+    def q_rule_conflicts(spark, sf_dir):
+        """Cross-spec shape-rule conflict detection hash-verified: a rules
+        table synthesized from orders keys (3 files, 35 (class, path)
+        groups, alternating datatypes / enum signatures / cardinality
+        bounds) vs a DuckDB twin deriving the same per-facet conflict
+        rows from the same construction."""
+        from openapi_to_rdf_spark.operators.shapes import rule_conflicts
+
+        base = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.col("o_orderkey").alias("k")))
+        m = lambda n: F.pmod(F.col("k"), F.lit(n)).cast("string")  # noqa: E731
+        rules = base.select(
+            F.concat(F.lit("f"), m(3)).alias("file"),
+            F.concat(F.lit("C"), m(7)).alias("target_class"),
+            F.concat(F.lit("p"), m(5)).alias("path"),
+            F.concat(F.lit("dt"), m(2)).alias("datatype"),
+            F.pmod(F.col("k"), F.lit(4)).cast("int").alias("min_count"),
+            F.pmod(F.col("k"), F.lit(6)).cast("int").alias("max_count"),
+            F.array(F.concat(F.lit("v"), m(3))).alias("in_values"),
+            F.lit(None).cast("string").alias("node_kind"),
+            F.lit(None).cast("string").alias("pattern"))
+        return rule_conflicts(rules).withColumnRenamed("values", "vals")
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2773,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_violations": q_kg_violations,
         "kg_validation_report": q_kg_validation_report,
         "kg_class_violations": q_kg_class_violations,
+        "rule_conflicts": q_rule_conflicts,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4502,6 +4526,38 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "rule_conflicts": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            r AS (
+              SELECT 'f' || CAST(k % 3 AS VARCHAR) AS file,
+                     'C' || CAST(k % 7 AS VARCHAR) AS target_class,
+                     'p' || CAST(k % 5 AS VARCHAR) AS path,
+                     'dt' || CAST(k % 2 AS VARCHAR) AS datatype,
+                     CAST(k % 4 AS INT) AS min_count,
+                     CAST(k % 6 AS INT) AS max_count,
+                     'v' || CAST(k % 3 AS VARCHAR) AS in_sig
+              FROM kk),
+            agg AS (
+              SELECT target_class, path,
+                     COUNT(DISTINCT file) AS n_files,
+                     list_sort(list(DISTINCT datatype)) AS dt_vals,
+                     list_sort(list(DISTINCT in_sig)) AS in_vals,
+                     MAX(min_count) AS max_min,
+                     MIN(max_count) AS min_max
+              FROM r GROUP BY 1, 2)
+            SELECT target_class, path, 'datatype' AS facet,
+                   array_to_string(dt_vals, ',') AS vals, n_files
+            FROM agg WHERE len(dt_vals) > 1
+            UNION ALL
+            SELECT target_class, path, 'in_values',
+                   array_to_string(in_vals, ','), n_files
+            FROM agg WHERE len(in_vals) > 1
+            UNION ALL
+            SELECT target_class, path, 'cardinality',
+                   CAST(max_min AS VARCHAR) || '>'
+                     || CAST(min_max AS VARCHAR), n_files
+            FROM agg WHERE max_min > min_max
         """,
         "kg_class_violations": """
             -- analytically-derived expected sh:class / range violations

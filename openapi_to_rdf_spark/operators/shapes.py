@@ -698,6 +698,59 @@ def validation_report_triples(violations: DataFrame,
                     "s", "p", "o_kind", "o", "o_datatype"))
 
 
+def rule_conflicts(rules: DataFrame) -> DataFrame:
+    """Cross-file shape-rule conflicts per (target_class, path) — the
+    vocabulary-governance check for a rules table merged from MANY specs
+    (e.g. successive 3GPP releases converted separately): two files
+    constraining the same property incompatibly is a spec bug to surface
+    before validation enforces an arbitrary winner.
+
+    Output (target_class, path, facet, values, n_files), one row per
+    conflicting facet:
+
+    - datatype / node_kind / value_class / pattern: more than one
+      distinct non-null value across files ("values" = the sorted
+      distinct set, comma-joined);
+    - in_values: more than one distinct non-null enum signature
+      (pipe-joined value list);
+    - cardinality: max(min_count) > min(max_count) — no cardinality can
+      satisfy all files at once ("values" = "min>max").
+
+    One aggregation pass over the vocabulary-sized rules table; the
+    conditional-struct-array explode mirrors shape_drift.
+    """
+    facets = ["datatype", "node_kind", "value_class", "pattern"]
+    for c in ("value_class",):
+        if c not in rules.columns:
+            rules = rules.withColumn(c, F.lit(None).cast("string"))
+    in_sig = F.when(F.col("in_values").isNotNull(),
+                    F.concat_ws("|", "in_values"))
+    agg = (rules.groupBy("target_class", "path").agg(
+        F.countDistinct("file").alias("n_files"),
+        *[F.array_sort(F.collect_set(f)).alias(f"{f}_vals")
+          for f in facets],
+        F.array_sort(F.collect_set(in_sig)).alias("in_values_vals"),
+        F.max("min_count").alias("max_min"),
+        F.min("max_count").alias("min_max")))
+
+    def conflict(facet, cond, values):
+        return F.when(cond, F.struct(F.lit(facet).alias("facet"),
+                                     values.alias("values")))
+
+    entries = [conflict(f, F.size(f"{f}_vals") > 1,
+                        F.concat_ws(",", f"{f}_vals"))
+               for f in facets + ["in_values"]]
+    entries.append(conflict(
+        "cardinality", F.col("max_min") > F.col("min_max"),
+        F.concat(F.col("max_min").cast("string"), F.lit(">"),
+                 F.col("min_max").cast("string"))))
+    return (agg.select("target_class", "path", "n_files",
+                       F.explode(F.array(*entries)).alias("c"))
+            .filter(F.col("c").isNotNull())
+            .select("target_class", "path", "c.facet", "c.values",
+                    "n_files"))
+
+
 def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     """Schema drift between two shape-rule snapshots (typically
     ``infer_shapes`` over two data generations, or an authored spec's rules

@@ -320,6 +320,32 @@ components:
     assert d["a#3"].endswith("got iri")
 
 
+def test_rule_conflicts_across_files(spark):
+    from openapi_to_rdf_spark.operators.shapes import rule_conflicts
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    schema = ("file string, target_class string, path string, "
+              "datatype string, min_count int, max_count int, "
+              "in_values array<string>, node_kind string, pattern string")
+    rules = spark.createDataFrame([
+        ("f1", "C", "p1", xsd + "integer", 1, 1, None, None, None),
+        ("f2", "C", "p1", xsd + "string", None, None, None, None, None),
+        ("f1", "C", "p2", None, 2, None, ["a", "b"], None, None),
+        ("f2", "C", "p2", None, None, 1, ["a"], None, None),
+        # identical constraints in both files: no conflict
+        ("f1", "C", "p3", xsd + "string", 0, 1, None, None, None),
+        ("f2", "C", "p3", xsd + "string", 0, 1, None, None, None),
+    ], schema)
+    got = {(r.target_class, r.path, r.facet): r.values
+           for r in rule_conflicts(rules).collect()}
+    assert set(got) == {("C", "p1", "datatype"), ("C", "p2", "in_values"),
+                        ("C", "p2", "cardinality")}
+    assert got[("C", "p1", "datatype")] == (
+        xsd + "integer," + xsd + "string")
+    assert got[("C", "p2", "in_values")] == "a,a|b"
+    assert got[("C", "p2", "cardinality")] == "2>1"
+
+
 def test_align_rules_realigns_value_class(spark):
     from openapi_to_rdf_spark.operators.shapes import (
         align_rules_to_namespace)
