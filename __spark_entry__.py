@@ -1006,6 +1006,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("pattern"))
         return rule_conflicts(rules).withColumnRenamed("values", "vals")
 
+    def q_list_integrity(spark, sf_dir):
+        """RDF cons-structure hygiene hash-verified: 211 chained lists
+        built from orders keys with planted corruption at known moduli
+        (extra first %13, skipped first %17, ghost rest %19, merged tail
+        %23, duplicate nil rest %29 — interactions matter: a %19 ghost is
+        masked by a %29 nil under MAX(target), a %19 break removes the
+        %23 shared tail) vs a DuckDB twin deriving the expected issue set
+        analytically over the same LEAD()-built chains. Cycles are unit-
+        tested (tests/test_infer_shapes.py) — a recursive oracle can't
+        pin pointer-doubling output portably."""
+        from pyspark.sql import Window
+
+        from openapi_to_rdf_spark.operators.rdflists import (
+            RDF_FIRST, RDF_NIL, RDF_REST, list_integrity)
+
+        base = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.col("o_orderkey").alias("k")))
+        w = Window.partitionBy(F.pmod(F.col("k"), F.lit(211))).orderBy("k")
+        ch = base.withColumn("nk", F.lead("k").over(w))
+        cell = F.concat(F.lit("cell#"), F.col("k").cast("string"))
+        km = lambda n: F.pmod(F.col("k"), F.lit(n))  # noqa: E731
+
+        def tri(df, s, p, o):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit("iri").alias("o_kind"), o.alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+
+        nxt = F.coalesce(F.concat(F.lit("cell#"), F.col("nk").cast("string")),
+                         F.lit(RDF_NIL))
+        rest_t = F.when(km(19) == 0,
+                        F.concat(F.lit("ghost#"), F.col("k").cast("string"))
+                        ).otherwise(nxt)
+        triples = (
+            tri(ch.filter(km(17) != 0), cell, RDF_FIRST,
+                F.concat(F.lit("v"), F.col("k").cast("string")))
+            .unionByName(tri(ch.filter(km(13) == 0), cell, RDF_FIRST,
+                             F.concat(F.lit("w"),
+                                      F.col("k").cast("string"))))
+            .unionByName(tri(ch, cell, RDF_REST, rest_t))
+            .unionByName(tri(ch.filter(km(29) == 0), cell, RDF_REST,
+                             F.lit(RDF_NIL)))
+            .unionByName(tri(ch.filter((km(23) == 0)
+                                       & F.col("nk").isNotNull()),
+                             F.concat(F.lit("alt#"),
+                                      F.col("k").cast("string")),
+                             RDF_REST, nxt)))
+        return list_integrity(triples)
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2797,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_validation_report": q_kg_validation_report,
         "kg_class_violations": q_kg_class_violations,
         "rule_conflicts": q_rule_conflicts,
+        "list_integrity": q_list_integrity,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4526,6 +4577,32 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "list_integrity": """
+            -- expected cons-structure issues for the planted chain
+            -- corruption (see q_list_integrity for the moduli semantics)
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            ch AS (SELECT k, LEAD(k) OVER (PARTITION BY k % 211 ORDER BY k)
+                            AS nk
+                   FROM kk)
+            SELECT 'cell#' || CAST(k AS VARCHAR) AS cell,
+                   'multi_first' AS issue
+            FROM ch WHERE k % 13 = 0 AND k % 17 != 0
+            UNION ALL
+            SELECT 'cell#' || CAST(k AS VARCHAR), 'missing_first'
+            FROM ch WHERE k % 17 = 0 AND k % 13 != 0
+            UNION ALL
+            SELECT 'alt#' || CAST(k AS VARCHAR), 'missing_first'
+            FROM ch WHERE k % 23 = 0 AND nk IS NOT NULL
+            UNION ALL
+            SELECT 'cell#' || CAST(k AS VARCHAR), 'multi_rest'
+            FROM ch WHERE k % 29 = 0
+            UNION ALL
+            SELECT 'cell#' || CAST(k AS VARCHAR), 'dangling_rest'
+            FROM ch WHERE k % 19 = 0 AND k % 29 != 0
+            UNION ALL
+            SELECT 'cell#' || CAST(nk AS VARCHAR), 'shared_tail'
+            FROM ch WHERE k % 23 = 0 AND k % 19 != 0 AND nk IS NOT NULL
         """,
         "rule_conflicts": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders),

@@ -30,7 +30,8 @@ AUDIT = [
     "bgp_subquery", "kg_update", "bgp_graphs", "sparql_select",
     "sparql_agg", "kg_sameas", "kg_ifp", "sparql_from",
     "entity_consolidate", "er_metrics", "graph_sssp", "value_qsketch",
-    "kg_class_violations", "kg_validation_report",
+    "kg_class_violations", "kg_validation_report", "rule_conflicts",
+    "list_integrity",
 ]
 
 

@@ -309,3 +309,50 @@ def test_report_round_trips_from_validate_triples(spark):
                            "o_datatype"]
     focus = [r.o for r in rep.collect() if r.p == SH + "focusNode"]
     assert focus == ["e9"]
+
+
+# --------------------------------------------------------------------------
+# RDF list integrity
+# --------------------------------------------------------------------------
+
+def test_list_integrity_flags_malformed_cons_structures(spark):
+    from openapi_to_rdf_spark.operators.rdflists import (
+        RDF_FIRST, RDF_NIL, RDF_REST, list_integrity)
+
+    rows = [
+        # well-formed: h -> c2 -> nil
+        ("_:h", RDF_FIRST, "a", "literal", None),
+        ("_:h", RDF_REST, "c2", "bnode", None),
+        ("_:c2", RDF_FIRST, "b", "literal", None),
+        ("_:c2", RDF_REST, RDF_NIL, "iri", None),
+        # two firsts
+        ("_:m", RDF_FIRST, "x", "literal", None),
+        ("_:m", RDF_FIRST, "y", "literal", None),
+        ("_:m", RDF_REST, RDF_NIL, "iri", None),
+        # first without rest
+        ("_:x", RDF_FIRST, "z", "literal", None),
+        # rest into a node that is no cons cell
+        ("_:d", RDF_FIRST, "w", "literal", None),
+        ("_:d", RDF_REST, "ghost", "bnode", None),
+        # second list merging into c2
+        ("_:s1", RDF_FIRST, "s", "literal", None),
+        ("_:s1", RDF_REST, "c2", "bnode", None),
+        # 2-cycle
+        ("_:y1", RDF_FIRST, "p", "literal", None),
+        ("_:y1", RDF_REST, "y2", "bnode", None),
+        ("_:y2", RDF_FIRST, "q", "literal", None),
+        ("_:y2", RDF_REST, "y1", "bnode", None),
+    ]
+    t = spark.createDataFrame(
+        [("f", "kg", *r) for r in rows],
+        "file string, graph string, s string, p string, o string, "
+        "o_kind string, o_datatype string")
+    got = {(r.cell, r.issue) for r in list_integrity(t).collect()}
+    assert got == {
+        ("_:m", "multi_first"),
+        ("_:x", "missing_rest"),
+        ("_:d", "dangling_rest"),
+        ("_:c2", "shared_tail"),
+        ("_:y1", "unterminated"),
+        ("_:y2", "unterminated"),
+    }
