@@ -1056,6 +1056,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              RDF_REST, nxt)))
         return list_integrity(triples)
 
+    def q_graph_digest(spark, sf_dir):
+        """Bnode-invariant WL graph digest hash-verified: a bipartite-ish
+        order->bnode->customer graph (97 shared bnode hubs, so refinement
+        actually mixes colors) digested at rounds=2 vs a DuckDB twin
+        unrolling the same two refinement rounds with the identical
+        md5-60-bit / sum-mod-P arithmetic."""
+        from openapi_to_rdf_spark.operators.graphsig import graph_digest
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        ordn = F.concat(F.lit("ord#"), st(F.col("k")))
+        bn = F.concat(F.lit("_:b"), st(F.pmod(F.col("k"), F.lit(97))))
+        cust = F.concat(F.lit("cust#"), st(F.pmod(F.col("k"), F.lit(500))))
+        lbl = F.concat(F.lit("L"), st(F.pmod(F.col("k"), F.lit(7))))
+
+        def tr(s, p, o):
+            return kk.select(s.alias("s"), F.lit(p).alias("p"),
+                             o.alias("o"))
+
+        triples = (tr(ordn, "kg:via", bn)
+                   .unionAll(tr(bn, "kg:to", cust))
+                   .unionAll(tr(ordn, "kg:label", lbl)))
+        d = graph_digest(triples, rounds=2)
+        return d.select(F.col("digest").cast("string").alias("digest"),
+                        F.col("n_nodes").cast("long").alias("n_nodes"),
+                        F.col("n_triples").cast("long").alias("n_triples"))
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2848,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_class_violations": q_kg_class_violations,
         "rule_conflicts": q_rule_conflicts,
         "list_integrity": q_list_integrity,
+        "graph_digest": q_graph_digest,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4577,6 +4606,75 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "graph_digest": """
+            -- two WL refinement rounds unrolled with the operator's exact
+            -- arithmetic: h(x) = first 15 md5 hex digits as BIGINT, edge
+            -- sums mod P = 2305843009213693951, bnodes start at color 0
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            tr AS (
+              SELECT 'ord#' || CAST(k AS VARCHAR) AS s, 'kg:via' AS p,
+                     '_:b' || CAST(k % 97 AS VARCHAR) AS o FROM kk
+              UNION ALL
+              SELECT '_:b' || CAST(k % 97 AS VARCHAR), 'kg:to',
+                     'cust#' || CAST(k % 500 AS VARCHAR) FROM kk
+              UNION ALL
+              SELECT 'ord#' || CAST(k AS VARCHAR), 'kg:label',
+                     'L' || CAST(k % 7 AS VARCHAR) FROM kk),
+            nodes AS (SELECT s AS node FROM tr UNION SELECT o FROM tr),
+            c0 AS (
+              SELECT node,
+                     CASE WHEN starts_with(node, '_:') THEN 0
+                          ELSE CAST(('0x' || substr(md5(node), 1, 15))
+                                    ::UBIGINT AS BIGINT) END AS color
+              FROM nodes),
+            e1 AS (
+              SELECT tr.s AS node,
+                     CAST(('0x' || substr(md5('out|' || tr.p || '|'
+                       || CAST(c.color AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT) AS eh
+              FROM tr JOIN c0 c ON c.node = tr.o
+              UNION ALL
+              SELECT tr.o,
+                     CAST(('0x' || substr(md5('in|' || tr.p || '|'
+                       || CAST(c.color AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT)
+              FROM tr JOIN c0 c ON c.node = tr.s),
+            m1 AS (SELECT node, SUM(CAST(eh AS HUGEINT))
+                                  % 2305843009213693951 AS m
+                   FROM e1 GROUP BY 1),
+            c1 AS (
+              SELECT c.node,
+                     CAST(('0x' || substr(md5(CAST(c.color AS VARCHAR)
+                       || '|' || CAST(COALESCE(m1.m, 0) AS VARCHAR)),
+                       1, 15))::UBIGINT AS BIGINT) AS color
+              FROM c0 c LEFT JOIN m1 ON m1.node = c.node),
+            e2 AS (
+              SELECT tr.s AS node,
+                     CAST(('0x' || substr(md5('out|' || tr.p || '|'
+                       || CAST(c.color AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT) AS eh
+              FROM tr JOIN c1 c ON c.node = tr.o
+              UNION ALL
+              SELECT tr.o,
+                     CAST(('0x' || substr(md5('in|' || tr.p || '|'
+                       || CAST(c.color AS VARCHAR)), 1, 15))::UBIGINT
+                       AS BIGINT)
+              FROM tr JOIN c1 c ON c.node = tr.s),
+            m2 AS (SELECT node, SUM(CAST(eh AS HUGEINT))
+                                  % 2305843009213693951 AS m
+                   FROM e2 GROUP BY 1),
+            c2 AS (
+              SELECT c.node,
+                     CAST(('0x' || substr(md5(CAST(c.color AS VARCHAR)
+                       || '|' || CAST(COALESCE(m2.m, 0) AS VARCHAR)),
+                       1, 15))::UBIGINT AS BIGINT) AS color
+              FROM c1 c LEFT JOIN m2 ON m2.node = c.node)
+            SELECT CAST(SUM(CAST(color AS HUGEINT))
+                        % 2305843009213693951 AS VARCHAR) AS digest,
+                   COUNT(*) AS n_nodes,
+                   (SELECT COUNT(*) FROM tr) AS n_triples
+            FROM c2
         """,
         "list_integrity": """
             -- expected cons-structure issues for the planted chain

@@ -356,3 +356,44 @@ def test_list_integrity_flags_malformed_cons_structures(spark):
         ("_:y1", "unterminated"),
         ("_:y2", "unterminated"),
     }
+
+
+# --------------------------------------------------------------------------
+# WL graph signatures
+# --------------------------------------------------------------------------
+
+def test_graph_digest_bnode_relabel_invariant(spark):
+    from openapi_to_rdf_spark.operators.graphsig import graph_digest
+
+    def g(b1, b2):
+        return spark.createDataFrame([
+            ("e1", KG + "via", b1), (b1, KG + "to", "e2"),
+            ("e2", KG + "via", b2), (b2, KG + "to", "e3"),
+            (b1, KG + "tag", "hot"),
+        ], "s string, p string, o string")
+
+    d1 = graph_digest(g("_:a", "_:b")).collect()[0]
+    d2 = graph_digest(g("_:x9", "_:q")).collect()[0]     # relabeled bnodes
+    assert (d1.digest, d1.n_nodes, d1.n_triples) == \
+           (d2.digest, d2.n_nodes, d2.n_triples)
+
+    # renaming a NAMED node or dropping a triple must move the digest
+    d3 = graph_digest(g("_:a", "_:b").withColumn(
+        "o", F.when(F.col("o") == "e3", "e4").otherwise(F.col("o"))))
+    assert d3.collect()[0].digest != d1.digest
+    d4 = graph_digest(g("_:a", "_:b").filter(F.col("p") != KG + "tag"))
+    assert d4.collect()[0].digest != d1.digest
+
+
+def test_wl_colors_distinguish_bnode_structure(spark):
+    from openapi_to_rdf_spark.operators.graphsig import wl_colors
+
+    t = spark.createDataFrame([
+        # _:a and _:b have identical neighborhoods; _:c differs
+        ("e1", KG + "via", "_:a"), ("_:a", KG + "to", "e2"),
+        ("e1", KG + "via", "_:b"), ("_:b", KG + "to", "e2"),
+        ("e1", KG + "via", "_:c"), ("_:c", KG + "to", "e3"),
+    ], "s string, p string, o string")
+    colors = {r.node: r.color for r in wl_colors(t, rounds=2).collect()}
+    assert colors["_:a"] == colors["_:b"]
+    assert colors["_:a"] != colors["_:c"]
