@@ -1084,6 +1084,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("n_nodes").cast("long").alias("n_nodes"),
                         F.col("n_triples").cast("long").alias("n_triples"))
 
+    def q_discover_keys(spark, sf_dir):
+        """Functional/inverse-functional property discovery hash-verified:
+        a planted triple table (uid unique per subject -> key; role
+        functional fan-in; tag multi-valued) vs DuckDB running the same
+        distinct-pair two-level aggregation; rdf:type rows are planted to
+        prove the exclusion."""
+        from openapi_to_rdf_spark.operators.kgstats import discover_keys
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        subj = F.concat(F.lit("s#"), st(F.col("k")))
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+        def tr(p, o):
+            return kk.select(subj.alias("s"), F.lit(p).alias("p"),
+                             o.alias("o"))
+
+        triples = (
+            tr("kg:uid", F.concat(F.lit("u#"), st(F.col("k"))))
+            .unionAll(tr("kg:role", F.concat(
+                F.lit("r#"), st(F.pmod(F.col("k"), F.lit(5))))))
+            .unionAll(tr("kg:tag", F.concat(
+                F.lit("t#"), st(F.pmod(F.col("k"), F.lit(3))))))
+            .unionAll(tr("kg:tag", F.concat(
+                F.lit("t#"), st(F.pmod(F.col("k"), F.lit(7)) + 10))))
+            .unionAll(tr(rdf_type, F.lit("kg:Thing"))))
+        return discover_keys(triples)
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2877,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_conflicts": q_rule_conflicts,
         "list_integrity": q_list_integrity,
         "graph_digest": q_graph_digest,
+        "discover_keys": q_discover_keys,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4606,6 +4636,36 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "discover_keys": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            pairs AS (
+              SELECT DISTINCT s, p, o FROM (
+                SELECT 's#' || CAST(k AS VARCHAR) AS s, 'kg:uid' AS p,
+                       'u#' || CAST(k AS VARCHAR) AS o FROM kk
+                UNION ALL
+                SELECT 's#' || CAST(k AS VARCHAR), 'kg:role',
+                       'r#' || CAST(k % 5 AS VARCHAR) FROM kk
+                UNION ALL
+                SELECT 's#' || CAST(k AS VARCHAR), 'kg:tag',
+                       't#' || CAST(k % 3 AS VARCHAR) FROM kk
+                UNION ALL
+                SELECT 's#' || CAST(k AS VARCHAR), 'kg:tag',
+                       't#' || CAST(k % 7 + 10 AS VARCHAR) FROM kk)),
+            per_s AS (
+              SELECT p, MAX(n) AS max_o_per_s, COUNT(*) AS n_subjects
+              FROM (SELECT p, s, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+              GROUP BY 1),
+            per_o AS (
+              SELECT p, MAX(n) AS max_s_per_o, COUNT(*) AS n_objects
+              FROM (SELECT p, o, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+              GROUP BY 1),
+            totals AS (SELECT p, COUNT(*) AS n_pairs FROM pairs GROUP BY 1)
+            SELECT t.p, t.n_pairs, s.n_subjects, o.n_objects,
+                   s.max_o_per_s = 1 AS functional,
+                   o.max_s_per_o = 1 AS inverse_functional
+            FROM totals t JOIN per_s s ON s.p = t.p
+            JOIN per_o o ON o.p = t.p
         """,
         "graph_digest": """
             -- two WL refinement rounds unrolled with the operator's exact

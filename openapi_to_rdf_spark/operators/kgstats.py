@@ -221,3 +221,43 @@ def star_cardinalities(triples: DataFrame, query_preds: list[str],
     return (qual.select(F.col("n_subjects").alias("ns"), contrib.alias("c"))
             .agg(F.coalesce(F.sum("ns"), F.lit(0)).alias("n_subjects"),
                  F.coalesce(F.sum("c"), F.lit(0)).alias("est_e6")))
+
+
+def discover_keys(triples: DataFrame, s_col: str = "s", p_col: str = "p",
+                  o_col: str = "o") -> DataFrame:
+    """Data-driven FUNCTIONAL / INVERSE-FUNCTIONAL property discovery —
+    the statistics that tell an identity-resolution pipeline which
+    predicates are safe to feed into the prp-fp/prp-ifp sameAs
+    derivation (operators.entailment.owl_prp_entail's out-of-scope note,
+    handled by the smush path) or to use as blocking keys.
+
+    Per predicate, over DISTINCT (s, o) pairs:
+
+    - ``n_pairs`` / ``n_subjects`` / ``n_objects``;
+    - ``functional``: no subject carries two distinct objects (the data
+      satisfies owl:FunctionalProperty);
+    - ``inverse_functional``: no object is shared by two distinct
+      subjects (the data satisfies owl:InverseFunctionalProperty — a
+      candidate KEY for entity identity).
+
+    Shape: distinct-pair dedup, then two (p, side)-grouped max-count
+    aggregations — all map-side-combinable, no joins against the corpus.
+    rdf:type is excluded (class membership is never an identity key).
+    """
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    pairs = (triples.filter(F.col(p_col) != rdf_type)
+             .select(F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+                     F.col(o_col).alias("o"))
+             .dropDuplicates())
+    per_s = (pairs.groupBy("p", "s").agg(F.count(F.lit(1)).alias("n"))
+             .groupBy("p").agg(F.max("n").alias("max_o_per_s"),
+                               F.count(F.lit(1)).alias("n_subjects")))
+    per_o = (pairs.groupBy("p", "o").agg(F.count(F.lit(1)).alias("n"))
+             .groupBy("p").agg(F.max("n").alias("max_s_per_o"),
+                               F.count(F.lit(1)).alias("n_objects")))
+    totals = pairs.groupBy("p").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (totals.join(per_s, "p").join(per_o, "p")
+            .select("p", "n_pairs", "n_subjects", "n_objects",
+                    (F.col("max_o_per_s") == 1).alias("functional"),
+                    (F.col("max_s_per_o") == 1)
+                    .alias("inverse_functional")))

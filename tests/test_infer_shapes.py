@@ -397,3 +397,31 @@ def test_wl_colors_distinguish_bnode_structure(spark):
     colors = {r.node: r.color for r in wl_colors(t, rounds=2).collect()}
     assert colors["_:a"] == colors["_:b"]
     assert colors["_:a"] != colors["_:c"]
+
+
+def test_discover_keys_flags_identity_candidates(spark):
+    from openapi_to_rdf_spark.operators.kgstats import discover_keys
+
+    rows = [
+        # uid: unique both ways -> functional + inverse_functional
+        ("e1", KG + "uid", "u1"), ("e2", KG + "uid", "u2"),
+        # role: functional fan-in -> functional only
+        ("e1", KG + "role", "admin"), ("e2", KG + "role", "admin"),
+        # tag: multi-valued -> neither
+        ("e1", KG + "tag", "a"), ("e1", KG + "tag", "b"),
+        ("e2", KG + "tag", "a"),
+        # duplicate assertion must not break functionality
+        ("e1", KG + "role", "admin"),
+        # rdf:type excluded entirely
+        ("e1", RDF_TYPE, KG + "T"), ("e2", RDF_TYPE, KG + "T"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    got = {r.p: r for r in discover_keys(t).collect()}
+    assert RDF_TYPE not in got
+    assert (got[KG + "uid"].functional,
+            got[KG + "uid"].inverse_functional) == (True, True)
+    assert (got[KG + "role"].functional,
+            got[KG + "role"].inverse_functional) == (True, False)
+    assert (got[KG + "tag"].functional,
+            got[KG + "tag"].inverse_functional) == (False, False)
+    assert got[KG + "role"].n_pairs == 2  # deduped
