@@ -1113,6 +1113,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionAll(tr(rdf_type, F.lit("kg:Thing"))))
         return discover_keys(triples)
 
+    def q_statement_graph(spark, sf_dir):
+        """Statement-level metadata hash-verified: reified mention
+        triples + source/confidence annotations share one content-
+        addressed skolem id per statement (urn:stmt:md5), re-derived
+        row-by-row in DuckDB."""
+        from openapi_to_rdf_spark.operators.rdfstar import annotate, reify
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        t = kk.select(
+            F.concat(F.lit("turn#"), st(F.col("k"))).alias("s"),
+            F.lit(kg + "mentions").alias("p"),
+            F.concat(F.lit("ent#"), st(F.pmod(F.col("k"),
+                                              F.lit(50)))).alias("o"),
+            F.concat(F.lit("f"), st(F.pmod(F.col("k"),
+                                           F.lit(3)))).alias("src"),
+            F.pmod(F.col("k"), F.lit(100)).cast("int").alias("conf_e2"))
+        return reify(t).unionByName(annotate(
+            t, {"src": kg + "fromSource", "conf_e2": kg + "confidenceE2"}))
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2907,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_integrity": q_list_integrity,
         "graph_digest": q_graph_digest,
         "discover_keys": q_discover_keys,
+        "statement_graph": q_statement_graph,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4636,6 +4659,44 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "statement_graph": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            t AS (
+              SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#mentions' AS p,
+                     'ent#' || CAST(k % 50 AS VARCHAR) AS o,
+                     'f' || CAST(k % 3 AS VARCHAR) AS src,
+                     CAST(k % 100 AS INT) AS conf_e2
+              FROM kk),
+            ids AS (
+              SELECT t.*, 'urn:stmt:' || md5(s || chr(1) || p || chr(1)
+                                             || o) AS stmt
+              FROM t)
+            SELECT stmt AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement'
+                     AS o
+            FROM ids
+            UNION ALL
+            SELECT stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+                   ids.s FROM ids
+            UNION ALL
+            SELECT stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+                   ids.p FROM ids
+            UNION ALL
+            SELECT stmt,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+                   ids.o FROM ids
+            UNION ALL
+            SELECT stmt, 'http://ericsson.com/models/3gpp/kg#fromSource',
+                   src FROM ids
+            UNION ALL
+            SELECT stmt,
+                   'http://ericsson.com/models/3gpp/kg#confidenceE2',
+                   CAST(conf_e2 AS VARCHAR) FROM ids
         """,
         "discover_keys": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders),

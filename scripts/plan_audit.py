@@ -31,7 +31,7 @@ AUDIT = [
     "sparql_agg", "kg_sameas", "kg_ifp", "sparql_from",
     "entity_consolidate", "er_metrics", "graph_sssp", "value_qsketch",
     "kg_class_violations", "kg_validation_report", "rule_conflicts",
-    "list_integrity", "graph_digest", "discover_keys",
+    "list_integrity", "graph_digest", "discover_keys", "statement_graph",
 ]
 
 

@@ -425,3 +425,43 @@ def test_discover_keys_flags_identity_candidates(spark):
     assert (got[KG + "tag"].functional,
             got[KG + "tag"].inverse_functional) == (False, False)
     assert got[KG + "role"].n_pairs == 2  # deduped
+
+
+# --------------------------------------------------------------------------
+# Statement-level metadata (reification / RDF-star skolems)
+# --------------------------------------------------------------------------
+
+def test_reify_and_annotate_round_trip_through_bgp(spark):
+    from openapi_to_rdf_spark.operators.bgp import bgp_query
+    from openapi_to_rdf_spark.operators.rdfstar import annotate, reify
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    t = spark.createDataFrame(
+        [("e1", KG + "mentions", "ent#a", "turn0", 0.9),
+         ("e2", KG + "mentions", "ent#b", "turn1", 0.2),
+         ("e1", KG + "mentions", "ent#a", "turn0", 0.9)],  # dup collapses
+        "s string, p string, o string, src string, conf double")
+    graph = reify(t).unionByName(annotate(
+        t, {"src": KG + "fromTurn", "conf": KG + "confidence"}))
+    assert graph.count() == 2 * 4 + 2 * 2
+
+    # statement ids are content-addressed: both emissions agree, any
+    # partitioning/order agrees
+    low = bgp_query(graph, [
+        ("?st", KG + "confidence", "0.2"),
+        ("?st", RDF + "subject", "?s"),
+        ("?st", RDF + "object", "?o"),
+    ])
+    assert [(r.s, r.o) for r in low.collect()] == [("e2", "ent#b")]
+
+
+def test_statement_ids_deterministic_across_runs(spark):
+    from openapi_to_rdf_spark.operators.rdfstar import reify
+
+    t = spark.createDataFrame([("a", "p", "b"), ("c", "q", "d")],
+                              "s string, p string, o string")
+    a = {(r.s, r.p, r.o) for r in reify(t).collect()}
+    b = {(r.s, r.p, r.o)
+         for r in reify(t.repartition(7).sortWithinPartitions("o"))
+         .collect()}
+    assert a == b
