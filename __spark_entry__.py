@@ -1135,6 +1135,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return reify(t).unionByName(annotate(
             t, {"src": kg + "fromSource", "conf_e2": kg + "confidenceE2"}))
 
+    def q_list_member_check(spark, sf_dir):
+        """List-valued shape rules hash-verified end to end: 211 rdf lists
+        (one per orders key-group, chained with LEAD), every element a
+        string literal except k%13==0 which is typed xsd:integer — the
+        validator must walk each cons chain (ancestor-doubling member
+        harvest) and flag exactly those members against the
+        list_member_datatype rule. The DuckDB twin enumerates expected
+        violations by group membership, no recursion needed."""
+        from pyspark.sql import Window
+
+        from openapi_to_rdf_spark.operators.rdflists import (
+            RDF_FIRST, RDF_NIL, RDF_REST)
+        from openapi_to_rdf_spark.operators.shapes import validate_triples
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        base = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.col("o_orderkey").alias("k"),
+                        F.pmod(F.col("o_orderkey"), F.lit(211)).alias("g")))
+        w = Window.partitionBy("g").orderBy("k")
+        ch = (base.withColumn("nk", F.lead("k").over(w))
+              .withColumn("rn", F.row_number().over(w)))
+        st = lambda c: c.cast("string")  # noqa: E731
+        cell = F.concat(F.lit("cell#"), st(F.col("k")))
+
+        def tri(df, s, p, o_kind, o, dt=None):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), o.alias("o"),
+                (F.lit(dt) if dt else F.lit(None).cast("string"))
+                .alias("o_datatype"))
+
+        dt = (F.when(F.pmod(F.col("k"), F.lit(13)) == 0,
+                     F.lit(xsd + "integer"))
+              .otherwise(F.lit(xsd + "string")))
+        triples = (
+            tri(ch.filter(F.col("rn") == 1),
+                F.concat(F.lit("arr#"), st(F.col("g"))), kg + "tags",
+                "iri", cell)
+            .unionByName(
+                ch.select(F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                          cell.alias("s"), F.lit(RDF_FIRST).alias("p"),
+                          F.lit("literal").alias("o_kind"),
+                          F.concat(F.lit("v"), st(F.col("k"))).alias("o"),
+                          dt.alias("o_datatype")))
+            .unionByName(tri(ch, cell, RDF_REST, "iri",
+                             F.coalesce(F.concat(F.lit("cell#"),
+                                                 st(F.col("nk"))),
+                                        F.lit(RDF_NIL)))))
+        rules = spark.createDataFrame(
+            [("kg", None, kg + "tags", None, None, None, None, None, None,
+              None, None, None, None, True, xsd + "string", None)],
+            "file string, target_class string, path string, "
+            "datatype string, min_count int, max_count int, "
+            "in_values array<string>, node_kind string, pattern string, "
+            "value_class string, min_inclusive string, "
+            "max_inclusive string, any_datatype array<string>, "
+            "is_list boolean, list_member_datatype string, "
+            "list_member_class string")
+        return validate_triples(triples, rules)
+
     def _doc_graph_edges(spark, sf_dir):
         """Symmetric doc-doc edge list (>=3 shared terms) — the iterative
         graph-analytics workload; same projection the hash-verified
@@ -2930,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_digest": q_graph_digest,
         "discover_keys": q_discover_keys,
         "statement_graph": q_statement_graph,
+        "list_member_check": q_list_member_check,
         "kg_coref": q_kg_coref,
         "kg_segments": q_kg_segments,
         "entity_bursts": q_entity_bursts,
@@ -4659,6 +4722,18 @@ def oracle_sql() -> dict[str, str]:
                    'ent#e' || CAST(k % 50 AS VARCHAR),
                    'nodeKindViolation', 'expected IRI got literal'
             FROM kk WHERE k % 17 = 0
+        """,
+        "list_member_check": """
+            WITH kk AS (SELECT o_orderkey AS k,
+                               o_orderkey % 211 AS g
+                        FROM orders)
+            SELECT 'arr#' || CAST(g AS VARCHAR) AS s,
+                   'http://ericsson.com/models/3gpp/kg#tags' AS p,
+                   'v' || CAST(k AS VARCHAR) AS o,
+                   'listMemberDatatype' AS violation,
+                   'expected http://www.w3.org/2001/XMLSchema#string got '
+                     || 'http://www.w3.org/2001/XMLSchema#integer' AS detail
+            FROM kk WHERE k % 13 = 0
         """,
         "statement_graph": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders),

@@ -164,7 +164,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "entity_consolidate", "er_metrics", "graph_sssp",
              "value_qsketch", "kg_class_violations",
              "kg_validation_report", "rule_conflicts", "list_integrity",
-             "graph_digest", "discover_keys", "statement_graph"]
+             "graph_digest", "discover_keys", "statement_graph",
+             "list_member_check"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

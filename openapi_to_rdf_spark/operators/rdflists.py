@@ -109,3 +109,50 @@ def list_integrity(triples: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     return (flat.unionByName(dangling).unionByName(shared)
             .unionByName(unterminated).dropDuplicates())
+
+
+def list_members(triples: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """(head, member, member_kind, member_datatype): every rdf list's
+    elements keyed by the list HEAD cell.
+
+    Scale shape: each cell finds its chain head by ANCESTOR POINTER
+    DOUBLING over the reversed rest relation — state is one pointer per
+    cell and rounds are log2(max list length), never a per-element walk
+    and never the quadratic all-pairs closure. Shared tails keep the
+    lexicographically smallest parent (deterministic; list_integrity
+    flags them); cells on a rest-cycle converge to an arbitrary cycle
+    member that matches no real head, so cyclic lists simply contribute
+    no members (list_integrity reports them as unterminated).
+    """
+    cons = _cells(triples)
+    cells = cons.select("cell").distinct()
+    parents = (cons.filter((F.col("p") == RDF_REST)
+                           & (F.col("target") != RDF_NIL))
+               .select(F.col("target").alias("child"),
+                       F.col("cell").alias("parent"))
+               .join(cells.withColumnRenamed("cell", "child"), "child",
+                     "left_semi")
+               .groupBy("child").agg(F.min("parent").alias("anc")))
+    anc = parents.select(F.col("child").alias("cell"), "anc") \
+        .localCheckpoint()
+    for _ in range(max_rounds):
+        up = anc.select(F.col("cell").alias("anc"),
+                        F.col("anc").alias("anc2"))
+        nxt = (anc.join(up, "anc", "left")
+               .select("cell", F.coalesce("anc2", "anc").alias("anc"))
+               .localCheckpoint())
+        # converged when no pointer still has an ancestor of its own
+        still = nxt.join(parents.withColumnRenamed("child", "anc"),
+                         "anc", "left_semi")
+        anc = nxt
+        if still.isEmpty():
+            break
+    roots = (cells.join(anc, "cell", "left")
+             .select("cell", F.coalesce("anc", "cell").alias("head")))
+    firsts = (triples.filter(F.col("p") == RDF_FIRST)
+              .select(F.col("s").alias("cell"),
+                      F.col("o").alias("member"),
+                      F.col("o_kind").alias("member_kind"),
+                      F.col("o_datatype").alias("member_datatype")))
+    return firsts.join(roots, "cell").select(
+        "head", "member", "member_kind", "member_datatype")

@@ -27,6 +27,7 @@ SH = "http://www.w3.org/ns/shacl#"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_FIRST, RDF_REST, RDF_NIL = RDF + "first", RDF + "rest", RDF + "nil"
 RDF_TYPE = RDF + "type"
+DASH_LIST = "http://datashapes.org/dash#ListShape"
 
 
 def _po(triples: DataFrame, pred: str, out: str, kind: str | None = None) -> DataFrame:
@@ -113,6 +114,29 @@ def _alt_datatype_sets(shacl: DataFrame) -> DataFrame:
             .select("file", "shape", F.col("dts").alias("any_datatype")))
 
 
+def _list_shape_info(shacl: DataFrame) -> DataFrame:
+    """(file, shape, is_list, list_member_datatype, list_member_class) for
+    every shape carrying ``sh:node dash:ListShape`` — the converter's
+    array encoding (reference shacl_converter.py array handler): the
+    MEMBER constraints live on a nested sh:property shape whose path is
+    the ``( [sh:zeroOrMorePath rdf:rest] rdf:first )`` sequence."""
+    flag = (_po(shacl, SH + "node", "ref", kind="iri")
+            .filter(F.col("ref") == DASH_LIST).select("file", "shape"))
+    mlink = _po(shacl, SH + "property", "mshape")
+    mdt = (_po(shacl, SH + "datatype", "m_dt")
+           .withColumnRenamed("shape", "mshape"))
+    mcls = (_po(shacl, SH + "class", "m_cls", kind="iri")
+            .withColumnRenamed("shape", "mshape"))
+    mem = (mlink.join(mdt, ["file", "mshape"], "left")
+           .join(mcls, ["file", "mshape"], "left")
+           .groupBy("file", "shape")
+           .agg(F.min("m_dt").alias("list_member_datatype"),
+                F.min("m_cls").alias("list_member_class")))
+    return (flag.join(mem, ["file", "shape"], "left")
+            .select("file", "shape", F.lit(True).alias("is_list"),
+                    "list_member_datatype", "list_member_class"))
+
+
 def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     """SHACL triple table -> rules(target_class, path, datatype, min_count,
     max_count, in_values, node_kind, pattern, value_class [sh:class],
@@ -147,6 +171,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
         .join(_alt_datatype_sets(shacl), ["file", "shape"], "left")
+        .join(_list_shape_info(shacl), ["file", "shape"], "left")
     )
     return prop.select(
         "file", "target_class", "path", "datatype",
@@ -160,12 +185,15 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         "value_class", "min_inclusive", "max_inclusive",
         # property-level sh:xone/or datatype alternatives
         "any_datatype",
+        # inline array properties (sh:node dash:ListShape on the property
+        # shape itself); aliased arrays resolve via resolve_scalar_aliases
+        "is_list", "list_member_datatype", "list_member_class",
     )
 
 
 def resolve_scalar_aliases(rules: DataFrame, shacl: DataFrame) -> DataFrame:
-    """Rewrite ``value_class`` rules that point at SCALAR ALIAS shapes into
-    datatype-set rules.
+    """Rewrite ``value_class`` rules that point at SCALAR or LIST ALIAS
+    shapes into datatype-set / list rules.
 
     The converter (mirroring the reference) encodes an OpenAPI alias like
     ``Level: oneOf [integer, number]`` as a node shape ``sh:targetClass
@@ -211,12 +239,43 @@ def resolve_scalar_aliases(rules: DataFrame, shacl: DataFrame) -> DataFrame:
         & (rules["value_class"] == alias["alias_class"]), "left")
     keep = [c for c in rules.columns
             if c not in ("value_class", "any_datatype")]
-    return joined.select(
+    out = joined.select(
         *[rules[c] for c in keep],
         F.when(F.col("alias_dts").isNull(), rules["value_class"])
         .alias("value_class"),
         F.coalesce(rules["any_datatype"], F.col("alias_dts"))
         .alias("any_datatype"))
+
+    # LIST aliases (ReportList-style: targetClass + sh:node ListShape +
+    # member constraints): the referencing rule becomes a list rule
+    for c, t in (("is_list", "boolean"),
+                 ("list_member_datatype", "string"),
+                 ("list_member_class", "string")):
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(t))
+    list_alias = (alias_tc.join(_list_shape_info(shacl), ["file", "shape"])
+                  .select("file", "alias_class",
+                          F.col("list_member_datatype").alias("l_dt"),
+                          F.col("list_member_class").alias("l_cls"))
+                  .dropDuplicates(["file", "alias_class"]))
+    joined2 = out.join(
+        F.broadcast(list_alias),
+        (out["file"] == list_alias["file"])
+        & (out["value_class"] == list_alias["alias_class"]), "left")
+    keep2 = [c for c in out.columns
+             if c not in ("value_class", "is_list",
+                          "list_member_datatype", "list_member_class")]
+    matched = F.col("alias_class").isNotNull()
+    return joined2.select(
+        *[out[c] for c in keep2],
+        F.when(matched, F.lit(None).cast("string"))
+        .otherwise(out["value_class"]).alias("value_class"),
+        F.when(matched, F.lit(True)).otherwise(out["is_list"])
+        .alias("is_list"),
+        F.coalesce(out["list_member_datatype"], F.col("l_dt"))
+        .alias("list_member_datatype"),
+        F.coalesce(out["list_member_class"], F.col("l_cls"))
+        .alias("list_member_class"))
 
 
 def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
@@ -235,7 +294,8 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
         return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
 
     extras = [c for c in ("pattern", "min_inclusive", "max_inclusive",
-                          "any_datatype")
+                          "any_datatype", "is_list",
+                          "list_member_datatype")
               if c in rules.columns]
     aligned = rules.select(
         "file",
@@ -248,7 +308,11 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
         # like target_class so value typing checks hit the kg vocabulary
         *([F.when(F.col("value_class").isNotNull(),
                   realign(F.col("value_class"))).alias("value_class")]
-          if "value_class" in rules.columns else []))
+          if "value_class" in rules.columns else []),
+        *([F.when(F.col("list_member_class").isNotNull(),
+                  realign(F.col("list_member_class")))
+           .alias("list_member_class")]
+          if "list_member_class" in rules.columns else []))
     return aligned
 
 
@@ -426,9 +490,16 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     """
     for c, t in (("pattern", "string"), ("value_class", "string"),
                  ("min_inclusive", "string"), ("max_inclusive", "string"),
-                 ("any_datatype", "array<string>")):
+                 ("any_datatype", "array<string>"), ("is_list", "boolean"),
+                 ("list_member_datatype", "string"),
+                 ("list_member_class", "string")):
         if c not in rules.columns:  # older / hand-built rule tables
             rules = rules.withColumn(c, F.lit(None).cast(t))
+    # dimension-sized probe (rules are broadcast-tiny by contract): list
+    # member harvesting runs eager pointer-doubling jobs, so build that
+    # branch only when a list rule actually exists
+    has_list_rules = not rules.filter(
+        F.col("is_list").eqNullSafe(True)).isEmpty()
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
     # class-scoped rules (target_class set) apply only to subjects typed with
@@ -588,10 +659,73 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                         F.concat(F.lit("expected instance of "),
                                  "value_class").alias("detail")))
 
+    branches = [row_viol, card_viol, absent_viol, cls_lit, cls_node]
+
+    # list-valued rules (is_list): the value node must head a well-formed
+    # rdf list (rdf:nil = the empty list) whose MEMBERS satisfy the member
+    # constraints. Members are harvested ONCE for the whole validation via
+    # rdflists.list_members (ancestor pointer doubling — log rounds over
+    # the cell table), then every member check is a broadcast-rule join.
+    if has_list_rules:
+        from .rdflists import RDF_NIL, list_members
+
+        lrows = per_triple.filter(F.col("is_list").eqNullSafe(True))
+        branches.append(
+            lrows.filter(F.col("o_kind") == "literal")
+            .select("s", "p", "o", F.lit("notAList").alias("violation"),
+                    F.lit("got literal").alias("detail")))
+        lheads = (lrows.filter(F.col("o_kind") != "literal")
+                  .select("s", "p", "o", onode.alias("head"),
+                          "list_member_datatype", "list_member_class")
+                  .dropDuplicates())
+        cons_cells = (triples.filter(F.col("p").isin(RDF_FIRST, RDF_REST))
+                      .select(F.col("s").alias("head")).dropDuplicates())
+        branches.append(
+            lheads.filter(F.col("head") != RDF_NIL)
+            .join(cons_cells, "head", "left_anti")
+            .select("s", "p", "o", F.lit("notAList").alias("violation"),
+                    F.lit("no cons cell").alias("detail")))
+        mem = lheads.join(list_members(triples), "head")
+        branches.append(
+            mem.filter(F.col("list_member_datatype").isNotNull()
+                       & ((F.col("member_kind") != "literal")
+                          | (F.col("member_datatype")
+                             != F.col("list_member_datatype"))))
+            .select("s", "p", F.col("member").alias("o"),
+                    F.lit("listMemberDatatype").alias("violation"),
+                    F.concat(F.lit("expected "), "list_member_datatype",
+                             F.lit(" got "),
+                             F.coalesce("member_datatype", "member_kind"))
+                    .alias("detail")))
+        mnorm = (F.when(F.col("member_kind") == "bnode",
+                        F.concat(F.lit("_:"), F.col("member")))
+                 .otherwise(F.col("member")))
+        mcls = mem.filter(F.col("list_member_class").isNotNull())
+        branches.append(
+            mcls.filter(F.col("member_kind") == "literal")
+            .select("s", "p", F.col("member").alias("o"),
+                    F.lit("listMemberClass").alias("violation"),
+                    F.concat(F.lit("expected instance of "),
+                             "list_member_class",
+                             F.lit(" got literal")).alias("detail")))
+        branches.append(
+            mcls.filter(F.col("member_kind") != "literal")
+            .select("s", "p", "member", "list_member_class",
+                    mnorm.alias("mnode"))
+            .dropDuplicates()
+            .join(s_types, (F.col("mnode") == F.col("ts"))
+                  & (F.col("list_member_class") == F.col("stype")),
+                  "left_anti")
+            .select("s", "p", F.col("member").alias("o"),
+                    F.lit("listMemberClass").alias("violation"),
+                    F.concat(F.lit("expected instance of "),
+                             "list_member_class").alias("detail")))
+
     # dedupe: a triple matched by several rules reports each violation once
-    return (row_viol.unionByName(card_viol).unionByName(absent_viol)
-            .unionByName(cls_lit).unionByName(cls_node)
-            .dropDuplicates())
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.dropDuplicates()
 
 
 _COMPONENT_OF = {
@@ -605,6 +739,10 @@ _COMPONENT_OF = {
     # datatype alternatives may originate from sh:or or sh:xone; for
     # datatype-only members the two coincide, reported as sh:or
     "noneOfDatatypes": SH + "OrConstraintComponent",
+    # list checks realize the converter's `sh:node dash:ListShape`
+    "notAList": SH + "NodeConstraintComponent",
+    "listMemberDatatype": SH + "NodeConstraintComponent",
+    "listMemberClass": SH + "NodeConstraintComponent",
 }
 XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
 
@@ -767,7 +905,8 @@ def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     # sh:class / range facets diff only when both snapshots carry them —
     # infer_shapes output predates these columns and must keep diffing
     facets += [c for c in ("value_class", "min_inclusive", "max_inclusive",
-                           "any_datatype")
+                           "any_datatype", "is_list",
+                           "list_member_datatype", "list_member_class")
                if c in old_rules.columns and c in new_rules.columns]
 
     def side(df, tag):

@@ -32,6 +32,7 @@ AUDIT = [
     "entity_consolidate", "er_metrics", "graph_sssp", "value_qsketch",
     "kg_class_violations", "kg_validation_report", "rule_conflicts",
     "list_integrity", "graph_digest", "discover_keys", "statement_graph",
+    "list_member_check",
 ]
 
 

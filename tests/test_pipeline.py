@@ -346,6 +346,90 @@ def test_rule_conflicts_across_files(spark):
     assert got[("C", "p2", "cardinality")] == "2>1"
 
 
+def test_list_rules_validate_members(spark):
+    """sh:node dash:ListShape flows into list rules: inline arrays carry
+    member datatypes, aliased arrays (ReportList-style) resolve through
+    sh:class; validation walks instance cons chains and checks members."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.rdflists import (
+        RDF_FIRST, RDF_NIL, RDF_REST)
+    from openapi_to_rdf_spark.operators.shapes import (
+        resolve_scalar_aliases, shape_rules_from_shacl)
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      properties:
+        tags:
+          type: array
+          items:
+            type: string
+        reports:
+          $ref: '#/components/schemas/ReportList'
+    ReportList:
+      type: array
+      items:
+        $ref: '#/components/schemas/Report'
+    Report:
+      type: object
+      properties:
+        body:
+          type: string
+"""
+    specs = spark.createDataFrame([("alarms.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = resolve_scalar_aliases(shape_rules_from_shacl(shacl), shacl)
+    by_path = {r["path"].rsplit("#", 1)[-1]: r for r in rules.collect()}
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert by_path["tags"]["is_list"] is True
+    assert by_path["tags"]["list_member_datatype"] == xsd + "string"
+    rep = by_path["reports"]
+    assert (rep["is_list"], rep["value_class"]) == (True, None)
+    assert rep["list_member_class"].endswith("#Report")
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    alarm = by_path["tags"]["target_class"]
+    tags_p, reports_p = by_path["tags"]["path"], rep["path"]
+    report_cls = rep["list_member_class"]
+    triples = spark.createDataFrame([
+        *[("c0", "kg", f"a#{i}", rdf_type, "iri", alarm, None)
+          for i in (1, 2, 3, 4, 5, 6)],
+        # clean single-element string list
+        ("c0", "kg", "a#1", tags_p, "bnode", "l1", None),
+        ("c0", "kg", "_:l1", RDF_FIRST, "literal", "x", xsd + "string"),
+        ("c0", "kg", "_:l1", RDF_REST, "iri", RDF_NIL, None),
+        # wrong member datatype
+        ("c0", "kg", "a#2", tags_p, "bnode", "l2", None),
+        ("c0", "kg", "_:l2", RDF_FIRST, "literal", "5", xsd + "integer"),
+        ("c0", "kg", "_:l2", RDF_REST, "iri", RDF_NIL, None),
+        # literal where a list belongs / node with no cons cell
+        ("c0", "kg", "a#3", tags_p, "literal", "oops", xsd + "string"),
+        ("c0", "kg", "a#4", tags_p, "iri", "nolist#4", None),
+        # two-element report list: first member typed, second untyped
+        ("c0", "kg", "a#5", reports_p, "bnode", "l5", None),
+        ("c0", "kg", "_:l5", RDF_FIRST, "iri", "rep#ok", None),
+        ("c0", "kg", "_:l5", RDF_REST, "bnode", "l6", None),
+        ("c0", "kg", "_:l6", RDF_FIRST, "iri", "rep#ghost", None),
+        ("c0", "kg", "_:l6", RDF_REST, "iri", RDF_NIL, None),
+        ("c0", "kg", "rep#ok", rdf_type, "iri", report_cls, None),
+        # rdf:nil = the empty list, valid
+        ("c0", "kg", "a#6", tags_p, "iri", RDF_NIL, None),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    v = validate_triples(triples, rules)
+    got = {(r.s, r.violation, r.o) for r in v.collect()}
+    assert got == {
+        ("a#2", "listMemberDatatype", "5"),
+        ("a#3", "notAList", "oops"),
+        ("a#4", "notAList", "nolist#4"),
+        ("a#5", "listMemberClass", "rep#ghost"),
+    }
+
+
 def test_align_rules_realigns_value_class(spark):
     from openapi_to_rdf_spark.operators.shapes import (
         align_rules_to_namespace)
