@@ -85,15 +85,19 @@ def _rdf_lists(triples: DataFrame) -> DataFrame:
     return cells.groupBy("file").applyInPandas(walk, schema)
 
 
-def _alt_datatype_sets(shacl: DataFrame) -> DataFrame:
-    """(file, shape, any_datatype) for every shape carrying an sh:xone /
-    sh:or / sh:or_ alternative list whose members ALL resolve to
-    datatype-bearing node shapes (the converter's encoding of OpenAPI
-    oneOf/anyOf over primitives — ``sh:or_`` mirrors the reference's
-    attr-name quirk, shacl_converter.py logical-operator emission).
+def _alt_value_sets(shacl: DataFrame) -> DataFrame:
+    """(file, shape, any_datatype, any_class) for every shape carrying an
+    sh:xone / sh:or / sh:or_ alternative list whose members ALL resolve
+    to a datatype-bearing OR class-bearing node shape (the converter's
+    encoding of OpenAPI oneOf/anyOf — ``sh:or_`` mirrors the reference's
+    attr-name quirk, shacl_converter.py logical-operator emission). A
+    conforming value is a literal of one of ``any_datatype`` or a node
+    typed with one of ``any_class``; either array may be empty (null).
     Members carrying extra facets (sh:in, sh:minInclusive) are accepted
-    by their datatype alone — a sound relaxation: validation may
-    under-flag alternatives, never wrongly flag a conforming value."""
+    by their datatype alone, and alternative lists with STRUCTURAL
+    members (nested sh:property shapes) are skipped entirely — both are
+    sound relaxations: validation may under-flag alternatives, never
+    wrongly flag a conforming value."""
     heads = None
     for pred in (SH + "xone", SH + "or", SH + "or_"):
         h = _po(shacl, pred, "head")
@@ -101,17 +105,26 @@ def _alt_datatype_sets(shacl: DataFrame) -> DataFrame:
     lists = _rdf_lists(shacl)
     dt = (_po(shacl, SH + "datatype", "m_dt")
           .withColumnRenamed("shape", "member"))
+    cls = (_po(shacl, SH + "class", "m_cls", kind="iri")
+           .withColumnRenamed("shape", "member"))
     members = (heads.join(lists, ["file", "head"])
                .select("file", "shape",
                        F.explode("values").alias("member"),
                        F.size("values").alias("n_members")))
     agg = (members.join(dt, ["file", "member"], "left")
+           .join(cls, ["file", "member"], "left")
            .groupBy("file", "shape")
            .agg(F.max("n_members").alias("n_members"),
                 F.count("m_dt").alias("n_dt"),
-                F.array_sort(F.collect_set("m_dt")).alias("dts")))
-    return (agg.filter(F.col("n_dt") == F.col("n_members"))
-            .select("file", "shape", F.col("dts").alias("any_datatype")))
+                F.count("m_cls").alias("n_cls"),
+                F.array_sort(F.collect_set("m_dt")).alias("dts"),
+                F.array_sort(F.collect_set("m_cls")).alias("clss")))
+    nonempty = lambda c: F.when(F.size(c) > 0, c)  # noqa: E731
+    return (agg.filter(F.col("n_dt") + F.col("n_cls")
+                       == F.col("n_members"))
+            .select("file", "shape",
+                    nonempty(F.col("dts")).alias("any_datatype"),
+                    nonempty(F.col("clss")).alias("any_class")))
 
 
 def _list_shape_info(shacl: DataFrame) -> DataFrame:
@@ -170,7 +183,7 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(max_inc, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
-        .join(_alt_datatype_sets(shacl), ["file", "shape"], "left")
+        .join(_alt_value_sets(shacl), ["file", "shape"], "left")
         .join(_list_shape_info(shacl), ["file", "shape"], "left")
     )
     return prop.select(
@@ -183,8 +196,8 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         # graph's lexical forms; validate_triples casts at check time so the
         # detail strings stay engine-portable
         "value_class", "min_inclusive", "max_inclusive",
-        # property-level sh:xone/or datatype alternatives
-        "any_datatype",
+        # property-level sh:xone/or datatype / class alternatives
+        "any_datatype", "any_class",
         # inline array properties (sh:node dash:ListShape on the property
         # shape itself); aliased arrays resolve via resolve_scalar_aliases
         "is_list", "list_member_datatype", "list_member_class",
@@ -212,12 +225,12 @@ def resolve_scalar_aliases(rules: DataFrame, shacl: DataFrame) -> DataFrame:
 
     Both inputs are vocabulary-sized; every join here is dimension-scale.
     """
-    if "any_datatype" not in rules.columns:
-        rules = rules.withColumn("any_datatype",
-                                 F.lit(None).cast("array<string>"))
+    for c in ("any_datatype", "any_class"):
+        if c not in rules.columns:
+            rules = rules.withColumn(c, F.lit(None).cast("array<string>"))
     alias_tc = _po(shacl, SH + "targetClass", "alias_class")
     direct = _po(shacl, SH + "datatype", "direct_dt")
-    alts = _alt_datatype_sets(shacl)
+    alts = _alt_value_sets(shacl)
     has_prop = (_po(shacl, SH + "property", "x")
                 .select("file", "shape").dropDuplicates()
                 .withColumn("is_obj", F.lit(True)))
@@ -226,25 +239,32 @@ def resolve_scalar_aliases(rules: DataFrame, shacl: DataFrame) -> DataFrame:
         F.when(F.col("direct_dt").isNotNull(), F.array("direct_dt")))
     alias = (alias_tc
              .join(direct, ["file", "shape"], "left")
-             .join(alts.withColumnRenamed("any_datatype", "alt_dts"),
+             .join(alts.withColumnsRenamed({"any_datatype": "alt_dts",
+                                            "any_class": "alt_cls"}),
                    ["file", "shape"], "left")
              .join(has_prop, ["file", "shape"], "left")
              .filter(F.col("is_obj").isNull())
-             .select("file", "alias_class", payload.alias("alias_dts"))
-             .filter(F.col("alias_dts").isNotNull())
+             .select("file", "alias_class", payload.alias("alias_dts"),
+                     F.col("alt_cls").alias("alias_cls"))
+             .filter(F.col("alias_dts").isNotNull()
+                     | F.col("alias_cls").isNotNull())
              .dropDuplicates(["file", "alias_class"]))
     joined = rules.join(
         F.broadcast(alias),
         (rules["file"] == alias["file"])
         & (rules["value_class"] == alias["alias_class"]), "left")
     keep = [c for c in rules.columns
-            if c not in ("value_class", "any_datatype")]
+            if c not in ("value_class", "any_datatype", "any_class")]
+    matched0 = (F.col("alias_dts").isNotNull()
+                | F.col("alias_cls").isNotNull())
     out = joined.select(
         *[rules[c] for c in keep],
-        F.when(F.col("alias_dts").isNull(), rules["value_class"])
-        .alias("value_class"),
+        F.when(matched0, F.lit(None).cast("string"))
+        .otherwise(rules["value_class"]).alias("value_class"),
         F.coalesce(rules["any_datatype"], F.col("alias_dts"))
-        .alias("any_datatype"))
+        .alias("any_datatype"),
+        F.coalesce(rules["any_class"], F.col("alias_cls"))
+        .alias("any_class"))
 
     # LIST aliases (ReportList-style: targetClass + sh:node ListShape +
     # member constraints): the referencing rule becomes a list rule
@@ -312,7 +332,14 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
         *([F.when(F.col("list_member_class").isNotNull(),
                   realign(F.col("list_member_class")))
            .alias("list_member_class")]
-          if "list_member_class" in rules.columns else []))
+          if "list_member_class" in rules.columns else []),
+        # class-alternative sets realign element-wise
+        *([F.transform(F.col("any_class"),
+                       lambda x: F.concat(
+                           F.lit(kg_ns),
+                           F.regexp_extract(x, r"([^#/]+)$", 1)))
+           .alias("any_class")]
+          if "any_class" in rules.columns else []))
     return aligned
 
 
@@ -490,7 +517,8 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     """
     for c, t in (("pattern", "string"), ("value_class", "string"),
                  ("min_inclusive", "string"), ("max_inclusive", "string"),
-                 ("any_datatype", "array<string>"), ("is_list", "boolean"),
+                 ("any_datatype", "array<string>"),
+                 ("any_class", "array<string>"), ("is_list", "boolean"),
                  ("list_member_datatype", "string"),
                  ("list_member_class", "string")):
         if c not in rules.columns:  # older / hand-built rule tables
@@ -562,17 +590,24 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
               "maxInclusiveViolation",
               F.concat(F.lit("maxInclusive "), "max_inclusive",
                        F.lit(" got "), "o")),
-        # sh:xone/sh:or over datatype-only alternatives (incl. resolved
-        # scalar aliases): the value must be a literal whose datatype is
-        # in the allowed set
-        _viol(F.col("any_datatype").isNotNull()
-              & ((F.col("o_kind") != "literal")
-                 | ~F.array_contains(
-                     F.col("any_datatype"),
-                     F.coalesce(F.col("o_datatype"), F.lit("\x02")))),
+        # sh:xone/sh:or alternatives (incl. resolved aliases): a literal
+        # value must carry one of the allowed datatypes; a node value is
+        # only legal when the rule offers class alternatives (checked by
+        # the anti-join branch below)
+        _viol(((F.col("any_datatype").isNotNull()
+                | F.col("any_class").isNotNull())
+               & (F.col("o_kind") == "literal")
+               & (F.col("any_datatype").isNull()
+                  | ~F.array_contains(
+                      F.col("any_datatype"),
+                      F.coalesce(F.col("o_datatype"), F.lit("\x02")))))
+              | (F.col("any_datatype").isNotNull()
+                 & F.col("any_class").isNull()
+                 & (F.col("o_kind") != "literal")),
               "noneOfDatatypes",
               F.concat(F.lit("expected one of "),
-                       F.concat_ws(",", "any_datatype"),
+                       F.concat_ws(",", F.coalesce("any_datatype",
+                                                   "any_class")),
                        F.lit(" got "),
                        F.coalesce("o_datatype", "o_kind"))),
     )
@@ -659,7 +694,27 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                         F.concat(F.lit("expected instance of "),
                                  "value_class").alias("detail")))
 
-    branches = [row_viol, card_viol, absent_viol, cls_lit, cls_node]
+    # class ALTERNATIVES (sh:xone/or over class members, incl. resolved
+    # union aliases): a node value must be typed with at least one class
+    # in the set — same anti-join shape as sh:class, with the type match
+    # widened to array membership
+    any_cls_node = (per_triple.filter(F.col("any_class").isNotNull()
+                                      & (F.col("o_kind") != "literal"))
+                    .select("s", "p", "o", "any_class",
+                            onode.alias("onode"))
+                    .dropDuplicates()
+                    .join(s_types, (F.col("onode") == F.col("ts"))
+                          & F.array_contains(F.col("any_class"),
+                                             F.col("stype")),
+                          "left_anti")
+                    .select("s", "p", "o",
+                            F.lit("noneOfClasses").alias("violation"),
+                            F.concat(F.lit("expected instance of one of "),
+                                     F.concat_ws(",", "any_class"))
+                            .alias("detail")))
+
+    branches = [row_viol, card_viol, absent_viol, cls_lit, cls_node,
+                any_cls_node]
 
     # list-valued rules (is_list): the value node must head a well-formed
     # rdf list (rdf:nil = the empty list) whose MEMBERS satisfy the member
@@ -739,6 +794,7 @@ _COMPONENT_OF = {
     # datatype alternatives may originate from sh:or or sh:xone; for
     # datatype-only members the two coincide, reported as sh:or
     "noneOfDatatypes": SH + "OrConstraintComponent",
+    "noneOfClasses": SH + "OrConstraintComponent",
     # list checks realize the converter's `sh:node dash:ListShape`
     "notAList": SH + "NodeConstraintComponent",
     "listMemberDatatype": SH + "NodeConstraintComponent",
@@ -905,7 +961,7 @@ def shape_drift(old_rules: DataFrame, new_rules: DataFrame) -> DataFrame:
     # sh:class / range facets diff only when both snapshots carry them —
     # infer_shapes output predates these columns and must keep diffing
     facets += [c for c in ("value_class", "min_inclusive", "max_inclusive",
-                           "any_datatype", "is_list",
+                           "any_datatype", "any_class", "is_list",
                            "list_member_datatype", "list_member_class")
                if c in old_rules.columns and c in new_rules.columns]
 

@@ -430,6 +430,66 @@ components:
     }
 
 
+def test_union_alias_rules_resolve_to_class_sets(spark):
+    """A property whose sh:class points at a UNION alias (OpenAPI oneOf
+    over object refs -> targetClass + sh:xone of sh:class members) must
+    accept values typed with ANY member class and flag others; literals
+    can satisfy no class alternative."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.shapes import (
+        resolve_scalar_aliases, shape_rules_from_shacl)
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Alarm:
+      type: object
+      properties:
+        origin:
+          $ref: '#/components/schemas/AnyNode'
+    AnyNode:
+      oneOf:
+        - $ref: '#/components/schemas/Cell'
+        - $ref: '#/components/schemas/Router'
+    Cell:
+      type: object
+      properties:
+        cid: {type: string}
+    Router:
+      type: object
+      properties:
+        rid: {type: string}
+"""
+    specs = spark.createDataFrame([("net.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = resolve_scalar_aliases(shape_rules_from_shacl(shacl), shacl)
+    origin = [r for r in rules.collect()
+              if r["path"].endswith("#origin")][0]
+    assert origin["value_class"] is None
+    assert sorted(c.rsplit("#", 1)[-1] for c in origin["any_class"]) == \
+        ["Cell", "Router"]
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    alarm, p = origin["target_class"], origin["path"]
+    cell = [c for c in origin["any_class"] if c.endswith("#Cell")][0]
+    triples = spark.createDataFrame([
+        *[("c0", "kg", f"a#{i}", rdf_type, "iri", alarm, None)
+          for i in (1, 2, 3)],
+        ("c0", "kg", "n#cell", rdf_type, "iri", cell, None),
+        ("c0", "kg", "n#other", rdf_type, "iri", alarm, None),
+        ("c0", "kg", "a#1", p, "iri", "n#cell", None),    # typed Cell: ok
+        ("c0", "kg", "a#2", p, "iri", "n#other", None),   # wrong class
+        ("c0", "kg", "a#3", p, "literal", "inline", xsd + "string"),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    v = validate_triples(triples, rules)
+    got = {(r.s, r.violation) for r in v.collect()}
+    assert got == {("a#2", "noneOfClasses"), ("a#3", "noneOfDatatypes")}
+
+
 def test_align_rules_realigns_value_class(spark):
     from openapi_to_rdf_spark.operators.shapes import (
         align_rules_to_namespace)
