@@ -523,11 +523,18 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
                  ("list_member_class", "string")):
         if c not in rules.columns:  # older / hand-built rule tables
             rules = rules.withColumn(c, F.lit(None).cast(t))
-    # dimension-sized probe (rules are broadcast-tiny by contract): list
-    # member harvesting runs eager pointer-doubling jobs, so build that
-    # branch only when a list rule actually exists
-    has_list_rules = not rules.filter(
-        F.col("is_list").eqNullSafe(True)).isEmpty()
+    # dimension-sized probe (rules are broadcast-tiny by contract): each
+    # join-backed branch below is built ONLY when a rule of its kind
+    # exists — otherwise the dead branch's join still lands in the
+    # physical plan (the guard columns become real runtime columns after
+    # the rule join, so Catalyst cannot fold them away), and the list
+    # branch would even run eager pointer-doubling jobs
+    present = rules.agg(
+        F.count("value_class").alias("n_vc"),
+        F.count("any_class").alias("n_ac"),
+        F.count(F.when(F.col("is_list").eqNullSafe(True), 1))
+        .alias("n_list")).first()
+    has_list_rules = present["n_list"] > 0
     r = F.broadcast(rules.withColumnRenamed("path", "p").drop("file"))
 
     # class-scoped rules (target_class set) apply only to subjects typed with
@@ -671,50 +678,55 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     # they violate per-row; node values anti-join the type table on the
     # OBJECT node — candidates are deduped first so the shuffle carries
     # distinct (value, class) pairs, not the triple table.
-    cls_rows = per_triple.filter(F.col("value_class").isNotNull())
-    cls_lit = (cls_rows.filter(F.col("o_kind") == "literal")
-               .select("s", "p", "o",
-                       F.lit("classViolation").alias("violation"),
-                       F.concat(F.lit("expected instance of "),
-                                "value_class",
-                                F.lit(" got literal")).alias("detail")))
+    branches = [row_viol, card_viol, absent_viol]
     # bnode OBJECTS are bare labels while typed SUBJECTS carry the "_:"
-    # prefix (extract.TRIPLES_SCHEMA) — normalize before the anti-join
+    # prefix (extract.TRIPLES_SCHEMA) — normalize before any type join
     onode = F.when(F.col("o_kind") == "bnode",
                    F.concat(F.lit("_:"), F.col("o"))).otherwise(F.col("o"))
-    cls_node = (cls_rows.filter(F.col("o_kind") != "literal")
-                .select("s", "p", "o", "value_class",
-                        onode.alias("onode"))
-                .dropDuplicates()
-                .join(s_types, (F.col("onode") == F.col("ts"))
-                      & (F.col("value_class") == F.col("stype")),
-                      "left_anti")
-                .select("s", "p", "o",
-                        F.lit("classViolation").alias("violation"),
-                        F.concat(F.lit("expected instance of "),
-                                 "value_class").alias("detail")))
+    if present["n_vc"] > 0:
+        cls_rows = per_triple.filter(F.col("value_class").isNotNull())
+        branches.append(
+            cls_rows.filter(F.col("o_kind") == "literal")
+            .select("s", "p", "o",
+                    F.lit("classViolation").alias("violation"),
+                    F.concat(F.lit("expected instance of "), "value_class",
+                             F.lit(" got literal")).alias("detail")))
+        branches.append(
+            cls_rows.filter(F.col("o_kind") != "literal")
+            .select("s", "p", "o", "value_class", onode.alias("onode"))
+            .dropDuplicates()
+            .join(s_types, (F.col("onode") == F.col("ts"))
+                  & (F.col("value_class") == F.col("stype")),
+                  "left_anti")
+            .select("s", "p", "o",
+                    F.lit("classViolation").alias("violation"),
+                    F.concat(F.lit("expected instance of "),
+                             "value_class").alias("detail")))
 
     # class ALTERNATIVES (sh:xone/or over class members, incl. resolved
     # union aliases): a node value must be typed with at least one class
-    # in the set — same anti-join shape as sh:class, with the type match
-    # widened to array membership
-    any_cls_node = (per_triple.filter(F.col("any_class").isNotNull()
+    # in the set. array_contains in a join condition would force a
+    # nested-loop join — instead EXPLODE the (tiny) class set per
+    # candidate and keep both joins equi: satisfied candidates via a
+    # semi-join, violations via an anti-join on the candidate key.
+    if present["n_ac"] > 0:
+        ac_nodes = (per_triple.filter(F.col("any_class").isNotNull()
                                       & (F.col("o_kind") != "literal"))
                     .select("s", "p", "o", "any_class",
                             onode.alias("onode"))
-                    .dropDuplicates()
-                    .join(s_types, (F.col("onode") == F.col("ts"))
-                          & F.array_contains(F.col("any_class"),
-                                             F.col("stype")),
-                          "left_anti")
-                    .select("s", "p", "o",
-                            F.lit("noneOfClasses").alias("violation"),
-                            F.concat(F.lit("expected instance of one of "),
-                                     F.concat_ws(",", "any_class"))
-                            .alias("detail")))
-
-    branches = [row_viol, card_viol, absent_viol, cls_lit, cls_node,
-                any_cls_node]
+                    .dropDuplicates())
+        sat = (ac_nodes.select("s", "p", "o", "onode",
+                               F.explode("any_class").alias("cand"))
+               .join(s_types, (F.col("onode") == F.col("ts"))
+                     & (F.col("cand") == F.col("stype")), "left_semi")
+               .select("s", "p", "o").dropDuplicates())
+        branches.append(
+            ac_nodes.join(sat, ["s", "p", "o"], "left_anti")
+            .select("s", "p", "o",
+                    F.lit("noneOfClasses").alias("violation"),
+                    F.concat(F.lit("expected instance of one of "),
+                             F.concat_ws(",", "any_class"))
+                    .alias("detail")))
 
     # list-valued rules (is_list): the value node must head a well-formed
     # rdf list (rdf:nil = the empty list) whose MEMBERS satisfy the member

@@ -83,6 +83,15 @@ def main() -> None:
           "Push = scans with non-empty PushedFilters; TopK = "
           "TakeOrderedAndProject (top-k without a global sort).")
     print()
+    print("NLJ caveat: in the validation-family queries every counted "
+          "NLJ is a DEGENERATE existence probe, not a row join — "
+          "Catalyst pushes the rule-join predicate into each "
+          "constant-predicate union branch, leaving a condition-less "
+          "LeftSemi against a LocalLimit-1 broadcast of the "
+          "vocabulary-sized rules dim ('does any rule constrain this "
+          "predicate at all'). Constant work per branch; the instance "
+          "side is never nested-looped.")
+    print()
     print("| query | Exch | BHJ | SMJ | NLJ | Cart | Py | WSCG | Push | TopK |")
     print("|---|---|---|---|---|---|---|---|---|---|")
     for name in AUDIT:
