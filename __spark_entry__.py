@@ -2904,6 +2904,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_r2rml_orders(spark, sf_dir):
+        """R2RML-lite direct mapping (operators/r2rml.py): the orders table
+        lifted into the triple store — templated subject, rr:class triple,
+        typed literals (price as e2 integer cents, date via date_format so
+        both engines render identically) and a join-free FK reference to
+        customer subjects. One narrow projection + explode; DuckDB replays
+        it as a UNION ALL."""
+        from openapi_to_rdf_spark.operators.r2rml import (
+            PredicateMap, table_to_triples)
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("c"),
+                     F.col("o_orderstatus").alias("status"),
+                     F.round(F.col("o_totalprice") * 100).cast("long")
+                     .alias("price_e2"),
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")))
+        return table_to_triples(
+            o, "urn:order:{k}",
+            [PredicateMap(kg + "status", column="status"),
+             PredicateMap(kg + "priceE2", column="price_e2",
+                          datatype=xsd + "integer"),
+             PredicateMap(kg + "orderDate", column="d",
+                          datatype=xsd + "date"),
+             PredicateMap(kg + "customer", template="urn:cust:{c}")],
+            class_iri=kg + "Order")
+
+    def q_parse_ntriples(spark, sf_dir):
+        """Distributed N-Triples parse (sources/ntriples.py): deterministic
+        NT lines formatted from orders (IRI / typed-literal / plain-literal
+        / lang-tagged objects, plus malformed lines every k%97==0 that the
+        grammar filter must drop), parsed back to the wide schema by pure
+        codegen. DuckDB emits the expected parse results directly."""
+        from openapi_to_rdf_spark.sources.ntriples import (
+            parse_ntriples_lines)
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("c"),
+                     F.col("o_orderstatus").alias("st")))
+        lines = (
+            o.select(F.format_string(
+                '<urn:o:%d> <urn:p:status> "%s" .', "k", "st")
+                .alias("value"))
+            .unionAll(o.select(F.format_string(
+                '<urn:o:%d> <urn:p:key> "%d"^^<' + xsd + 'integer> .',
+                "k", "k").alias("value")))
+            .unionAll(o.select(F.format_string(
+                '<urn:o:%d> <urn:p:cust> <urn:c:%d> .', "k", "c")
+                .alias("value")))
+            .unionAll(o.select(F.format_string(
+                '<urn:o:%d> <urn:p:note> "n%d"@en .', "k", "k")
+                .alias("value")))
+            .unionAll(o.filter(F.col("k") % 97 == 0).select(
+                F.format_string('malformed line %d', "k").alias("value"))))
+        return (parse_ntriples_lines(lines)
+                .select("s", "p", "o_kind", "o", "o_datatype", "o_lang"))
+
+    def q_kg_closed_violations(spark, sf_dir):
+        """sh:closed validation (shapes.closed_shape_violations): typed
+        kg:Turn focus nodes synthesized from orders; every k%7==0 subject
+        carries an undeclared predicate (flagged), k%5==0 carries an
+        sh:ignoredProperties predicate (not flagged), declared role/
+        mentions paths never flagged. DuckDB enumerates the expected
+        violation set."""
+        from openapi_to_rdf_spark.operators.shapes import (
+            RDF_TYPE, closed_shape_violations, kg_shape_rules)
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        subj = F.concat(F.lit("turn#"), st(F.col("k")))
+
+        def tr(df, p, o_kind, oc):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                subj.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), oc.alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+
+        triples = (
+            tr(kk, RDF_TYPE, "iri", F.lit(kg + "Turn"))
+            .unionAll(tr(kk, kg + "role", "literal", F.lit("user")))
+            .unionAll(tr(kk, kg + "mentions", "iri",
+                         F.concat(F.lit("ent#"),
+                                  st(F.pmod(F.col("k"), F.lit(50))))))
+            .unionAll(tr(kk.filter(F.col("k") % 7 == 0),
+                         kg + "smuggled", "literal", F.lit("x")))
+            .unionAll(tr(kk.filter(F.col("k") % 5 == 0),
+                         kg + "audit", "literal", F.lit("y"))))
+        return closed_shape_violations(
+            triples, kg_shape_rules(spark, kg),
+            closed_classes=[kg + "Turn"],
+            ignored=(RDF_TYPE, kg + "audit"))
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3045,6 +3144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "value_qsketch": q_value_qsketch,
         "value_qsketch_quantiles": q_value_qsketch_quantiles,
+        "r2rml_orders": q_r2rml_orders,
+        "parse_ntriples": q_parse_ntriples,
+        "kg_closed_violations": q_kg_closed_violations,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -6508,6 +6610,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "r2rml_orders": """
+            WITH o AS (
+              SELECT o_orderkey AS k, o_custkey AS c,
+                     o_orderstatus AS status,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS pe2,
+                     strftime(o_orderdate, '%Y-%m-%d') AS d
+              FROM orders)
+            SELECT 'r2rml' AS file, 'kg' AS graph,
+                   'urn:order:' || CAST(k AS VARCHAR) AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'iri' AS o_kind,
+                   'http://ericsson.com/models/3gpp/kg#Order' AS o,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM o
+            UNION ALL
+            SELECT 'r2rml', 'kg', 'urn:order:' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#status', 'literal',
+                   status, CAST(NULL AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'r2rml', 'kg', 'urn:order:' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#priceE2', 'literal',
+                   CAST(pe2 AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer'
+            FROM o
+            UNION ALL
+            SELECT 'r2rml', 'kg', 'urn:order:' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#orderDate',
+                   'literal', d, 'http://www.w3.org/2001/XMLSchema#date'
+            FROM o
+            UNION ALL
+            SELECT 'r2rml', 'kg', 'urn:order:' || CAST(k AS VARCHAR),
+                   'http://ericsson.com/models/3gpp/kg#customer', 'iri',
+                   'urn:cust:' || CAST(c AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM o
+        """,
+        "parse_ntriples": """
+            WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                              o_orderstatus AS st FROM orders)
+            SELECT 'urn:o:' || CAST(k AS VARCHAR) AS s,
+                   'urn:p:status' AS p, 'literal' AS o_kind, st AS o,
+                   'http://www.w3.org/2001/XMLSchema#string' AS o_datatype,
+                   CAST(NULL AS VARCHAR) AS o_lang
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:key', 'literal',
+                   CAST(k AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer',
+                   CAST(NULL AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:cust', 'iri',
+                   'urn:c:' || CAST(c AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:note', 'literal',
+                   'n' || CAST(k AS VARCHAR),
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString',
+                   'en'
+            FROM o
+        """,
+        "kg_closed_violations": """
+            SELECT 'turn#' || CAST(o_orderkey AS VARCHAR) AS s,
+                   'http://ericsson.com/models/3gpp/kg#smuggled' AS p,
+                   'x' AS o, 'closedShapeViolation' AS violation,
+                   'predicate http://ericsson.com/models/3gpp/kg#smuggled '
+                     || 'not declared for closed '
+                     || 'http://ericsson.com/models/3gpp/kg#Turn' AS detail
+            FROM orders WHERE o_orderkey % 7 = 0
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -795,6 +795,48 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     return out.dropDuplicates()
 
 
+def closed_shape_violations(triples: DataFrame, rules: DataFrame,
+                            closed_classes: list[str],
+                            ignored: tuple[str, ...] = (RDF_TYPE,)
+                            ) -> DataFrame:
+    """``sh:closed true`` validation — the one SHACL core constraint the
+    per-path rule checks cannot express, because it fires on predicates the
+    shape DOESN'T declare (SHACL spec §4.8.1, ClosedConstraintComponent).
+
+    For each class in ``closed_classes``, focus nodes (subjects typed with
+    the class) may only carry predicates that some class-scoped rule
+    declares as a path, plus ``ignored`` (sh:ignoredProperties — rdf:type
+    by default, as every real-world closed shape ignores it).
+
+    Scale shape: allowed (class, path) pairs are vocabulary-sized and
+    broadcast; the focus-node typing join is the ONE unavoidable shuffle
+    (subject-keyed, the same key canonicalization/validation already
+    shuffle on, so the exchange is reusable across validation stages).
+    The predicate anti-join itself is a broadcast left_anti — the 10^12
+    triple side streams.
+    """
+    allowed = (rules.filter(F.col("target_class").isin(list(closed_classes)))
+               .select(F.col("target_class").alias("cls"),
+                       F.col("path").alias("ap"))
+               .dropDuplicates())
+    focus = (triples.filter((F.col("p") == RDF_TYPE)
+                            & F.col("o").isin(list(closed_classes)))
+             .select(F.col("s").alias("fs"), F.col("o").alias("cls"))
+             .dropDuplicates())
+    cand = (triples.filter(~F.col("p").isin(list(ignored)))
+            .join(focus, F.col("s") == F.col("fs")))
+    return (cand
+            .join(F.broadcast(allowed),
+                  (cand["cls"] == allowed["cls"]) & (cand["p"] == allowed["ap"]),
+                  "left_anti")
+            .select("s", "p", "o",
+                    F.lit("closedShapeViolation").alias("violation"),
+                    F.concat(F.lit("predicate "), F.col("p"),
+                             F.lit(" not declared for closed "),
+                             F.col("cls")).alias("detail"))
+            .dropDuplicates())
+
+
 _COMPONENT_OF = {
     "datatypeMismatch": SH + "DatatypeConstraintComponent",
     "notInList": SH + "InConstraintComponent",
