@@ -2904,6 +2904,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_kg_provenance(spark, sf_dir):
+        """PROV-O lineage triples (plans/provenance.py): a deterministic
+        two-stage manifest chain whose row counts derive from orders —
+        activity/entity/used/hadMember structure re-derived by DuckDB as
+        constants + a COUNT(*) scalar. The real pipeline emits the same
+        shapes from its snapshot sidecars (tests/test_provenance.py)."""
+        from openapi_to_rdf_spark.plans.provenance import prov_triples
+
+        n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        manifests = {
+            "transcripts": {
+                "fingerprint": "t0", "snapshot": "snap-t0",
+                "committed_at": "2026-01-01T00:00:00Z",
+                "wall_seconds": 1.5, "metrics": {"rows": n},
+                "lineage": {"part-0.parquet": n}},
+            "extract": {
+                "fingerprint": "e0", "snapshot": "snap-e0",
+                "committed_at": "2026-01-01T00:01:00Z",
+                "wall_seconds": 2.5, "metrics": {"rows": 3 * n},
+                "lineage": {"part-0.parquet": 2 * n,
+                            "part-1.parquet": n}},
+        }
+        return prov_triples(spark, manifests)
+
     def q_r2rml_orders(spark, sf_dir):
         """R2RML-lite direct mapping (operators/r2rml.py): the orders table
         lifted into the triple store — templated subject, rr:class triple,
@@ -3145,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_qsketch": q_value_qsketch,
         "value_qsketch_quantiles": q_value_qsketch_quantiles,
         "r2rml_orders": q_r2rml_orders,
+        "kg_provenance": q_kg_provenance,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
         "kg_dangling": q_kg_dangling,
@@ -6610,6 +6635,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "kg_provenance": """
+            WITH n AS (SELECT COUNT(*) AS c FROM orders),
+            base AS (
+              SELECT 't0' AS fp, 'transcripts' AS stage, 'snap-t0' AS loc,
+                     '2026-01-01T00:00:00Z' AS at, '1.5' AS wall,
+                     c AS rows_n FROM n
+              UNION ALL
+              SELECT 'e0', 'extract', 'snap-e0', '2026-01-01T00:01:00Z',
+                     '2.5', 3 * c FROM n),
+            files AS (
+              SELECT 't0' AS fp, 'part-0.parquet' AS path, c AS fr FROM n
+              UNION ALL
+              SELECT 'e0', 'part-0.parquet', 2 * c FROM n
+              UNION ALL
+              SELECT 'e0', 'part-1.parquet', c FROM n)
+            SELECT 'prov' AS file, 'prov' AS graph,
+                   'urn:prov:activity:' || fp AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'iri' AS o_kind, 'http://www.w3.org/ns/prov#Activity'
+                     AS o, CAST(NULL AS VARCHAR) AS o_datatype
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:activity:' || fp,
+                   'http://www.w3.org/2000/01/rdf-schema#label',
+                   'literal', stage, CAST(NULL AS VARCHAR)
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:activity:' || fp,
+                   'http://www.w3.org/ns/prov#endedAtTime', 'literal', at,
+                   'http://www.w3.org/2001/XMLSchema#dateTime'
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:activity:' || fp,
+                   'http://ericsson.com/models/3gpp/kg#wallSeconds',
+                   'literal', wall,
+                   'http://www.w3.org/2001/XMLSchema#decimal'
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:snapshot:' || fp,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'iri', 'http://www.w3.org/ns/prov#Entity',
+                   CAST(NULL AS VARCHAR)
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:snapshot:' || fp,
+                   'http://www.w3.org/ns/prov#wasGeneratedBy', 'iri',
+                   'urn:prov:activity:' || fp, CAST(NULL AS VARCHAR)
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:snapshot:' || fp,
+                   'http://www.w3.org/ns/prov#atLocation', 'literal', loc,
+                   CAST(NULL AS VARCHAR)
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:snapshot:' || fp,
+                   'http://ericsson.com/models/3gpp/kg#rowCount',
+                   'literal', CAST(rows_n AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer'
+            FROM base
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:activity:e0',
+                   'http://www.w3.org/ns/prov#used', 'iri',
+                   'urn:prov:snapshot:t0', CAST(NULL AS VARCHAR)
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:snapshot:' || fp,
+                   'http://www.w3.org/ns/prov#hadMember', 'iri',
+                   'urn:prov:file:' || fp || '/' || path,
+                   CAST(NULL AS VARCHAR)
+            FROM files
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:file:' || fp || '/' || path,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'iri', 'http://www.w3.org/ns/prov#Entity',
+                   CAST(NULL AS VARCHAR)
+            FROM files
+            UNION ALL
+            SELECT 'prov', 'prov', 'urn:prov:file:' || fp || '/' || path,
+                   'http://ericsson.com/models/3gpp/kg#rowCount',
+                   'literal', CAST(fr AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer'
+            FROM files
         """,
         "r2rml_orders": """
             WITH o AS (
