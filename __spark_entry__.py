@@ -2904,6 +2904,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_kg_hits(spark, sf_dir):
+        """Fixed-iteration HITS (graphrank.hits, K=2) over the directed
+        part->supplier graph from lineitem: authorities rank suppliers,
+        hubs rank parts. Integer-valued intermediate sums make distributed
+        double addition order-exact, so DuckDB's unrolled two rounds match
+        to e6 after max-normalization."""
+        from openapi_to_rdf_spark.operators.graphrank import hits
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        e = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+            .alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+            .alias("dst"))
+        return hits(e, iterations=2).select(
+            "node", _e6(F.col("auth")).alias("auth_e6"),
+            _e6(F.col("hub")).alias("hub_e6"))
+
+    def q_kg_schema_summary(spark, sf_dir):
+        """Class-to-class schema graph (kgstats.schema_summary): typed /
+        multi-typed / untyped subjects, literal datatypes and typed/untyped
+        IRI objects synthesized from orders; DuckDB re-derives the rollup
+        with explicit joins."""
+        from openapi_to_rdf_spark.operators.kgstats import schema_summary
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        turn = F.concat(F.lit("turn#"), st(F.col("k")))
+
+        def tr(df, s, p, o_kind, o, dt=None):
+            return df.select(
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), o.alias("o"),
+                (F.lit(dt) if dt else F.lit(None).cast("string"))
+                .alias("o_datatype"))
+
+        ent = F.concat(F.lit("ent#"), st(F.pmod(F.col("k"), F.lit(50))))
+        triples = (
+            tr(kk.filter(F.col("k") % 2 == 0), turn, rdf_type, "iri",
+               F.lit(kg + "Turn"))
+            .unionAll(tr(kk.filter(F.col("k") % 3 == 0), turn, rdf_type,
+                         "iri", F.lit(kg + "Event")))
+            .unionAll(tr(kk, turn, kg + "label", "literal", F.lit("L")))
+            .unionAll(tr(kk, turn, kg + "count", "literal",
+                         st(F.pmod(F.col("k"), F.lit(100))),
+                         xsd + "integer"))
+            .unionAll(tr(kk, turn, kg + "mentions", "iri", ent))
+            # even ent ids are typed; odd ones stay urn:untyped
+            .unionAll(tr(kk.filter(F.pmod(F.col("k"), F.lit(50)) % 2 == 0),
+                         ent, rdf_type, "iri", F.lit(kg + "Entity"))))
+        return schema_summary(triples)
+
     def q_kg_provenance(spark, sf_dir):
         """PROV-O lineage triples (plans/provenance.py): a deterministic
         two-stage manifest chain whose row counts derive from orders —
@@ -3170,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_qsketch_quantiles": q_value_qsketch_quantiles,
         "r2rml_orders": q_r2rml_orders,
         "kg_provenance": q_kg_provenance,
+        "kg_hits": q_kg_hits,
+        "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
         "kg_dangling": q_kg_dangling,
@@ -6635,6 +6693,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "kg_hits": """
+            WITH e AS (
+              SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                              's' || CAST(l_suppkey AS VARCHAR) AS dst
+              FROM lineitem),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            a1 AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS v
+                   FROM e GROUP BY dst),
+            h1 AS (SELECT e.src, SUM(a1.v) AS v
+                   FROM e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+            a2 AS (SELECT e.dst, SUM(h1.v) AS v
+                   FROM e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
+            h2 AS (SELECT e.src, SUM(a2.v) AS v
+                   FROM e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
+            sc AS (SELECT node, COALESCE(a2.v, 0) AS auth,
+                          COALESCE(h2.v, 0) AS hub
+                   FROM nodes LEFT JOIN a2 ON node = a2.dst
+                              LEFT JOIN h2 ON node = h2.src),
+            mx AS (SELECT MAX(auth) AS ma, MAX(hub) AS mh FROM sc)
+            SELECT node,
+                   CAST(round(auth / ma * 1000000) AS BIGINT) AS auth_e6,
+                   CAST(round(hub / mh * 1000000) AS BIGINT) AS hub_e6
+            FROM sc, mx
+        """,
+        "kg_schema_summary": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            stypes AS (
+              SELECT DISTINCT s, c FROM (
+                SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                       'http://ericsson.com/models/3gpp/kg#Turn' AS c
+                FROM kk WHERE k % 2 = 0
+                UNION ALL
+                SELECT 'turn#' || CAST(k AS VARCHAR),
+                       'http://ericsson.com/models/3gpp/kg#Event'
+                FROM kk WHERE k % 3 = 0)),
+            data AS (
+              SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                     'http://ericsson.com/models/3gpp/kg#label' AS p,
+                     'http://www.w3.org/2001/XMLSchema#string' AS oc
+              FROM kk
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#count',
+                     'http://www.w3.org/2001/XMLSchema#integer'
+              FROM kk
+              UNION ALL
+              SELECT 'turn#' || CAST(k AS VARCHAR),
+                     'http://ericsson.com/models/3gpp/kg#mentions',
+                     CASE WHEN (k % 50) % 2 = 0
+                          THEN 'http://ericsson.com/models/3gpp/kg#Entity'
+                          ELSE 'urn:untyped' END
+              FROM kk),
+            rows_ AS (
+              SELECT COALESCE(stypes.c, 'urn:untyped') AS s_class,
+                     data.p, data.oc AS o_class, data.s
+              FROM data LEFT JOIN stypes ON data.s = stypes.s)
+            SELECT s_class, p, o_class,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT s) AS n_subjects
+            FROM rows_ GROUP BY s_class, p, o_class
         """,
         "kg_provenance": """
             WITH n AS (SELECT COUNT(*) AS c FROM orders),

@@ -416,3 +416,59 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
             raise RuntimeError(f"shortest_paths did not converge in "
                                f"{max_rounds} rounds")
     return dist
+
+
+def hits(edges: DataFrame, iterations: int = 2, src_col: str = "src",
+         dst_col: str = "dst", salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) -> (node, auth, hub), each
+    score normalized by its maximum (so max = 1.0).
+
+    Semantics pinned for the oracle: hub_0 = 1 for every node; per round,
+    auth_k(v) = sum of hub_{k-1}(u) over in-edges (u,v), then
+    hub_k(u) = sum of auth_k(v) over out-edges (u,v); normalization happens
+    ONCE at the end (divide by max), not per round. With integer seeds the
+    intermediate scores stay integral, so distributed double summation is
+    ORDER-EXACT below 2^53 and the DuckDB twin matches bit-for-bit after
+    e6 rounding — the same determinism trick pagerank's damping sums can't
+    use. Scores grow ~(max_degree)^(2*iterations); keep iterations small
+    (2-3 — ranking stabilizes fast) or normalize offline for larger K.
+
+    Scale: the edge list is the only big table; each round is two
+    edge-keyed aggregations with salted two-stage sums (celebrity fan-in
+    splits across ``salt_buckets`` partials, as pagerank does). State is
+    (node, score) — narrow. One localCheckpoint per round truncates the
+    iterative lineage."""
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .dropDuplicates(["src", "dst"])
+         .localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .dropDuplicates(["node"]).localCheckpoint())
+
+    def _salted_sum(df, key, val, out):
+        salt = F.pmod(F.xxhash64(key, val), F.lit(salt_buckets))
+        part = (df.groupBy(F.col(key).alias("node"), salt.alias("_salt"))
+                .agg(F.sum(val).alias("_part")))
+        return part.groupBy("node").agg(F.sum("_part").alias(out))
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iterations):
+        auth = _salted_sum(
+            e.join(hub.withColumnRenamed("node", "src"), "src"),
+            "dst", "hub", "auth").localCheckpoint()
+        hub = _salted_sum(
+            e.join(auth.withColumnRenamed("node", "dst"), "dst"),
+            "src", "auth", "hub").localCheckpoint()
+    scored = (nodes
+              .join(auth, "node", "left")
+              .join(hub, "node", "left")
+              .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                      F.coalesce("hub", F.lit(0.0)).alias("hub")))
+    mx = scored.agg(F.max("auth").alias("ma"),
+                    F.max("hub").alias("mh"))
+    return (scored.crossJoin(F.broadcast(mx))
+            .select("node",
+                    (F.col("auth") / F.col("ma")).alias("auth"),
+                    (F.col("hub") / F.col("mh")).alias("hub")))

@@ -261,3 +261,48 @@ def discover_keys(triples: DataFrame, s_col: str = "s", p_col: str = "p",
                     (F.col("max_o_per_s") == 1).alias("functional"),
                     (F.col("max_s_per_o") == 1)
                     .alias("inverse_functional")))
+
+
+def schema_summary(triples: DataFrame, s_col: str = "s", p_col: str = "p",
+                   o_col: str = "o", kind_col: str = "o_kind",
+                   dt_col: str = "o_datatype",
+                   type_pred: str = RDF_TYPE,
+                   untyped: str = "urn:untyped") -> DataFrame:
+    """Class-to-class predicate usage — the VoID-linkset / LODStats schema
+    graph: (s_class, p, o_class, n_triples, n_subjects).
+
+    For every non-rdf:type triple, the subject's classes come from its
+    rdf:type assertions (a multi-typed node contributes one row per class,
+    standard linkset semantics; untyped subjects group under ``untyped``);
+    the object side is the object's class for IRI/bnode objects (untyped
+    likewise) and the literal datatype (xsd:string when absent) for
+    literals. The output IS the dataset's schema-usage graph — what an
+    ontology engineer reads to see how a vocabulary is actually used, and
+    what infer_shapes quantifies per-rule.
+
+    Scale: two instance-keyed joins (subject typing, object typing) — the
+    same subject/object hash keys canonicalization and validation shuffle
+    on — then a vocabulary-sized rollup with map-side partial aggregation.
+    Output is O(|classes|^2 x |predicates|), independent of corpus size.
+    """
+    types = (triples.filter(F.col(p_col) == type_pred)
+             .select(F.col(s_col).alias("tn"), F.col(o_col).alias("tc"))
+             .dropDuplicates())
+    data = triples.filter(F.col(p_col) != type_pred).select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"),
+        F.col(o_col).alias("o"), F.col(kind_col).alias("k"),
+        F.col(dt_col).alias("dt"))
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    s_typed = (data.join(types, data["s"] == types["tn"], "left")
+               .select("s", "p", "o", "k", "dt",
+                       F.coalesce("tc", F.lit(untyped)).alias("s_class")))
+    o_typed = (s_typed.join(types.withColumnsRenamed(
+        {"tn": "on_", "tc": "oc"}),
+        (F.col("k") != "literal") & (s_typed["o"] == F.col("on_")), "left"))
+    o_class = (F.when(F.col("k") == "literal",
+                      F.coalesce("dt", F.lit(xsd_string)))
+               .otherwise(F.coalesce("oc", F.lit(untyped))))
+    return (o_typed.select("s", "p", "s_class", o_class.alias("o_class"))
+            .groupBy("s_class", "p", "o_class")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.countDistinct("s").alias("n_subjects")))
