@@ -2904,6 +2904,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_owl_cls_entail(spark, sf_dir):
+        """OWL 2 RL class-expression closure (entailment.owl_cls_entail):
+        hasValue / someValuesFrom(Thing) restrictions, an equivalentClass
+        link, and rdf-list-encoded union/intersection classes over
+        instances derived from orders — hv2 types chain through eqc into
+        the union, and C1∧C3 subjects earn the intersection class. DuckDB
+        emits the hand-derived closed form."""
+        from openapi_to_rdf_spark.operators.entailment import owl_cls_entail
+
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        vocab = [
+            ("R1", "owl:onProperty", "p:role"),
+            ("R1", "owl:hasValue", "admin"),
+            ("R1", "owl:equivalentClass", "C1"),
+            ("R2", "owl:onProperty", "p:owns"),
+            ("R2", "owl:someValuesFrom", "owl:Thing"),
+            ("U", "owl:unionOf", "lu"),
+            ("lu", rdf + "first", "C1"), ("lu", rdf + "rest", "lu1"),
+            ("lu1", rdf + "first", "C2"), ("lu1", rdf + "rest", rdf + "nil"),
+            ("I", "owl:intersectionOf", "li"),
+            ("li", rdf + "first", "C1"), ("li", rdf + "rest", "li1"),
+            ("li1", rdf + "first", "C3"), ("li1", rdf + "rest", rdf + "nil"),
+        ]
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        u = F.concat(F.lit("u#"), st(F.col("k")))
+        inst = (
+            kk.select(u.alias("s"), F.lit("p:role").alias("p"),
+                      F.when(F.col("k") % 2 == 0, "admin")
+                      .otherwise("user").alias("o"))
+            .unionAll(kk.filter(F.col("k") % 5 == 0).select(
+                u.alias("s"), F.lit("p:owns").alias("p"),
+                F.concat(F.lit("o#"), st(F.col("k"))).alias("o")))
+            .unionAll(kk.filter(F.col("k") % 3 == 0).select(
+                u.alias("s"), F.lit(rdf + "type").alias("p"),
+                F.lit("C3").alias("o"))))
+        t = spark.createDataFrame(vocab, ["s", "p", "o"]).unionAll(inst)
+        return owl_cls_entail(t, type_pred=rdf + "type")
+
     def q_kg_hits(spark, sf_dir):
         """Fixed-iteration HITS (graphrank.hits, K=2) over the directed
         part->supplier graph from lineitem: authorities rank suppliers,
@@ -3227,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2rml_orders": q_r2rml_orders,
         "kg_provenance": q_kg_provenance,
         "kg_hits": q_kg_hits,
+        "owl_cls_entail": q_owl_cls_entail,
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
@@ -6693,6 +6734,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "owl_cls_entail": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            vocab(s, p, o) AS (VALUES
+              ('R1', 'owl:onProperty', 'p:role'),
+              ('R1', 'owl:hasValue', 'admin'),
+              ('R1', 'owl:equivalentClass', 'C1'),
+              ('R2', 'owl:onProperty', 'p:owns'),
+              ('R2', 'owl:someValuesFrom', 'owl:Thing'),
+              ('U', 'owl:unionOf', 'lu'),
+              ('lu', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+               'C1'),
+              ('lu', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+               'lu1'),
+              ('lu1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+               'C2'),
+              ('lu1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'),
+              ('I', 'owl:intersectionOf', 'li'),
+              ('li', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+               'C1'),
+              ('li', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+               'li1'),
+              ('li1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+               'C3'),
+              ('li1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil')),
+            inst AS (
+              SELECT 'u#' || CAST(k AS VARCHAR) AS s, 'p:role' AS p,
+                     CASE WHEN k % 2 = 0 THEN 'admin' ELSE 'user' END AS o
+              FROM kk
+              UNION ALL
+              SELECT 'u#' || CAST(k AS VARCHAR), 'p:owns',
+                     'o#' || CAST(k AS VARCHAR)
+              FROM kk WHERE k % 5 = 0
+              UNION ALL
+              SELECT 'u#' || CAST(k AS VARCHAR),
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'C3'
+              FROM kk WHERE k % 3 = 0),
+            derived AS (
+              -- k%2=0: hv2 -> R1, eqc -> C1, uni -> U
+              SELECT 'u#' || CAST(k AS VARCHAR) AS s,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS p, t.c AS o
+              FROM kk CROSS JOIN (VALUES ('R1'), ('C1'), ('U')) t(c)
+              WHERE k % 2 = 0
+              UNION ALL
+              -- C1 and C3 together: int1 -> I
+              SELECT 'u#' || CAST(k AS VARCHAR),
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'I'
+              FROM kk WHERE k % 6 = 0
+              UNION ALL
+              -- svf(Thing) on p:owns -> R2
+              SELECT 'u#' || CAST(k AS VARCHAR),
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'R2'
+              FROM kk WHERE k % 5 = 0)
+            SELECT DISTINCT s, p, o FROM (
+              SELECT * FROM vocab
+              UNION ALL SELECT * FROM inst
+              UNION ALL SELECT * FROM derived)
         """,
         "kg_hits": """
             WITH e AS (

@@ -551,3 +551,150 @@ def ifp_smush(triples: DataFrame,
     decl = (F.col("p") == type_pred) & F.col("o").isin(OWL_IFP, OWL_FP)
     base = triples.filter((F.col("p") != sameas_pred) & ~decl)
     return _rewrite_through(base, cmap)
+
+
+OWL_HV = "owl:hasValue"
+OWL_ONP = "owl:onProperty"
+OWL_SVF = "owl:someValuesFrom"
+OWL_INT = "owl:intersectionOf"
+OWL_UNI = "owl:unionOf"
+OWL_EQC = "owl:equivalentClass"
+OWL_THING = "owl:Thing"
+
+
+def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
+                   max_rounds: int = 8) -> DataFrame:
+    """OWL 2 RL class-expression fragment over the triple table:
+
+      cls-hv1   (x type R), (R hasValue v), (R onProperty p) → (x p v)
+      cls-hv2   (x p v),    (R hasValue v), (R onProperty p) → (x type R)
+      cls-svf2  (x p y),    (R svf owl:Thing), (R onProperty p) → (x type R)
+      cls-int1  (x type C1..Cn), (C int (C1..Cn))            → (x type C)
+      cls-int2  (x type C), (C int (C1..Cn))                 → (x type Ci)
+      cls-uni   (x type Ci), (C uni (..Ci..))                → (x type C)
+      cax-eqc1/2 (x type A), (A eqc B)                       → (x type B)
+
+    completing :func:`rdfs_entail` (ρdf) and :func:`owl_prp_entail`
+    (property semantics). Returns the DISTINCT closure (s, p, o).
+
+    Scale design — the same WebPIE asymmetry as the other entailment
+    stages: every schema structure (restriction maps, intersection /
+    union member tables harvested from rdf lists via
+    operators.rdflists.list_members, the driver-closed equivalentClass
+    relation) is vocabulary-sized and broadcast; per round the instance
+    side sees only broadcast hash joins plus ONE aggregation (cls-int1's
+    member count, semi-join-pruned to subjects that touch any
+    intersection member). Rules interact (hv2 types feed cls-uni; hv1
+    edges feed cls-svf2), so the loop is semi-naive over the TYPE/EDGE
+    deltas — frontier-only joins, cumulative anti-join, localCheckpoint
+    per round; real vocabularies converge in 2-3 rounds, and
+    non-convergence within ``max_rounds`` raises loudly rather than
+    returning a silently-partial closure.
+    """
+    from .rdflists import list_members
+
+    t = triples.select("s", "p", "o").dropDuplicates()
+    spark = t.sparkSession
+
+    onp = (t.filter(F.col("p") == OWL_ONP)
+           .select(F.col("s").alias("r"), F.col("o").alias("prop")))
+    hv = (t.filter(F.col("p") == OWL_HV)
+          .select(F.col("s").alias("r"), F.col("o").alias("v"))
+          .join(onp, "r"))
+    svf = (t.filter((F.col("p") == OWL_SVF) & (F.col("o") == OWL_THING))
+           .select(F.col("s").alias("r")).join(onp, "r"))
+
+    # list_members expects the wide store schema; synthesize o_kind (and
+    # datatype) for bare (s, p, o) frames — class-list members are terms,
+    # bnode-ness recoverable from the "_:" convention
+    wide = triples
+    if "o_kind" not in wide.columns:
+        wide = wide.withColumn(
+            "o_kind", F.when(F.col("o").startswith("_:"), "bnode")
+            .otherwise("iri"))
+    if "o_datatype" not in wide.columns:
+        wide = wide.withColumn("o_datatype", F.lit(None).cast("string"))
+    members = list_members(wide)
+
+    def _list_classes(pred, out):
+        heads = (t.filter(F.col("p") == pred)
+                 .select(F.col("s").alias(out), F.col("o").alias("head")))
+        return (heads.join(members.select("head",
+                                          F.col("member").alias("mem")),
+                           "head")
+                .select(out, "mem"))
+
+    int_mem = _list_classes(OWL_INT, "ic").localCheckpoint()
+    int_n = int_mem.groupBy("ic").agg(F.countDistinct("mem").alias("n"))
+    uni_mem = _list_classes(OWL_UNI, "uc")
+
+    eqc = t.filter(F.col("p") == OWL_EQC)
+    eq_pairs = _driver_closure(
+        eqc.select("s", "o").unionAll(
+            eqc.select(F.col("o").alias("s"), F.col("s").alias("o"))))
+
+    b = F.broadcast
+    schema_preds = [OWL_HV, OWL_ONP, OWL_SVF, OWL_INT, OWL_UNI, OWL_EQC]
+
+    types = (t.filter(F.col("p") == type_pred)
+             .select(F.col("s").alias("x"), F.col("o").alias("c"))
+             .dropDuplicates().localCheckpoint())
+    props = (t.filter((F.col("p") != type_pred)
+                      & ~F.col("p").isin(schema_preds))
+             .select("s", "p", "o").dropDuplicates().localCheckpoint())
+
+    new_t, new_p = types, props
+    for _ in range(max_rounds):
+        cand_t = (
+            # cls-uni
+            new_t.join(b(uni_mem), new_t["c"] == uni_mem["mem"])
+            .select("x", F.col("uc").alias("c"))
+            # cls-int2
+            .unionAll(new_t.join(b(int_mem), new_t["c"] == int_mem["ic"])
+                      .select("x", F.col("mem").alias("c")))
+            # cax-eqc
+            .unionAll(new_t.join(b(eq_pairs), new_t["c"] == eq_pairs["s"])
+                      .select("x", eq_pairs["o"].alias("c")))
+            # cls-hv2
+            .unionAll(new_p.join(b(hv), (new_p["p"] == hv["prop"])
+                                 & (new_p["o"] == hv["v"]))
+                      .select(F.col("s").alias("x"),
+                              F.col("r").alias("c")))
+            # cls-svf2 (someValuesFrom owl:Thing)
+            .unionAll(new_p.join(b(svf), new_p["p"] == svf["prop"])
+                      .select(F.col("s").alias("x"),
+                              F.col("r").alias("c")))
+            # cls-int1 over the CUMULATIVE type set (semi-join-pruned)
+            .unionAll(types.join(b(int_mem),
+                                 types["c"] == int_mem["mem"])
+                      .groupBy("x", "ic")
+                      .agg(F.countDistinct("mem").alias("k"))
+                      .join(b(int_n), "ic")
+                      .filter(F.col("k") == F.col("n"))
+                      .select("x", F.col("ic").alias("c"))))
+        delta_t = (cand_t.dropDuplicates()
+                   .join(types, ["x", "c"], "left_anti").localCheckpoint())
+        # cls-hv1: new type rows emit property edges
+        cand_p = (new_t.join(b(hv), new_t["c"] == hv["r"])
+                  .select(F.col("x").alias("s"),
+                          F.col("prop").alias("p"),
+                          F.col("v").alias("o")))
+        delta_p = (cand_p.dropDuplicates()
+                   .join(props, ["s", "p", "o"], "left_anti")
+                   .localCheckpoint())
+        if delta_t.isEmpty() and delta_p.isEmpty():
+            break
+        types = types.unionByName(delta_t).localCheckpoint()
+        props = props.unionByName(delta_p).localCheckpoint()
+        new_t, new_p = delta_t, delta_p
+    else:
+        raise RuntimeError(
+            f"owl_cls_entail did not converge in {max_rounds} rounds — "
+            "raise max_rounds (deep class-expression chains)")
+
+    derived_types = types.select(
+        F.col("x").alias("s"), F.lit(type_pred).alias("p"),
+        F.col("c").alias("o"))
+    return (t.unionByName(derived_types)
+            .unionByName(props.select("s", "p", "o"))
+            .dropDuplicates())
