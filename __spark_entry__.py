@@ -2904,6 +2904,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_url_curation(spark, sf_dir):
+        """URL normalization + host/domain extraction (operators/web.py)
+        over adversarial synthesized URLs (mixed case, default ports,
+        duplicate slashes, tracking params, unsorted query, trailing
+        slash, cc-SLD hosts). The DuckDB twin emits the CLOSED-FORM
+        expected normalization — stronger than regex parity, the oracle
+        derives what the answer must be by construction."""
+        from openapi_to_rdf_spark.operators.web import url_features
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        urls = (
+            kk.select("k", F.format_string(
+                "HTTP://D%d.Example.COM:80/p//%d/?utm_source=x&b=%d&a=1#f",
+                F.pmod(F.col("k"), F.lit(7)), F.col("k"),
+                F.pmod(F.col("k"), F.lit(5))).alias("url"))
+            .unionAll(kk.select(
+                (F.col("k") + 1000000).alias("k"),
+                F.format_string(
+                    "https://www.Shop%d.co.uk:443/x/",
+                    F.pmod(F.col("k"), F.lit(9))).alias("url"))))
+        return url_features(urls).select("k", "url_norm", "host", "domain")
+
+    def q_domain_quota(spark, sf_dir):
+        """Per-domain quota sampling (web.domain_quota_sample): at most 20
+        URLs per registrable domain, ranked by md5(url_norm) so the kept
+        set is deterministic and append-stable; DuckDB replays the window
+        rank over the same closed-form normalized URLs."""
+        from openapi_to_rdf_spark.operators.web import domain_quota_sample
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        urls = kk.select(F.format_string(
+            "http://d%d.example.com/page/%d",
+            F.pmod(F.col("k"), F.lit(25)), F.col("k")).alias("url"))
+        return (domain_quota_sample(urls, quota=20)
+                .select("url_norm", "host", "domain"))
+
     def q_owl_cls_entail(spark, sf_dir):
         """OWL 2 RL class-expression closure (entailment.owl_cls_entail):
         hasValue / someValuesFrom(Thing) restrictions, an equivalentClass
@@ -3268,6 +3306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_provenance": q_kg_provenance,
         "kg_hits": q_kg_hits,
         "owl_cls_entail": q_owl_cls_entail,
+        "url_curation": q_url_curation,
+        "domain_quota": q_domain_quota,
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
@@ -6734,6 +6774,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "url_curation": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders)
+            SELECT k,
+                   'http://d' || CAST(k % 7 AS VARCHAR)
+                     || '.example.com/p/' || CAST(k AS VARCHAR)
+                     || '?a=1&b=' || CAST(k % 5 AS VARCHAR) AS url_norm,
+                   'd' || CAST(k % 7 AS VARCHAR) || '.example.com' AS host,
+                   'example.com' AS domain
+            FROM kk
+            UNION ALL
+            SELECT k + 1000000,
+                   'https://www.shop' || CAST(k % 9 AS VARCHAR)
+                     || '.co.uk/x',
+                   'www.shop' || CAST(k % 9 AS VARCHAR) || '.co.uk',
+                   'shop' || CAST(k % 9 AS VARCHAR) || '.co.uk'
+            FROM kk
+        """,
+        "domain_quota": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            u AS (SELECT 'http://d' || CAST(k % 25 AS VARCHAR)
+                           || '.example.com/page/' || CAST(k AS VARCHAR)
+                           AS url_norm,
+                         'd' || CAST(k % 25 AS VARCHAR) || '.example.com'
+                           AS host
+                  FROM kk),
+            r AS (SELECT url_norm, host, 'example.com' AS domain,
+                         ROW_NUMBER() OVER (
+                           ORDER BY md5(url_norm), url_norm) AS rk
+                  FROM u)
+            SELECT url_norm, host, domain FROM r WHERE rk <= 20
         """,
         "owl_cls_entail": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders),
