@@ -2904,6 +2904,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_sparql_constraints(spark, sf_dir):
+        """SHACL-SPARQL constraints (operators/shacl_sparql.py): two
+        SELECT-based governance rules over a typed turn graph from orders
+        — tool turns lacking a kg:tool edge (k%4==0 planted) and mentions
+        of unlinked entities (odd ent ids unlinked). DuckDB enumerates the
+        violating focus nodes by construction."""
+        from openapi_to_rdf_spark.operators.shacl_sparql import (
+            sparql_constraint_violations)
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        turn = F.concat(F.lit("turn#"), st(F.col("k")))
+        ent = F.concat(F.lit("ent#"), st(F.pmod(F.col("k"), F.lit(40))))
+        t = (
+            kk.filter(F.col("k") % 2 == 0).select(
+                turn.alias("s"), F.lit("kg:role").alias("p"),
+                F.lit("tool").alias("o"))
+            # only k%4==2 tool turns carry the edge; k%4==0 are violations
+            .unionAll(kk.filter(F.col("k") % 4 == 2).select(
+                turn.alias("s"), F.lit("kg:tool").alias("p"),
+                F.lit("search").alias("o")))
+            .unionAll(kk.select(turn.alias("s"),
+                                F.lit("kg:mentions").alias("p"),
+                                ent.alias("o")))
+            # even ent ids are linked to the registry
+            .unionAll(kk.filter(F.pmod(F.col("k"), F.lit(40)) % 2 == 0)
+                      .select(ent.alias("s"),
+                              F.lit("kg:linksTo").alias("p"),
+                              F.concat(F.lit("reg#"), st(
+                                  F.pmod(F.col("k"), F.lit(40))))
+                              .alias("o"))))
+        return sparql_constraint_violations(t, [
+            ("tool-edge", "tool turns must carry a kg:tool edge", """
+                SELECT ?this WHERE {
+                  ?this <kg:role> "tool" .
+                  FILTER NOT EXISTS { ?this <kg:tool> ?t }
+                }"""),
+            ("linked-mention", "mentions must be registry-linked", """
+                SELECT ?this ?value WHERE {
+                  ?this <kg:mentions> ?value .
+                  FILTER NOT EXISTS { ?value <kg:linksTo> ?r }
+                }"""),
+        ])
+
     def q_url_curation(spark, sf_dir):
         """URL normalization + host/domain extraction (operators/web.py)
         over adversarial synthesized URLs (mixed case, default ports,
@@ -3307,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "owl_cls_entail": q_owl_cls_entail,
         "url_curation": q_url_curation,
+        "sparql_constraints": q_sparql_constraints,
         "domain_quota": q_domain_quota,
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
@@ -6774,6 +6820,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "sparql_constraints": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders)
+            SELECT 'turn#' || CAST(k AS VARCHAR) AS s,
+                   CAST(NULL AS VARCHAR) AS p, CAST(NULL AS VARCHAR) AS o,
+                   'sparqlConstraint:tool-edge' AS violation,
+                   'tool turns must carry a kg:tool edge' AS detail
+            FROM kk WHERE k % 4 = 0
+            UNION ALL
+            SELECT DISTINCT 'turn#' || CAST(k AS VARCHAR),
+                   CAST(NULL AS VARCHAR),
+                   'ent#' || CAST(k % 40 AS VARCHAR),
+                   'sparqlConstraint:linked-mention',
+                   'mentions must be registry-linked'
+            FROM kk WHERE (k % 40) % 2 = 1
         """,
         "url_curation": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders)
