@@ -2904,6 +2904,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regs = qsketch_registers(vals, "v", ["event_type"])
         return qsketch_quantiles(regs, [50, 90, 99], ["event_type"])
 
+    def q_entity_summaries(spark, sf_dir):
+        """Informativeness-ranked entity summaries (completion.
+        entity_summaries, k=2): rarest-predicate-first per subject over a
+        three-tier predicate frequency distribution from orders; DuckDB
+        replays histogram + window."""
+        from openapi_to_rdf_spark.operators.completion import (
+            entity_summaries)
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        e = F.concat(F.lit("e#"), st(F.col("k")))
+        t = (kk.select(e.alias("s"), F.lit("kg:label").alias("p"),
+                       F.lit("L").alias("o"))
+             .unionAll(kk.filter(F.col("k") % 3 == 0).select(
+                 e.alias("s"), F.lit("kg:cat").alias("p"),
+                 F.concat(F.lit("c"), st(F.pmod(F.col("k"), F.lit(5))))
+                 .alias("o")))
+             .unionAll(kk.filter(F.col("k") % 11 == 0).select(
+                 e.alias("s"), F.lit("kg:rare").alias("p"),
+                 F.lit("r").alias("o"))))
+        return entity_summaries(t, k=2)
+
+    def q_type_propagation(spark, sf_dir):
+        """Neighbor-majority type inference (completion.type_propagation,
+        1 round): untyped u#k nodes vote over two typed neighbors whose
+        classes derive from order-key arithmetic — agreement, ties (min
+        class) and single-neighbor cases all present. DuckDB computes the
+        expected majority in closed form."""
+        from openapi_to_rdf_spark.operators.completion import (
+            RDF_TYPE, type_propagation)
+
+        kk = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")))
+        st = lambda c: c.cast("string")  # noqa: E731
+        u = F.concat(F.lit("u#"), st(F.col("k")))
+        n1 = F.pmod(F.col("k"), F.lit(50))
+        n2 = F.pmod(F.col("k") * 7 + 1, F.lit(50))
+        a = lambda n: F.concat(F.lit("a#"), st(n))  # noqa: E731
+        cls = lambda n: F.concat(F.lit("kg:C"),  # noqa: E731
+                                 st(F.pmod(n, F.lit(3))))
+        t = (kk.select(a(n1).alias("s"), F.lit(RDF_TYPE).alias("p"),
+                       cls(n1).alias("o"))
+             .unionAll(kk.select(a(n2).alias("s"),
+                                 F.lit(RDF_TYPE).alias("p"),
+                                 cls(n2).alias("o")))
+             .unionAll(kk.select(u.alias("s"),
+                                 F.lit("kg:knows").alias("p"),
+                                 a(n1).alias("o")))
+             .unionAll(kk.select(u.alias("s"),
+                                 F.lit("kg:knows").alias("p"),
+                                 a(n2).alias("o"))))
+        return type_propagation(t, rounds=1)
+
     def q_sparql_constraints(spark, sf_dir):
         """SHACL-SPARQL constraints (operators/shacl_sparql.py): two
         SELECT-based governance rules over a typed turn graph from orders
@@ -3353,6 +3407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_cls_entail": q_owl_cls_entail,
         "url_curation": q_url_curation,
         "sparql_constraints": q_sparql_constraints,
+        "entity_summaries": q_entity_summaries,
+        "type_propagation": q_type_propagation,
         "domain_quota": q_domain_quota,
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
@@ -6820,6 +6876,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(n_total) AS BIGINT) AS n_total
             FROM hit GROUP BY event_type, pct
             ORDER BY event_type, pct
+        """,
+        "entity_summaries": """
+            WITH kk AS (SELECT o_orderkey AS k FROM orders),
+            t AS (
+              SELECT 'e#' || CAST(k AS VARCHAR) AS s, 'kg:label' AS p,
+                     'L' AS o FROM kk
+              UNION ALL
+              SELECT 'e#' || CAST(k AS VARCHAR), 'kg:cat',
+                     'c' || CAST(k % 5 AS VARCHAR)
+              FROM kk WHERE k % 3 = 0
+              UNION ALL
+              SELECT 'e#' || CAST(k AS VARCHAR), 'kg:rare', 'r'
+              FROM kk WHERE k % 11 = 0),
+            pf AS (SELECT p, COUNT(*) AS p_n FROM t GROUP BY p),
+            r AS (SELECT t.s, t.p, t.o,
+                         ROW_NUMBER() OVER (PARTITION BY t.s
+                                            ORDER BY pf.p_n, t.p, t.o)
+                           AS rank
+                  FROM t JOIN pf ON t.p = pf.p)
+            SELECT s, p, o, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 2
+        """,
+        "type_propagation": """
+            WITH kk AS (SELECT o_orderkey AS k,
+                               o_orderkey % 50 AS n1,
+                               (o_orderkey * 7 + 1) % 50 AS n2
+                        FROM orders)
+            SELECT 'u#' || CAST(k AS VARCHAR) AS node,
+                   CASE WHEN n1 = n2 OR n1 % 3 = n2 % 3
+                        THEN 'kg:C' || CAST(n1 % 3 AS VARCHAR)
+                        ELSE 'kg:C' || CAST(LEAST(n1 % 3, n2 % 3)
+                                            AS VARCHAR)
+                   END AS inferred_class,
+                   CAST(CASE WHEN n1 = n2 THEN 1
+                             WHEN n1 % 3 = n2 % 3 THEN 2
+                             ELSE 1 END AS BIGINT) AS votes,
+                   1 AS round
+            FROM kk
         """,
         "sparql_constraints": """
             WITH kk AS (SELECT o_orderkey AS k FROM orders)

@@ -165,7 +165,12 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "value_qsketch", "kg_class_violations",
              "kg_validation_report", "rule_conflicts", "list_integrity",
              "graph_digest", "discover_keys", "statement_graph",
-             "list_member_check"]
+             "list_member_check",
+             # added r2 session 17
+             "r2rml_orders", "parse_ntriples", "kg_closed_violations",
+             "kg_provenance", "kg_hits", "kg_schema_summary",
+             "owl_cls_entail", "url_curation", "domain_quota",
+             "sparql_constraints"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case
