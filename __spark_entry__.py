@@ -3260,6 +3260,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             closed_classes=[kg + "Turn"],
             ignored=(RDF_TYPE, kg + "audit"))
 
+    def q_owl_chain(spark, sf_dir):
+        """OWL 2 RL prp-spo2 (entailment.owl_chain_entail): customer
+        -placed-> order -contains-> part composes to orderedPart. DuckDB
+        twin: asserted UNION derived via one join, DISTINCT."""
+        from openapi_to_rdf_spark.operators.entailment import (
+            owl_chain_entail)
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        placed = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .select(F.concat(F.lit("c#"), st(F.col("o_custkey")))
+                          .alias("s"),
+                          F.lit("placed").alias("p"),
+                          F.concat(F.lit("o#"), st(F.col("o_orderkey")))
+                          .alias("o")))
+        contains = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                    .select(F.concat(F.lit("o#"), st(F.col("l_orderkey")))
+                            .alias("s"),
+                            F.lit("contains").alias("p"),
+                            F.concat(F.lit("p#"), st(F.col("l_partkey")))
+                            .alias("o")))
+        return owl_chain_entail(
+            placed.unionAll(contains),
+            chains={"orderedPart": ["placed", "contains"]})
+
+    def q_kg_pair_violations(spark, sf_dir):
+        """SHACL property-pair constraints (§4.5) over lineitem-derived
+        triples: qty lessThanOrEquals bound (numeric-compare path — fires
+        when l_quantity > l_partkey%40), statusA equals statusB (odd
+        partkeys planted unequal — both directions fire), statusA disjoint
+        statusB (even partkeys share the value and fire). DuckDB
+        enumerates all four violation sets."""
+        from openapi_to_rdf_spark.operators.shapes import (
+            pair_constraint_violations)
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        st = lambda c: c.cast("string")  # noqa: E731
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .select(F.concat(F.lit("li#"), st(F.col("l_orderkey")),
+                               F.lit("-"), st(F.col("l_linenumber")))
+                      .alias("s"),
+                      st(F.col("l_quantity")).alias("qty"),
+                      st(F.col("l_partkey") % 40).alias("bound"),
+                      F.col("l_linestatus").alias("sa"),
+                      F.when(F.col("l_partkey") % 2 == 0,
+                             F.col("l_linestatus"))
+                      .otherwise(F.lit("X")).alias("sb")))
+
+        def tr(p, oc):
+            return li.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                F.col("s"), F.lit(kg + p).alias("p"),
+                F.lit("literal").alias("o_kind"), oc.alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+
+        triples = (tr("qty", F.col("qty"))
+                   .unionAll(tr("bound", F.col("bound")))
+                   .unionAll(tr("statusA", F.col("sa")))
+                   .unionAll(tr("statusB", F.col("sb"))))
+        rules = spark.createDataFrame(
+            [("r", None, kg + "qty", "lessThanOrEquals",
+              kg + "bound"),
+             ("r", None, kg + "statusA", "equals", kg + "statusB"),
+             ("r", None, kg + "statusA", "disjoint", kg + "statusB")],
+            "file string, target_class string, path string, "
+            "pair_kind string, other_path string")
+        return pair_constraint_violations(triples, rules)
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3413,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
+        "owl_chain": q_owl_chain,
+        "kg_pair_violations": q_kg_pair_violations,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
         "bgp_union": q_bgp_union,
@@ -7239,6 +7308,56 @@ def oracle_sql() -> dict[str, str]:
                      || 'not declared for closed '
                      || 'http://ericsson.com/models/3gpp/kg#Turn' AS detail
             FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "owl_chain": """
+            WITH placed AS (
+              SELECT 'c#' || CAST(o_custkey AS VARCHAR) AS s, 'placed' AS p,
+                     'o#' || CAST(o_orderkey AS VARCHAR) AS o FROM orders),
+            contained AS (
+              SELECT 'o#' || CAST(l_orderkey AS VARCHAR) AS s,
+                     'contains' AS p,
+                     'p#' || CAST(l_partkey AS VARCHAR) AS o FROM lineitem)
+            SELECT DISTINCT s, p, o FROM (
+              SELECT * FROM placed
+              UNION ALL SELECT * FROM contained
+              UNION ALL
+              SELECT pl.s, 'orderedPart' AS p, c.o
+              FROM placed pl JOIN contained c ON pl.o = c.s)
+        """,
+        "kg_pair_violations": """
+            -- SHACL set semantics per focus node: the synthetic lineitem
+            -- has DUPLICATE (orderkey, linenumber) keys, so subjects carry
+            -- value SETS and the twin must quantify with EXISTS / DISTINCT
+            WITH li AS (
+              SELECT 'li#' || CAST(l_orderkey AS VARCHAR) || '-'
+                       || CAST(l_linenumber AS VARCHAR) AS s,
+                     CAST(l_quantity AS VARCHAR) AS qty,
+                     CAST(l_partkey % 40 AS VARCHAR) AS bound,
+                     l_quantity AS qty_n, l_partkey % 40 AS bound_n,
+                     l_linestatus AS sa,
+                     CASE WHEN l_partkey % 2 = 0 THEN l_linestatus
+                          ELSE 'X' END AS sb
+              FROM lineitem)
+            SELECT DISTINCT a.s, 'http://ericsson.com/models/3gpp/kg#qty' AS p, a.qty AS o,
+                   'pairNotLessThanOrEquals' AS violation,
+                   'vs http://ericsson.com/models/3gpp/kg#bound value ' || b.bound AS detail
+            FROM li a JOIN li b ON a.s = b.s
+            WHERE NOT a.qty_n <= b.bound_n
+            UNION ALL
+            SELECT DISTINCT a.s, 'http://ericsson.com/models/3gpp/kg#statusA', a.sa, 'pairNotEqual',
+                   'value missing from http://ericsson.com/models/3gpp/kg#statusB'
+            FROM li a WHERE NOT EXISTS (
+              SELECT 1 FROM li b WHERE b.s = a.s AND b.sb = a.sa)
+            UNION ALL
+            SELECT DISTINCT a.s, 'http://ericsson.com/models/3gpp/kg#statusA', a.sb, 'pairNotEqual',
+                   'value only on http://ericsson.com/models/3gpp/kg#statusB'
+            FROM li a WHERE NOT EXISTS (
+              SELECT 1 FROM li b WHERE b.s = a.s AND b.sa = a.sb)
+            UNION ALL
+            SELECT DISTINCT a.s, 'http://ericsson.com/models/3gpp/kg#statusA', a.sa, 'pairNotDisjoint',
+                   'value shared with http://ericsson.com/models/3gpp/kg#statusB'
+            FROM li a WHERE EXISTS (
+              SELECT 1 FROM li b WHERE b.s = a.s AND b.sb = a.sa)
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -170,7 +170,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "r2rml_orders", "parse_ntriples", "kg_closed_violations",
              "kg_provenance", "kg_hits", "kg_schema_summary",
              "owl_cls_entail", "url_curation", "domain_quota",
-             "sparql_constraints"]
+             "sparql_constraints",
+             # added r2 session 18
+             "owl_chain", "kg_pair_violations"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

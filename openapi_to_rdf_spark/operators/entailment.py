@@ -698,3 +698,124 @@ def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
     return (t.unionByName(derived_types)
             .unionByName(props.select("s", "p", "o"))
             .dropDuplicates())
+
+
+OWL_CHAIN = "owl:propertyChainAxiom"
+RDF_FIRST = "rdf:first"
+RDF_REST = "rdf:rest"
+RDF_NIL = "rdf:nil"
+
+
+def _chain_axioms(triples: DataFrame,
+                  first_pred: str = RDF_FIRST,
+                  rest_pred: str = RDF_REST,
+                  nil_iri: str = RDF_NIL) -> dict[str, list[str]]:
+    """Driver-side harvest of ``p owl:propertyChainAxiom (p1 .. pn)``
+    declarations: the axiom heads plus their rdf:first/rest cons cells
+    are vocabulary-sized by construction (they live in the ontology, not
+    the instance data), so one small collect beats a distributed list
+    walk — the same argument as :func:`_driver_closure`."""
+    heads = (triples.filter(F.col("p") == OWL_CHAIN)
+             .select("s", "o").collect())
+    cells = (triples.filter(F.col("p").isin(first_pred, rest_pred))
+             .select("s", "p", "o").collect())
+    first = {r.s: r.o for r in cells if r.p == first_pred}
+    rest = {r.s: r.o for r in cells if r.p == rest_pred}
+    chains: dict[str, list[str]] = {}
+    for h in heads:
+        hops, cell, seen = [], h.o, set()
+        while cell != nil_iri and cell in first and cell not in seen:
+            seen.add(cell)
+            hops.append(first[cell])
+            cell = rest.get(cell, nil_iri)
+        if len(hops) >= 2:  # length-1 chains are rdfs:subPropertyOf's job
+            chains[h.s] = hops
+    return chains
+
+
+def owl_chain_entail(triples: DataFrame, *,
+                     chains: dict[str, list[str]] | None = None,
+                     max_rounds: int = 8, dedup: bool = True) -> DataFrame:
+    """OWL 2 RL prp-spo2 — property chains:
+
+      (u0 p1 u1), (u1 p2 u2), .., (u_{n-1} pn un), p chain (p1..pn)
+                                                   → (u0 p un)
+
+    ``chains`` maps each derived predicate to its hop list; when omitted
+    the axioms are harvested from the graph itself
+    (``owl:propertyChainAxiom`` + rdf:first/rest lists,
+    :func:`_chain_axioms`). Input/output schema: (s, p, o).
+
+    Scale design: composing one n-hop chain is n-1 EQUI-joins, each
+    keyed on the single join node — the predicate-filtered hop inputs
+    are narrow (two columns), every shuffle key is a node id (the same
+    keys canonicalization already shuffles on), and hot join nodes are
+    AQE skew-split territory. Derived volume is bounded by path counts,
+    not corpus size. Chains can feed other chains (a derived predicate
+    may be another chain's hop), so the outer loop is semi-naive: each
+    round recomposes only chains whose hop predicates GAINED rows last
+    round, anti-joins against everything already reached, and stops when
+    a round derives nothing. Real vocabularies converge in one round
+    (chain outputs rarely feed other chains); non-convergence within
+    ``max_rounds`` raises loudly."""
+    t = triples.select("s", "p", "o")
+    if chains is None:
+        chains = _chain_axioms(t)
+    if not chains:
+        return t.dropDuplicates() if dedup else t.withColumn(
+            "rule", F.lit("asserted"))
+
+    def _compose(graph: DataFrame, target: str,
+                 hops: list[str]) -> DataFrame:
+        cur = (graph.filter(F.col("p") == hops[0])
+               .select("s", F.col("o").alias("n")))
+        for q in hops[1:]:
+            nxt = (graph.filter(F.col("p") == q)
+                   .select(F.col("s").alias("n"), F.col("o").alias("n2")))
+            cur = cur.join(nxt, "n").select("s", F.col("n2").alias("n"))
+        return cur.select("s", F.lit(target).alias("p"),
+                          F.col("n").alias("o")).dropDuplicates()
+
+    hop_preds = sorted({q for hops in chains.values() for q in hops})
+    # only hop-predicate rows ever participate — one narrow filter up
+    # front so each round's recompose scans the small slice, not the
+    # corpus (the 10^12-row store is touched exactly once here)
+    graph = (t.filter(F.col("p").isin(hop_preds))
+             .dropDuplicates().localCheckpoint())
+    reached = graph
+    derived_all: DataFrame | None = None
+    touched = set(hop_preds)  # predicates that gained rows last round
+    for _ in range(max_rounds):
+        delta = None
+        for target, hops in chains.items():
+            if not touched.intersection(hops):
+                continue
+            d = _compose(reached, target, hops)
+            delta = d if delta is None else delta.unionByName(d)
+        if delta is None:
+            break
+        delta = (delta.dropDuplicates()
+                 .join(reached, ["s", "p", "o"], "left_anti")
+                 .localCheckpoint())
+        if delta.isEmpty():
+            break
+        derived_all = (delta if derived_all is None
+                       else derived_all.unionByName(delta))
+        # a derived predicate only matters further if it's some chain's hop
+        touched = ({r.p for r in delta.select("p").distinct().collect()}
+                   & set(hop_preds))
+        reached = reached.unionByName(delta).localCheckpoint()
+        if not touched:
+            break
+    else:
+        raise RuntimeError(
+            f"owl_chain_entail did not converge in {max_rounds} rounds — "
+            "raise max_rounds (chains feeding chains deeper than expected)")
+
+    if derived_all is None:
+        derived_all = t.limit(0)
+    if not dedup:
+        return (t.withColumn("rule", F.lit("asserted"))
+                .unionByName(derived_all.withColumn(
+                    "rule", F.lit("prp-spo2"))))
+    return t.unionByName(derived_all).dropDuplicates(["s", "p", "o"])

@@ -165,6 +165,8 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     value_cls = _po(shacl, SH + "class", "value_class", kind="iri")
     min_inc = _po(shacl, SH + "minInclusive", "min_inclusive")
     max_inc = _po(shacl, SH + "maxInclusive", "max_inclusive")
+    min_len = _po(shacl, SH + "minLength", "min_length")
+    max_len = _po(shacl, SH + "maxLength", "max_length")
     in_head = _po(shacl, SH + "in", "head")
     lists = _rdf_lists(shacl)
 
@@ -181,6 +183,8 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(value_cls, ["file", "shape"], "left")
         .join(min_inc, ["file", "shape"], "left")
         .join(max_inc, ["file", "shape"], "left")
+        .join(min_len, ["file", "shape"], "left")
+        .join(max_len, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
         .join(_alt_value_sets(shacl), ["file", "shape"], "left")
@@ -196,6 +200,10 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         # graph's lexical forms; validate_triples casts at check time so the
         # detail strings stay engine-portable
         "value_class", "min_inclusive", "max_inclusive",
+        # sh:minLength / sh:maxLength (string handler, convert/shacl.py —
+        # emitted only when the datatype is xsd:string, quirk §2.5.8)
+        F.col("min_length").cast("int").alias("min_length"),
+        F.col("max_length").cast("int").alias("max_length"),
         # property-level sh:xone/or datatype / class alternatives
         "any_datatype", "any_class",
         # inline array properties (sh:node dash:ListShape on the property
@@ -314,6 +322,7 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
         return F.concat(F.lit(kg_ns), F.regexp_extract(col, r"([^#/]+)$", 1))
 
     extras = [c for c in ("pattern", "min_inclusive", "max_inclusive",
+                          "min_length", "max_length",
                           "any_datatype", "is_list",
                           "list_member_datatype")
               if c in rules.columns]
@@ -517,6 +526,7 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
     """
     for c, t in (("pattern", "string"), ("value_class", "string"),
                  ("min_inclusive", "string"), ("max_inclusive", "string"),
+                 ("min_length", "int"), ("max_length", "int"),
                  ("any_datatype", "array<string>"),
                  ("any_class", "array<string>"), ("is_list", "boolean"),
                  ("list_member_datatype", "string"),
@@ -597,6 +607,26 @@ def validate_triples(triples: DataFrame, rules: DataFrame) -> DataFrame:
               "maxInclusiveViolation",
               F.concat(F.lit("maxInclusive "), "max_inclusive",
                        F.lit(" got "), "o")),
+        # sh:minLength / sh:maxLength: character length of the lexical
+        # form (SHACL spec §4.4.1-2); non-literal values violate (an IRI
+        # has no lexical form under these components per the converter's
+        # intent — it only ever emits them on xsd:string properties)
+        _viol(F.col("min_length").isNotNull()
+              & ((F.col("o_kind") != "literal")
+                 | (F.length("o") < F.col("min_length"))),
+              "minLengthViolation",
+              F.concat(F.lit("minLength "),
+                       F.col("min_length").cast("string"),
+                       F.lit(" got len "),
+                       F.length("o").cast("string"))),
+        _viol(F.col("max_length").isNotNull()
+              & ((F.col("o_kind") != "literal")
+                 | (F.length("o") > F.col("max_length"))),
+              "maxLengthViolation",
+              F.concat(F.lit("maxLength "),
+                       F.col("max_length").cast("string"),
+                       F.lit(" got len "),
+                       F.length("o").cast("string"))),
         # sh:xone/sh:or alternatives (incl. resolved aliases): a literal
         # value must carry one of the allowed datatypes; a node value is
         # only legal when the rule offers class alternatives (checked by
@@ -837,6 +867,160 @@ def closed_shape_violations(triples: DataFrame, rules: DataFrame,
             .dropDuplicates())
 
 
+
+PAIR_KINDS = {
+    SH + "equals": "equals",
+    SH + "disjoint": "disjoint",
+    SH + "lessThan": "lessThan",
+    SH + "lessThanOrEquals": "lessThanOrEquals",
+}
+
+
+def pair_rules_from_shacl(shacl: DataFrame) -> DataFrame:
+    """SHACL triple table -> property-PAIR rules (file, target_class, path,
+    pair_kind, other_path): sh:equals / sh:disjoint / sh:lessThan /
+    sh:lessThanOrEquals off property shapes (SHACL core §4.5, the
+    PropertyPairConstraintComponent family). The OpenAPI converter never
+    emits these (OpenAPI has no cross-property comparisons), so they enter
+    via authored shapes graphs — e.g. Turtle ingested with
+    sources.turtle_source — or hand-built rule tables."""
+    node_shape = _po(shacl, SH + "targetClass", "target_class")
+    prop_link = (_po(shacl, SH + "property", "prop_shape")
+                 .withColumnRenamed("shape", "node"))
+    path = _po(shacl, SH + "path", "path", kind="iri")
+    pairs = None
+    for pred, kind in PAIR_KINDS.items():
+        d = (_po(shacl, pred, "other_path", kind="iri")
+             .withColumn("pair_kind", F.lit(kind)))
+        pairs = d if pairs is None else pairs.unionByName(d)
+    return (node_shape
+            .join(prop_link, on=[node_shape.file == prop_link.file,
+                                 node_shape.shape == prop_link.node])
+            .select(node_shape.file, "target_class",
+                    F.col("prop_shape").alias("shape"))
+            .join(path, ["file", "shape"])
+            .join(pairs, ["file", "shape"])
+            .select("file", "target_class", "path", "pair_kind",
+                    "other_path"))
+
+
+def pair_constraint_violations(triples: DataFrame,
+                               pair_rules: DataFrame) -> DataFrame:
+    """Property-pair validation (SHACL core §4.5) -> violations
+    (s, p, o, violation, detail):
+
+    - ``equals``: the focus node's value SET for path must equal its set
+      for other_path — each value on one side missing from the other is a
+      ``pairNotEqual`` violation;
+    - ``disjoint``: any value shared by both paths is ``pairNotDisjoint``;
+    - ``lessThan`` / ``lessThanOrEquals``: every (path value, other value)
+      pair must compare strictly-less / less-or-equal. Comparison follows
+      SPARQL ``<``: numeric when both lexical forms cast, plain string
+      comparison when both are literals; pairs involving a non-literal are
+      incomparable and violate (SHACL: failure to compare is a violation).
+
+    Scale shape: the rules table is vocabulary-sized and BROADCAST; the
+    triple side is pre-filtered to constrained paths only (two narrow
+    slices of the corpus), and every join is keyed on the focus subject —
+    the same subject key validation/canonicalization already shuffle on.
+    Class-scoped rules semi-join focus nodes against rdf:type first so
+    unscoped subjects never enter the value joins. Per-focus value sets
+    are cardinality-bounded in real shapes (sh:maxCount 1 is the
+    converter's default), so the lessThan pair join stays linear.
+    """
+    rules = (pair_rules.select("target_class", "path", "pair_kind",
+                               "other_path").dropDuplicates()
+             .withColumn("rule_id", F.xxhash64(
+                 F.coalesce("target_class", F.lit("\x00")),
+                 "path", "pair_kind", "other_path")))
+    r = F.broadcast(rules)
+
+    s_types = (triples.filter(F.col("p") == RDF_TYPE)
+               .select(F.col("s").alias("ts"), F.col("o").alias("stype"))
+               .dropDuplicates())
+
+    # value key: literal identity includes the datatype; nodes their kind
+    def vkey(o, kind, dt):
+        return F.concat_ws("\x01", o, kind,
+                           F.coalesce(dt, F.lit("\x02")))
+
+    def side(path_col, prefix):
+        v = (triples.join(r, triples["p"] == r[path_col])
+             .select("s", "rule_id", "target_class", "pair_kind",
+                     r["path"].alias("rpath"),
+                     r["other_path"].alias("ropath"),
+                     F.col("o").alias(prefix + "_o"),
+                     F.col("o_kind").alias(prefix + "_kind"),
+                     vkey(F.col("o"), F.col("o_kind"),
+                          F.col("o_datatype")).alias(prefix + "_key")))
+        scoped = (v.filter(F.col("target_class").isNotNull())
+                  .join(s_types,
+                        (F.col("s") == F.col("ts"))
+                        & (F.col("target_class") == F.col("stype")),
+                        "left_semi"))
+        return v.filter(F.col("target_class").isNull()).unionByName(scoped)
+
+    va = side("path", "a")
+    vb = side("other_path", "b")
+
+    def out(df, pcol, ocol, name, detail):
+        vio = F.lit(name) if isinstance(name, str) else name
+        return df.select(F.col("s"), F.col(pcol).alias("p"),
+                         F.col(ocol).alias("o"),
+                         vio.alias("violation"),
+                         detail.alias("detail"))
+
+    eq_a = va.filter(F.col("pair_kind") == "equals")
+    eq_b = vb.filter(F.col("pair_kind") == "equals")
+    branches = [
+        # equals: value on path missing from other_path (and vice versa)
+        out(eq_a.join(eq_b.select("s", "rule_id",
+                                  F.col("b_key").alias("a_key")),
+                      ["s", "rule_id", "a_key"], "left_anti"),
+            "rpath", "a_o", "pairNotEqual",
+            F.concat(F.lit("value missing from "), "ropath")),
+        out(eq_b.join(eq_a.select("s", "rule_id",
+                                  F.col("a_key").alias("b_key")),
+                      ["s", "rule_id", "b_key"], "left_anti"),
+            "rpath", "b_o", "pairNotEqual",
+            F.concat(F.lit("value only on "), "ropath")),
+        # disjoint: shared value
+        out(va.filter(F.col("pair_kind") == "disjoint")
+            .join(vb.filter(F.col("pair_kind") == "disjoint")
+                  .select("s", "rule_id", F.col("b_key").alias("a_key")),
+                  ["s", "rule_id", "a_key"], "left_semi"),
+            "rpath", "a_o", "pairNotDisjoint",
+            F.concat(F.lit("value shared with "), "ropath")),
+    ]
+    # lessThan / lessThanOrEquals: all (a, b) pairs per focus node
+    lt = (va.filter(F.col("pair_kind").isin("lessThan", "lessThanOrEquals"))
+          .join(vb.filter(F.col("pair_kind")
+                          .isin("lessThan", "lessThanOrEquals"))
+                .select("s", "rule_id", "b_o", "b_kind"),
+                ["s", "rule_id"]))
+    a_num = F.col("a_o").try_cast("double")
+    b_num = F.col("b_o").try_cast("double")
+    both_lit = (F.col("a_kind") == "literal") & (F.col("b_kind") == "literal")
+    both_num = both_lit & a_num.isNotNull() & b_num.isNotNull()
+    ok_lt = F.when(both_num, a_num < b_num).otherwise(
+        both_lit & (F.col("a_o") < F.col("b_o")))
+    ok_le = F.when(both_num, a_num <= b_num).otherwise(
+        both_lit & (F.col("a_o") <= F.col("b_o")))
+    branches.append(
+        out(lt.filter(((F.col("pair_kind") == "lessThan") & ~ok_lt)
+                      | ((F.col("pair_kind") == "lessThanOrEquals")
+                         & ~ok_le)),
+            "rpath", "a_o",
+            F.when(F.col("pair_kind") == "lessThan",
+                   F.lit("pairNotLessThan"))
+            .otherwise(F.lit("pairNotLessThanOrEquals")),
+            F.concat(F.lit("vs "), "ropath", F.lit(" value "), "b_o")))
+    res = branches[0]
+    for bdf in branches[1:]:
+        res = res.unionByName(bdf)
+    return res.dropDuplicates()
+
+
 _COMPONENT_OF = {
     "datatypeMismatch": SH + "DatatypeConstraintComponent",
     "notInList": SH + "InConstraintComponent",
@@ -845,6 +1029,13 @@ _COMPONENT_OF = {
     "classViolation": SH + "ClassConstraintComponent",
     "minInclusiveViolation": SH + "MinInclusiveConstraintComponent",
     "maxInclusiveViolation": SH + "MaxInclusiveConstraintComponent",
+    "minLengthViolation": SH + "MinLengthConstraintComponent",
+    "maxLengthViolation": SH + "MaxLengthConstraintComponent",
+    # property-pair constraints (pair_constraint_violations)
+    "pairNotEqual": SH + "EqualsConstraintComponent",
+    "pairNotDisjoint": SH + "DisjointConstraintComponent",
+    "pairNotLessThan": SH + "LessThanConstraintComponent",
+    "pairNotLessThanOrEquals": SH + "LessThanOrEqualsConstraintComponent",
     # datatype alternatives may originate from sh:or or sh:xone; for
     # datatype-only members the two coincide, reported as sh:or
     "noneOfDatatypes": SH + "OrConstraintComponent",

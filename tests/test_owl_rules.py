@@ -171,3 +171,111 @@ def test_bag_mode_tags_rules(spark):
     bag = owl_prp_entail(df, dedup=False)
     rules = {r.rule for r in bag.select("rule").distinct().collect()}
     assert "asserted" in rules and "prp-trp" in rules
+
+
+# ---------------------------------------------------------------- prp-spo2
+
+from openapi_to_rdf_spark.operators.entailment import (  # noqa: E402
+    _chain_axioms,
+    owl_chain_entail,
+)
+
+
+def _naive_chain_fixpoint(rows, chains):
+    """Reference prp-spo2 semantics: fire every chain over the triple
+    SET until nothing new."""
+    triples = set(rows)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        for target, hops in chains.items():
+            # all hop-paths u0 -p1-> u1 ... -pn-> un
+            frontier = {(s, o) for (s, p, o) in triples if p == hops[0]}
+            for q in hops[1:]:
+                step = {(s, o) for (s, p, o) in triples if p == q}
+                frontier = {(u0, u2) for (u0, u1) in frontier
+                            for (v1, u2) in step if u1 == v1}
+            new |= {(u0, target, un) for (u0, un) in frontier}
+        if not new <= triples:
+            triples |= new
+            changed = True
+    return triples
+
+
+def test_chain_basic_two_hop(spark):
+    rows = [("c1", "placed", "o1"), ("o1", "contains", "p1"),
+            ("o1", "contains", "p2"), ("c2", "placed", "o2"),
+            ("o2", "contains", "p1"), ("x", "other", "y")]
+    chains = {"orderedPart": ["placed", "contains"]}
+    got = {(r.s, r.p, r.o)
+           for r in owl_chain_entail(
+               spark.createDataFrame(rows, ["s", "p", "o"]),
+               chains=chains).collect()}
+    assert got == set(rows) | {("c1", "orderedPart", "p1"),
+                               ("c1", "orderedPart", "p2"),
+                               ("c2", "orderedPart", "p1")}
+
+
+def test_chain_three_hop_and_no_match(spark):
+    rows = [("a", "p1", "b"), ("b", "p2", "c"), ("c", "p3", "d"),
+            ("b", "p2", "z")]  # z has no p3 continuation
+    chains = {"q": ["p1", "p2", "p3"]}
+    got = {(r.s, r.p, r.o)
+           for r in owl_chain_entail(
+               spark.createDataFrame(rows, ["s", "p", "o"]),
+               chains=chains).collect()}
+    assert got == set(rows) | {("a", "q", "d")}
+
+
+def test_chain_feeds_chain_fixpoint(spark):
+    # chain2's hop is chain1's OUTPUT — needs the semi-naive outer loop
+    rows = [("a", "p1", "b"), ("b", "p2", "c"),   # => (a q c)
+            ("c", "p3", "d")]                      # q∘p3 => (a r d)
+    chains = {"q": ["p1", "p2"], "r": ["q", "p3"]}
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    got = {(r.s, r.p, r.o)
+           for r in owl_chain_entail(df, chains=chains).collect()}
+    assert got == _naive_chain_fixpoint(rows, chains)
+    assert ("a", "r", "d") in got
+
+
+def test_chain_self_feeding_converges(spark):
+    # hasGrandparent = hasParent ∘ hasParent; derived rows never feed the
+    # chain again (hasGrandparent is not a hop) — one round, converges
+    rows = [(f"n{i}", "hasParent", f"n{i+1}") for i in range(5)]
+    chains = {"hasGrandparent": ["hasParent", "hasParent"]}
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    got = {(r.s, r.p, r.o) for r in owl_chain_entail(df, chains=chains).collect()}
+    assert got == _naive_chain_fixpoint(rows, chains)
+    assert ("n0", "hasGrandparent", "n2") in got and len(got) == 9
+
+
+def test_chain_axiom_harvest_from_graph(spark):
+    rows = [
+        ("uncle", "owl:propertyChainAxiom", "_:l1"),
+        ("_:l1", "rdf:first", "hasParent"), ("_:l1", "rdf:rest", "_:l2"),
+        ("_:l2", "rdf:first", "hasBrother"), ("_:l2", "rdf:rest", "rdf:nil"),
+        ("kid", "hasParent", "mom"), ("mom", "hasBrother", "bob"),
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    assert _chain_axioms(df) == {"uncle": ["hasParent", "hasBrother"]}
+    got = {(r.s, r.p, r.o) for r in owl_chain_entail(df).collect()}
+    assert ("kid", "uncle", "bob") in got
+
+
+def test_chain_provenance_tags(spark):
+    rows = [("a", "p1", "b"), ("b", "p2", "c")]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    out = owl_chain_entail(df, chains={"q": ["p1", "p2"]}, dedup=False)
+    tags = {(r.s, r.p, r.o): r.rule for r in out.collect()}
+    assert tags[("a", "q", "c")] == "prp-spo2"
+    assert tags[("a", "p1", "b")] == "asserted"
+
+
+def test_chain_empty_axioms_passthrough(spark):
+    rows = [("a", "p1", "b"), ("a", "p1", "b")]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    got = owl_chain_entail(df).collect()
+    assert {(r.s, r.p, r.o) for r in got} == {("a", "p1", "b")}
+    assert len(got) == 1

@@ -261,6 +261,59 @@ components:
     assert details["minInclusiveViolation"] == "minInclusive 0 got -3"
 
 
+def test_min_max_length_rules_end_to_end(spark):
+    """sh:minLength/sh:maxLength: the converter emits them on xsd:string
+    properties (quirk: only when the datatype stays xsd:string);
+    shape_rules_from_shacl pivots them and validate_triples enforces the
+    character-length bounds on the lexical form."""
+    from openapi_to_rdf_spark.operators.extract import convert_specs_df
+    from openapi_to_rdf_spark.operators.shapes import shape_rules_from_shacl
+
+    yaml_text = """
+openapi: 3.0.1
+components:
+  schemas:
+    Tag:
+      type: object
+      properties:
+        label:
+          type: string
+          minLength: 2
+          maxLength: 4
+"""
+    specs = spark.createDataFrame([("tags.yaml", yaml_text)],
+                                  ["path", "content"])
+    shacl = convert_specs_df(specs).filter(F.col("graph") == "shacl")
+    rules = shape_rules_from_shacl(shacl)
+    row = rules.collect()[0]
+    assert (row["min_length"], row["max_length"]) == (2, 4)
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    lbl, tag_cls = row["path"], row["target_class"]
+    triples = spark.createDataFrame([
+        *[("c0", "kg", s, rdf_type, "iri", tag_cls, None)
+          for s in ("t#ok", "t#short", "t#long", "t#iri")],
+        ("c0", "kg", "t#ok", lbl, "literal", "abc", xsd + "string"),
+        ("c0", "kg", "t#short", lbl, "literal", "a", xsd + "string"),
+        ("c0", "kg", "t#long", lbl, "literal", "abcdef", xsd + "string"),
+        ("c0", "kg", "t#iri", lbl, "iri", "http://x", None),
+    ], "file string, graph string, s string, p string, o_kind string, "
+       "o string, o_datatype string")
+    got = {(r.s, r.violation)
+           for r in validate_triples(triples, rules).collect()}
+    # the IRI value also violates nodeKind-free length checks (no lexical
+    # form) and the converter's cardinality default maxCount=1 is fine here
+    assert ("t#short", "minLengthViolation") in got
+    assert ("t#long", "maxLengthViolation") in got
+    assert ("t#iri", "minLengthViolation") in got
+    assert not any(s == "t#ok" for (s, _) in got)
+    details = {r.s: r.detail
+               for r in validate_triples(triples, rules).collect()
+               if r.violation == "minLengthViolation"}
+    assert details["t#short"] == "minLength 2 got len 1"
+
+
 def test_scalar_alias_rules_resolve_to_datatype_sets(spark):
     """A property whose sh:class points at a scalar alias (OpenAPI oneOf
     over primitives -> targetClass + sh:xone of datatype shapes) must
