@@ -3222,6 +3222,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (parse_ntriples_lines(lines)
                 .select("s", "p", "o_kind", "o", "o_datatype", "o_lang"))
 
+    def q_parse_jsonld(spark, sf_dir):
+        """Line-delimited flattened JSON-LD parse (sources/jsonld.py):
+        deterministic node lines formatted from orders (@type, plain +
+        typed literals, IRI + bnode objects, plus malformed lines every
+        k%97==0 that the grammar filter must drop), parsed back to the
+        wide schema by pure codegen. DuckDB emits the expected parse
+        results directly."""
+        from openapi_to_rdf_spark.sources.jsonld import parse_jsonld_lines
+
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select(F.col("o_orderkey").alias("k"),
+                     F.col("o_custkey").alias("c"),
+                     F.col("o_orderstatus").alias("st")))
+        node = ('{"@id":"urn:o:%d","@type":["urn:Order"],'
+                '"urn:p:status":[{"@value":"%s"}],'
+                '"urn:p:key":[{"@value":"%d","@type":"' + xsd
+                + 'integer"}],'
+                '"urn:p:cust":[{"@id":"urn:c:%d"}],'
+                '"urn:p:ref":[{"@id":"_:b%d"}]}')
+        lines = (o.select(F.format_string(node, "k", "st", "k", "c", "k")
+                          .alias("value"))
+                 .unionAll(o.filter(F.col("k") % 97 == 0).select(
+                     F.format_string('{"broken": %d', "k")
+                     .alias("value"))))
+        return (parse_jsonld_lines(lines)
+                .select("s", "p", "o_kind", "o", "o_datatype"))
+
     def q_kg_closed_violations(spark, sf_dir):
         """sh:closed validation (shapes.closed_shape_violations): typed
         kg:Turn focus nodes synthesized from orders; every k%7==0 subject
@@ -3259,6 +3287,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             triples, kg_shape_rules(spark, kg),
             closed_classes=[kg + "Turn"],
             ignored=(RDF_TYPE, kg + "audit"))
+
+    def q_owl_inconsistencies(spark, sf_dir):
+        """OWL 2 RL consistency report (entailment.owl_consistency):
+        planted contradictions over customer keys — disjoint Gold/Silver
+        co-typing (k%15), sameAs+differentFrom (k%11), irreflexive
+        self-loops (k%7), asymmetric reverse pairs (k%9), disjoint
+        properties sharing (s, o) (k%13). DuckDB enumerates each rule's
+        expected violation set."""
+        from openapi_to_rdf_spark.operators.entailment import (
+            owl_consistency)
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        kk = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+              .select(F.col("c_custkey").alias("k")))
+        c = F.concat(F.lit("c#"), st(F.col("k")))
+        cnext = F.concat(F.lit("c#"), st(F.col("k") + 1))
+        alias = F.concat(F.lit("alias#"), st(F.col("k")))
+        v = F.concat(F.lit("v#"), st(F.pmod(F.col("k"), F.lit(50))))
+
+        def tr(df, s, p, o):
+            return df.select(s.alias("s"), F.lit(p).alias("p"),
+                             o if not isinstance(o, str)
+                             else F.lit(o).alias("o"))
+
+        schema = spark.createDataFrame(
+            [("Gold", "owl:disjointWith", "Silver"),
+             ("refersTo", "rdf:type", "owl:IrreflexiveProperty"),
+             ("owes", "rdf:type", "owl:AsymmetricProperty"),
+             ("likes", "owl:propertyDisjointWith", "dislikes")],
+            ["s", "p", "o"])
+        triples = (
+            schema
+            .unionAll(tr(kk.filter(F.col("k") % 3 == 0), c, "rdf:type",
+                         F.lit("Gold")))
+            .unionAll(tr(kk.filter(F.col("k") % 5 == 0), c, "rdf:type",
+                         F.lit("Silver")))
+            .unionAll(tr(kk, c, "owl:sameAs", alias))
+            .unionAll(tr(kk.filter(F.col("k") % 11 == 0), c,
+                         "owl:differentFrom", alias))
+            .unionAll(tr(kk.filter(F.col("k") % 7 == 0), c, "refersTo", c))
+            .unionAll(tr(kk, c, "owes", cnext))
+            .unionAll(tr(kk.filter(F.col("k") % 9 == 0), cnext, "owes", c))
+            .unionAll(tr(kk, c, "likes", v))
+            .unionAll(tr(kk.filter(F.col("k") % 13 == 0), c, "dislikes",
+                         v)))
+        return owl_consistency(triples)
 
     def q_owl_chain(spark, sf_dir):
         """OWL 2 RL prp-spo2 (entailment.owl_chain_entail): customer
@@ -3480,7 +3554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_summary": q_kg_schema_summary,
         "parse_ntriples": q_parse_ntriples,
         "kg_closed_violations": q_kg_closed_violations,
+        "parse_jsonld": q_parse_jsonld,
         "owl_chain": q_owl_chain,
+        "owl_inconsistencies": q_owl_inconsistencies,
         "kg_pair_violations": q_kg_pair_violations,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
@@ -7323,6 +7399,64 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT pl.s, 'orderedPart' AS p, c.o
               FROM placed pl JOIN contained c ON pl.o = c.s)
+        """,
+        "parse_jsonld": """
+            WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,
+                              o_orderstatus AS st FROM orders)
+            SELECT 'urn:o:' || CAST(k AS VARCHAR) AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'iri' AS o_kind, 'urn:Order' AS o,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:status',
+                   'literal', st,
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:key', 'literal',
+                   CAST(k AS VARCHAR),
+                   'http://www.w3.org/2001/XMLSchema#integer'
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:cust', 'iri',
+                   'urn:c:' || CAST(c AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'urn:o:' || CAST(k AS VARCHAR), 'urn:p:ref', 'bnode',
+                   'b' || CAST(k AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM o
+        """,
+        "owl_inconsistencies": """
+            WITH k AS (SELECT c_custkey AS k,
+                              'c#' || CAST(c_custkey AS VARCHAR) AS c,
+                              'c#' || CAST(c_custkey + 1 AS VARCHAR) AS cn,
+                              'alias#' || CAST(c_custkey AS VARCHAR) AS al
+                       FROM customer)
+            SELECT 'eq-diff1' AS rule, c AS s, 'owl:differentFrom' AS p,
+                   al AS o, 'also owl:sameAs ' || al AS detail
+            FROM k WHERE k % 11 = 0
+            UNION ALL
+            SELECT 'cax-dw', c, 'rdf:type', 'Gold',
+                   'also typed disjoint class Silver'
+            FROM k WHERE k % 15 = 0
+            UNION ALL
+            SELECT 'prp-irp', c, 'refersTo', c,
+                   'self-edge on an irreflexive property'
+            FROM k WHERE k % 7 = 0
+            UNION ALL
+            SELECT 'prp-asyp', c, 'owes', cn,
+                   'reverse edge also asserted on an asymmetric property'
+            FROM k WHERE k % 9 = 0
+            UNION ALL
+            SELECT 'prp-asyp', cn, 'owes', c,
+                   'reverse edge also asserted on an asymmetric property'
+            FROM k WHERE k % 9 = 0
+            UNION ALL
+            SELECT 'prp-pdw', c, 'likes',
+                   'v#' || CAST(k % 50 AS VARCHAR),
+                   'same (s, o) also under disjoint property dislikes'
+            FROM k WHERE k % 13 = 0
         """,
         "kg_pair_violations": """
             -- SHACL set semantics per focus node: the synthetic lineitem

@@ -172,7 +172,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "owl_cls_entail", "url_curation", "domain_quota",
              "sparql_constraints",
              # added r2 session 18
-             "owl_chain", "kg_pair_violations"]
+             "owl_chain", "kg_pair_violations", "owl_inconsistencies",
+             "parse_jsonld"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -89,6 +89,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="also export the final graph as distributed "
                         "N-Quads part files under DIR, with the store's "
                         "subgraph column as the named-graph term")
+    k.add_argument("--export-jsonld", default=None, metavar="DIR",
+                   help="also export the final graph as line-delimited "
+                        "flattened JSON-LD part files under DIR (one node "
+                        "object per line)")
     k.add_argument("--cores", type=int, default=None)
 
     s = sub.add_parser("stream", help="continuous ingest: transcript parquet "
@@ -319,6 +323,15 @@ def cmd_kg(args) -> int:
         graph = read_snapshot(spark, pathlib.Path(args.workdir) / "graph")
         write_nquads(graph, args.export_nquads, g_col="graph")
         print(f"  nquads: exported to {args.export_nquads}")
+    if args.export_jsonld:
+        import pathlib
+
+        from .plans.snapshot import read_snapshot
+        from .sinks import write_jsonld
+
+        graph = read_snapshot(spark, pathlib.Path(args.workdir) / "graph")
+        write_jsonld(graph, args.export_jsonld)
+        print(f"  jsonld: exported to {args.export_jsonld}")
     return 0
 
 

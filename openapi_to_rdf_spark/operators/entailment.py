@@ -819,3 +819,104 @@ def owl_chain_entail(triples: DataFrame, *,
                 .unionByName(derived_all.withColumn(
                     "rule", F.lit("prp-spo2"))))
     return t.unionByName(derived_all).dropDuplicates(["s", "p", "o"])
+
+
+OWL_DW = "owl:disjointWith"
+OWL_DIFF = "owl:differentFrom"
+OWL_IRP = "owl:IrreflexiveProperty"
+OWL_ASYP = "owl:AsymmetricProperty"
+OWL_PDW = "owl:propertyDisjointWith"
+
+
+def owl_consistency(triples: DataFrame, *,
+                    type_pred: str = RDF_TYPE) -> DataFrame:
+    """OWL 2 RL consistency checks — the ``false``-conclusion rules, the
+    reasoner-side complement of SHACL validation (they fire on asserted
+    contradictions rather than missing structure):
+
+      eq-diff1  (x sameAs y), (x differentFrom y)            → false
+      cax-dw    (C1 disjointWith C2), (x type C1), (x type C2) → false
+      prp-irp   (p type IrreflexiveProperty), (x p x)        → false
+      prp-asyp  (p type AsymmetricProperty), (x p y), (y p x) → false
+      prp-pdw   (p1 propertyDisjointWith p2), (x p1 y), (x p2 y) → false
+
+    Returns a report (rule, s, p, o, detail), one row per contradiction —
+    run it before canonicalization merges identities a human should audit.
+
+    Scale design: every schema side (disjointWith / propertyDisjointWith
+    pairs, irreflexive / asymmetric declarations) is vocabulary-sized and
+    broadcast; instance work is one equi-join per rule on keys the engine
+    already shuffles on (subject for cax-dw, (p, s, o) for prp-asyp,
+    (s, o) for prp-pdw restricted to the declared predicate slice).
+    sameAs / differentFrom edge sets are identity assertions — orders of
+    magnitude smaller than the corpus."""
+    t = triples.select("s", "p", "o")
+    b = F.broadcast
+
+    def rep(df, rule, detail):
+        return df.select(F.lit(rule).alias("rule"), "s", "p", "o",
+                         detail.alias("detail"))
+
+    reports = []
+
+    # eq-diff1 — catch both orientations of either assertion
+    same = (t.filter(F.col("p") == OWL_SAME).select("s", "o"))
+    same_sym = same.unionAll(
+        same.select(F.col("o").alias("s"), F.col("s").alias("o")))
+    diff = (t.filter(F.col("p") == OWL_DIFF)
+            .select("s", F.lit(OWL_DIFF).alias("p"), "o"))
+    reports.append(rep(
+        diff.join(same_sym.dropDuplicates(), ["s", "o"], "left_semi"),
+        "eq-diff1", F.concat(F.lit("also owl:sameAs "), F.col("o"))))
+
+    # cax-dw
+    dw = (t.filter(F.col("p") == OWL_DW)
+          .select(F.col("s").alias("c1"), F.col("o").alias("c2"))
+          .dropDuplicates())
+    types = (t.filter(F.col("p") == type_pred)
+             .select(F.col("s").alias("x"), F.col("o").alias("c"))
+             .dropDuplicates())
+    both = (types.join(b(dw), types["c"] == dw["c1"])
+            .select("x", "c1", "c2")
+            .join(types.withColumnRenamed("c", "c2"), ["x", "c2"],
+                  "left_semi"))
+    reports.append(rep(
+        both.select(F.col("x").alias("s"),
+                    F.lit(type_pred).alias("p"),
+                    F.col("c1").alias("o"), "c2"),
+        "cax-dw", F.concat(F.lit("also typed disjoint class "),
+                           F.col("c2"))))
+
+    # prp-irp / prp-asyp: declared property sets (vocabulary-sized)
+    decl = _declared(t, type_pred, OWL_IRP, OWL_ASYP)
+    irp, asyp = decl[OWL_IRP], decl[OWL_ASYP]
+    if irp:
+        reports.append(rep(
+            t.filter(F.col("p").isin(irp) & (F.col("s") == F.col("o"))),
+            "prp-irp", F.lit("self-edge on an irreflexive property")))
+    if asyp:
+        e = t.filter(F.col("p").isin(asyp)).dropDuplicates()
+        rev = e.select("p", F.col("o").alias("s"), F.col("s").alias("o"))
+        reports.append(rep(
+            e.join(rev, ["p", "s", "o"], "left_semi"),
+            "prp-asyp", F.lit("reverse edge also asserted on an "
+                              "asymmetric property")))
+
+    # prp-pdw
+    pdw = (t.filter(F.col("p") == OWL_PDW)
+           .select(F.col("s").alias("p1"), F.col("o").alias("p2"))
+           .dropDuplicates())
+    e1 = (t.join(b(pdw), t["p"] == pdw["p1"])
+          .select("s", "p", "o", "p2").dropDuplicates())
+    e2 = (t.join(b(pdw.select("p2")), t["p"] == pdw["p2"], "left_semi")
+          .select(F.col("p").alias("p2"), "s", "o").dropDuplicates())
+    reports.append(rep(
+        e1.join(e2, ["p2", "s", "o"], "left_semi"),
+        "prp-pdw", F.concat(F.lit("same (s, o) also under disjoint "
+                                  "property "), F.col("p2"))))
+
+    out = None
+    for r in reports:
+        r = r.select("rule", "s", "p", "o", "detail")
+        out = r if out is None else out.unionByName(r)
+    return out.dropDuplicates()

@@ -155,3 +155,104 @@ def write_nquads(quads: DataFrame, output_path: str, g_col: str = "g",
     if partitions is not None:
         out = out.repartition(partitions)
     out.write.mode(mode).text(output_path)
+
+
+def jsonld_node_lines(triples: DataFrame) -> DataFrame:
+    """Triple table -> one flattened-JSON-LD node object per subject, as a
+    one-column ('value') DataFrame of JSON lines (the dialect
+    sources/jsonld.py parses; see its docstring).
+
+    Deterministic: predicates and value arrays are sorted, so the same
+    graph always serializes to the same line set. ONE shuffle (groupBy
+    subject — the graph's natural clustering key); the JSON assembly is
+    pure codegen: `collect_set` of (predicate, value-object) structs,
+    a linear `aggregate` fold that groups the SORTED list by predicate
+    (accumulator copies are bounded by the per-subject predicate count —
+    vocabulary-sized, not corpus-sized), then `to_json` over
+    `map_from_entries`. Null struct fields are omitted by Spark's JSON
+    generator, giving clean {"@id"} vs {"@value","@type"} objects."""
+    from pyspark.sql import functions as F
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+    t = triples.select("s", "p", "o_kind", "o", "o_datatype")
+    is_type = (F.col("p") == RDF_TYPE) & (F.col("o_kind") == "iri")
+
+    # value objects for non-type triples; field order (@id, @value, @type)
+    vid = F.when(F.col("o_kind") == "iri", F.col("o")).when(
+        F.col("o_kind") == "bnode", F.concat(F.lit("_:"), F.col("o")))
+    vval = F.when(F.col("o_kind") == "literal", F.col("o"))
+    vdt = F.when((F.col("o_kind") == "literal")
+                 & F.col("o_datatype").isNotNull()
+                 & (F.col("o_datatype") != XSD_STRING),
+                 F.col("o_datatype"))
+    vobj = F.struct(vid.alias("@id"), vval.alias("@value"),
+                    vdt.alias("@type"))
+
+    node = (t.groupBy("s").agg(
+        F.sort_array(F.collect_set(
+            F.when(is_type, F.col("o")))).alias("types"),
+        F.sort_array(F.collect_set(F.when(
+            ~is_type, F.struct(F.col("p").alias("k"),
+                               vobj.alias("v"))))).alias("pvs")))
+
+    # fold the sorted (k, v) list into predicate -> [v...] entries; the
+    # list is sorted by (k, v), so grouping is one linear pass.
+    # try_element_at: NULL (not an ANSI error) when the accumulator is
+    # still empty — null-safe false routes to the "new key" branch.
+    acc_t = ("array<struct<key string, "
+             "vals array<struct<`@id` string, `@value` string, "
+             "`@type` string>>>>")
+    entries = F.filter(
+        F.aggregate(
+            "pvs",
+            F.array().cast(acc_t),
+            lambda acc, x: F.when(
+                F.try_element_at(acc, F.lit(-1)).getField("key")
+                .eqNullSafe(x["k"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct(
+                        x["k"].alias("key"),
+                        F.concat(F.element_at(acc, -1).getField("vals"),
+                                 F.array(x["v"])).alias("vals"))))
+            ).otherwise(
+                F.concat(acc, F.array(F.struct(
+                    x["k"].alias("key"),
+                    F.array(x["v"]).alias("vals")))))),
+        lambda e: e.getField("key").isNotNull())
+
+    # assemble {"@id": ...} + optional @type member + predicate members by
+    # string-merging the to_json fragments (dynamic keys rule out one
+    # static struct; every piece is still escaped by the JSON generator)
+    id_json = F.to_json(F.struct(F.col("s").alias("@id")))
+    nn_types = F.filter("types", lambda x: x.isNotNull())
+    types_json = F.when(
+        F.size(nn_types) > 0,
+        F.to_json(F.struct(nn_types.alias("@type"))))
+    preds_json = F.when(F.size(entries) > 0,
+                        F.to_json(F.map_from_entries(entries)))
+
+    line = F.concat(
+        F.expr("substring(idj, 1, length(idj) - 1)"),
+        F.coalesce(F.concat(F.lit(","), F.expr(
+            "substring(tj, 2, length(tj) - 2)")), F.lit("")),
+        F.coalesce(F.concat(F.lit(","), F.expr(
+            "substring(pj, 2, length(pj) - 2)")), F.lit("")),
+        F.lit("}"))
+    return (node.select(id_json.alias("idj"), types_json.alias("tj"),
+                        preds_json.alias("pj"))
+            .select(line.alias("value")))
+
+
+def write_jsonld(triples: DataFrame, output_path: str,
+                 mode: str = "overwrite",
+                 partitions: int | None = None) -> None:
+    """Distributed line-delimited flattened JSON-LD export — one node
+    object per line, one text part-file per partition (same layout
+    contract as write_ntriples)."""
+    out = jsonld_node_lines(triples)
+    if partitions is not None:
+        out = out.repartition(partitions)
+    out.write.mode(mode).text(output_path)

@@ -279,3 +279,78 @@ def test_chain_empty_axioms_passthrough(spark):
     got = owl_chain_entail(df).collect()
     assert {(r.s, r.p, r.o) for r in got} == {("a", "p1", "b")}
     assert len(got) == 1
+
+
+# ------------------------------------------------------- consistency rules
+
+from openapi_to_rdf_spark.operators.entailment import (  # noqa: E402
+    owl_consistency,
+)
+
+
+def _report(spark, rows):
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    return {(r.rule, r.s, r.p, r.o) for r in owl_consistency(df).collect()}
+
+
+def test_eq_diff1_both_orientations(spark):
+    rows = [
+        ("a", "owl:sameAs", "b"), ("a", "owl:differentFrom", "b"),
+        ("c", "owl:sameAs", "d"), ("d", "owl:differentFrom", "c"),  # reversed
+        ("e", "owl:sameAs", "f"),                                   # no diff
+        ("g", "owl:differentFrom", "h"),                            # no same
+    ]
+    got = _report(spark, rows)
+    assert got == {("eq-diff1", "a", "owl:differentFrom", "b"),
+                   ("eq-diff1", "d", "owl:differentFrom", "c")}
+
+
+def test_cax_dw(spark):
+    rows = [
+        ("Gold", "owl:disjointWith", "Silver"),
+        ("x", "rdf:type", "Gold"), ("x", "rdf:type", "Silver"),   # conflict
+        ("y", "rdf:type", "Gold"),                                 # fine
+        ("z", "rdf:type", "Silver"),                               # fine
+    ]
+    got = _report(spark, rows)
+    assert got == {("cax-dw", "x", "rdf:type", "Gold")}
+
+
+def test_prp_irp_and_asyp(spark):
+    rows = [
+        ("refersTo", "rdf:type", "owl:IrreflexiveProperty"),
+        ("owes", "rdf:type", "owl:AsymmetricProperty"),
+        ("n1", "refersTo", "n1"),                  # irreflexive self-loop
+        ("n1", "refersTo", "n2"),                  # fine
+        ("a", "owes", "b"), ("b", "owes", "a"),    # asymmetric pair
+        ("c", "owes", "d"),                        # fine
+        ("e", "owes", "e"),                        # self-edge = own reverse
+    ]
+    got = _report(spark, rows)
+    assert got == {
+        ("prp-irp", "n1", "refersTo", "n1"),
+        ("prp-asyp", "a", "owes", "b"),
+        ("prp-asyp", "b", "owes", "a"),
+        ("prp-asyp", "e", "owes", "e"),
+    }
+
+
+def test_prp_pdw(spark):
+    rows = [
+        ("likes", "owl:propertyDisjointWith", "dislikes"),
+        ("u", "likes", "v"), ("u", "dislikes", "v"),   # conflict
+        ("u", "likes", "w"),                           # fine
+        ("q", "dislikes", "v"),                        # fine
+    ]
+    got = _report(spark, rows)
+    assert got == {("prp-pdw", "u", "likes", "v")}
+
+
+def test_consistent_graph_empty_report(spark):
+    rows = [
+        ("Gold", "owl:disjointWith", "Silver"),
+        ("owes", "rdf:type", "owl:AsymmetricProperty"),
+        ("x", "rdf:type", "Gold"), ("z", "rdf:type", "Silver"),
+        ("a", "owes", "b"), ("a", "owl:sameAs", "a2"),
+    ]
+    assert _report(spark, rows) == set()
