@@ -3288,6 +3288,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             closed_classes=[kg + "Turn"],
             ignored=(RDF_TYPE, kg + "audit"))
 
+    def q_kg_qualified_violations(spark, sf_dir):
+        """sh:qualifiedValueShape (shapes.qualified_shape_violations):
+        orders must reference between 1 and 2 parts typed Good
+        (p_partkey%3==0) via kg:has; DuckDB counts distinct conforming
+        parts per order and enumerates min/max violations including
+        count=0 focus nodes."""
+        from openapi_to_rdf_spark.operators.shapes import (
+            RDF_TYPE, qualified_shape_violations)
+
+        kg = "http://ericsson.com/models/3gpp/kg#"
+        st = lambda c: c.cast("string")  # noqa: E731
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k")).dropDuplicates())
+        pp = (spark.read.parquet(f"{sf_dir}/part.parquet")
+              .select(F.col("p_partkey").alias("j")).dropDuplicates())
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .select(F.col("l_orderkey").alias("k"),
+                      F.col("l_partkey").alias("j")))
+
+        def tri(df, s, p, o_kind, o):
+            return df.select(
+                F.lit("v").alias("file"), F.lit("kg").alias("graph"),
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), o.alias("o"),
+                F.lit(None).cast("string").alias("o_datatype"))
+
+        os_ = F.concat(F.lit("o#"), st(F.col("k")))
+        ps = F.concat(F.lit("p#"), st(F.col("j")))
+        triples = (
+            tri(oo, os_, RDF_TYPE, "iri", F.lit(kg + "Order"))
+            .unionAll(tri(pp.filter(F.col("j") % 3 == 0), ps, RDF_TYPE,
+                          "iri", F.lit(kg + "Good")))
+            .unionAll(tri(li, os_, kg + "has", "iri", ps)))
+        qrules = spark.createDataFrame(
+            [("r", kg + "Order", kg + "has", kg + "Good", None, 1, 2)],
+            "file string, target_class string, path string, "
+            "q_class string, q_datatype string, q_min int, q_max int")
+        return qualified_shape_violations(triples, qrules)
+
+    def q_kg_haskey(spark, sf_dir):
+        """OWL 2 RL prp-key (entailment.haskey_sameas_edges): customers
+        typed Person with a composite owl:hasKey (area, serial) =
+        (c_nationkey, c_custkey%500); equal key tuples resolve to
+        group-min sameAs star edges. DuckDB computes the same star with
+        a window MIN over the key tuple."""
+        from openapi_to_rdf_spark.operators.entailment import (
+            haskey_sameas_edges)
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        kk = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+              .select(F.col("c_custkey").alias("k"),
+                      F.col("c_nationkey").alias("n")))
+        c = F.concat(F.lit("c#"), st(F.col("k")))
+        axiom = spark.createDataFrame(
+            [("Person", "owl:hasKey", "_:k0"),
+             ("_:k0", "rdf:first", "area"), ("_:k0", "rdf:rest", "_:k1"),
+             ("_:k1", "rdf:first", "serial"),
+             ("_:k1", "rdf:rest", "rdf:nil")], ["s", "p", "o"])
+
+        def tr(p, o):
+            return kk.select(c.alias("s"), F.lit(p).alias("p"),
+                             o.alias("o"))
+
+        triples = (axiom
+                   .unionAll(tr("rdf:type", F.lit("Person")))
+                   .unionAll(tr("area", st(F.col("n"))))
+                   .unionAll(tr("serial", st(F.col("k") % 500))))
+        return haskey_sameas_edges(triples)
+
     def q_owl_inconsistencies(spark, sf_dir):
         """OWL 2 RL consistency report (entailment.owl_consistency):
         planted contradictions over customer keys — disjoint Gold/Silver
@@ -3557,6 +3626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_jsonld": q_parse_jsonld,
         "owl_chain": q_owl_chain,
         "owl_inconsistencies": q_owl_inconsistencies,
+        "kg_haskey": q_kg_haskey,
+        "kg_qualified_violations": q_kg_qualified_violations,
         "kg_pair_violations": q_kg_pair_violations,
         "kg_dangling": q_kg_dangling,
         "bgp_subquery": q_bgp_subquery,
@@ -7399,6 +7470,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT pl.s, 'orderedPart' AS p, c.o
               FROM placed pl JOIN contained c ON pl.o = c.s)
+        """,
+        "kg_qualified_violations": """
+            WITH ords AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+            conf AS (SELECT l_orderkey AS k,
+                            COUNT(DISTINCT l_partkey) AS n
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_partkey % 3 = 0 GROUP BY l_orderkey),
+            j AS (SELECT 'o#' || CAST(k AS VARCHAR) AS s,
+                         COALESCE(n, 0) AS n
+                  FROM ords LEFT JOIN conf USING (k))
+            SELECT s, 'http://ericsson.com/models/3gpp/kg#has' AS p, CAST(NULL AS VARCHAR) AS o,
+                   CASE WHEN n < 1 THEN 'qualifiedMinCountViolation'
+                        ELSE 'qualifiedMaxCountViolation'
+                   END AS violation,
+                   'conforming=' || CAST(n AS VARCHAR)
+                     || ' min=1 max=2' AS detail
+            FROM j WHERE n < 1 OR n > 2
+        """,
+        "kg_haskey": """
+            WITH c AS (SELECT DISTINCT
+                         'c#' || CAST(c_custkey AS VARCHAR) AS x,
+                         CAST(c_nationkey AS VARCHAR) AS a,
+                         CAST(c_custkey % 500 AS VARCHAR) AS b
+                       FROM customer),
+            g AS (SELECT x, MIN(x) OVER (PARTITION BY a, b) AS dst FROM c)
+            SELECT x AS src, dst FROM g WHERE x <> dst
         """,
         "parse_jsonld": """
             WITH o AS (SELECT o_orderkey AS k, o_custkey AS c,

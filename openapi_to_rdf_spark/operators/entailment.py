@@ -706,31 +706,48 @@ RDF_REST = "rdf:rest"
 RDF_NIL = "rdf:nil"
 
 
-def _chain_axioms(triples: DataFrame,
-                  first_pred: str = RDF_FIRST,
-                  rest_pred: str = RDF_REST,
-                  nil_iri: str = RDF_NIL) -> dict[str, list[str]]:
-    """Driver-side harvest of ``p owl:propertyChainAxiom (p1 .. pn)``
-    declarations: the axiom heads plus their rdf:first/rest cons cells
-    are vocabulary-sized by construction (they live in the ontology, not
-    the instance data), so one small collect beats a distributed list
-    walk — the same argument as :func:`_driver_closure`."""
-    heads = (triples.filter(F.col("p") == OWL_CHAIN)
+def _harvest_axiom_lists(triples: DataFrame, axiom_pred: str,
+                         first_pred: str = RDF_FIRST,
+                         rest_pred: str = RDF_REST,
+                         nil_iri: str = RDF_NIL,
+                         ) -> tuple[dict[str, list[str]], set]:
+    """Driver-side harvest of ``s <axiom_pred> (m1 .. mn)`` declarations:
+    the axiom heads plus their rdf:first/rest cons cells are
+    vocabulary-sized by construction (they live in the ontology, not the
+    instance data), so one small collect beats a distributed list walk —
+    the same argument as :func:`_driver_closure`. Returns ({subject:
+    members}, {cons-cell ids consumed}) — the cell set lets callers drop
+    exactly the axiom's list plumbing without touching unrelated lists."""
+    heads = (triples.filter(F.col("p") == axiom_pred)
              .select("s", "o").collect())
     cells = (triples.filter(F.col("p").isin(first_pred, rest_pred))
              .select("s", "p", "o").collect())
     first = {r.s: r.o for r in cells if r.p == first_pred}
     rest = {r.s: r.o for r in cells if r.p == rest_pred}
-    chains: dict[str, list[str]] = {}
+    out: dict[str, list[str]] = {}
+    used: set = set()
     for h in heads:
-        hops, cell, seen = [], h.o, set()
+        members, cell, seen = [], h.o, set()
         while cell != nil_iri and cell in first and cell not in seen:
             seen.add(cell)
-            hops.append(first[cell])
+            members.append(first[cell])
             cell = rest.get(cell, nil_iri)
-        if len(hops) >= 2:  # length-1 chains are rdfs:subPropertyOf's job
-            chains[h.s] = hops
-    return chains
+        if members:
+            out[h.s] = members
+            used |= seen
+    return out, used
+
+
+def _chain_axioms(triples: DataFrame,
+                  first_pred: str = RDF_FIRST,
+                  rest_pred: str = RDF_REST,
+                  nil_iri: str = RDF_NIL) -> dict[str, list[str]]:
+    """``p owl:propertyChainAxiom (p1 .. pn)`` declarations, driver-side
+    (see :func:`_harvest_axiom_lists`)."""
+    chains, _ = _harvest_axiom_lists(triples, OWL_CHAIN, first_pred,
+                                     rest_pred, nil_iri)
+    # length-1 chains are rdfs:subPropertyOf's job
+    return {p: hops for p, hops in chains.items() if len(hops) >= 2}
 
 
 def owl_chain_entail(triples: DataFrame, *,
@@ -920,3 +937,86 @@ def owl_consistency(triples: DataFrame, *,
         r = r.select("rule", "s", "p", "o", "detail")
         out = r if out is None else out.unionByName(r)
     return out.dropDuplicates()
+
+
+OWL_HASKEY = "owl:hasKey"
+
+
+def haskey_sameas_edges(triples: DataFrame, *,
+                        type_pred: str = RDF_TYPE) -> DataFrame:
+    """OWL 2 RL prp-key as sameAs EDGE derivation: subjects typed with a
+    class ``C`` declared ``C owl:hasKey (p1 .. pn)`` that agree on every
+    key property's value are the same individual — composite-key entity
+    resolution, the schema-declared twin of
+    :func:`kgstats.discover_keys`.
+
+    Like :func:`ifp_sameas_edges`, the pairwise OWL rule (k matching
+    nodes → k² conclusions) is emitted as the group-min STAR: one
+    subject-keyed join per key property, one aggregation on the key
+    tuple, k-1 edges with the identical connected-components closure.
+
+    Multi-valued scope (documented): a subject carrying MORE THAN ONE
+    value for any key property is excluded from that key's matching —
+    practical keys are single-valued per bearer, and the spec's
+    intersect-any-combination semantics for multi-valued bearers is
+    quadratic by construction. Dirty multi-valued bearers therefore
+    never merge, which is the safe direction for ER."""
+    t = triples.select("s", "p", "o")
+    keys, _ = _harvest_axiom_lists(t, OWL_HASKEY)
+    spark = t.sparkSession
+    if not keys:
+        return spark.createDataFrame([], "src string, dst string")
+
+    types = (t.filter(F.col("p") == type_pred)
+             .select(F.col("s").alias("x"), F.col("o").alias("cls"))
+             .dropDuplicates())
+    outs = []
+    for cls, props in keys.items():
+        bearer = types.filter(F.col("cls") == cls).select("x")
+        for i, p in enumerate(props):
+            vals = (t.filter(F.col("p") == p)
+                    .groupBy("s")
+                    .agg(F.min("o").alias(f"v{i}"),
+                         F.countDistinct("o").alias("_n"))
+                    .filter(F.col("_n") == 1)
+                    .select(F.col("s").alias("x"), f"v{i}"))
+            bearer = bearer.join(vals, "x")
+        kcols = [f"v{i}" for i in range(len(props))]
+        anchors = bearer.groupBy(*kcols).agg(F.min("x").alias("dst"))
+        outs.append(bearer.join(anchors, kcols)
+                    .filter(F.col("x") != F.col("dst"))
+                    .select(F.col("x").alias("src"), "dst"))
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out.dropDuplicates()
+
+
+def key_smush(triples: DataFrame, *,
+              type_pred: str = RDF_TYPE,
+              sameas_pred: str = OWL_SAME,
+              max_iter: int = 25) -> DataFrame:
+    """The FULL OWL identity fragment composed: asserted owl:sameAs ∪
+    functional / inverse-functional sharing (:func:`ifp_sameas_edges`) ∪
+    declared composite keys (:func:`haskey_sameas_edges`), closed as ONE
+    equivalence relation and smushed — one CC run over the union edge
+    set is both cheaper and more complete than alternating rule firing.
+    Identity bookkeeping (sameAs edges, IFP/FP declarations, hasKey
+    axioms + their list cells) is dropped from the output."""
+    from .components import connected_components
+
+    t = triples.select("s", "p", "o")
+    _, key_cells = _harvest_axiom_lists(t, OWL_HASKEY)
+    asserted = (t.filter(F.col("p") == sameas_pred)
+                .filter(F.col("s") != F.col("o"))
+                .select(F.col("s").alias("src"), F.col("o").alias("dst")))
+    edges = (asserted
+             .unionByName(ifp_sameas_edges(t, type_pred=type_pred))
+             .unionByName(haskey_sameas_edges(t, type_pred=type_pred)))
+    cmap = (connected_components(edges, max_iter=max_iter)
+            .select("node", F.col("component").alias("canonical")))
+    decl = (F.col("p") == type_pred) & F.col("o").isin(OWL_IFP, OWL_FP)
+    drop = (F.col("p").isin(sameas_pred, OWL_HASKEY)
+            | decl
+            | (F.col("s").isin(list(key_cells)) if key_cells else F.lit(False)))
+    return _rewrite_through(triples.filter(~drop), cmap)

@@ -1021,6 +1021,141 @@ def pair_constraint_violations(triples: DataFrame,
     return res.dropDuplicates()
 
 
+def qualified_rules_from_shacl(shacl: DataFrame) -> DataFrame:
+    """SHACL triple table -> qualified-value-shape rules (file,
+    target_class, path, q_class, q_datatype, q_min, q_max): property
+    shapes carrying ``sh:qualifiedValueShape [sh:class C | sh:datatype D]``
+    with ``sh:qualifiedMinCount`` / ``sh:qualifiedMaxCount`` (SHACL core
+    §4.7.5-6). Like the pair rules, these enter via authored shapes
+    graphs — OpenAPI has no per-value-subset cardinalities."""
+    node_shape = _po(shacl, SH + "targetClass", "target_class")
+    prop_link = (_po(shacl, SH + "property", "prop_shape")
+                 .withColumnRenamed("shape", "node"))
+    path = _po(shacl, SH + "path", "path", kind="iri")
+    qlink = (_po(shacl, SH + "qualifiedValueShape", "qshape")
+             .withColumnRenamed("shape", "pshape"))
+    qcls = (_po(shacl, SH + "class", "q_class", kind="iri")
+            .withColumnRenamed("shape", "qshape"))
+    qdt = (_po(shacl, SH + "datatype", "q_datatype")
+           .withColumnRenamed("shape", "qshape"))
+    qmin = (_po(shacl, SH + "qualifiedMinCount", "q_min")
+            .withColumnRenamed("shape", "pshape"))
+    qmax = (_po(shacl, SH + "qualifiedMaxCount", "q_max")
+            .withColumnRenamed("shape", "pshape"))
+    return (node_shape
+            .join(prop_link, on=[node_shape.file == prop_link.file,
+                                 node_shape.shape == prop_link.node])
+            .select(node_shape.file, "target_class",
+                    F.col("prop_shape").alias("shape"))
+            .join(path, ["file", "shape"])
+            .join(qlink.withColumnRenamed("pshape", "shape"),
+                  ["file", "shape"])
+            .join(qcls, ["file", "qshape"], "left")
+            .join(qdt, ["file", "qshape"], "left")
+            .join(qmin.withColumnRenamed("pshape", "shape"),
+                  ["file", "shape"], "left")
+            .join(qmax.withColumnRenamed("pshape", "shape"),
+                  ["file", "shape"], "left")
+            .select("file", "target_class", "path", "q_class",
+                    "q_datatype",
+                    F.col("q_min").cast("int").alias("q_min"),
+                    F.col("q_max").cast("int").alias("q_max")))
+
+
+def qualified_shape_violations(triples: DataFrame,
+                               qrules: DataFrame) -> DataFrame:
+    """sh:qualifiedValueShape validation -> violations(s, p, o,
+    violation, detail): per focus node, the COUNT of path values
+    conforming to the qualified shape (typed with ``q_class``, or a
+    literal of ``q_datatype``) must lie in [q_min, q_max].
+
+    qualifiedMinCount fires for wholly-absent / wholly-nonconforming
+    properties only on CLASS-SCOPED rules (focus nodes enumerable from
+    rdf:type — the same SHACL-target discipline validate_triples uses
+    for minCount). Scale shape: rules broadcast; candidate values are
+    one predicate-filtered slice; conformance of node values is a
+    distinct-(value, class) semi-join against the type table; counting
+    aggregates per (focus, rule) with map-side partials."""
+    rules = (qrules.select("target_class", "path", "q_class",
+                           "q_datatype", "q_min", "q_max")
+             .dropDuplicates()
+             .withColumn("rule_id", F.xxhash64(
+                 F.coalesce("target_class", F.lit("\x00")), "path",
+                 F.coalesce("q_class", F.lit("\x00")),
+                 F.coalesce("q_datatype", F.lit("\x00")),
+                 F.coalesce(F.col("q_min").cast("string"), F.lit("-")),
+                 F.coalesce(F.col("q_max").cast("string"), F.lit("-")))))
+    r = F.broadcast(rules)
+
+    s_types = (triples.filter(F.col("p") == RDF_TYPE)
+               .select(F.col("s").alias("ts"), F.col("o").alias("stype"))
+               .dropDuplicates())
+
+    cand = (triples.join(r, triples["p"] == r["path"])
+            .select("s", "rule_id", "target_class", "path",
+                    "q_class", "q_datatype", "q_min", "q_max",
+                    "o", "o_kind", "o_datatype"))
+    scoped = (cand.filter(F.col("target_class").isNotNull())
+              .join(s_types, (F.col("s") == F.col("ts"))
+                    & (F.col("target_class") == F.col("stype")),
+                    "left_semi"))
+    cand = cand.filter(F.col("target_class").isNull()).unionByName(scoped)
+
+    # conformance: datatype rules are a row predicate; class rules
+    # semi-join the (distinct) value nodes against the type table
+    onode = F.when(F.col("o_kind") == "bnode",
+                   F.concat(F.lit("_:"), F.col("o"))).otherwise(F.col("o"))
+    dt_ok = (F.col("q_datatype").isNotNull()
+             & (F.col("o_kind") == "literal")
+             & (F.col("o_datatype") == F.col("q_datatype")))
+    cls_cand = (cand.filter(F.col("q_class").isNotNull()
+                            & (F.col("o_kind") != "literal"))
+                .withColumn("onode", onode))
+    cls_ok = cls_cand.join(
+        s_types, (F.col("onode") == F.col("ts"))
+        & (F.col("q_class") == F.col("stype")), "left_semi").drop("onode")
+    conforming = cand.filter(dt_ok).unionByName(cls_ok)
+
+    vkey = F.concat_ws("\x01", "o", "o_kind",
+                       F.coalesce("o_datatype", F.lit("\x02")))
+    counts = (conforming.groupBy("s", "rule_id")
+              .agg(F.countDistinct(vkey).alias("n")))
+
+    # focus universe: class-scoped rules enumerate typed subjects (so
+    # n=0 can fire); unscoped rules only see subjects carrying the path
+    scoped_focus = (s_types.join(
+        r.filter(F.col("target_class").isNotNull()),
+        F.col("stype") == F.col("target_class"))
+        .select(F.col("ts").alias("s"), "rule_id"))
+    unscoped_focus = (cand.filter(F.col("target_class").isNull())
+                      .select("s", "rule_id").dropDuplicates())
+    focus = scoped_focus.unionByName(unscoped_focus).dropDuplicates()
+
+    checked = (focus.join(counts, ["s", "rule_id"], "left")
+               .withColumn("n", F.coalesce("n", F.lit(0)))
+               .join(r.select("rule_id", F.col("path").alias("rpath"),
+                              "q_min", "q_max"), "rule_id"))
+    detail = F.concat(F.lit("conforming="), F.col("n").cast("string"),
+                      F.lit(" min="),
+                      F.coalesce(F.col("q_min").cast("string"),
+                                 F.lit("-")),
+                      F.lit(" max="),
+                      F.coalesce(F.col("q_max").cast("string"),
+                                 F.lit("-")))
+    return (checked.filter(
+        (F.col("q_min").isNotNull() & (F.col("n") < F.col("q_min")))
+        | (F.col("q_max").isNotNull() & (F.col("n") > F.col("q_max"))))
+        .select("s", F.col("rpath").alias("p"),
+                F.lit(None).cast("string").alias("o"),
+                F.when(F.col("q_min").isNotNull()
+                       & (F.col("n") < F.col("q_min")),
+                       F.lit("qualifiedMinCountViolation"))
+                .otherwise(F.lit("qualifiedMaxCountViolation"))
+                .alias("violation"),
+                detail.alias("detail"))
+        .dropDuplicates())
+
+
 _COMPONENT_OF = {
     "datatypeMismatch": SH + "DatatypeConstraintComponent",
     "notInList": SH + "InConstraintComponent",
@@ -1036,6 +1171,9 @@ _COMPONENT_OF = {
     "pairNotDisjoint": SH + "DisjointConstraintComponent",
     "pairNotLessThan": SH + "LessThanConstraintComponent",
     "pairNotLessThanOrEquals": SH + "LessThanOrEqualsConstraintComponent",
+    # qualified value shapes (qualified_shape_violations)
+    "qualifiedMinCountViolation": SH + "QualifiedMinCountConstraintComponent",
+    "qualifiedMaxCountViolation": SH + "QualifiedMaxCountConstraintComponent",
     # datatype alternatives may originate from sh:or or sh:xone; for
     # datatype-only members the two coincide, reported as sh:or
     "noneOfDatatypes": SH + "OrConstraintComponent",

@@ -354,3 +354,80 @@ def test_consistent_graph_empty_report(spark):
         ("a", "owes", "b"), ("a", "owl:sameAs", "a2"),
     ]
     assert _report(spark, rows) == set()
+
+
+# ------------------------------------------------------------------ prp-key
+
+from openapi_to_rdf_spark.operators.entailment import (  # noqa: E402
+    haskey_sameas_edges,
+    key_smush,
+)
+
+
+def _key_axiom(cls, props, tag):
+    """cls owl:hasKey (p1 .. pn) as triples with fresh list cells."""
+    rows = [(cls, "owl:hasKey", f"_:k{tag}0")]
+    for i, p in enumerate(props):
+        nxt = f"_:k{tag}{i+1}" if i + 1 < len(props) else "rdf:nil"
+        rows += [(f"_:k{tag}{i}", "rdf:first", p),
+                 (f"_:k{tag}{i}", "rdf:rest", nxt)]
+    return rows
+
+
+def test_haskey_composite_match(spark):
+    rows = _key_axiom("Person", ["ssnArea", "ssnSerial"], "a") + [
+        ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Person"),
+        ("p3", "rdf:type", "Person"), ("q1", "rdf:type", "Robot"),
+        ("p1", "ssnArea", "12"), ("p1", "ssnSerial", "777"),
+        ("p2", "ssnArea", "12"), ("p2", "ssnSerial", "777"),   # same key
+        ("p3", "ssnArea", "12"), ("p3", "ssnSerial", "888"),   # differs
+        # untyped / wrong-typed subjects never match even with equal keys
+        ("q1", "ssnArea", "12"), ("q1", "ssnSerial", "777"),
+        ("u1", "ssnArea", "12"), ("u1", "ssnSerial", "777"),
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    edges = {(r.src, r.dst) for r in haskey_sameas_edges(df).collect()}
+    assert edges == {("p2", "p1")}
+
+
+def test_haskey_multivalued_bearer_excluded(spark):
+    rows = _key_axiom("Person", ["email"], "b") + [
+        ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Person"),
+        ("p1", "email", "a@x"),
+        ("p2", "email", "a@x"), ("p2", "email", "b@x"),   # multi-valued
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    assert haskey_sameas_edges(df).collect() == []
+
+
+def test_haskey_star_not_quadratic(spark):
+    rows = _key_axiom("Person", ["ssn"], "c")
+    rows += [(f"p{i}", "rdf:type", "Person") for i in range(6)]
+    rows += [(f"p{i}", "ssn", "S") for i in range(6)]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    edges = {(r.src, r.dst) for r in haskey_sameas_edges(df).collect()}
+    # group-min star: 5 edges to the lexicographic min, not 15 pairs
+    assert edges == {(f"p{i}", "p0") for i in range(1, 6)}
+
+
+def test_key_smush_composes_and_drops_bookkeeping(spark):
+    rows = _key_axiom("Person", ["ssn"], "d") + [
+        ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Person"),
+        ("p1", "ssn", "S1"), ("p2", "ssn", "S1"),
+        ("p2", "owl:sameAs", "p9"),          # asserted chains the class
+        ("p9", "knows", "p1"),
+        ("other", "rdf:first", "keepme"),    # unrelated list survives
+        ("other", "rdf:rest", "rdf:nil"),
+    ]
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    out = {(r.s, r.p, r.o) for r in key_smush(df).collect()}
+    # p1, p2, p9 collapse to one representative
+    reps = {s for (s, p, o) in out if p == "ssn"}
+    assert len(reps) == 1
+    rep = reps.pop()
+    assert (rep, "knows", rep) in out
+    assert (rep, "rdf:type", "Person") in out
+    # hasKey axiom + ITS list cells gone; unrelated list intact
+    assert not any(p == "owl:hasKey" for (_, p, _) in out)
+    assert not any(s.startswith("_:kd") for (s, _, _) in out)
+    assert ("other", "rdf:first", "keepme") in out
