@@ -82,6 +82,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="materialize the RDFS closure delta over the graph "
                         "(kg vocabulary schema + forward chaining) as an "
                         "'entailed' snapshot stage")
+    k.add_argument("--consistency", action="store_true",
+                   help="run the OWL 2 RL contradiction report over the "
+                        "final graph (class-disjointness safety net) as a "
+                        "'consistency' snapshot stage")
     k.add_argument("--export-ntriples", default=None, metavar="DIR",
                    help="also export the final graph as distributed "
                         "N-Triples part files under DIR")
@@ -298,7 +302,7 @@ def cmd_kg(args) -> int:
         transcripts=transcripts, input_fp=input_fp,
         jaccard_threshold=args.jaccard_threshold, spec_rules=spec_rules,
         registry=registry, coref=args.coref, entail=args.entail,
-        tool_results=tool_results)
+        consistency=args.consistency, tool_results=tool_results)
     for name, m in manifests.items():
         extra = ""
         if m["metrics"].get("counts"):

@@ -32,6 +32,12 @@ at the first uncommitted stage and recomputes nothing before it):
 - entailed:    (optional, entail=True / --entail) RDFS closure delta over
                the graph ∪ the KG vocabulary schema (operators.entailment
                with full-IRI predicate names)
+- consistency: (optional, consistency=True / --consistency) OWL 2 RL
+               contradiction report (operators.entailment.owl_consistency)
+               over the graph ∪ pairwise-disjointness declarations for the
+               KG vocabulary's top classes — an extraction-invariant
+               safety net (no subject may be typed Conversation AND Turn
+               AND/OR Entity); expected empty on healthy runs
 
 Every stage stays DataFrame/SQL + Arrow-vectorized UDFs (input_hint: no
 per-row Python).
@@ -63,6 +69,7 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
                  registry_ns: str = "http://ericsson.com/models/3gpp/registry#",
                  coref: bool = False,
                  entail: bool = False,
+                 consistency: bool = False,
                  tool_results: DataFrame | None = None,
                  ) -> dict:
     """Run (or resume) the full pipeline; returns per-stage manifests.
@@ -224,6 +231,31 @@ def run_pipeline(spark: SparkSession, workdir: str | pathlib.Path,
 
         stage("entailed", fp_en, _entailed,
               partition_by=["pred"], count_by=["pred"])
+
+    # -- OWL consistency report (optional) ------------------------------------
+    if consistency:
+        from ..operators.entailment import owl_consistency
+
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        fp_cs = fingerprint(fp_g, "consistency", "v1")
+
+        def _consistency():
+            # pairwise disjointness over the vocabulary's top classes —
+            # broadcast-tiny declarations; instance work is one type
+            # self-join (see owl_consistency's scale notes). The compact
+            # "owl:disjointWith" spelling is the declaration predicate
+            # owl_consistency matches on; class terms stay full-IRI.
+            classes = [KG_NS + "Conversation", KG_NS + "Turn",
+                       KG_NS + "Entity"]
+            decls = spark.createDataFrame(
+                [(a, "owl:disjointWith", b)
+                 for i, a in enumerate(classes)
+                 for b in classes[i + 1:]], ["s", "p", "o"])
+            return owl_consistency(
+                graph.select("s", "p", "o").unionByName(decls),
+                type_pred=rdf_type)
+
+        stage("consistency", fp_cs, _consistency, count_by=["rule"])
 
     # -- coref recovery (optional): pronoun turns -> kg#mentions -------------
     if coref:

@@ -938,13 +938,16 @@ def test_pipeline_all_optional_stages_together(spark, tmp_path):
     m1 = run_pipeline(spark, wd, n_convs=150, seed=7,
                       spec_rules=spec_rules,
                       registry=entity_registry_df(spark),
-                      coref=True, entail=True)
+                      coref=True, entail=True, consistency=True)
     expected = {"transcripts", "extract", "entities", "canonical_map",
-                "graph", "violations", "entailed", "coref", "links"}
+                "graph", "violations", "entailed", "coref", "links",
+                "consistency"}
     assert expected <= set(m1)
     assert m1["violations"]["metrics"]["rows"] == 0   # clean corpus
     assert m1["entailed"]["metrics"]["rows"] > 0
     assert m1["links"]["metrics"]["rows"] > 0
+    # extraction invariant: no subject typed with two disjoint top classes
+    assert m1["consistency"]["metrics"]["rows"] == 0
 
     # cross-stage consistency: every entity the linker linked exists in
     # the graph, and its entailed kg#Entity type is present
@@ -963,7 +966,7 @@ def test_pipeline_all_optional_stages_together(spark, tmp_path):
     m2 = run_pipeline(spark, wd, n_convs=150, seed=7,
                       spec_rules=spec_rules,
                       registry=entity_registry_df(spark),
-                      coref=True, entail=True)
+                      coref=True, entail=True, consistency=True)
     for stage in expected:
         assert m2[stage]["committed_at"] == m1[stage]["committed_at"], stage
 
