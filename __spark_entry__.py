@@ -3327,6 +3327,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_class string, q_datatype string, q_min int, q_max int")
         return qualified_shape_violations(triples, qrules)
 
+    def q_sparql_star(spark, sf_dir):
+        """SPARQL-star quoted triples (sparql.py << >>): orders edges are
+        reified + confidence-annotated (operators.rdfstar); the query
+        binds the quoted triple's terms through the reification layer and
+        filters on the annotation. DuckDB enumerates the expected
+        bindings directly."""
+        from openapi_to_rdf_spark.operators.rdfstar import annotate, reify
+        from openapi_to_rdf_spark.sparql import sparql_query
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        wide = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select(F.concat(F.lit("o#"), st(F.col("o_orderkey")))
+                        .alias("s"),
+                        F.lit("urn:p:cust").alias("p"),
+                        F.concat(F.lit("c#"), st(F.col("o_custkey")))
+                        .alias("o"),
+                        st(F.col("o_orderkey") % 100).alias("conf")))
+        base = wide.select("s", "p", "o")
+        store = (base.unionByName(reify(base))
+                 .unionByName(annotate(wide, {"conf": "urn:p:conf"})))
+        return sparql_query(store, """
+            SELECT ?ord ?cust ?x WHERE {
+              << ?ord <urn:p:cust> ?cust >> <urn:p:conf> ?x .
+              FILTER (?x = "7")
+            }""")
+
     def q_kg_haskey(spark, sf_dir):
         """OWL 2 RL prp-key (entailment.haskey_sameas_edges): customers
         typed Person with a composite owl:hasKey (area, serial) =
@@ -3627,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_chain": q_owl_chain,
         "owl_inconsistencies": q_owl_inconsistencies,
         "kg_haskey": q_kg_haskey,
+        "sparql_star": q_sparql_star,
         "kg_qualified_violations": q_kg_qualified_violations,
         "kg_pair_violations": q_kg_pair_violations,
         "kg_dangling": q_kg_dangling,
@@ -7487,6 +7514,12 @@ def oracle_sql() -> dict[str, str]:
                    'conforming=' || CAST(n AS VARCHAR)
                      || ' min=1 max=2' AS detail
             FROM j WHERE n < 1 OR n > 2
+        """,
+        "sparql_star": """
+            SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS ord,
+                   'c#' || CAST(o_custkey AS VARCHAR) AS cust,
+                   CAST(o_orderkey % 100 AS VARCHAR) AS x
+            FROM orders WHERE o_orderkey % 100 = 7
         """,
         "kg_haskey": """
             WITH c AS (SELECT DISTINCT

@@ -196,6 +196,10 @@ class _Parser:
         self.i = 0
         self.prefixes = dict(DEFAULT_PREFIXES)
         self._bnode_n = 0
+        self._qt_n = 0
+        # quoted triples with variables enqueue (stmt_var, s, p, o) here;
+        # parse_triples_block drains them into reification patterns
+        self._pending_quoted: list[tuple] = []
 
     # ---- token plumbing ----------------------------------------------
     def peek(self, ahead: int = 0):
@@ -245,6 +249,8 @@ class _Parser:
 
     def parse_term(self, *, as_object: bool = False) -> str:
         kind, val, pos = self.peek()
+        if kind == "OP" and val == "<" and self.at("OP", "<", ahead=1):
+            return self._parse_quoted_triple()
         if kind == "VAR":
             self.eat()
             return "?" + val[1:]
@@ -283,6 +289,49 @@ class _Parser:
             return val.lower()
         raise SparqlSyntaxError(f"expected an RDF term at offset {pos}, "
                                 f"got {val!r}")
+
+    # ---- RDF-star quoted triples ---------------------------------------
+    def _parse_quoted_triple(self) -> str:
+        """``<< s p o >>`` (SPARQL-star) in subject/object position.
+
+        Ground quoted triples resolve AT PARSE TIME to the statement's
+        content-addressed skolem IRI (operators.rdfstar.statement_id:
+        ``urn:stmt:md5(s\\x01p\\x01o)``) — matching annotations written by
+        rdfstar.annotate with no extra patterns. A quoted triple holding
+        VARIABLES compiles to a fresh statement variable plus
+        rdf:subject / rdf:predicate / rdf:object patterns, i.e. it
+        queries the reified layer (rdfstar.reify) — documented
+        requirement: variable quoted triples need the reification rows
+        in the store."""
+        self.expect("OP", "<")
+        self.expect("OP", "<")
+        qs = self.parse_term()
+        if self.at("NAME", "a") or self.at("KW", "A"):
+            self.eat()
+            qp = RDF_TYPE
+        else:
+            qp = self.parse_term()
+        qo = self.parse_term(as_object=True)
+        self.expect("OP", ">")
+        self.expect("OP", ">")
+        if not any(t.startswith("?") for t in (qs, qp, qo)):
+            import hashlib
+
+            digest = hashlib.md5(
+                "\x01".join((qs, qp, qo)).encode()).hexdigest()
+            return "urn:stmt:" + digest
+        self._qt_n += 1
+        qv = f"?_qt{self._qt_n}"
+        self._pending_quoted.append((qv, qs, qp, qo))
+        return qv
+
+    def _drain_quoted(self, patterns: list):
+        rdf = DEFAULT_PREFIXES["rdf"]
+        for qv, qs, qp, qo in self._pending_quoted:
+            patterns.append((qv, rdf + "subject", qs))
+            patterns.append((qv, rdf + "predicate", qp))
+            patterns.append((qv, rdf + "object", qo))
+        self._pending_quoted.clear()
 
     # ---- property paths ----------------------------------------------
     def parse_path(self):
@@ -363,10 +412,12 @@ class _Parser:
                 verb = self.parse_path()
             obj = self.parse_term(as_object=True)
             patterns.append((subj, verb, obj))
+            self._drain_quoted(patterns)
             while self.at("OP", ","):
                 self.eat()
                 patterns.append((subj, verb,
                                  self.parse_term(as_object=True)))
+                self._drain_quoted(patterns)
             if self.at("OP", ";"):
                 self.eat()
                 while self.at("OP", ";"):
@@ -807,6 +858,10 @@ def parse_query(text: str) -> Query:
     p.parse_prologue()
     q = p._parse_query_body()
     p.expect("EOF")
+    if p._pending_quoted:
+        raise SparqlSyntaxError(
+            "quoted triples with variables are only supported inside "
+            "triple blocks")
     return q
 
 

@@ -411,3 +411,64 @@ def test_from_named_restricts_graph_patterns(spark):
 def test_from_requires_quad_frame(g):
     with pytest.raises(ValueError, match="quad"):
         sparql_query(g, PFX + "SELECT ?s FROM <g1> WHERE { ?s ex:p ?o }")
+
+
+# ------------------------------------------------------ SPARQL-star << >>
+
+def _star_graph(spark):
+    """Base edges + their reification + one confidence annotation each
+    (the rdfstar emission modes a triple factory materializes)."""
+    from openapi_to_rdf_spark.operators.rdfstar import annotate, reify
+
+    base = [("t1", EX + "mentions", "e1", "0.90"),
+            ("t2", EX + "mentions", "e2", "0.20"),
+            ("t1", EX + "role", "user", "0.99")]
+    wide = spark.createDataFrame(base, ["s", "p", "o", "confidence"])
+    bdf = wide.select("s", "p", "o")
+    ann = annotate(wide, {"confidence": EX + "conf"})
+    return bdf.unionByName(reify(bdf)).unionByName(ann)
+
+
+def test_star_ground_quoted_triple(spark):
+    g = _star_graph(spark)
+    got = sparql_query(g, f"""{PFX}
+        SELECT ?c WHERE {{ << <t2> ex:mentions <e2> >> ex:conf ?c }}""")
+    assert [r.c for r in got.collect()] == ["0.20"]
+
+
+def test_star_variable_quoted_triple(spark):
+    g = _star_graph(spark)
+    got = sparql_query(g, f"""{PFX}
+        SELECT ?t ?e ?c WHERE {{
+          << ?t ex:mentions ?e >> ex:conf ?c .
+          FILTER (?c >= "0.5")
+        }} ORDER BY ?t""")
+    assert [(r.t, r.e, r.c) for r in got.collect()] == [("t1", "e1", "0.90")]
+
+
+def test_star_joins_base_graph(spark):
+    g = _star_graph(spark)
+    # quoted-triple metadata joined with an ordinary pattern on the base
+    got = sparql_query(g, f"""{PFX}
+        SELECT ?e WHERE {{
+          ?t ex:role "user" .
+          << ?t ex:mentions ?e >> ex:conf ?c .
+        }}""")
+    assert [r.e for r in got.collect()] == ["e1"]
+
+
+def test_star_construct_with_ground_quoted_subject(spark):
+    g = _star_graph(spark)
+    got = sparql_query(g, f"""{PFX}
+        CONSTRUCT {{ << <t1> ex:mentions <e1> >> ex:reviewed "yes" }}
+        WHERE {{ ?t ex:role "user" }}""")
+    rows = got.collect()
+    assert len(rows) == 1
+    import hashlib
+    stmt = "urn:stmt:" + hashlib.md5(
+        "\x01".join(("t1", EX + "mentions", "e1")).encode()).hexdigest()
+    assert (rows[0].s, rows[0].p, rows[0].o) == (stmt, EX + "reviewed",
+                                                 "yes")
+    # and it matches the id rdfstar.annotate minted
+    assert g.filter((F.col("s") == stmt)
+                    & (F.col("p") == EX + "conf")).count() == 1
