@@ -925,7 +925,8 @@ def owl_consistency(triples: DataFrame, *,
            .dropDuplicates())
     e1 = (t.join(b(pdw), t["p"] == pdw["p1"])
           .select("s", "p", "o", "p2").dropDuplicates())
-    e2 = (t.join(b(pdw.select("p2")), t["p"] == pdw["p2"], "left_semi")
+    e2 = (t.join(b(pdw.select(F.col("p2").alias("p")).dropDuplicates()),
+                 "p", "left_semi")
           .select(F.col("p").alias("p2"), "s", "o").dropDuplicates())
     reports.append(rep(
         e1.join(e2, ["p2", "s", "o"], "left_semi"),

@@ -33,6 +33,8 @@ AUDIT = [
     "kg_class_violations", "kg_validation_report", "rule_conflicts",
     "list_integrity", "graph_digest", "discover_keys", "statement_graph",
     "list_member_check",
+    "owl_chain", "kg_pair_violations", "owl_inconsistencies",
+    "parse_jsonld", "kg_haskey", "kg_qualified_violations", "sparql_star",
 ]
 
 
