@@ -106,6 +106,14 @@ def main() -> None:
           "zero CartesianProduct anywhere; zero Python in the extraction "
           "and validation hot paths; broadcast (never sort-merge) for "
           "every vocabulary/dimension join.")
+    print()
+    print("Note: owl_inconsistencies' BNLJ count is a FIXTURE artifact — "
+          "the driver query synthesizes its store as a union of branches "
+          "whose predicate is a constant, so Catalyst folds each branch's "
+          "declared-predicate semi-join into a LocalLimit-1 existence "
+          "probe (BroadcastNestedLoopJoin over a 1-row build side, "
+          "condition constant per branch). Over a real table scan the "
+          "same join plans as a broadcast hash semi-join on p.")
     spark.stop()
 
 
