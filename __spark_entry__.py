@@ -3327,6 +3327,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_class string, q_datatype string, q_min int, q_max int")
         return qualified_shape_violations(triples, qrules)
 
+    def q_order_similarity(spark, sf_dir):
+        """Neighbor-set Jaccard (graphrank.node_jaccard): orders related
+        by shared parts (bipartite order->part edges from lineitem),
+        integer-exact threshold sim >= 1/5 via cross-multiplication —
+        no float division, so DuckDB reproduces it bit-for-bit."""
+        from openapi_to_rdf_spark.operators.graphrank import node_jaccard
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        edges = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                 .select(F.concat(F.lit("o#"), st(F.col("l_orderkey")))
+                         .alias("src"),
+                         F.col("l_partkey").cast("string").alias("dst")))
+        return node_jaccard(edges, threshold=(1, 5))
+
     def q_sparql_star(spark, sf_dir):
         """SPARQL-star quoted triples (sparql.py << >>): orders edges are
         reified + confidence-annotated (operators.rdfstar); the query
@@ -3654,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_inconsistencies": q_owl_inconsistencies,
         "kg_haskey": q_kg_haskey,
         "sparql_star": q_sparql_star,
+        "order_similarity": q_order_similarity,
         "kg_qualified_violations": q_kg_qualified_violations,
         "kg_pair_violations": q_kg_pair_violations,
         "kg_dangling": q_kg_dangling,
@@ -7514,6 +7529,21 @@ def oracle_sql() -> dict[str, str]:
                    'conforming=' || CAST(n AS VARCHAR)
                      || ' min=1 max=2' AS detail
             FROM j WHERE n < 1 OR n > 2
+        """,
+        "order_similarity": """
+            WITH e AS (SELECT DISTINCT
+                         'o#' || CAST(l_orderkey AS VARCHAR) AS u,
+                         CAST(l_partkey AS VARCHAR) AS n
+                       FROM lineitem),
+            deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+            co AS (SELECT a.u AS u, b.u AS v, COUNT(*) AS shared
+                   FROM e a JOIN e b ON a.n = b.n AND a.u < b.u
+                   GROUP BY a.u, b.u)
+            SELECT co.u, co.v, shared,
+                   d1.deg + d2.deg - shared AS union_size
+            FROM co JOIN deg d1 ON co.u = d1.u
+                    JOIN deg d2 ON co.v = d2.u
+            WHERE shared * 5 >= (d1.deg + d2.deg - shared) * 1
         """,
         "sparql_star": """
             SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS ord,

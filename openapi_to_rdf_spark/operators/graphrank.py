@@ -472,3 +472,57 @@ def hits(edges: DataFrame, iterations: int = 2, src_col: str = "src",
             .select("node",
                     (F.col("auth") / F.col("ma")).alias("auth"),
                     (F.col("hub") / F.col("mh")).alias("hub")))
+
+
+def node_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 min_shared: int = 1,
+                 threshold: tuple[int, int] | None = None,
+                 neighbor_cap: int | None = None) -> DataFrame:
+    """Neighbor-set Jaccard similarity between source nodes: for every
+    unordered pair (u, v) sharing at least ``min_shared`` distinct
+    neighbors, returns (u, v, shared, union_size) where
+    ``sim = shared / union_size``. Co-mention-style KG relatedness
+    ("entities referenced by similar turn sets") without embeddings.
+
+    INTEGER-EXACT by design: no float division anywhere — the optional
+    ``threshold=(num, den)`` keeps pairs with sim ≥ num/den via the
+    cross-multiplied inequality ``shared * den >= union_size * num``, so
+    results are engine-portable bit-for-bit (the DuckDB oracle runs the
+    same arithmetic).
+
+    Scale shape: pairs are generated by the textbook co-neighbor
+    self-join keyed on the NEIGHBOR — per-neighbor work is quadratic in
+    that neighbor's fan-in, which is exactly where web-scale graphs
+    explode (a celebrity neighbor shared by 10^6 sources = 10^12
+    pairs). ``neighbor_cap`` drops neighbors whose fan-in exceeds the
+    cap BEFORE pairing (the stop-list discipline ngram_jaccard_pairs
+    uses); capped results are a documented under-count of ``shared``
+    (union_size stays exact), the safe direction for similarity
+    screening. Leave it None for exact results on bounded-fan-in
+    graphs."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("n"))
+         .dropDuplicates())
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+
+    pair_src = e
+    if neighbor_cap is not None:
+        fan = (e.groupBy("n").agg(F.count("*").alias("fan"))
+               .filter(F.col("fan") <= neighbor_cap)
+               .select("n"))
+        pair_src = e.join(F.broadcast(fan), "n", "left_semi")
+
+    right = pair_src.select(F.col("u").alias("v"), "n")
+    co = (pair_src.join(right, "n")
+          .filter(F.col("u") < F.col("v"))
+          .groupBy("u", "v").agg(F.count("*").alias("shared"))
+          .filter(F.col("shared") >= min_shared))
+    out = (co.join(deg, "u")
+           .join(deg.select(F.col("u").alias("v"),
+                            F.col("deg").alias("deg_v")), "v")
+           .select("u", "v", "shared",
+                   (F.col("deg") + F.col("deg_v") - F.col("shared"))
+                   .alias("union_size")))
+    if threshold is not None:
+        num, den = threshold
+        out = out.filter(F.col("shared") * den >= F.col("union_size") * num)
+    return out

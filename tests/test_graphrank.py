@@ -325,3 +325,59 @@ def test_sssp_guards(spark):
         + [("a", "n0", 1.0)], ["src", "dst", "weight"])
     with pytest.raises(RuntimeError, match="converge"):
         shortest_paths(chain, srcs, max_rounds=2)
+
+
+# -------------------------------------------------------------- node_jaccard
+
+def test_node_jaccard_exact(spark):
+    from openapi_to_rdf_spark.operators.graphrank import node_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"),
+         ("b", "x"), ("b", "y"),
+         ("c", "z"),
+         ("d", "q")], ["src", "dst"])
+    got = {(r.u, r.v): (r.shared, r.union_size)
+           for r in node_jaccard(edges).collect()}
+    # a∩b = {x,y} (2), union 3; a∩c = {z} (1), union 3; b∩c none; d isolated
+    assert got == {("a", "b"): (2, 3), ("a", "c"): (1, 3)}
+
+
+def test_node_jaccard_threshold_integer_exact(spark):
+    from openapi_to_rdf_spark.operators.graphrank import node_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "x"),
+         ("c", "w"), ("c", "v")], ["src", "dst"])
+    # sim(a,b)=2/2=1.0; sim(a,c)=1/4; sim(b,c)=1/4 — threshold 1/3 keeps ab
+    got = {(r.u, r.v) for r in
+           node_jaccard(edges, threshold=(1, 3)).collect()}
+    assert got == {("a", "b")}
+
+
+def test_node_jaccard_neighbor_cap_undercounts_shared_only(spark):
+    from openapi_to_rdf_spark.operators.graphrank import node_jaccard
+
+    # 'hub' is shared by all three; 'x' only by a, b
+    edges = spark.createDataFrame(
+        [(u, "hub") for u in ("a", "b", "c")]
+        + [("a", "x"), ("b", "x")], ["src", "dst"])
+    capped = {(r.u, r.v): (r.shared, r.union_size)
+              for r in node_jaccard(edges, neighbor_cap=2).collect()}
+    # hub (fan-in 3) excluded from pairing: only (a,b) via x survives;
+    # union_size stays exact (degrees include the hub edge)
+    assert capped == {("a", "b"): (1, 3)}
+    exact = {(r.u, r.v): (r.shared, r.union_size)
+             for r in node_jaccard(edges).collect()}
+    assert exact[("a", "b")] == (2, 2)
+    assert ("a", "c") in exact and ("b", "c") in exact
+
+
+def test_node_jaccard_duplicate_edges_ignored(spark):
+    from openapi_to_rdf_spark.operators.graphrank import node_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "x"), ("b", "x")], ["src", "dst"])
+    got = {(r.u, r.v): (r.shared, r.union_size)
+           for r in node_jaccard(edges).collect()}
+    assert got == {("a", "b"): (1, 1)}
