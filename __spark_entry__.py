@@ -3402,8 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted contradictions over customer keys — disjoint Gold/Silver
         co-typing (k%15), sameAs+differentFrom (k%11), irreflexive
         self-loops (k%7), asymmetric reverse pairs (k%9), disjoint
-        properties sharing (s, o) (k%13). DuckDB enumerates each rule's
-        expected violation set."""
+        properties sharing (s, o) (k%13), AllDisjointClasses double
+        tiers (k%17), AllDifferent members merged by sameAs (k%19).
+        DuckDB enumerates each rule's expected violation set."""
         from openapi_to_rdf_spark.operators.entailment import (
             owl_consistency)
 
@@ -3420,12 +3421,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              o if not isinstance(o, str)
                              else F.lit(o).alias("o"))
 
+        alias2 = F.concat(F.lit("alias2#"), st(F.col("k")))
         schema = spark.createDataFrame(
             [("Gold", "owl:disjointWith", "Silver"),
              ("refersTo", "rdf:type", "owl:IrreflexiveProperty"),
              ("owes", "rdf:type", "owl:AsymmetricProperty"),
-             ("likes", "owl:propertyDisjointWith", "dislikes")],
+             ("likes", "owl:propertyDisjointWith", "dislikes"),
+             # n-ary: AllDisjointClasses (Tier1 Tier2 Tier3)
+             ("_:adc", "rdf:type", "owl:AllDisjointClasses"),
+             ("_:adc", "owl:members", "_:m0"),
+             ("_:m0", "rdf:first", "Tier1"), ("_:m0", "rdf:rest", "_:m1"),
+             ("_:m1", "rdf:first", "Tier2"), ("_:m1", "rdf:rest", "_:m2"),
+             ("_:m2", "rdf:first", "Tier3"),
+             ("_:m2", "rdf:rest", "rdf:nil")],
             ["s", "p", "o"])
+
+        def adiff(df):
+            # per-customer AllDifferent (c#k alias2#k): axiom node +
+            # distinctMembers list, cells keyed by k
+            cell = lambda tag: F.concat(F.lit(tag), st(F.col("k")))  # noqa: E731,E501
+            rows = [
+                (cell("_:ad"), "rdf:type", F.lit("owl:AllDifferent")),
+                (cell("_:ad"), "owl:distinctMembers", cell("_:d0")),
+                (cell("_:d0"), "rdf:first", c),
+                (cell("_:d0"), "rdf:rest", cell("_:d1")),
+                (cell("_:d1"), "rdf:first", alias2),
+                (cell("_:d1"), "rdf:rest", F.lit("rdf:nil")),
+            ]
+            out = None
+            for sc, pc, oc in rows:
+                part = df.select(
+                    (sc if not isinstance(sc, str) else F.lit(sc))
+                    .alias("s"), F.lit(pc).alias("p"),
+                    (oc if not isinstance(oc, str) else F.lit(oc))
+                    .alias("o"))
+                out = part if out is None else out.unionAll(part)
+            return out
+
         triples = (
             schema
             .unionAll(tr(kk.filter(F.col("k") % 3 == 0), c, "rdf:type",
@@ -3440,7 +3472,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionAll(tr(kk.filter(F.col("k") % 9 == 0), cnext, "owes", c))
             .unionAll(tr(kk, c, "likes", v))
             .unionAll(tr(kk.filter(F.col("k") % 13 == 0), c, "dislikes",
-                         v)))
+                         v))
+            # cax-adc: k%17 customers typed with TWO disjoint tiers
+            .unionAll(tr(kk.filter(F.col("k") % 17 == 0), c, "rdf:type",
+                         F.lit("Tier1")))
+            .unionAll(tr(kk.filter(F.col("k") % 17 == 0), c, "rdf:type",
+                         F.lit("Tier3")))
+            # eq-diff2: AllDifferent axiom per customer; sameAs between
+            # the pair only for k%19 — only those fire
+            .unionAll(adiff(kk))
+            .unionAll(tr(kk.filter(F.col("k") % 19 == 0), c,
+                         "owl:sameAs", alias2)))
         return owl_consistency(triples)
 
     def q_owl_chain(spark, sf_dir):
@@ -7617,6 +7659,15 @@ def oracle_sql() -> dict[str, str]:
                    'v#' || CAST(k % 50 AS VARCHAR),
                    'same (s, o) also under disjoint property dislikes'
             FROM k WHERE k % 13 = 0
+            UNION ALL
+            SELECT 'cax-adc', c, 'rdf:type', 'Tier1',
+                   'also typed disjoint class Tier3'
+            FROM k WHERE k % 17 = 0
+            UNION ALL
+            SELECT 'eq-diff2', c, 'owl:differentFrom',
+                   'alias2#' || CAST(k AS VARCHAR),
+                   'also owl:sameAs alias2#' || CAST(k AS VARCHAR)
+            FROM k WHERE k % 19 = 0
         """,
         "kg_pair_violations": """
             -- SHACL set semantics per focus node: the synthetic lineitem

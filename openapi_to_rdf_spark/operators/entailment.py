@@ -840,6 +840,10 @@ def owl_chain_entail(triples: DataFrame, *,
 
 OWL_DW = "owl:disjointWith"
 OWL_DIFF = "owl:differentFrom"
+OWL_ADC = "owl:AllDisjointClasses"
+OWL_ADIFF = "owl:AllDifferent"
+OWL_MEMBERS = "owl:members"
+OWL_DISTINCT = "owl:distinctMembers"
 OWL_IRP = "owl:IrreflexiveProperty"
 OWL_ASYP = "owl:AsymmetricProperty"
 OWL_PDW = "owl:propertyDisjointWith"
@@ -852,13 +856,22 @@ def owl_consistency(triples: DataFrame, *,
     contradictions rather than missing structure):
 
       eq-diff1  (x sameAs y), (x differentFrom y)            → false
+      eq-diff2/3 (z AllDifferent members (..x..y..)), (x sameAs y) → false
       cax-dw    (C1 disjointWith C2), (x type C1), (x type C2) → false
+      cax-adc   (z AllDisjointClasses members (..Ci..Cj..)),
+                (x type Ci), (x type Cj)                      → false
       prp-irp   (p type IrreflexiveProperty), (x p x)        → false
       prp-asyp  (p type AsymmetricProperty), (x p y), (y p x) → false
       prp-pdw   (p1 propertyDisjointWith p2), (x p1 y), (x p2 y) → false
 
     Returns a report (rule, s, p, o, detail), one row per contradiction —
     run it before canonicalization merges identities a human should audit.
+    The n-ary axioms (owl:AllDisjointClasses / owl:AllDifferent with
+    owl:members / owl:distinctMembers lists) are harvested driver-side
+    (ontology-sized by construction) and expanded into the SAME pairwise
+    tables the binary rules use — member lists are small, so the n²
+    expansion is a vocabulary cost, never an instance cost. eq-diff2/3
+    reports carry p = owl:differentFrom (the implied assertion).
 
     Scale design: every schema side (disjointWith / propertyDisjointWith
     pairs, irreflexive / asymmetric declarations) is vocabulary-sized and
@@ -869,40 +882,76 @@ def owl_consistency(triples: DataFrame, *,
     magnitude smaller than the corpus."""
     t = triples.select("s", "p", "o")
     b = F.broadcast
+    spark = t.sparkSession
 
     def rep(df, rule, detail):
-        return df.select(F.lit(rule).alias("rule"), "s", "p", "o",
+        rule_c = F.lit(rule) if isinstance(rule, str) else rule
+        return df.select(rule_c.alias("rule"), "s", "p", "o",
                          detail.alias("detail"))
 
     reports = []
 
-    # eq-diff1 — catch both orientations of either assertion
+    # n-ary axiom expansion (driver-side, ontology-sized): member lists
+    # of typed owl:AllDisjointClasses / owl:AllDifferent nodes become
+    # pairwise rows merged into the binary rules' broadcast tables
+    nary = _declared(t, type_pred, OWL_ADC, OWL_ADIFF)
+    members, _ = _harvest_axiom_lists(t, OWL_MEMBERS)
+    distinct_m, _ = _harvest_axiom_lists(t, OWL_DISTINCT)
+
+    def _pairwise(axiom_nodes, pools):
+        pairs = []
+        for z in axiom_nodes:
+            for pool in pools:
+                ms = pool.get(z, [])
+                pairs += [(a, c) for i, a in enumerate(ms)
+                          for c in ms[i + 1:]]
+        return pairs
+
+    adc_pairs = _pairwise(nary[OWL_ADC], [members])
+    adiff_pairs = _pairwise(nary[OWL_ADIFF], [members, distinct_m])
+
+    # eq-diff1 — catch both orientations of either assertion;
+    # eq-diff2/3 — AllDifferent member pairs run through the same join,
+    # reported with the implied owl:differentFrom assertion
     same = (t.filter(F.col("p") == OWL_SAME).select("s", "o"))
     same_sym = same.unionAll(
         same.select(F.col("o").alias("s"), F.col("s").alias("o")))
     diff = (t.filter(F.col("p") == OWL_DIFF)
-            .select("s", F.lit(OWL_DIFF).alias("p"), "o"))
+            .select("s", F.lit(OWL_DIFF).alias("p"), "o")
+            .withColumn("rule", F.lit("eq-diff1")))
+    if adiff_pairs:
+        diff = diff.unionByName(spark.createDataFrame(
+            [(a, OWL_DIFF, c, "eq-diff2") for a, c in adiff_pairs],
+            ["s", "p", "o", "rule"]))
+    # either orientation of the pair may carry the sameAs assertion
+    diff_hits = (diff.join(same_sym.dropDuplicates(), ["s", "o"],
+                           "left_semi"))
     reports.append(rep(
-        diff.join(same_sym.dropDuplicates(), ["s", "o"], "left_semi"),
-        "eq-diff1", F.concat(F.lit("also owl:sameAs "), F.col("o"))))
+        diff_hits, F.col("rule"),
+        F.concat(F.lit("also owl:sameAs "), F.col("o"))))
 
-    # cax-dw
+    # cax-dw (+ cax-adc via the same pairwise table)
     dw = (t.filter(F.col("p") == OWL_DW)
           .select(F.col("s").alias("c1"), F.col("o").alias("c2"))
-          .dropDuplicates())
+          .withColumn("rule", F.lit("cax-dw")))
+    if adc_pairs:
+        dw = dw.unionByName(spark.createDataFrame(
+            [(a, c, "cax-adc") for a, c in adc_pairs],
+            ["c1", "c2", "rule"]))
+    dw = dw.dropDuplicates(["c1", "c2", "rule"])
     types = (t.filter(F.col("p") == type_pred)
              .select(F.col("s").alias("x"), F.col("o").alias("c"))
              .dropDuplicates())
     both = (types.join(b(dw), types["c"] == dw["c1"])
-            .select("x", "c1", "c2")
+            .select("x", "c1", "c2", "rule")
             .join(types.withColumnRenamed("c", "c2"), ["x", "c2"],
                   "left_semi"))
     reports.append(rep(
         both.select(F.col("x").alias("s"),
                     F.lit(type_pred).alias("p"),
-                    F.col("c1").alias("o"), "c2"),
-        "cax-dw", F.concat(F.lit("also typed disjoint class "),
-                           F.col("c2"))))
+                    F.col("c1").alias("o"), "c2", "rule"),
+        F.col("rule"), F.concat(F.lit("also typed disjoint class "),
+                                F.col("c2"))))
 
     # prp-irp / prp-asyp: declared property sets (vocabulary-sized)
     decl = _declared(t, type_pred, OWL_IRP, OWL_ASYP)

@@ -431,3 +431,32 @@ def test_key_smush_composes_and_drops_bookkeeping(spark):
     assert not any(p == "owl:hasKey" for (_, p, _) in out)
     assert not any(s.startswith("_:kd") for (s, _, _) in out)
     assert ("other", "rdf:first", "keepme") in out
+
+
+def test_all_disjoint_classes_and_all_different(spark):
+    rows = [
+        # AllDisjointClasses (Gold Silver Bronze)
+        ("_:adc", "rdf:type", "owl:AllDisjointClasses"),
+        ("_:adc", "owl:members", "_:m0"),
+        ("_:m0", "rdf:first", "Gold"), ("_:m0", "rdf:rest", "_:m1"),
+        ("_:m1", "rdf:first", "Silver"), ("_:m1", "rdf:rest", "_:m2"),
+        ("_:m2", "rdf:first", "Bronze"), ("_:m2", "rdf:rest", "rdf:nil"),
+        ("x", "rdf:type", "Gold"), ("x", "rdf:type", "Bronze"),  # cax-adc
+        ("y", "rdf:type", "Silver"),                              # fine
+        # AllDifferent (a b c) via distinctMembers
+        ("_:ad", "rdf:type", "owl:AllDifferent"),
+        ("_:ad", "owl:distinctMembers", "_:d0"),
+        ("_:d0", "rdf:first", "a"), ("_:d0", "rdf:rest", "_:d1"),
+        ("_:d1", "rdf:first", "b"), ("_:d1", "rdf:rest", "_:d2"),
+        ("_:d2", "rdf:first", "c"), ("_:d2", "rdf:rest", "rdf:nil"),
+        ("b", "owl:sameAs", "c"),                                 # eq-diff2
+        ("a", "owl:sameAs", "q"),                                 # fine
+        # an untyped members list must NOT create disjointness
+        ("_:other", "owl:members", "_:o0"),
+        ("_:o0", "rdf:first", "Gold"), ("_:o0", "rdf:rest", "_:o1"),
+        ("_:o1", "rdf:first", "Zinc"), ("_:o1", "rdf:rest", "rdf:nil"),
+        ("z", "rdf:type", "Gold"), ("z", "rdf:type", "Zinc"),
+    ]
+    got = _report(spark, rows)
+    assert got == {("cax-adc", "x", "rdf:type", "Gold"),
+                   ("eq-diff2", "b", "owl:differentFrom", "c")}
