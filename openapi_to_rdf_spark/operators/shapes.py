@@ -167,6 +167,8 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
     max_inc = _po(shacl, SH + "maxInclusive", "max_inclusive")
     min_len = _po(shacl, SH + "minLength", "min_length")
     max_len = _po(shacl, SH + "maxLength", "max_length")
+    severity = _po(shacl, SH + "severity", "severity", kind="iri")
+    message = _po(shacl, SH + "message", "message")
     in_head = _po(shacl, SH + "in", "head")
     lists = _rdf_lists(shacl)
 
@@ -185,6 +187,8 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         .join(max_inc, ["file", "shape"], "left")
         .join(min_len, ["file", "shape"], "left")
         .join(max_len, ["file", "shape"], "left")
+        .join(severity, ["file", "shape"], "left")
+        .join(message, ["file", "shape"], "left")
         .join(in_head, ["file", "shape"], "left")
         .join(lists, ["file", "head"], "left")
         .join(_alt_value_sets(shacl), ["file", "shape"], "left")
@@ -204,6 +208,9 @@ def shape_rules_from_shacl(shacl: DataFrame) -> DataFrame:
         # emitted only when the datatype is xsd:string, quirk §2.5.8)
         F.col("min_length").cast("int").alias("min_length"),
         F.col("max_length").cast("int").alias("max_length"),
+        # sh:severity / sh:message on the property shape — consumed by
+        # attach_severity (validate_triples output stays 5-column)
+        "severity", "message",
         # property-level sh:xone/or datatype / class alternatives
         "any_datatype", "any_class",
         # inline array properties (sh:node dash:ListShape on the property
@@ -323,6 +330,7 @@ def align_rules_to_namespace(rules: DataFrame, kg_ns: str) -> DataFrame:
 
     extras = [c for c in ("pattern", "min_inclusive", "max_inclusive",
                           "min_length", "max_length",
+                          "severity", "message",
                           "any_datatype", "is_list",
                           "list_member_datatype")
               if c in rules.columns]
@@ -1186,6 +1194,30 @@ _COMPONENT_OF = {
 XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
 
 
+def attach_severity(violations: DataFrame, rules: DataFrame,
+                    default: str | None = None) -> DataFrame:
+    """Add ``severity`` / ``message`` columns to a violations frame from
+    the rules' ``sh:severity`` / ``sh:message`` declarations (SHACL spec
+    §2.1.4-5): one broadcast join on the constrained path; when several
+    rules for the same path declare different values, the lexicographic
+    MIN wins (deterministic). ``default`` fills paths with no declared
+    severity (``sh:Violation`` when None). Kept SEPARATE from
+    validate_triples so the quarantine schema — and every existing
+    oracle — stays 5-column unless a caller opts in."""
+    for c in ("severity", "message"):
+        if c not in rules.columns:
+            rules = rules.withColumn(c, F.lit(None).cast("string"))
+    sev = (rules.groupBy(F.col("path").alias("vp"))
+           .agg(F.min("severity").alias("severity"),
+                F.min("message").alias("message")))
+    return (violations
+            .join(F.broadcast(sev), violations["p"] == F.col("vp"), "left")
+            .drop("vp")
+            .withColumn("severity",
+                        F.coalesce("severity",
+                                   F.lit(default or SH + "Violation"))))
+
+
 def validation_report_triples(violations: DataFrame,
                               file: str = "validation",
                               graph: str = "report") -> DataFrame:
@@ -1235,8 +1267,10 @@ def validation_report_triples(violations: DataFrame,
             .alias("o_datatype"))
 
     report = F.lit("_:report")
+    extra = [c for c in ("severity", "message")
+             if c in violations.columns]
     per_result = (violations.select(rid.alias("rid"), "s", "p", "o",
-                                    "violation", "detail",
+                                    "violation", "detail", *extra,
                                     component.alias("component"))
                   .select(F.explode(F.array(
                       emit(F.col("rid"), F.lit(RDF_TYPE), "iri",
@@ -1246,7 +1280,10 @@ def validation_report_triples(violations: DataFrame,
                       emit(F.col("rid"), F.lit(SH + "resultPath"), "iri",
                            F.col("p")),
                       emit(F.col("rid"), F.lit(SH + "resultSeverity"), "iri",
-                           F.lit(SH + "Violation")),
+                           F.coalesce(F.col("severity"),
+                                      F.lit(SH + "Violation"))
+                           if "severity" in violations.columns
+                           else F.lit(SH + "Violation")),
                       emit(F.col("rid"),
                            F.lit(SH + "sourceConstraintComponent"), "iri",
                            F.col("component")),
@@ -1255,6 +1292,16 @@ def validation_report_triples(violations: DataFrame,
                       F.when(F.col("o").isNotNull(),
                              emit(F.col("rid"), F.lit(SH + "value"),
                                   "literal", F.col("o"))),
+                      # a declared sh:message becomes a SECOND
+                      # resultMessage alongside the diagnostic detail
+                      (F.when(F.col("message").isNotNull(),
+                              emit(F.col("rid"),
+                                   F.lit(SH + "resultMessage"),
+                                   "literal", F.col("message")))
+                       if "message" in violations.columns
+                       else F.lit(None).cast(
+                           "struct<s string, p string, o_kind string, "
+                           "o string, o_datatype string>")),
                       emit(report, F.lit(SH + "result"), "bnode",
                            F.col("rid")),
                   )).alias("t"))

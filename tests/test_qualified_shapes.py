@@ -128,3 +128,61 @@ def test_report_components_cover_qualified(spark):
         qualified_shape_violations(inst, rules)).collect()
     comps = {r.o for r in rep if r.p == SH + "sourceConstraintComponent"}
     assert comps == {SH + "QualifiedMinCountConstraintComponent"}
+
+
+# ------------------------------------------------- sh:severity / sh:message
+
+def test_severity_and_message_passthrough(spark):
+    """Authored sh:severity/sh:message flow: rules pivot them,
+    attach_severity joins them onto violations, and the report carries
+    the declared severity plus BOTH messages."""
+    from openapi_to_rdf_spark.operators.shapes import (
+        attach_severity, shape_rules_from_shacl, validate_triples,
+        validation_report_triples)
+
+    sh = SH
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    shacl = _triples(spark, [
+        ("shapeA", sh + "targetClass", "iri", KG + "Turn"),
+        ("shapeA", sh + "property", "bnode", "ps1"),
+        ("_:ps1", sh + "path", "iri", KG + "role"),
+        ("_:ps1", sh + "datatype", "iri", xsd + "string"),
+        ("_:ps1", sh + "severity", "iri", sh + "Warning"),
+        ("_:ps1", sh + "message", "literal", "role must be a string"),
+    ])
+    rules = shape_rules_from_shacl(shacl)
+    row = rules.collect()[0]
+    assert row["severity"] == sh + "Warning"
+    assert row["message"] == "role must be a string"
+
+    inst = _triples(spark, [
+        ("t1", RDF_TYPE, "iri", KG + "Turn"),
+        ("t1", KG + "role", "literal", "5", xsd + "integer"),
+        ("t1", KG + "other", "literal", "x"),     # unconstrained
+    ])
+    v = validate_triples(inst, rules)
+    assert {r.violation for r in v.collect()} == {"datatypeMismatch"}
+    sv = attach_severity(v, rules)
+    got = sv.collect()
+    assert [(r.severity, r.message) for r in got] == [
+        (sh + "Warning", "role must be a string")]
+
+    rep = validation_report_triples(sv).collect()
+    sevs = {r.o for r in rep if r.p == sh + "resultSeverity"}
+    msgs = {r.o for r in rep if r.p == sh + "resultMessage"}
+    assert sevs == {sh + "Warning"}
+    assert msgs == {"role must be a string",
+                    "expected " + xsd + "string got " + xsd + "integer"}
+
+
+def test_attach_severity_default(spark):
+    from openapi_to_rdf_spark.operators.shapes import attach_severity
+
+    v = spark.createDataFrame(
+        [("s1", KG + "p", "o1", "datatypeMismatch", "d")],
+        ["s", "p", "o", "violation", "detail"])
+    rules = spark.createDataFrame(
+        [("r", None, KG + "p")],
+        "file string, target_class string, path string")
+    got = attach_severity(v, rules).collect()[0]
+    assert got.severity == SH + "Violation" and got.message is None
