@@ -496,6 +496,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         token_count(F.col("text")).cast("long").alias("n_tokens"),
                         F.length("text").cast("long").alias("n_chars_text"))
 
+    def q_doc_readability(spark, sf_dir):
+        """Flesch reading ease (functions.text.flesch_reading_ease):
+        dictionary-free vowel-group syllables, [.!?]+ sentence runs,
+        whitespace words — one codegen projection; e6-scaled so the
+        DuckDB twin is bit-identical."""
+        from openapi_to_rdf_spark.functions.text import (
+            flesch_reading_ease, readability_counts)
+
+        d = _docs(spark, sf_dir)
+        c = readability_counts(F.col("text"))
+        return d.select(
+            "doc_id",
+            c.getField("words").cast("long").alias("words"),
+            c.getField("sentences").cast("long").alias("sentences"),
+            c.getField("syllables").cast("long").alias("syllables"),
+            _e6(flesch_reading_ease(F.col("text"))).alias("flesch_e6"))
+
     def q_doc_quality(spark, sf_dir):
         d = _docs(spark, sf_dir)
         return d.select(
@@ -3572,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ranks": q_event_ranks,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_readability": q_doc_readability,
         "doc_langid": q_doc_langid,
         "exact_dedup": q_exact_dedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -7586,6 +7604,29 @@ def oracle_sql() -> dict[str, str]:
             FROM co JOIN deg d1 ON co.u = d1.u
                     JOIN deg d2 ON co.v = d2.u
             WHERE shared * 5 >= (d1.deg + d2.deg - shared) * 1
+        """,
+        "doc_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS words,
+                     GREATEST(len(regexp_extract_all(trim(text),
+                                                     '[.!?]+')), 1)
+                       AS sentences,
+                     len(regexp_extract_all(lower(trim(text)),
+                                            '[aeiouy]+')) AS syllables
+              FROM documents)
+            SELECT doc_id, words, sentences, syllables,
+                   CASE WHEN words > 0 THEN CAST(ROUND(
+                     (206.835
+                      - 1.015 * (CAST(words AS DOUBLE)
+                                 / CAST(sentences AS DOUBLE))
+                      - 84.6 * (CAST(syllables AS DOUBLE)
+                                / CAST(words AS DOUBLE))) * 1000000)
+                     AS BIGINT) END AS flesch_e6
+            FROM c
         """,
         "sparql_star": """
             SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS ord,

@@ -213,3 +213,39 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
         return F.when(F.size(t) >= n, g).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(toks), grams_of), 1)
+
+
+def readability_counts(col: Column) -> Column:
+    """(words, sentences, syllables) struct for readability formulas —
+    pure codegen, engine-portable by construction:
+
+    - words: whitespace token count;
+    - sentences: runs of ``[.!?]`` (min 1 — a fragment is one sentence);
+    - syllables: vowel-group count over the lowercased text
+      (``[aeiouy]+`` runs), the standard dictionary-free heuristic.
+      No per-word min-1 correction (identical in SQL engines either
+      way; documented bias: all-consonant tokens contribute 0).
+    """
+    t = F.trim(col)
+    words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    return F.struct(words.alias("words"), sentences.alias("sentences"),
+                    syllables.alias("syllables"))
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading ease (Flesch 1948):
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)`` over
+    :func:`readability_counts`; NULL for empty text (no words). A core
+    pretraining quality signal (easy text ↔ high scores) that
+    complements the Gopher rule battery — one codegen projection, zero
+    shuffles."""
+    c = readability_counts(col)
+    w = c.getField("words").cast("double")
+    s = c.getField("sentences").cast("double")
+    y = c.getField("syllables").cast("double")
+    return F.when(w > 0,
+                  F.lit(206.835) - F.lit(1.015) * (w / s)
+                  - F.lit(84.6) * (y / w))

@@ -705,3 +705,24 @@ def test_source_overlap_union_not_bag(spark):
     ], ["doc_id", "source", "text"])
     [r] = source_overlap(docs, n=3).collect()
     assert (r.common, r.n_a, r.n_b, r.jaccard) == (1, 1, 1, 1.0)
+
+
+def test_flesch_reading_ease(spark):
+    from openapi_to_rdf_spark.functions.text import (
+        flesch_reading_ease, readability_counts)
+
+    df = spark.createDataFrame(
+        [("d1", "The cat sat. The dog ran!"),
+         ("d2", ""), ("d3", "syzygy crwth")], ["doc_id", "text"])
+    out = {r.doc_id: (r.c.words, r.c.sentences, r.c.syllables, r.f)
+           for r in df.select(
+               "doc_id",
+               readability_counts(F.col("text")).alias("c"),
+               flesch_reading_ease(F.col("text")).alias("f")).collect()}
+    w, s, y, f = out["d1"]
+    assert (w, s, y) == (6, 2, 6)
+    assert abs(f - (206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6))) < 1e-9
+    assert out["d2"][3] is None          # empty text -> NULL score
+    # all-consonant tokens contribute 0 syllables (documented heuristic);
+    # 'syzygy' has y-groups though: s-Y-z-Y-g-Y -> 3; crwth -> 0
+    assert out["d3"][:3] == (2, 1, 3)
