@@ -145,6 +145,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "expression over bound variables (repeatable)")
     q.add_argument("--explain", action="store_true",
                    help="print the optimized physical plan instead of rows")
+    q.add_argument("--as-of", dest="as_of", default=None,
+                   metavar="ISO_TS",
+                   help="time travel: query the graph snapshot committed "
+                        "at or before this ISO-8601 UTC timestamp "
+                        "(snapshot history chain) instead of LATEST")
     q.add_argument("--format", choices=["table", "csv", "json"],
                    default="table",
                    help="output format: aligned table (default), CSV, or "
@@ -393,9 +398,18 @@ def cmd_query(args) -> int:
 
     spark = get_spark(app_name="kg-query", cores=args.cores)
     wd = args.workdir.rstrip("/") + "/graph"
-    graph = read_snapshot(spark, wd)
+    if getattr(args, "as_of", None):
+        from .plans.snapshot import read_snapshot_asof, snapshot_history
+
+        graph = read_snapshot_asof(spark, wd, args.as_of)
+        asof_fp = next(m["fingerprint"] for m in snapshot_history(wd)
+                       if m["committed_at"] <= args.as_of)
+        man = read_manifest(wd, asof_fp)
+    else:
+        graph = read_snapshot(spark, wd)
+        man = read_manifest(wd)
     try:
-        stats = stats_from_manifest(read_manifest(wd))
+        stats = stats_from_manifest(man)
     except ValueError:
         stats = None  # pre-statistics snapshot: optimizer scans once
 

@@ -102,9 +102,23 @@ def write_snapshot(df: DataFrame, table_dir: str | pathlib.Path, fp: str,
                  F.countDistinct(o_col).alias("do")).collect()
         }
 
+    # commit chain (Iceberg snapshot-history semantics): the new commit's
+    # parent is whatever LATEST pointed at; sequence increments along the
+    # chain so history / time travel order never depends on clock ties
+    parent, sequence = None, 0
+    latest_ptr = pathlib.Path(table_dir) / "LATEST"
+    if latest_ptr.exists():
+        prev = latest_ptr.read_text().strip()
+        prev_man = pathlib.Path(table_dir) / prev / "manifest.json"
+        if prev != f"snap-{fp}" and prev_man.exists():
+            parent = prev.removeprefix("snap-")
+            sequence = json.loads(prev_man.read_text()).get("sequence", 0) + 1
+
     manifest = {
         "snapshot": f"snap-{fp}",
         "fingerprint": fp,
+        "parent": parent,
+        "sequence": sequence,
         "schema": json.loads(back.schema.json()),
         "partition_by": partition_by or [],
         "lineage": lineage,
@@ -149,3 +163,73 @@ def materialize(df_thunk, spark: SparkSession, table_dir: str | pathlib.Path,
         write_snapshot(df_thunk(), table_dir, fp, partition_by=partition_by,
                        count_by=count_by, stats_cols=stats_cols)
     return read_snapshot(spark, table_dir, fp)
+
+
+def snapshot_history(table_dir: str | pathlib.Path) -> list[dict]:
+    """Commit chain of a table, NEWEST first: walk parent pointers from
+    LATEST (Iceberg's snapshot-history metadata, kept as the manifests
+    themselves). Pre-chain manifests (no parent field) terminate the
+    walk. Pure driver-side metadata — never touches data files."""
+    table_dir = pathlib.Path(table_dir)
+    latest = table_dir / "LATEST"
+    if not latest.exists():
+        return []
+    out, fp = [], latest.read_text().strip().removeprefix("snap-")
+    seen: set = set()
+    while fp and fp not in seen:
+        seen.add(fp)
+        man_path = _snap_dir(table_dir, fp) / "manifest.json"
+        if not man_path.exists():
+            break
+        man = json.loads(man_path.read_text())
+        out.append(man)
+        fp = man.get("parent")
+    return out
+
+
+def read_snapshot_asof(spark: SparkSession,
+                       table_dir: str | pathlib.Path,
+                       asof: str) -> DataFrame:
+    """Time travel: read the newest commit on the LATEST chain with
+    ``committed_at <= asof`` (ISO-8601 UTC, the manifests' own format —
+    lexicographic comparison is chronological). Raises if the whole
+    chain is newer than ``asof``."""
+    for man in snapshot_history(table_dir):
+        if man["committed_at"] <= asof:
+            return read_snapshot(spark, table_dir, man["fingerprint"])
+    raise ValueError(f"no snapshot committed at or before {asof!r} "
+                     f"in {table_dir}")
+
+
+def rollback(table_dir: str | pathlib.Path, fp: str) -> dict:
+    """Atomically point LATEST back at an existing snapshot (Iceberg
+    ``rollback_to_snapshot``). The abandoned commits stay on disk —
+    re-readable by fingerprint, GC'd by :func:`expire_snapshots`."""
+    if not snapshot_exists(table_dir, fp):
+        raise ValueError(f"snapshot {fp!r} does not exist in {table_dir}")
+    latest = pathlib.Path(table_dir) / "LATEST"
+    tmp = latest.with_suffix(".tmp")
+    tmp.write_text(f"snap-{fp}")
+    tmp.replace(latest)
+    return read_manifest(table_dir, fp)
+
+
+def expire_snapshots(table_dir: str | pathlib.Path,
+                     keep_last: int = 2) -> list[str]:
+    """Retention GC (Iceberg ``expire_snapshots``): delete every snapshot
+    directory NOT among the newest ``keep_last`` commits of the LATEST
+    chain. Returns the expired fingerprints. Resume interplay
+    (documented): an expired stage fingerprint simply recomputes on the
+    next run — expiry trades storage for recompute, never correctness."""
+    import shutil
+
+    table_dir = pathlib.Path(table_dir)
+    keep = {m["fingerprint"]
+            for m in snapshot_history(table_dir)[:max(keep_last, 1)]}
+    expired = []
+    for snap in sorted(table_dir.glob("snap-*")):
+        fp = snap.name.removeprefix("snap-")
+        if fp not in keep:
+            shutil.rmtree(snap)
+            expired.append(fp)
+    return expired

@@ -1002,3 +1002,57 @@ def test_pipeline_provenance_stage(spark, tmp_path):
     m2 = run_pipeline(spark, wd, n_convs=150, seed=9, tool_results=results)
     assert (m2["provenance"]["committed_at"]
             == m1["provenance"]["committed_at"])
+
+
+def test_snapshot_history_time_travel_rollback_expire(spark, tmp_path):
+    """Iceberg snapshot semantics over one table dir: parent-chained
+    commits, newest-first history, committed_at time travel, atomic
+    rollback, retention GC that never breaks the kept chain."""
+    import time as _time
+
+    from openapi_to_rdf_spark.plans.snapshot import (
+        expire_snapshots, read_snapshot, read_snapshot_asof, rollback,
+        snapshot_history, write_snapshot)
+
+    td = tmp_path / "tbl"
+    fps = []
+    stamps = []
+    for i in (1, 2, 3):
+        fp = fingerprint("v", i)
+        write_snapshot(spark.range(i * 10).withColumn("v", F.lit(i)),
+                       td, fp)
+        fps.append(fp)
+        stamps.append(read_manifest(td, fp)["committed_at"])
+        _time.sleep(1.1)      # committed_at has second granularity
+
+    hist = snapshot_history(td)
+    assert [m["fingerprint"] for m in hist] == list(reversed(fps))
+    assert [m["sequence"] for m in hist] == [2, 1, 0]
+    assert hist[0]["parent"] == fps[1] and hist[2]["parent"] is None
+
+    # LATEST reads v3; time travel to the second commit's timestamp
+    assert read_snapshot(spark, td).count() == 30
+    assert read_snapshot_asof(spark, td, stamps[1]).count() == 20
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_snapshot_asof(spark, td, "1999-01-01T00:00:00Z")
+
+    # rollback: LATEST swaps, history re-walks from the older commit
+    rollback(td, fps[0])
+    assert read_snapshot(spark, td).count() == 10
+    assert [m["fingerprint"] for m in snapshot_history(td)] == [fps[0]]
+    rollback(td, fps[2])
+    assert read_snapshot(spark, td).count() == 30
+
+    # expiry keeps the newest 2 chain commits, drops the oldest
+    expired = expire_snapshots(td, keep_last=2)
+    assert expired == [fps[0]]
+    assert read_snapshot(spark, td).count() == 30
+    assert read_snapshot(spark, td, fps[1]).count() == 20
+    with _pytest.raises(Exception):
+        read_snapshot(spark, td, fps[0]).count()
+
+    # resume interplay: an expired fingerprint recomputes via materialize
+    again = materialize(lambda: spark.range(10).withColumn("v", F.lit(1)),
+                        spark, td, fps[0])
+    assert again.count() == 10

@@ -105,3 +105,45 @@ def test_template_required_and_unbound_var_rejected(g):
     with pytest.raises(ValueError):
         delete_insert(g, [("?x", "status", "old")],
                       insert=[("?x", "status", "?missing")])
+
+
+def test_update_commit_chain_time_travel(spark, tmp_path):
+    """kg pipeline graph -> SPARQL update commits a NEW snapshot chained
+    to the old one; time travel reads the pre-update state, rollback
+    restores it as LATEST."""
+    from openapi_to_rdf_spark.plans.pipeline import run_pipeline
+    from openapi_to_rdf_spark.plans.snapshot import (
+        read_snapshot, read_snapshot_asof, rollback, snapshot_history)
+    from openapi_to_rdf_spark.sparql import sparql_update
+
+    wd = tmp_path / "wd"
+    run_pipeline(spark, wd, n_convs=60, seed=5)
+    gdir = wd / "graph"
+    kg = "http://ericsson.com/models/3gpp/kg#"
+    before = read_snapshot(spark, gdir)
+    n_user = before.filter((F.col("p") == kg + "role")
+                           & (F.col("o") == "user")).count()
+    assert n_user > 0
+    t_before = snapshot_history(gdir)[0]["committed_at"]
+
+    updated = sparql_update(
+        before,
+        f'DELETE {{ ?t <{kg}role> "user" }} '
+        f'INSERT {{ ?t <{kg}role> "human" }} '
+        f'WHERE {{ ?t <{kg}role> "user" }}')
+    from openapi_to_rdf_spark.plans.snapshot import (
+        fingerprint, write_snapshot)
+    write_snapshot(updated, gdir, fingerprint("upd", 1))
+
+    hist = snapshot_history(gdir)
+    assert len(hist) == 2 and hist[0]["parent"] == hist[1]["fingerprint"]
+    latest = read_snapshot(spark, gdir)
+    assert latest.filter(F.col("o") == "human").count() == n_user
+    # pre-update committed_at still resolves to the original graph
+    old = read_snapshot_asof(spark, gdir, t_before)
+    assert old.filter((F.col("p") == kg + "role")
+                      & (F.col("o") == "user")).count() == n_user
+
+    rollback(gdir, hist[1]["fingerprint"])
+    assert read_snapshot(spark, gdir).filter(
+        F.col("o") == "human").count() == 0
