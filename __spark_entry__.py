@@ -513,6 +513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c.getField("syllables").cast("long").alias("syllables"),
             _e6(flesch_reading_ease(F.col("text"))).alias("flesch_e6"))
 
+    def q_doc_compression(spark, sf_dir):
+        """DEFLATE compression-ratio quality signal
+        (lm_quality.compression_ratio) — Arrow-batched zlib, the
+        documented pandas-UDF exception (no JVM DEFLATE expression);
+        rows-only driver check (DuckDB has no deflate)."""
+        from openapi_to_rdf_spark.operators.lm_quality import (
+            compression_ratio)
+
+        return compression_ratio(_docs(spark, sf_dir))
+
     def q_doc_quality(spark, sf_dir):
         d = _docs(spark, sf_dir)
         return d.select(
@@ -3590,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_readability": q_doc_readability,
+        "doc_compression": q_doc_compression,
         "doc_langid": q_doc_langid,
         "exact_dedup": q_exact_dedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -7747,7 +7758,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
-        # kg_extract / kg_canonicalize / media_features: non-SQL-expressible
+        # kg_extract / kg_canonicalize / media_features / doc_compression:
+        # non-SQL-expressible
         # (LSH banding, pandas-UDF signatures, recursive spec conversion,
         # synthetic transcript generator) → rows-only driver check.
     }

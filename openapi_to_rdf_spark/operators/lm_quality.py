@@ -197,3 +197,37 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
         & (F.col("ellipsis_frac") <= max_ellipsis_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("stop_hits") >= min_stop_hits))
+
+
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """DEFLATE compression ratio per document — the CCNet/MassiveText
+    quality signal the statistical filters can't fake: highly repetitive
+    or templated text compresses far below prose (ratio ≈ compressed
+    bytes / raw utf-8 bytes; lower = more redundant). Returns
+    (id_col, raw_bytes, gz_bytes, ratio); NULL ratio for empty text.
+
+    Execution: an Arrow-batched pandas UDF (zlib is CPU-bound C code per
+    row inside the batch — the same honest profile as the multimodal
+    decoders; there is no JVM-side DEFLATE expression). Deterministic
+    for a fixed zlib version and level, embarrassingly parallel, zero
+    shuffles. This is the documented exception to the codegen-only rule,
+    kept OUT of extraction/validation hot paths."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _gz_bytes(s):  # pd.Series -> pd.Series (scalar pandas UDF)
+        import zlib
+
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), level))
+                     if isinstance(t, str) else None)
+
+    raw = F.octet_length(F.col(text_col))
+    return (docs.select(id_col,
+                        raw.cast("long").alias("raw_bytes"),
+                        _gz_bytes(F.col(text_col)).alias("gz_bytes"))
+            .withColumn("ratio",
+                        F.when(F.col("raw_bytes") > 0,
+                               F.col("gz_bytes")
+                               / F.col("raw_bytes"))))

@@ -101,3 +101,25 @@ def test_plan_is_python_free(docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from openapi_to_rdf_spark.operators.lm_quality import compression_ratio
+
+    docs = spark.createDataFrame(
+        [("rep", "spam " * 400),
+         ("prose", "The quarterly fault report lists heterogeneous alarm "
+                   "causes across managed elements, each with distinct "
+                   "severity, timestamps and operator annotations."),
+         ("empty", "")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert out["rep"].ratio < 0.05                  # repetition collapses
+    assert out["prose"].ratio > out["rep"].ratio
+    assert out["empty"].ratio is None
+    assert out["prose"].raw_bytes == len(
+        "The quarterly fault report lists heterogeneous alarm causes "
+        "across managed elements, each with distinct severity, "
+        "timestamps and operator annotations.".encode())
+    # deterministic across runs
+    again = {r.doc_id: r.gz_bytes for r in compression_ratio(docs).collect()}
+    assert again == {k: v.gz_bytes for k, v in out.items()}
