@@ -108,6 +108,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.countDistinct("o_custkey").alias("n_customers"))
                 .orderBy("n_name"))
 
+    def q_forecast_revenue(spark, sf_dir):
+        """TPC-H Q6 shape: tight scan-local predicate stack (date range +
+        discount band + quantity cap) into one global aggregate — the
+        pushdown showcase (every filter reaches the parquet scan)."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                          & (F.col("l_shipdate") < "1996-01-01")
+                          & (F.col("l_discount") >= 0.05)
+                          & (F.col("l_discount") <= 0.07)
+                          & (F.col("l_quantity") < 24))
+                .agg(_e6(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")))
+                     .alias("revenue_e6"),
+                     F.count(F.lit(1)).alias("n_lines")))
+
+    def q_promo_revenue(spark, sf_dir):
+        """TPC-H Q14 shape: conditional aggregate over a broadcast dim
+        join — promo parts' share of monthly revenue, e6-scaled."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        j = (li.filter((F.col("l_shipdate") >= "1995-03-01")
+                       & (F.col("l_shipdate") < "1995-06-01"))
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey")))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return j.agg(
+            _e6(F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                      .otherwise(F.lit(0.0)))).alias("promo_e6"),
+            _e6(F.sum(rev)).alias("total_e6"),
+            F.count(F.lit(1)).alias("n_lines"))
+
+    def q_brand_revenue(spark, sf_dir):
+        """TPC-H Q19 shape: disjunctive multi-band predicate across the
+        fact/dim join (brand x size x quantity bands) — the case where
+        predicate decomposition and broadcast-dim filtering matter."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        j = li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+        band = (
+            ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+               & F.col("l_quantity").between(20, 30)))
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (j.filter(band)
+                .groupBy("p_brand")
+                .agg(_e6(F.sum(rev)).alias("revenue_e6"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .orderBy("p_brand"))
+
     def q_shipping_priority(spark, sf_dir):
         """TPC-H Q3 shape: selective dim filters on both join sides, a
         broadcast customer dim, per-order revenue agg, rounded-value
@@ -3582,6 +3635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "forecast_revenue": q_forecast_revenue,
+        "promo_revenue": q_promo_revenue,
+        "brand_revenue": q_brand_revenue,
         "shipping_priority": q_shipping_priority,
         "min_cost_supplier": q_min_cost_supplier,
         "large_orders": q_large_orders,
@@ -7644,6 +7700,38 @@ def oracle_sql() -> dict[str, str]:
                    'c#' || CAST(o_custkey AS VARCHAR) AS cust,
                    CAST(o_orderkey % 100 AS VARCHAR) AS x
             FROM orders WHERE o_orderkey % 100 = 7
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                              * 1000000) AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size <= 30
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "forecast_revenue": """
+            SELECT CAST(ROUND(SUM(l_extendedprice * l_discount)
+                              * 1000000) AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "promo_revenue": """
+            SELECT CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END) * 1000000) AS BIGINT) AS promo_e6,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                              * 1000000) AS BIGINT) AS total_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1995-03-01' AND l_shipdate < '1995-06-01'
         """,
         "kg_haskey": """
             WITH c AS (SELECT DISTINCT

@@ -175,7 +175,8 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "owl_chain", "kg_pair_violations", "owl_inconsistencies",
              "parse_jsonld", "kg_haskey", "kg_qualified_violations",
              "sparql_star", "order_similarity", "doc_readability",
-             "doc_compression"]
+             "doc_compression", "forecast_revenue", "promo_revenue",
+             "brand_revenue"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -35,6 +35,7 @@ AUDIT = [
     "list_member_check",
     "owl_chain", "kg_pair_violations", "owl_inconsistencies",
     "parse_jsonld", "kg_haskey", "kg_qualified_violations", "sparql_star",
+    "order_similarity", "forecast_revenue", "promo_revenue", "brand_revenue",
 ]
 
 
