@@ -3632,6 +3632,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pair_kind string, other_path string")
         return pair_constraint_violations(triples, rules)
 
+    def _rule_store(spark, sf_dir, with_dest=False):
+        """Shared triple store for the rule-mining queries: order→cust,
+        cust/supp→nation, order→supp, and a partially-materialized
+        order→nation head (every third order) — so by_cust∧in_nation ⇒
+        ships_to is a real, <1-confidence rule."""
+        st = lambda c: c.cast("string")  # noqa: E731
+
+        def tri(df, s, p, o):
+            return df.select(s.alias("s"), F.lit(p).alias("p"),
+                             o.alias("o"))
+
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cc = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        ss = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o_s = F.concat(F.lit("o#"), st(F.col("o_orderkey")))
+        heads = (oo.join(cc, oo.o_custkey == cc.c_custkey)
+                 .filter(F.col("o_orderkey") % 3 == 0)
+                 .select(o_s.alias("s"), F.lit("ships_to").alias("p"),
+                         F.concat(F.lit("n#"),
+                                  st(F.col("c_nationkey"))).alias("o")))
+        t = (tri(oo, o_s, "by_cust",
+                 F.concat(F.lit("c#"), st(F.col("o_custkey"))))
+             .unionAll(tri(cc, F.concat(F.lit("c#"),
+                                        st(F.col("c_custkey"))),
+                           "in_nation",
+                           F.concat(F.lit("n#"),
+                                    st(F.col("c_nationkey")))))
+             .unionAll(tri(ss, F.concat(F.lit("s#"),
+                                        st(F.col("s_suppkey"))),
+                           "in_nation",
+                           F.concat(F.lit("n#"),
+                                    st(F.col("s_nationkey")))))
+             .unionAll(tri(li, F.concat(F.lit("o#"),
+                                        st(F.col("l_orderkey"))),
+                           "supplied_by",
+                           F.concat(F.lit("s#"),
+                                    st(F.col("l_suppkey")))))
+             .unionAll(heads))
+        if with_dest:
+            dest = (oo.join(cc, oo.o_custkey == cc.c_custkey)
+                    .filter(F.col("o_orderkey") % 5 == 0)
+                    .select(o_s.alias("s"), F.lit("dest").alias("p"),
+                            F.concat(F.lit("n#"),
+                                     st(F.col("c_nationkey")))
+                            .alias("o")))
+            t = t.unionAll(dest)
+        return t
+
+    def q_kg_rule_mine(spark, sf_dir):
+        """AMIE-style path rules (rulemine.mine_path_rules): mines
+        by_cust(o,c) ∧ in_nation(c,n) ⇒ ships_to(o,n) (confidence 1/3 —
+        only every third order has a materialized ships_to edge) and the
+        coincidental supplied_by∧in_nation variant; integer support /
+        body_count / pca_count so DuckDB reproduces each row exactly."""
+        from openapi_to_rdf_spark.operators.rulemine import mine_path_rules
+
+        return mine_path_rules(_rule_store(spark, sf_dir), min_support=5)
+
+    def q_kg_rule_impl(spark, sf_dir):
+        """Implication rules (rulemine.mine_implication_rules): dest
+        (every fifth order) and ships_to (every third) overlap on every
+        fifteenth — the mined p(x,y) ⇒ q(x,y) pair in both directions
+        with exact integer counts."""
+        from openapi_to_rdf_spark.operators.rulemine import (
+            mine_implication_rules)
+
+        return mine_implication_rules(
+            _rule_store(spark, sf_dir, with_dest=True), min_support=5)
+
+    def q_kg_rule_predict(spark, sf_dir):
+        """KG completion (rulemine.rule_predictions): the strong
+        by_cust∧in_nation ⇒ ships_to rule (std confidence >= 1/4 keeps
+        exactly it) predicts the MISSING ships_to edges — every order
+        not ≡ 0 (mod 3) — with the rule's counts attached."""
+        from openapi_to_rdf_spark.operators.rulemine import (
+            mine_path_rules, rule_predictions)
+
+        t = _rule_store(spark, sf_dir)
+        rules = mine_path_rules(t, min_support=5, min_conf=(1, 4))
+        return rule_predictions(t, rules)
+
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3821,6 +3903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_report": q_pii_report,
         "pii_redact": q_pii_redact,
         "media_features": q_media_features,
+        "kg_rule_mine": q_kg_rule_mine,
+        "kg_rule_impl": q_kg_rule_impl,
+        "kg_rule_predict": q_kg_rule_predict,
     }
 
 
@@ -7843,6 +7928,139 @@ def oracle_sql() -> dict[str, str]:
                    'value shared with http://ericsson.com/models/3gpp/kg#statusB'
             FROM li a WHERE EXISTS (
               SELECT 1 FROM li b WHERE b.s = a.s AND b.sb = a.sa)
+        """,
+        "kg_rule_mine": """
+            WITH t AS (
+              SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'by_cust' AS p,
+                     'c#' || CAST(o_custkey AS VARCHAR) AS o FROM orders
+              UNION
+              SELECT 'c#' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION
+              SELECT 's#' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION
+              SELECT 'o#' || CAST(l_orderkey AS VARCHAR), 'supplied_by',
+                     's#' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR), 'ships_to',
+                     'n#' || CAST(c_nationkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey % 3 = 0),
+            body AS (SELECT DISTINCT a.p AS p1, b.p AS p2,
+                            a.s AS x, b.o AS y
+                     FROM t a JOIN t b ON a.o = b.s),
+            bodyc AS (SELECT p1, p2, COUNT(*) AS body_count
+                      FROM body GROUP BY p1, p2),
+            supp AS (SELECT p1, p2, h.p AS head_p,
+                            COUNT(*) AS support
+                     FROM body JOIN t h ON body.x = h.s
+                                       AND body.y = h.o
+                     GROUP BY p1, p2, h.p),
+            hs AS (SELECT DISTINCT p AS head_p, s AS x FROM t),
+            pca AS (SELECT p1, p2, head_p, COUNT(*) AS pca_count
+                    FROM body JOIN hs ON body.x = hs.x
+                    GROUP BY p1, p2, head_p)
+            SELECT supp.p1, supp.p2, supp.head_p,
+                   support, body_count, pca_count
+            FROM supp
+            JOIN bodyc ON supp.p1 = bodyc.p1 AND supp.p2 = bodyc.p2
+            JOIN pca ON supp.p1 = pca.p1 AND supp.p2 = pca.p2
+                    AND supp.head_p = pca.head_p
+            WHERE support >= 5
+        """,
+        "kg_rule_impl": """
+            WITH t AS (
+              SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'by_cust' AS p,
+                     'c#' || CAST(o_custkey AS VARCHAR) AS o FROM orders
+              UNION
+              SELECT 'c#' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION
+              SELECT 's#' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION
+              SELECT 'o#' || CAST(l_orderkey AS VARCHAR), 'supplied_by',
+                     's#' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR), 'ships_to',
+                     'n#' || CAST(c_nationkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey % 3 = 0
+              UNION
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR), 'dest',
+                     'n#' || CAST(c_nationkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey % 5 = 0),
+            bodyc AS (SELECT p AS p1, COUNT(*) AS body_count
+                      FROM t GROUP BY p),
+            supp AS (SELECT a.p AS p1, b.p AS head_p,
+                            COUNT(*) AS support
+                     FROM t a JOIN t b ON a.s = b.s AND a.o = b.o
+                     WHERE a.p <> b.p GROUP BY a.p, b.p),
+            hs AS (SELECT DISTINCT p AS head_p, s FROM t),
+            pca AS (SELECT a.p AS p1, hs.head_p,
+                           COUNT(*) AS pca_count
+                    FROM t a JOIN hs ON a.s = hs.s
+                    WHERE a.p <> hs.head_p GROUP BY a.p, hs.head_p)
+            SELECT supp.p1, supp.head_p, support, body_count, pca_count
+            FROM supp
+            JOIN bodyc ON supp.p1 = bodyc.p1
+            JOIN pca ON supp.p1 = pca.p1 AND supp.head_p = pca.head_p
+            WHERE support >= 5
+        """,
+        "kg_rule_predict": """
+            WITH t AS (
+              SELECT DISTINCT 'o#' || CAST(o_orderkey AS VARCHAR) AS s,
+                     'by_cust' AS p,
+                     'c#' || CAST(o_custkey AS VARCHAR) AS o FROM orders
+              UNION
+              SELECT 'c#' || CAST(c_custkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(c_nationkey AS VARCHAR) FROM customer
+              UNION
+              SELECT 's#' || CAST(s_suppkey AS VARCHAR), 'in_nation',
+                     'n#' || CAST(s_nationkey AS VARCHAR) FROM supplier
+              UNION
+              SELECT 'o#' || CAST(l_orderkey AS VARCHAR), 'supplied_by',
+                     's#' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR), 'ships_to',
+                     'n#' || CAST(c_nationkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderkey % 3 = 0),
+            body AS (SELECT DISTINCT a.p AS p1, b.p AS p2,
+                            a.s AS x, b.o AS y
+                     FROM t a JOIN t b ON a.o = b.s),
+            bodyc AS (SELECT p1, p2, COUNT(*) AS body_count
+                      FROM body GROUP BY p1, p2),
+            supp AS (SELECT p1, p2, h.p AS head_p,
+                            COUNT(*) AS support
+                     FROM body JOIN t h ON body.x = h.s
+                                       AND body.y = h.o
+                     GROUP BY p1, p2, h.p),
+            hs AS (SELECT DISTINCT p AS head_p, s AS x FROM t),
+            pca AS (SELECT p1, p2, head_p, COUNT(*) AS pca_count
+                    FROM body JOIN hs ON body.x = hs.x
+                    GROUP BY p1, p2, head_p),
+            rules AS (SELECT supp.p1, supp.p2, supp.head_p,
+                             support, body_count, pca_count
+                      FROM supp
+                      JOIN bodyc ON supp.p1 = bodyc.p1
+                                AND supp.p2 = bodyc.p2
+                      JOIN pca ON supp.p1 = pca.p1
+                              AND supp.p2 = pca.p2
+                              AND supp.head_p = pca.head_p
+                      WHERE support >= 5
+                        AND support * 4 >= 1 * body_count)
+            SELECT body.x AS s, rules.head_p AS p, body.y AS o,
+                   rules.p1, rules.p2, support, body_count, pca_count
+            FROM body JOIN rules ON body.p1 = rules.p1
+                                AND body.p2 = rules.p2
+            WHERE NOT EXISTS (SELECT 1 FROM t
+                              WHERE t.s = body.x AND t.p = rules.head_p
+                                AND t.o = body.y)
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
