@@ -3681,6 +3681,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = t.unionAll(dest)
         return t
 
+    def q_late_orders(spark, sf_dir):
+        """TPC-H Q4 shape (EXISTS → semi-join): orders in a quarter
+        window with at least one lineitem shipped 60+ days after the
+        order date, counted per priority. The correlated EXISTS becomes
+        one left-semi hash join on the order key with the date
+        comparison in the join condition — no aggregation-then-join, no
+        distinct pass."""
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-07-01")))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        return (oo.join(li, late, "left_semi")
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count"))
+                .orderBy("o_orderpriority"))
+
+    def q_priority_shipments(spark, sf_dir):
+        """TPC-H Q12 shape (conditional two-way aggregation across the
+        fact join): one year of shipments grouped by return flag,
+        splitting order counts into high (URGENT/HIGH) vs low priority
+        inside the aggregate — one join + one groupBy, the CASE moves
+        into the agg instead of a second scan."""
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")))
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (li.join(oo, li.l_orderkey == oo.o_orderkey)
+                .groupBy("l_returnflag")
+                .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_count"),
+                     F.sum(F.when(hi, 0).otherwise(1)).alias("low_count"))
+                .orderBy("l_returnflag"))
+
+    def q_waiting_suppliers(spark, sf_dir):
+        """TPC-H Q21 shape (EXISTS + NOT EXISTS self-join composition):
+        suppliers who were the ONLY late shipper (1500+ days, ~p92 of
+        this corpus's lag) on a multi-supplier order. Both correlated
+        subqueries compile to one semi- and one anti-join on the order
+        key against the same lineitem slices; top 20 by count with
+        name tiebreak for determinism."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ss = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        l1 = (li.join(oo, li.l_orderkey == oo.o_orderkey)
+              .filter(F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("INTERVAL 1500 DAYS"))
+              .select("l_orderkey", "l_suppkey", "o_orderdate"))
+        others = li.select(F.col("l_orderkey").alias("k"),
+                           F.col("l_suppkey").alias("sk"))
+        late_others = l1.select(F.col("l_orderkey").alias("k"),
+                                F.col("l_suppkey").alias("sk"))
+        waiting = (l1
+                   .join(others,
+                         (l1.l_orderkey == others.k)
+                         & (l1.l_suppkey != others.sk), "left_semi")
+                   .join(late_others,
+                         (l1.l_orderkey == late_others.k)
+                         & (l1.l_suppkey != late_others.sk), "left_anti"))
+        return (waiting
+                .join(F.broadcast(ss),
+                      waiting.l_suppkey == ss.s_suppkey)
+                .groupBy("s_name")
+                .agg(F.count(F.lit(1)).alias("numwait"))
+                .orderBy(F.desc("numwait"), "s_name")
+                .limit(20))
+
+    def q_idle_customers(spark, sf_dir):
+        """TPC-H Q22 shape (scalar-subquery threshold + NOT EXISTS):
+        customers with above-average balance who never placed an URGENT
+        order, rolled up per nation (this corpus gives every customer
+        at least one order, so the classic no-orders predicate would be
+        vacuous). The global average travels as a broadcast one-row
+        cross join in integer CENTS (sum/count cross-multiplication —
+        no float average anywhere, so DuckDB reproduces the boundary
+        bit-for-bit); the NOT EXISTS is one anti-join on custkey."""
+        cc = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+              .withColumn("cents", F.round(F.col("c_acctbal") * 100)
+                          .cast("long")))
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+        pos = cc.filter(F.col("cents") > 0).agg(
+            F.sum("cents").alias("sum_c"),
+            F.count(F.lit(1)).alias("n_c"))
+        return (cc.crossJoin(F.broadcast(pos))
+                .filter(F.col("cents") * F.col("n_c") > F.col("sum_c"))
+                .join(oo, cc.c_custkey == oo.o_custkey, "left_anti")
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("numcust"),
+                     F.sum("cents").alias("totacctbal_cents"))
+                .orderBy("c_nationkey"))
+
     def q_kg_rule_mine(spark, sf_dir):
         """AMIE-style path rules (rulemine.mine_path_rules): mines
         by_cust(o,c) ∧ in_nation(c,n) ⇒ ships_to(o,n) (confidence 1/3 —
@@ -3906,6 +4000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mine": q_kg_rule_mine,
         "kg_rule_impl": q_kg_rule_impl,
         "kg_rule_predict": q_kg_rule_predict,
+        "late_orders": q_late_orders,
+        "priority_shipments": q_priority_shipments,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
     }
 
 
@@ -8061,6 +8159,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.s = body.x AND t.p = rules.head_p
                                 AND t.o = body.y)
+        """,
+        "late_orders": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate
+                                               + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "priority_shipments": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "waiting_suppliers": """
+            WITH l1 AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate > o_orderdate + INTERVAL 1500 DAY)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l1 l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "idle_customers": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                AS cents
+                       FROM customer),
+            pos AS (SELECT SUM(cents) AS sum_c, COUNT(*) AS n_c
+                    FROM c WHERE cents > 0)
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+            FROM c, pos
+            WHERE cents * n_c > sum_c
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
