@@ -3681,6 +3681,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = t.unionAll(dest)
         return t
 
+    def q_kg_align(spark, sf_dir):
+        """Instance-based ontology alignment (align.align_classes): two
+        KG 'versions' over the same entities with renamed classes and
+        partially-overlapping predicate vocabularies — v1:Customer/
+        v1:Supplier vs v2:Client/v2:Vendor. The candidate table carries
+        integer shared/size counts (Jaccard left to the consumer), so
+        DuckDB reproduces it exactly."""
+        from openapi_to_rdf_spark.operators.align import align_classes
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        cc = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        ss = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+        def tri(df, s, p, o):
+            return df.select(s.alias("s"), F.lit(p).alias("p"),
+                             o.alias("o"))
+
+        c1 = F.concat(F.lit("c#"), st(F.col("c_custkey")))
+        s1 = F.concat(F.lit("s#"), st(F.col("s_suppkey")))
+        nat = lambda col: F.concat(F.lit("n#"), st(F.col(col)))  # noqa: E731
+        a = (tri(cc, c1, "rdf:type", F.lit("v1:Customer"))
+             .unionAll(tri(cc, c1, "in_nation", nat("c_nationkey")))
+             .unionAll(tri(cc, c1, "has_segment", F.col("c_mktsegment")))
+             .unionAll(tri(cc, c1, "has_balance", st(F.col("c_acctbal"))))
+             .unionAll(tri(ss, s1, "rdf:type", F.lit("v1:Supplier")))
+             .unionAll(tri(ss, s1, "in_nation", nat("s_nationkey")))
+             .unionAll(tri(ss, s1, "rated", st(F.col("s_acctbal")))))
+        b = (tri(cc, c1, "rdf:type", F.lit("v2:Client"))
+             .unionAll(tri(cc, c1, "in_nation", nat("c_nationkey")))
+             .unionAll(tri(cc, c1, "has_segment", F.col("c_mktsegment")))
+             .unionAll(tri(cc, c1, "since", st(F.col("c_custkey") % 7)))
+             .unionAll(tri(ss, s1, "rdf:type", F.lit("v2:Vendor")))
+             .unionAll(tri(ss, s1, "in_nation", nat("s_nationkey")))
+             .unionAll(tri(ss, s1, "rated", st(F.col("s_acctbal")))))
+        return align_classes(a, b, type_pred="rdf:type")
+
     def q_late_orders(spark, sf_dir):
         """TPC-H Q4 shape (EXISTS → semi-join): orders in a quarter
         window with at least one lineitem shipped 60+ days after the
@@ -4000,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mine": q_kg_rule_mine,
         "kg_rule_impl": q_kg_rule_impl,
         "kg_rule_predict": q_kg_rule_predict,
+        "kg_align": q_kg_align,
         "late_orders": q_late_orders,
         "priority_shipments": q_priority_shipments,
         "waiting_suppliers": q_waiting_suppliers,
@@ -8159,6 +8196,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.s = body.x AND t.p = rules.head_p
                                 AND t.o = body.y)
+        """,
+        "kg_align": """
+            WITH pa AS (
+              SELECT DISTINCT 'v1:Customer' AS cls, pred
+              FROM customer,
+                   (VALUES ('in_nation'), ('has_segment'),
+                           ('has_balance')) AS v(pred)
+              UNION
+              SELECT DISTINCT 'v1:Supplier', pred
+              FROM supplier,
+                   (VALUES ('in_nation'), ('rated')) AS v(pred)),
+            pb AS (
+              SELECT DISTINCT 'v2:Client' AS cls, pred
+              FROM customer,
+                   (VALUES ('in_nation'), ('has_segment'),
+                           ('since')) AS v(pred)
+              UNION
+              SELECT DISTINCT 'v2:Vendor', pred
+              FROM supplier,
+                   (VALUES ('in_nation'), ('rated')) AS v(pred)),
+            sa AS (SELECT cls AS class_a, COUNT(*) AS size_a
+                   FROM pa GROUP BY cls),
+            sb AS (SELECT cls AS class_b, COUNT(*) AS size_b
+                   FROM pb GROUP BY cls),
+            sh AS (SELECT pa.cls AS class_a, pb.cls AS class_b,
+                          COUNT(*) AS shared
+                   FROM pa JOIN pb ON pa.pred = pb.pred
+                   GROUP BY pa.cls, pb.cls)
+            SELECT class_a, class_b, shared, size_a, size_b
+            FROM sh JOIN sa USING (class_a) JOIN sb USING (class_b)
         """,
         "late_orders": """
             SELECT o_orderpriority, COUNT(*) AS order_count
