@@ -3681,6 +3681,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = t.unionAll(dest)
         return t
 
+    def q_graph_modularity(spark, sf_dir):
+        """Integer-exact Newman modularity (communities.
+        community_modularity) of the nation partition over a mixed
+        graph: order↔customer star edges (always intra — an order
+        inherits its customer's nation) plus a customer chain c_k↔c_{k+1}
+        (intra only when neighbors share a nation). q_num = 4m·intra −
+        deg² over the common denominator 4m² — no floats anywhere."""
+        from openapi_to_rdf_spark.operators.communities import (
+            community_modularity)
+
+        st = lambda c: c.cast("string")  # noqa: E731
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cc = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        e1 = oo.select(
+            F.concat(F.lit("o#"), st(F.col("o_orderkey"))).alias("src"),
+            F.concat(F.lit("c#"), st(F.col("o_custkey"))).alias("dst"))
+        nxt = cc.select(F.col("c_custkey").alias("k2"))
+        e2 = (cc.join(nxt, F.col("c_custkey") + 1 == F.col("k2"))
+              .select(F.concat(F.lit("c#"),
+                               st(F.col("c_custkey"))).alias("src"),
+                      F.concat(F.lit("c#"), st(F.col("k2"))).alias("dst")))
+        edges = e1.unionAll(e2)
+        a1 = cc.select(
+            F.concat(F.lit("c#"), st(F.col("c_custkey"))).alias("node"),
+            F.concat(F.lit("n#"),
+                     st(F.col("c_nationkey"))).alias("community"))
+        a2 = (oo.join(cc, oo.o_custkey == cc.c_custkey)
+              .select(F.concat(F.lit("o#"),
+                               st(F.col("o_orderkey"))).alias("node"),
+                      F.concat(F.lit("n#"),
+                               st(F.col("c_nationkey")))
+                      .alias("community")))
+        return community_modularity(edges, a1.unionAll(a2))
+
     def q_kg_align(spark, sf_dir):
         """Instance-based ontology alignment (align.align_classes): two
         KG 'versions' over the same entities with renamed classes and
@@ -4036,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rule_mine": q_kg_rule_mine,
         "kg_rule_impl": q_kg_rule_impl,
         "kg_rule_predict": q_kg_rule_predict,
+        "graph_modularity": q_graph_modularity,
         "kg_align": q_kg_align,
         "late_orders": q_late_orders,
         "priority_shipments": q_priority_shipments,
@@ -8196,6 +8231,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM t
                               WHERE t.s = body.x AND t.p = rules.head_p
                                 AND t.o = body.y)
+        """,
+        "graph_modularity": """
+            WITH raw AS (
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR) AS x,
+                     'c#' || CAST(o_custkey AS VARCHAR) AS y
+              FROM orders
+              UNION ALL
+              SELECT 'c#' || CAST(a.c_custkey AS VARCHAR),
+                     'c#' || CAST(b.c_custkey AS VARCHAR)
+              FROM customer a JOIN customer b
+                ON a.c_custkey + 1 = b.c_custkey),
+            e AS (SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+                  FROM raw WHERE x <> y),
+            mm AS (SELECT COUNT(*) AS m FROM e),
+            deg AS (SELECT node, COUNT(*) AS deg FROM (
+                      SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY node),
+            asg AS (
+              SELECT 'c#' || CAST(c_custkey AS VARCHAR) AS node,
+                     'n#' || CAST(c_nationkey AS VARCHAR) AS community
+              FROM customer
+              UNION ALL
+              SELECT 'o#' || CAST(o_orderkey AS VARCHAR),
+                     'n#' || CAST(c_nationkey AS VARCHAR)
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            ns AS (SELECT community, COUNT(*) AS n_nodes,
+                          CAST(SUM(deg) AS BIGINT) AS degree_sum
+                   FROM deg JOIN asg USING (node) GROUP BY community),
+            intra AS (SELECT ca.community, COUNT(*) AS intra_edges
+                      FROM e
+                      JOIN asg ca ON e.a = ca.node
+                      JOIN asg cb ON e.b = cb.node
+                      WHERE ca.community = cb.community
+                      GROUP BY ca.community)
+            SELECT ns.community, n_nodes,
+                   COALESCE(intra_edges, 0) AS intra_edges, degree_sum,
+                   CAST(4 * m * COALESCE(intra_edges, 0)
+                        - degree_sum * degree_sum AS BIGINT) AS q_num,
+                   CAST(m AS BIGINT) AS m
+            FROM ns LEFT JOIN intra USING (community), mm
         """,
         "kg_align": """
             WITH pa AS (

@@ -84,3 +84,63 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     # canonical community id: smallest node id carrying each label
     canon = labels.groupBy("label").agg(F.min("node").alias("community"))
     return labels.join(canon, "label").select("node", "community")
+
+
+def community_modularity(edges: DataFrame, assignment: DataFrame,
+                         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Newman modularity of a node partition, in INTEGER arithmetic.
+
+    For the undirected simple graph induced by ``edges`` (canonicalized
+    to (min, max), self-loops and duplicates dropped) and a partition
+    ``assignment`` (node, community), modularity is
+
+        Q = sum_c [ intra_c / m  -  (deg_c / 2m)^2 ]
+
+    Floats would make Q partition-order-dependent, so each community row
+    carries the exact integer numerator over the common denominator 4m^2:
+
+        q_num = 4*m*intra_c - deg_c^2        (Q = sum(q_num) / (4*m^2))
+
+    Returns (community, n_nodes, intra_edges, degree_sum, q_num, m) —
+    bit-reproducible anywhere, DuckDB included; callers divide at
+    whatever precision they want. Unassigned endpoints contribute to m
+    and to degrees but to no community (standard treatment when scoring
+    a partial clustering).
+
+    Scale: one canonicalization pass over edges, two node-keyed joins to
+    attach communities, then community-keyed rollups — all shuffles on
+    keys the clustering itself already produced; output is
+    community-vocabulary sized. m travels as a broadcast one-row cross
+    join, never a driver collect.
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.least(src, dst).alias("a"),
+                 F.greatest(src, dst).alias("b"))
+         .dropDuplicates())
+    m_row = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    asg = assignment.select("node", "community").dropDuplicates(["node"])
+    node_stats = (deg.join(asg, "node")
+                  .groupBy("community")
+                  .agg(F.count(F.lit(1)).alias("n_nodes"),
+                       F.sum("deg").alias("degree_sum")))
+    intra = (e.join(asg.withColumnRenamed("node", "a")
+                    .withColumnRenamed("community", "ca"), "a")
+             .join(asg.withColumnRenamed("node", "b")
+                   .withColumnRenamed("community", "cb"), "b")
+             .filter(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("community"))
+             .agg(F.count(F.lit(1)).alias("intra_edges")))
+    return (node_stats
+            .join(intra, "community", "left")
+            .withColumn("intra_edges",
+                        F.coalesce("intra_edges", F.lit(0)))
+            .crossJoin(F.broadcast(m_row))
+            .select("community", "n_nodes", "intra_edges",
+                    F.col("degree_sum").cast("long").alias("degree_sum"),
+                    (F.lit(4) * F.col("m") * F.col("intra_edges")
+                     - F.col("degree_sum") * F.col("degree_sum"))
+                    .cast("long").alias("q_num"),
+                    F.col("m").cast("long").alias("m")))

@@ -86,3 +86,46 @@ def test_string_node_ids(spark):
                                       until_stable=True).collect()}
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["x"] == got["y"] == "x"
+
+
+def test_modularity_two_cliques(spark):
+    """Two K4 cliques + one bridge, partitioned by clique: Q computed by
+    hand. m=13, intra per clique=6, degree_sum = 13 and 13 (bridge ends
+    have deg 4)."""
+    from openapi_to_rdf_spark.operators.communities import (
+        community_modularity)
+
+    k1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(k1 + k2 + [(0, 10), (10, 0), (3, 3)],
+                                  "src long, dst long")
+    asg = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 1) for n in range(10, 14)],
+        "node long, community long")
+    rows = {r.community: r for r in
+            community_modularity(edges, asg).collect()}
+    m = 13
+    for c in (0, 1):
+        assert rows[c].n_nodes == 4
+        assert rows[c].intra_edges == 6
+        assert rows[c].degree_sum == 13
+        assert rows[c].m == m
+        assert rows[c].q_num == 4 * m * 6 - 13 * 13
+    q = sum(r.q_num for r in rows.values()) / (4 * m * m)
+    assert abs(q - (2 * (6 / m - (13 / (2 * m)) ** 2))) < 1e-12
+    assert q > 0.4  # strong community structure
+
+
+def test_modularity_unassigned_nodes_count_in_m_and_degrees(spark):
+    from openapi_to_rdf_spark.operators.communities import (
+        community_modularity)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9)], "src long, dst long")
+    asg = spark.createDataFrame([(1, 0), (2, 0), (3, 0)],
+                                "node long, community long")
+    r = community_modularity(edges, asg).collect()[0]
+    # node 9 unassigned: m=3 counts its edge, community 0 has
+    # intra=2 (1-2, 2-3), degrees 1+2+2=5
+    assert (r.n_nodes, r.intra_edges, r.degree_sum, r.m) == (3, 2, 5, 3)
+    assert r.q_num == 4 * 3 * 2 - 25
