@@ -176,7 +176,11 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "parse_jsonld", "kg_haskey", "kg_qualified_violations",
              "sparql_star", "order_similarity", "doc_readability",
              "doc_compression", "forecast_revenue", "promo_revenue",
-             "brand_revenue"]
+             "brand_revenue",
+             # added r2 session 19
+             "kg_rule_mine", "kg_rule_predict", "kg_align",
+             "graph_modularity", "late_orders", "priority_shipments",
+             "waiting_suppliers", "idle_customers"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case
