@@ -58,11 +58,13 @@ def _apply_thresholds(rules: DataFrame, min_support: int,
     return out
 
 
-def hub_stoplist(triples: DataFrame, hub_cap: int) -> DataFrame:
+def hub_stoplist(triples: DataFrame, hub_cap: int, *,
+                 distinct: bool = True) -> DataFrame:
     """Nodes whose in_degree × out_degree exceeds `hub_cap` — the join
     nodes that would dominate the path-rule body join. Returned as a
-    one-column (z) DataFrame for a broadcast anti-join."""
-    t = _distinct_triples(triples)
+    one-column (z) DataFrame for a broadcast anti-join. Pass
+    ``distinct=False`` when ``triples`` is already a distinct set."""
+    t = _distinct_triples(triples) if distinct else triples
     outd = t.groupBy(F.col("s").alias("z")).agg(
         F.count(F.lit(1)).alias("_out"))
     ind = t.groupBy(F.col("o").alias("z")).agg(
@@ -72,18 +74,17 @@ def hub_stoplist(triples: DataFrame, hub_cap: int) -> DataFrame:
             .select("z"))
 
 
-def _path_body(triples: DataFrame,
-               hub_cap: int | None) -> DataFrame:
-    """Distinct (p1, p2, x, y) pairs connected by some z. The join is
-    keyed on z — the graph's natural key; hub_cap prunes pathological
-    z's BEFORE the join so the worst bucket is bounded."""
-    t = _distinct_triples(triples)
+def _path_body(t: DataFrame, hub_cap: int | None) -> DataFrame:
+    """Distinct (p1, p2, x, y) pairs connected by some z, over an
+    already-distinct triple set ``t``. The join is keyed on z — the
+    graph's natural key; hub_cap prunes pathological z's BEFORE the
+    join so the worst bucket is bounded."""
     hop1 = t.select(F.col("s").alias("x"), F.col("p").alias("p1"),
                     F.col("o").alias("z"))
     hop2 = t.select(F.col("s").alias("z"), F.col("p").alias("p2"),
                     F.col("o").alias("y"))
     if hub_cap is not None:
-        stop = hub_stoplist(triples, hub_cap)
+        stop = hub_stoplist(t, hub_cap, distinct=False)
         hop1 = hop1.join(F.broadcast(stop), "z", "left_anti")
         hop2 = hop2.join(F.broadcast(stop), "z", "left_anti")
     return (hop1.join(hop2, "z")
@@ -109,8 +110,12 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
     rollup. All joins key on instance columns (AQE skew territory);
     outputs are predicate-vocabulary³ bounded.
     """
-    t = _distinct_triples(triples)
-    body = _path_body(triples, hub_cap)
+    # t feeds the body (twice), the head slice and the subject sets;
+    # body feeds three aggregations. Materialize each ONCE (the house
+    # localCheckpoint pattern) — otherwise Catalyst re-plans the
+    # distinct shuffle and the z-join per consumer.
+    t = _distinct_triples(triples).localCheckpoint()
+    body = _path_body(t, hub_cap).localCheckpoint()
     body_cnt = body.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).alias("body_count"))
     head = t.select(F.col("p").alias("head_p"), F.col("s").alias("x"),
@@ -142,7 +147,7 @@ def mine_implication_rules(triples: DataFrame, min_support: int = 2,
     per-predicate rollups — the same exchange the graph's (s,o)
     operations already pay.
     """
-    t = _distinct_triples(triples)
+    t = _distinct_triples(triples).localCheckpoint()
     body_cnt = t.groupBy(F.col("p").alias("p1")).agg(
         F.count(F.lit(1)).alias("body_count"))
     supp = (t.select(F.col("p").alias("p1"), "s", "o")
@@ -178,28 +183,31 @@ def rule_predictions(triples: DataFrame, rules: DataFrame,
     twice, deliberately (rank-fusion wants every vote; distinct on
     (s,p,o) is one dropDuplicates away).
 
-    Scale: `rules` is vocabulary³-bounded → broadcast onto the body
-    join, which prunes to exactly the rule predicates' hops BEFORE the
-    z-join; the absence check is an (s,p,o)-keyed anti-join.
+    Scale: `rules` is vocabulary³-bounded — materialized ONCE
+    (localCheckpoint: it is usually the output of a full mining run,
+    which must not be re-planned for each of its three uses here) and
+    broadcast onto the body join, which prunes to exactly the rule
+    predicates' hops BEFORE the z-join; the absence check is an
+    (s,p,o)-keyed anti-join.
     """
-    r = F.broadcast(rules.select("p1", "p2", "head_p", "support",
-                                 "body_count", "pca_count"))
-    t = _distinct_triples(triples)
+    rules_m = rules.select("p1", "p2", "head_p", "support",
+                           "body_count", "pca_count").localCheckpoint()
+    t = _distinct_triples(triples).localCheckpoint()
     hop1 = (t.select(F.col("s").alias("x"), F.col("p").alias("p1"),
                      F.col("o").alias("z"))
-            .join(F.broadcast(rules.select("p1").dropDuplicates()),
+            .join(F.broadcast(rules_m.select("p1").dropDuplicates()),
                   "p1", "left_semi"))
     hop2 = (t.select(F.col("s").alias("z"), F.col("p").alias("p2"),
                      F.col("o").alias("y"))
-            .join(F.broadcast(rules.select("p2").dropDuplicates()),
+            .join(F.broadcast(rules_m.select("p2").dropDuplicates()),
                   "p2", "left_semi"))
     if hub_cap is not None:
-        stop = hub_stoplist(triples, hub_cap)
+        stop = hub_stoplist(t, hub_cap, distinct=False)
         hop1 = hop1.join(F.broadcast(stop), "z", "left_anti")
         hop2 = hop2.join(F.broadcast(stop), "z", "left_anti")
     body = (hop1.join(hop2, "z")
             .select("p1", "p2", "x", "y").dropDuplicates()
-            .join(r, ["p1", "p2"]))
+            .join(F.broadcast(rules_m), ["p1", "p2"]))
     return (body
             .join(t,
                   [body.x == t.s, F.col("head_p") == t.p, body.y == t.o],

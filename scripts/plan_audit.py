@@ -36,6 +36,9 @@ AUDIT = [
     "owl_chain", "kg_pair_violations", "owl_inconsistencies",
     "parse_jsonld", "kg_haskey", "kg_qualified_violations", "sparql_star",
     "order_similarity", "forecast_revenue", "promo_revenue", "brand_revenue",
+    "kg_rule_mine", "kg_rule_predict", "kg_align", "graph_modularity",
+    "late_orders", "priority_shipments", "waiting_suppliers",
+    "idle_customers",
 ]
 
 
