@@ -3845,6 +3845,309 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("cents").alias("totacctbal_cents"))
                 .orderBy("c_nationkey"))
 
+    # ---- session 20: the remaining TPC-H relational shapes (Q5/Q7/Q8/
+    # Q9/Q10/Q13/Q15/Q16/Q17/Q20, adapted to the testdata columns — no
+    # partsupp table, no commit/receipt dates) — completes all 22 ----
+
+    def q_local_supplier_volume(spark, sf_dir):
+        """TPC-H Q5 shape (region-scoped star with a cross-dimension
+        equality): revenue in ASIA where the SUPPLIER sits in the same
+        nation as the ordering customer. The c_nationkey = s_nationkey
+        constraint rides the supplier broadcast join (it is NOT a
+        filter a scan can absorb — it correlates two dimension arms),
+        region/nation prune the customer arm before the fact join."""
+        region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+                  .filter(F.col("r_name") == "ASIA"))
+        nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+               .join(F.broadcast(region),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .join(F.broadcast(nat),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey", "c_nationkey", "n_name"))
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+        sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .select("s_suppkey", "s_nationkey"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .select("l_orderkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"))
+        j = (li.join(oo, li.l_orderkey == oo.o_orderkey)
+             .join(cust, oo.o_custkey == cust.c_custkey)
+             .join(F.broadcast(sup),
+                   (li.l_suppkey == sup.s_suppkey)
+                   & (cust.c_nationkey == sup.s_nationkey)))
+        return (j.groupBy("n_name")
+                .agg(_e6(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                     .alias("revenue_e6"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .orderBy("n_name"))
+
+    def q_volume_shipping(spark, sf_dir):
+        """TPC-H Q7 shape (two aliases of one dimension): shipping
+        volume between two named nations, grouped by the ordered
+        (supplier-nation, customer-nation, ship-year) triple. The
+        nation dim joins TWICE under different aliases — the supplier
+        arm and the customer arm each broadcast; the disjunctive pair
+        filter applies after both names are in scope."""
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .join(F.broadcast(nat),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey", F.col("n_name").alias("cust_nation")))
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .select("o_orderkey", "o_custkey")
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1999-01-01")))
+        pair = (((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
+        return (li.join(F.broadcast(sup),
+                        li.l_suppkey == sup.s_suppkey)
+                .join(oo, li.l_orderkey == oo.o_orderkey)
+                .join(cust, oo.o_custkey == cust.c_custkey)
+                .filter(pair)
+                .groupBy("supp_nation", "cust_nation",
+                         F.year("l_shipdate").alias("l_year"))
+                .agg(_e6(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                     .alias("revenue_e6"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .orderBy("supp_nation", "cust_nation", "l_year"))
+
+    def q_market_share(spark, sf_dir):
+        """TPC-H Q8 shape (share-of-total conditional aggregate): for
+        PROMO parts sold to EUROPE customers over two years, NATION_3
+        suppliers' revenue share per order year. Both the numerator
+        (conditional sum) and denominator come from ONE pass — the
+        share is emitted as two e6 integers, never a float division,
+        so the oracle reproduces the boundary exactly."""
+        region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+                  .filter(F.col("r_name") == "EUROPE"))
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        eur = (nat.join(F.broadcast(region),
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey"))
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .join(F.broadcast(eur),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey"))
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+        part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+                .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+        sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .join(oo, li.l_orderkey == oo.o_orderkey)
+                .join(cust, oo.o_custkey == cust.c_custkey)
+                .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+                .groupBy(F.year("o_orderdate").alias("o_year"))
+                .agg(_e6(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                                      rev).otherwise(F.lit(0.0))))
+                     .alias("nation_rev_e6"),
+                     _e6(F.sum(rev)).alias("total_rev_e6"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .orderBy("o_year"))
+
+    def q_product_profit(spark, sf_dir):
+        """TPC-H Q9 shape (profit rollup by producing nation and year):
+        for 'widget' parts, amount = revenue - 0.6*retailprice*qty (the
+        supplycost term adapted to this corpus, which has no partsupp
+        table) grouped by the SUPPLIER's nation and the order year.
+        LIKE-filtered part dim and supplier->nation both broadcast; the
+        fact joins orders only for the year column."""
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+                .filter(F.col("p_name").contains("widget"))
+                .select("p_partkey", "p_retailprice"))
+        sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", "n_name"))
+        oo = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+            .select("o_orderkey", "o_orderdate")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - F.col("p_retailprice") * 0.6 * F.col("l_quantity"))
+        return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+                .join(oo, li.l_orderkey == oo.o_orderkey)
+                .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+                .agg(_e6(F.sum(amount)).alias("profit_e6"),
+                     F.count(F.lit(1)).alias("n_lines"))
+                .orderBy("n_name", F.desc("o_year")))
+
+    def q_returned_items(spark, sf_dir):
+        """TPC-H Q10 shape (top-k lost-revenue accounts): customers
+        ranked by revenue on RETURNED lineitems against one order
+        quarter; acctbal carried in integer cents; deterministic
+        custkey tiebreak at the LIMIT boundary."""
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .join(F.broadcast(nat),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey", "c_name",
+                        F.round(F.col("c_acctbal") * 100).cast("long")
+                        .alias("acctbal_cents"),
+                        "n_name"))
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate") >= "1996-10-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+              .select("o_orderkey", "o_custkey"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        return (li.join(oo, li.l_orderkey == oo.o_orderkey)
+                .join(cust, oo.o_custkey == cust.c_custkey)
+                .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+                .agg(_e6(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                     .alias("revenue_e6"))
+                .orderBy(F.desc("revenue_e6"), "c_custkey")
+                .limit(20))
+
+    def q_customer_distribution(spark, sf_dir):
+        """TPC-H Q13 shape (left outer join + count distribution):
+        histogram of customers by how many URGENT orders they placed —
+        the left join keeps zero-order customers (count(o_orderkey)
+        counts only matched rows), then a second aggregation over the
+        first's output."""
+        cc = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+            .select("c_custkey")
+        oo = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+        per_cust = (cc.join(oo, cc.c_custkey == oo.o_custkey, "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+        return (per_cust.groupBy("c_count")
+                .agg(F.count(F.lit(1)).alias("custdist"))
+                .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+    def q_top_supplier(spark, sf_dir):
+        """TPC-H Q15 shape (view + global max): supplier(s) with the
+        maximum quarterly revenue. The max travels as a broadcast
+        one-row cross join and the equality compares ALREADY-e6-rounded
+        longs, so ties and the boundary are bit-exact in both engines
+        (the classic Q15 correlated-subquery-on-a-view, no driver
+        collect)."""
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1997-04-01")))
+        rev = (li.groupBy("l_suppkey")
+               .agg(_e6(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                    .alias("total_rev_e6")))
+        mx = rev.agg(F.max("total_rev_e6").alias("mx"))
+        sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+            .select("s_suppkey", "s_name")
+        return (rev.crossJoin(F.broadcast(mx))
+                .filter(F.col("total_rev_e6") == F.col("mx"))
+                .join(F.broadcast(sup),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name", "total_rev_e6"))
+
+    def q_part_supplier_counts(spark, sf_dir):
+        """TPC-H Q16 shape (distinct-count with a NOT-IN exclusion):
+        distinct suppliers per (brand, type, size) for mid-size
+        non-PROMO parts outside Brand#1, excluding negative-balance
+        suppliers (the complaints stand-in). The NOT IN compiles to a
+        broadcast anti-join BEFORE the distinct aggregation so excluded
+        suppliers never enter the count."""
+        part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+                .filter((F.col("p_brand") != "Brand#1")
+                        & (~F.col("p_type").startswith("PROMO"))
+                        & (F.col("p_size") <= 15))
+                .select("p_partkey", "p_brand", "p_type", "p_size"))
+        bad = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+            .select("l_partkey", "l_suppkey")
+        return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                      "left_anti")
+                .groupBy("p_brand", "p_type", "p_size")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+                .orderBy(F.desc("supplier_cnt"),
+                         "p_brand", "p_type", "p_size"))
+
+    def q_small_qty_revenue(spark, sf_dir):
+        """TPC-H Q17 shape (correlated average threshold): yearly-ized
+        revenue from Brand#3 lineitems whose quantity is below 20% of
+        that part's average quantity. The per-part average is never
+        divided: qty*5*n < sum_qty cross-multiplies in LONG arithmetic,
+        so the threshold boundary is bit-exact; the per-part aggregate
+        joins back on the part key (two passes over the brand slice,
+        no window needed)."""
+        part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+                .filter(F.col("p_brand") == "Brand#3")
+                .select("p_partkey"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .select("l_partkey", "l_quantity", "l_extendedprice"))
+        per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                    .agg(F.sum(F.col("l_quantity").cast("long"))
+                         .alias("sum_q"),
+                         F.count(F.lit(1)).alias("n_l")))
+        small = (li.join(F.broadcast(per_part),
+                         F.col("l_partkey") == F.col("pk"))
+                 .filter(F.col("l_quantity").cast("long") * 5
+                         * F.col("n_l") < F.col("sum_q")))
+        return small.agg(
+            _e6(F.sum("l_extendedprice") / 7.0).alias("avg_yearly_e6"),
+            F.count(F.lit(1)).alias("n_lines"))
+
+    def q_promo_suppliers(spark, sf_dir):
+        """TPC-H Q20 shape (nested semi-join with a per-key volume
+        threshold): AFRICA suppliers who shipped >300 units of 'red'
+        parts in 1997. Part filter broadcasts into the fact scan, the
+        per-supplier quantity rollup is integer-exact, and the
+        region-scoped supplier dim joins last (smallest side)."""
+        red = (spark.read.parquet(f"{sf_dir}/part.parquet")
+               .filter(F.col("p_name").startswith("red "))
+               .select("p_partkey"))
+        li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+              .filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")))
+        shipped = (li.join(F.broadcast(red),
+                           F.col("l_partkey") == F.col("p_partkey"))
+                   .groupBy("l_suppkey")
+                   .agg(F.sum(F.col("l_quantity").cast("long"))
+                        .alias("red_qty"))
+                   .filter(F.col("red_qty") > 300))
+        region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+                  .filter(F.col("r_name") == "AFRICA"))
+        nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+               .join(F.broadcast(region),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+        sup = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+               .join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .select("s_suppkey", "s_name", "n_name"))
+        return (shipped.join(F.broadcast(sup),
+                             F.col("l_suppkey") == F.col("s_suppkey"))
+                .select("s_suppkey", "s_name", "n_name", "red_qty")
+                .orderBy("s_suppkey"))
+
     def q_kg_rule_mine(spark, sf_dir):
         """AMIE-style path rules (rulemine.mine_path_rules): mines
         by_cust(o,c) ∧ in_nation(c,n) ⇒ ships_to(o,n) (confidence 1/3 —
@@ -4076,6 +4379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shipments": q_priority_shipments,
         "waiting_suppliers": q_waiting_suppliers,
         "idle_customers": q_idle_customers,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "promo_suppliers": q_promo_suppliers,
     }
 
 
@@ -8361,6 +8674,166 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6)
+                        AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6)
+                        AS BIGINT) AS revenue_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "market_share": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(SUM(CASE WHEN n_s.n_name = 'NATION_3'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END) * 1e6) AS BIGINT)
+                     AS nation_rev_e6,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6)
+                        AS BIGINT) AS total_rev_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n_c ON c_nationkey = n_c.n_nationkey
+            JOIN region ON n_c.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "product_profit": """
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)
+                                  - p_retailprice * 0.6 * l_quantity) * 1e6)
+                        AS BIGINT) AS profit_e6,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND p_name LIKE '%widget%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   n_name,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 1e6)
+                        AS BIGINT) AS revenue_e6
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_e6 DESC, c_custkey
+            LIMIT 20
+        """,
+        "customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                  FROM customer
+                  LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT') o
+                    ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                                * 1e6) AS BIGINT) AS total_rev_e6
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev_e6
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_e6 = (SELECT MAX(total_rev_e6) FROM rev)
+        """,
+        "part_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size <= 15
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "small_qty_revenue": """
+            WITH b AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'),
+            pp AS (
+              SELECT l_partkey AS pk,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+                     COUNT(*) AS n_l
+              FROM b GROUP BY 1)
+            SELECT CAST(ROUND(SUM(l_extendedprice) / 7.0 * 1e6) AS BIGINT)
+                     AS avg_yearly_e6,
+                   COUNT(*) AS n_lines
+            FROM b JOIN pp ON l_partkey = pk
+            WHERE CAST(l_quantity AS BIGINT) * 5 * n_l < sum_q
+        """,
+        "promo_suppliers": """
+            WITH shipped AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS red_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red %'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+            SELECT s_suppkey, s_name, n_name, red_qty
+            FROM shipped
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AFRICA'
+            ORDER BY s_suppkey
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

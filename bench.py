@@ -180,7 +180,12 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              # added r2 session 19
              "kg_rule_mine", "kg_rule_predict", "kg_align",
              "graph_modularity", "late_orders", "priority_shipments",
-             "waiting_suppliers", "idle_customers"]
+             "waiting_suppliers", "idle_customers",
+             # added r2 session 20 (completes all 22 TPC-H shapes)
+             "local_supplier_volume", "volume_shipping", "market_share",
+             "product_profit", "returned_items", "customer_distribution",
+             "top_supplier", "part_supplier_counts", "small_qty_revenue",
+             "promo_suppliers"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

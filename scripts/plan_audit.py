@@ -39,6 +39,10 @@ AUDIT = [
     "kg_rule_mine", "kg_rule_predict", "kg_align", "graph_modularity",
     "late_orders", "priority_shipments", "waiting_suppliers",
     "idle_customers",
+    "local_supplier_volume", "volume_shipping", "market_share",
+    "product_profit", "returned_items", "customer_distribution",
+    "top_supplier", "part_supplier_counts", "small_qty_revenue",
+    "promo_suppliers",
 ]
 
 
