@@ -4148,6 +4148,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("s_suppkey", "s_name", "n_name", "red_qty")
                 .orderBy("s_suppkey"))
 
+    def q_dsir_weights(spark, sf_dir):
+        """DSIR importance weights (operators/dsir.dsir_log_weights,
+        arXiv:2302.03169): every document scored for how English-target-
+        like its hashed uni+bigram distribution is. The fitted model is
+        two 4096-row bucket tables (broadcast); log-ratios quantize to
+        e9 integers so the per-doc weighted sum is exact in both
+        engines."""
+        from openapi_to_rdf_spark.operators.dsir import dsir_log_weights
+
+        docs = _docs(spark, sf_dir)
+        return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+
+    def q_dsir_sample(spark, sf_dir):
+        """DSIR selection step (operators/dsir.dsir_sample): Gumbel-top-k
+        importance resampling with content-hash uniforms — top 50 docs
+        by log_w + Gumbel(u), derandomized and engine-portable (the
+        TakeOrderedAndProject path, never a global sort)."""
+        from openapi_to_rdf_spark.operators.dsir import dsir_sample
+
+        docs = _docs(spark, sf_dir)
+        return dsir_sample(docs, docs.filter(F.col("lang") == "en"), 50)
+
     def q_kg_rule_mine(spark, sf_dir):
         """AMIE-style path rules (rulemine.mine_path_rules): mines
         by_cust(o,c) ∧ in_nation(c,n) ⇒ ships_to(o,n) (confidence 1/3 —
@@ -4389,6 +4411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supplier_counts": q_part_supplier_counts,
         "small_qty_revenue": q_small_qty_revenue,
         "promo_suppliers": q_promo_suppliers,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -8834,6 +8858,95 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             ORDER BY s_suppkey
+        """,
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(toks || [toks[i] || ' ' || toks[i+1]
+                                     FOR i IN range(1, greatest(len(toks), 1))])
+                       AS gram
+              FROM t),
+            b AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                              % 4096 AS BIGINT) AS bucket
+                  FROM g),
+            rawd AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1),
+            tgtd AS (SELECT bucket, COUNT(*) AS ct
+                     FROM b JOIN documents USING (doc_id)
+                     WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(cr) FROM rawd) AS n_raw,
+                           (SELECT SUM(ct) FROM tgtd) AS n_tgt),
+            ratio AS (
+              SELECT bucket,
+                     CAST(ROUND(ln(
+                         CAST((COALESCE(ct, 0) + 1) * (n_raw + 4096)
+                              AS DOUBLE)
+                         / CAST((cr + 1) * (n_tgt + 4096) AS DOUBLE))
+                       * 1e9) AS BIGINT) AS lr9
+              FROM rawd LEFT JOIN tgtd USING (bucket), tot),
+            pdb AS (SELECT doc_id, bucket, COUNT(*) AS c
+                    FROM b GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                         CAST(ROUND(SUM(c * lr9) / 1000.0) AS BIGINT)
+                           AS log_w_e6
+                  FROM pdb JOIN ratio USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(n_grams, 0) AS n_grams,
+                   COALESCE(log_w_e6, 0) AS log_w_e6
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN w USING (doc_id)
+        """,
+        "dsir_sample": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(toks || [toks[i] || ' ' || toks[i+1]
+                                     FOR i IN range(1, greatest(len(toks), 1))])
+                       AS gram
+              FROM t),
+            b AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                              % 4096 AS BIGINT) AS bucket
+                  FROM g),
+            rawd AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1),
+            tgtd AS (SELECT bucket, COUNT(*) AS ct
+                     FROM b JOIN documents USING (doc_id)
+                     WHERE lang = 'en' GROUP BY 1),
+            tot AS (SELECT (SELECT SUM(cr) FROM rawd) AS n_raw,
+                           (SELECT SUM(ct) FROM tgtd) AS n_tgt),
+            ratio AS (
+              SELECT bucket,
+                     CAST(ROUND(ln(
+                         CAST((COALESCE(ct, 0) + 1) * (n_raw + 4096)
+                              AS DOUBLE)
+                         / CAST((cr + 1) * (n_tgt + 4096) AS DOUBLE))
+                       * 1e9) AS BIGINT) AS lr9
+              FROM rawd LEFT JOIN tgtd USING (bucket), tot),
+            pdb AS (SELECT doc_id, bucket, COUNT(*) AS c
+                    FROM b GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                         CAST(ROUND(SUM(c * lr9) / 1000.0) AS BIGINT)
+                           AS log_w_e6
+                  FROM pdb JOIN ratio USING (bucket) GROUP BY 1),
+            lw AS (SELECT d.doc_id,
+                          COALESCE(n_grams, 0) AS n_grams,
+                          COALESCE(log_w_e6, 0) AS log_w_e6
+                   FROM (SELECT DISTINCT doc_id FROM documents) d
+                   LEFT JOIN w USING (doc_id)),
+            keyed AS (
+              SELECT doc_id, n_grams, log_w_e6,
+                     log_w_e6 / 1e6
+                     - ln(-ln(CAST(('0x' || substr(md5(CAST(doc_id
+                                AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+                              / 4294967296.0)) AS key
+              FROM lw)
+            SELECT doc_id, n_grams, log_w_e6,
+                   CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id)
+                        AS INT) AS rank
+            FROM keyed
+            ORDER BY key DESC, doc_id
+            LIMIT 50
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
