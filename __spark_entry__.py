@@ -4148,6 +4148,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("s_suppkey", "s_name", "n_name", "red_qty")
                 .orderBy("s_suppkey"))
 
+    def q_graph_betweenness(spark, sf_dir):
+        """Bounded-depth Brandes betweenness (operators/betweenness),
+        5 sources, horizon 3, over a deterministic 60-node orders graph.
+        DuckDB unrolls the same three forward BFS levels and two
+        backward dependency levels — sigma ratios divide small exact
+        integers, so the e6 values agree."""
+        from openapi_to_rdf_spark.operators.betweenness import betweenness
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 60).cast("string").alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 60)
+            .cast("string").alias("dst"))
+        srcs = spark.createDataFrame([(str(i),) for i in range(5)], ["id"])
+        return betweenness(edges, srcs, max_depth=3)
+
     def q_dsir_weights(spark, sf_dir):
         """DSIR importance weights (operators/dsir.dsir_log_weights,
         arXiv:2302.03169): every document scored for how English-target-
@@ -4413,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_suppliers": q_promo_suppliers,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "graph_betweenness": q_graph_betweenness,
     }
 
 
@@ -8858,6 +8875,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             ORDER BY s_suppkey
+        """,
+        "graph_betweenness": """
+            WITH e0 AS (
+              SELECT CAST(o_orderkey % 60 AS VARCHAR) AS u,
+                     CAST((o_orderkey // 7 + o_custkey) % 60
+                          AS VARCHAR) AS v
+              FROM orders),
+            e AS (SELECT DISTINCT u, v FROM e0),
+            l0 AS (SELECT CAST(x AS VARCHAR) AS s, CAST(x AS VARCHAR) AS node,
+                          CAST(1 AS BIGINT) AS sigma
+                   FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+            l1 AS (SELECT l0.s, e.v AS node,
+                          CAST(SUM(l0.sigma) AS BIGINT) AS sigma
+                   FROM l0 JOIN e ON e.u = l0.node
+                   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                     WHERE p.s = l0.s AND p.node = e.v)
+                   GROUP BY 1, 2),
+            l2 AS (SELECT l1.s, e.v AS node,
+                          CAST(SUM(l1.sigma) AS BIGINT) AS sigma
+                   FROM l1 JOIN e ON e.u = l1.node
+                   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                     WHERE p.s = l1.s AND p.node = e.v)
+                     AND NOT EXISTS (SELECT 1 FROM l1 p
+                                     WHERE p.s = l1.s AND p.node = e.v)
+                   GROUP BY 1, 2),
+            l3 AS (SELECT l2.s, e.v AS node,
+                          CAST(SUM(l2.sigma) AS BIGINT) AS sigma
+                   FROM l2 JOIN e ON e.u = l2.node
+                   WHERE NOT EXISTS (SELECT 1 FROM l0 p
+                                     WHERE p.s = l2.s AND p.node = e.v)
+                     AND NOT EXISTS (SELECT 1 FROM l1 p
+                                     WHERE p.s = l2.s AND p.node = e.v)
+                     AND NOT EXISTS (SELECT 1 FROM l2 p
+                                     WHERE p.s = l2.s AND p.node = e.v)
+                   GROUP BY 1, 2),
+            d3 AS (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta
+                   FROM l3),
+            c2 AS (SELECT l2.s, l2.node,
+                          SUM(l2.sigma * 1.0 / d3.sigma * (1 + d3.delta))
+                            AS d
+                   FROM l2 JOIN e ON e.u = l2.node
+                   JOIN d3 ON d3.s = l2.s AND d3.node = e.v
+                   GROUP BY 1, 2),
+            d2 AS (SELECT l2.s, l2.node, l2.sigma,
+                          COALESCE(c2.d, 0) AS delta
+                   FROM l2 LEFT JOIN c2
+                     ON c2.s = l2.s AND c2.node = l2.node),
+            c1 AS (SELECT l1.s, l1.node,
+                          SUM(l1.sigma * 1.0 / d2.sigma * (1 + d2.delta))
+                            AS d
+                   FROM l1 JOIN e ON e.u = l1.node
+                   JOIN d2 ON d2.s = l1.s AND d2.node = e.v
+                   GROUP BY 1, 2),
+            d1 AS (SELECT l1.s, l1.node, l1.sigma,
+                          COALESCE(c1.d, 0) AS delta
+                   FROM l1 LEFT JOIN c1
+                     ON c1.s = l1.s AND c1.node = l1.node),
+            alld AS (SELECT s, node, delta FROM d1
+                     UNION ALL SELECT s, node, delta FROM d2
+                     UNION ALL SELECT s, node, delta FROM d3)
+            SELECT node, CAST(ROUND(SUM(delta) * 1e6) AS BIGINT) AS bc_e6
+            FROM alld GROUP BY node ORDER BY node
         """,
         "dsir_weights": f"""
             WITH t AS (SELECT doc_id, {_NORM} AS toks FROM documents),

@@ -42,7 +42,7 @@ AUDIT = [
     "local_supplier_volume", "volume_shipping", "market_share",
     "product_profit", "returned_items", "customer_distribution",
     "top_supplier", "part_supplier_counts", "small_qty_revenue",
-    "promo_suppliers", "dsir_weights", "dsir_sample",
+    "promo_suppliers", "dsir_weights", "dsir_sample", "graph_betweenness",
 ]
 
 
