@@ -4148,6 +4148,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("s_suppkey", "s_name", "n_name", "red_qty")
                 .orderBy("s_suppkey"))
 
+    def q_kg_triple_rules(spark, sf_dir):
+        """SHACL-AF sh:TripleRule inference (operators/shaclaf): a
+        shapes graph with a constant-object rule (Person => Agent), a
+        path-object rule (affiliatedWith := worksFor) and a
+        sh:condition-guarded rule (status 'active' => eligible) runs one
+        forward pass over a customer-derived instance graph; every fifth
+        customer is pre-typed Agent to exercise the already-present
+        anti-join. The DuckDB twin derives the inferred set
+        analytically."""
+        from openapi_to_rdf_spark.operators.shaclaf import (
+            SH, SH_THIS, infer_triple_rules)
+
+        kg = "http://example.com/kg#"
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
+        shapes = spark.createDataFrame(
+            [("PersonShape", SH + "targetClass", "iri", kg + "Person", None),
+             ("PersonShape", SH + "rule", "bnode", "r1", None),
+             ("_:r1", rdf_type, "iri", SH + "TripleRule", None),
+             ("_:r1", SH + "subject", "iri", SH_THIS, None),
+             ("_:r1", SH + "predicate", "iri", rdf_type, None),
+             ("_:r1", SH + "object", "iri", kg + "Agent", None),
+             ("PersonShape", SH + "rule", "bnode", "r2", None),
+             ("_:r2", rdf_type, "iri", SH + "TripleRule", None),
+             ("_:r2", SH + "subject", "iri", SH_THIS, None),
+             ("_:r2", SH + "predicate", "iri", kg + "affiliatedWith", None),
+             ("_:r2", SH + "object", "bnode", "o2", None),
+             ("_:o2", SH + "path", "iri", kg + "worksFor", None),
+             ("EligShape", SH + "targetClass", "iri", kg + "Person", None),
+             ("EligShape", SH + "condition", "bnode", "c1", None),
+             ("_:c1", SH + "property", "bnode", "p1", None),
+             ("_:p1", SH + "path", "iri", kg + "status", None),
+             ("_:p1", SH + "hasValue", "literal", "active", None),
+             ("EligShape", SH + "rule", "bnode", "r3", None),
+             ("_:r3", rdf_type, "iri", SH + "TripleRule", None),
+             ("_:r3", SH + "subject", "iri", SH_THIS, None),
+             ("_:r3", SH + "predicate", "iri", kg + "eligible", None),
+             ("_:r3", SH + "object", "literal", "true", xsd_bool)],
+            "s string, p string, o_kind string, o string, o_datatype string")
+        cc = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+              .select(F.col("c_custkey").alias("k")))
+        person = F.concat(F.lit("cust#"), F.col("k").cast("string"))
+        org = F.concat(F.lit("org#"),
+                       F.pmod(F.col("k"), F.lit(20)).cast("string"))
+        status = F.when(F.pmod(F.col("k"), F.lit(3)) == 0, "active") \
+            .otherwise("inactive")
+
+        def tri(df, s, p, o_kind, o, dt=None):
+            return df.select(
+                s.alias("s"), F.lit(p).alias("p"),
+                F.lit(o_kind).alias("o_kind"), o.alias("o"),
+                (F.lit(dt) if dt else F.lit(None).cast("string"))
+                .alias("o_datatype"))
+
+        data = (tri(cc, person, rdf_type, "iri", F.lit(kg + "Person"))
+                .unionByName(tri(cc, person, kg + "worksFor", "iri", org))
+                .unionByName(tri(cc, person, kg + "status", "literal",
+                                 status))
+                .unionByName(tri(cc.filter(F.pmod(F.col("k"),
+                                                  F.lit(5)) == 0),
+                                 person, rdf_type, "iri",
+                                 F.lit(kg + "Agent"))))
+        return (infer_triple_rules(data, shapes)
+                .orderBy("s", "p", "o"))
+
     def q_graph_betweenness(spark, sf_dir):
         """Bounded-depth Brandes betweenness (operators/betweenness),
         5 sources, horizon 3, over a deterministic 60-node orders graph.
@@ -4430,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
         "graph_betweenness": q_graph_betweenness,
+        "kg_triple_rules": q_kg_triple_rules,
     }
 
 
@@ -8875,6 +8941,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             ORDER BY s_suppkey
+        """,
+        "kg_triple_rules": """
+            WITH c AS (SELECT c_custkey AS k,
+                              'cust#' || CAST(c_custkey AS VARCHAR) AS person
+                       FROM customer)
+            SELECT person AS s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'iri' AS o_kind,
+                   'http://example.com/kg#Agent' AS o,
+                   CAST(NULL AS VARCHAR) AS o_datatype
+            FROM c WHERE k % 5 <> 0
+            UNION ALL
+            SELECT person,
+                   'http://example.com/kg#affiliatedWith', 'iri',
+                   'org#' || CAST(k % 20 AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM c
+            UNION ALL
+            SELECT person, 'http://example.com/kg#eligible', 'literal',
+                   'true', 'http://www.w3.org/2001/XMLSchema#boolean'
+            FROM c WHERE k % 3 = 0
         """,
         "graph_betweenness": """
             WITH e0 AS (
