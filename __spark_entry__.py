@@ -4148,6 +4148,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("s_suppkey", "s_name", "n_name", "red_qty")
                 .orderBy("s_suppkey"))
 
+    def _doc_turns(spark, sf_dir):
+        """Deterministic conversations from documents: conv doc_id%100,
+        turn doc_id//100, alternating roles, 80-char turn texts — the
+        SQL-replayable transcript fixture for the SFT operators."""
+        return (_docs(spark, sf_dir)
+                .select((F.col("doc_id") % 100).alias("conv_id"),
+                        F.expr("doc_id div 100").cast("int")
+                        .alias("turn_idx"),
+                        F.when(F.col("doc_id") % 2 == 0, "user")
+                        .otherwise("assistant").alias("role"),
+                        F.substring("text", 1, 80).alias("text")))
+
+    def q_sft_pairs(spark, sf_dir):
+        """SFT example mining (sftpairs.context_response_pairs): one
+        bounded window per conversation renders the <=3 preceding turns
+        as the context of every assistant turn — single conv-keyed
+        exchange, pure codegen."""
+        from openapi_to_rdf_spark.operators.sftpairs import (
+            context_response_pairs)
+
+        return context_response_pairs(_doc_turns(spark, sf_dir),
+                                      "assistant", max_context=3)
+
+    def q_sft_render(spark, sf_dir):
+        """Chat-template rendering (sftpairs.render_conversations): one
+        groupBy(conv) with an order-pinned sorted-struct fold — no
+        window, no Python."""
+        from openapi_to_rdf_spark.operators.sftpairs import (
+            render_conversations)
+
+        return render_conversations(_doc_turns(spark, sf_dir))
+
+    def q_preference_pairs(spark, sf_dir):
+        """DPO pair construction (sftpairs.preference_pairs): ten
+        candidate responses per synthetic prompt (doc_id%50) pair
+        best-vs-worst by n_chars with a (score, id) struct tiebreak —
+        deterministic under any partitioning; DuckDB replays it with
+        ROW_NUMBER windows."""
+        from openapi_to_rdf_spark.operators.sftpairs import (
+            preference_pairs)
+
+        cand = (_docs(spark, sf_dir)
+                .select(F.concat(F.lit("prompt#"),
+                                 (F.col("doc_id") % 50).cast("string"))
+                        .alias("context"),
+                        F.col("text").alias("response"),
+                        F.col("n_chars").alias("score"),
+                        F.col("doc_id").alias("conv_id"),
+                        F.col("doc_id").alias("turn_idx")))
+        return preference_pairs(cand, "score", min_margin=1)
+
+    def q_boilerplate_turns(spark, sf_dir):
+        """Cross-conversation verbatim-turn report (sftpairs.
+        boilerplate_turns): md5-keyed rollup of turn texts repeated in
+        >=2 conversations — canned-response detection, exact_dedup's
+        turn-level sibling."""
+        from openapi_to_rdf_spark.operators.sftpairs import (
+            boilerplate_turns)
+
+        return boilerplate_turns(_doc_turns(spark, sf_dir), min_convs=2)
+
     def q_kg_triple_rules(spark, sf_dir):
         """SHACL-AF sh:TripleRule inference (operators/shaclaf): a
         shapes graph with a constant-object rule (Person => Agent), a
@@ -4496,6 +4557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "graph_betweenness": q_graph_betweenness,
         "kg_triple_rules": q_kg_triple_rules,
+        "sft_pairs": q_sft_pairs,
+        "sft_render": q_sft_render,
+        "preference_pairs": q_preference_pairs,
+        "boilerplate_turns": q_boilerplate_turns,
     }
 
 
@@ -8941,6 +9006,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'AFRICA'
             ORDER BY s_suppkey
+        """,
+        "sft_pairs": """
+            WITH turns AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CAST(doc_id // 100 AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, 1, 80) AS text
+              FROM documents)
+            SELECT conv_id, turn_idx,
+                   COALESCE(array_to_string(
+                       list(role || ': ' || text) OVER w, chr(10)), '')
+                     AS context,
+                   CAST(COUNT(*) OVER w AS INT) AS n_context,
+                   text AS response
+            FROM turns
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+            QUALIFY role = 'assistant'
+        """,
+        "sft_render": """
+            WITH turns AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CAST(doc_id // 100 AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, 1, 80) AS text
+              FROM documents)
+            SELECT conv_id, CAST(COUNT(*) AS INT) AS n_turns,
+                   string_agg(role || ': ' || text,
+                              chr(10) ORDER BY turn_idx) AS rendered
+            FROM turns GROUP BY conv_id
+        """,
+        "preference_pairs": """
+            WITH cand AS (
+              SELECT 'prompt#' || CAST(doc_id % 50 AS VARCHAR) AS context,
+                     text AS response, n_chars AS score, doc_id
+              FROM documents),
+            r AS (
+              SELECT md5(context) AS prompt_key, context, response, score,
+                     ROW_NUMBER() OVER (PARTITION BY context
+                                        ORDER BY score DESC, doc_id DESC)
+                       AS rb,
+                     ROW_NUMBER() OVER (PARTITION BY context
+                                        ORDER BY score ASC, doc_id ASC)
+                       AS rw,
+                     MAX(score) OVER (PARTITION BY context)
+                       AS chosen_score,
+                     MIN(score) OVER (PARTITION BY context)
+                       AS rejected_score,
+                     COUNT(*) OVER (PARTITION BY context) AS n_candidates
+              FROM cand)
+            SELECT a.prompt_key, a.context, a.response AS chosen,
+                   b.response AS rejected, a.chosen_score,
+                   a.rejected_score, a.n_candidates
+            FROM (SELECT * FROM r WHERE rb = 1) a
+            JOIN (SELECT * FROM r WHERE rw = 1) b USING (prompt_key)
+            WHERE a.chosen_score - a.rejected_score >= 1
+        """,
+        "boilerplate_turns": """
+            WITH turns AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, 1, 80) AS text
+              FROM documents)
+            SELECT md5(text) AS text_md5,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   COUNT(*) AS n_turns,
+                   MIN(role) AS sample_role,
+                   MIN(text) AS text
+            FROM turns GROUP BY 1
+            HAVING COUNT(DISTINCT conv_id) >= 2
         """,
         "kg_triple_rules": """
             WITH c AS (SELECT c_custkey AS k,

@@ -43,7 +43,8 @@ AUDIT = [
     "product_profit", "returned_items", "customer_distribution",
     "top_supplier", "part_supplier_counts", "small_qty_revenue",
     "promo_suppliers", "dsir_weights", "dsir_sample", "graph_betweenness",
-    "kg_triple_rules",
+    "kg_triple_rules", "sft_pairs", "sft_render", "preference_pairs",
+    "boilerplate_turns",
 ]
 
 
