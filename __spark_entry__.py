@@ -4290,6 +4290,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         srcs = spark.createDataFrame([(str(i),) for i in range(5)], ["id"])
         return betweenness(edges, srcs, max_depth=3)
 
+    def q_graph_harmonic(spark, sf_dir):
+        """Sampled harmonic centrality (betweenness.harmonic_centrality):
+        sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
+        60-node orders graph as graph_betweenness — DuckDB replays it as
+        a step-bounded recursive walk + MIN(dist) rollup."""
+        from openapi_to_rdf_spark.operators.betweenness import (
+            harmonic_centrality)
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 60).cast("string").alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 60)
+            .cast("string").alias("dst"))
+        srcs = spark.createDataFrame([(str(i),) for i in range(5)], ["id"])
+        return harmonic_centrality(edges, srcs, max_depth=3)
+
     def q_dsir_weights(spark, sf_dir):
         """DSIR importance weights (operators/dsir.dsir_log_weights,
         arXiv:2302.03169): every document scored for how English-target-
@@ -4561,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render": q_sft_render,
         "preference_pairs": q_preference_pairs,
         "boilerplate_turns": q_boilerplate_turns,
+        "graph_harmonic": q_graph_harmonic,
     }
 
 
@@ -9100,6 +9117,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT person, 'http://example.com/kg#eligible', 'literal',
                    'true', 'http://www.w3.org/2001/XMLSchema#boolean'
             FROM c WHERE k % 3 = 0
+        """,
+        "graph_harmonic": """
+            WITH RECURSIVE e0 AS (
+              SELECT CAST(o_orderkey % 60 AS VARCHAR) AS u,
+                     CAST((o_orderkey // 7 + o_custkey) % 60
+                          AS VARCHAR) AS v
+              FROM orders),
+            e AS (SELECT DISTINCT u, v FROM e0),
+            walk(s, node, dist, step) AS (
+              SELECT CAST(x AS VARCHAR), CAST(x AS VARCHAR), 0, 0
+              FROM (VALUES (0), (1), (2), (3), (4)) t(x)
+              UNION ALL
+              SELECT walk.s, e.v, walk.dist + 1, walk.step + 1
+              FROM walk JOIN e ON e.u = walk.node
+              WHERE walk.step < 3),
+            md AS (SELECT s, node, MIN(dist) AS d
+                   FROM walk GROUP BY 1, 2)
+            SELECT node, COUNT(*) AS n_sources,
+                   CAST(ROUND(SUM(1.0 / d) * 1e6) AS BIGINT)
+                     AS harmonic_e6
+            FROM md WHERE d > 0 GROUP BY node ORDER BY node
         """,
         "graph_betweenness": """
             WITH e0 AS (

@@ -35,14 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 3,
-                src_col: str = "src", dst_col: str = "dst",
-                source_col: str = "id") -> DataFrame:
-    """Betweenness over shortest paths of length <= max_depth starting at
-    ``sources``. Directed; parallel edges collapse (shortest-path counts
-    are over simple edge relations). Returns (node, bc_e6) for every node
-    that accumulates any dependency, bc_e6 = round(sum of deltas * 1e6).
-    """
+def _bfs_levels(edges: DataFrame, sources: DataFrame, max_depth: int,
+                src_col: str, dst_col: str, source_col: str):
+    """Shared forward pass: per-level (s, node, sigma) frames where level
+    index = shortest distance and sigma = shortest-path count. Returns
+    (edge frame, [level frames])."""
     e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
          .dropDuplicates())
     lvl0 = (sources.select(F.col(source_col).alias("s")).dropDuplicates()
@@ -63,6 +60,19 @@ def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 3,
         levels.append(nxt)
         visited = (visited.unionByName(nxt.select("s", "node"))
                    .localCheckpoint(eager=True))
+    return e, levels
+
+
+def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 3,
+                src_col: str = "src", dst_col: str = "dst",
+                source_col: str = "id") -> DataFrame:
+    """Betweenness over shortest paths of length <= max_depth starting at
+    ``sources``. Directed; parallel edges collapse (shortest-path counts
+    are over simple edge relations). Returns (node, bc_e6) for every node
+    that accumulates any dependency, bc_e6 = round(sum of deltas * 1e6).
+    """
+    e, levels = _bfs_levels(edges, sources, max_depth,
+                            src_col, dst_col, source_col)
 
     # backward accumulation; deepest level's delta = 0
     deep = levels[-1]
@@ -93,4 +103,33 @@ def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 3,
         out = out.unionByName(d)
     return (out.groupBy("node")
             .agg(F.round(F.sum("delta") * 1e6).cast("long").alias("bc_e6"))
+            .orderBy("node"))
+
+
+def harmonic_centrality(edges: DataFrame, sources: DataFrame,
+                        max_depth: int = 3, src_col: str = "src",
+                        dst_col: str = "dst",
+                        source_col: str = "id") -> DataFrame:
+    """Sampled harmonic centrality (Eppstein–Wang style pivot estimator,
+    depth-bounded): H(v) = sum over sources s != v of 1/d(s, v), with
+    d from the same forward BFS the betweenness pass uses. Harmonic
+    (not classic closeness) so unreachable pairs contribute 0 instead of
+    poisoning the sum — the standard choice on disconnected graphs.
+    Returns (node, n_sources, harmonic_e6) for every node reached by at
+    least one source; 1/d terms are exact unit fractions so both engines
+    agree to the e6 digit."""
+    _, levels = _bfs_levels(edges, sources, max_depth,
+                            src_col, dst_col, source_col)
+    if len(levels) == 1:
+        return (edges.sparkSession.createDataFrame(
+            [], "node string, n_sources long, harmonic_e6 long"))
+    out = None
+    for d, lvl in enumerate(levels[1:], start=1):
+        part = lvl.select("s", "node",
+                          (F.lit(1.0) / F.lit(d)).alias("h"))
+        out = part if out is None else out.unionByName(part)
+    return (out.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_sources"),
+                 F.round(F.sum("h") * 1e6).cast("long")
+                 .alias("harmonic_e6"))
             .orderBy("node"))

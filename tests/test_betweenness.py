@@ -96,3 +96,54 @@ def test_dead_frontier_and_isolated_source(spark):
 def test_shallow_horizons(spark, depth):
     edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")]
     assert_matches(spark, edges, ["a", "b", "c"], max_depth=depth)
+
+
+def harmonic_ref(edge_list, sources, max_depth):
+    adj = defaultdict(list)
+    for u, v in set(edge_list):
+        adj[u].append(v)
+    h, n = defaultdict(float), defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            if dist[v] == max_depth:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+                n[v] += 1
+    return {v: (n[v], round(h[v] * 1e6)) for v in h}
+
+
+def test_harmonic_path_and_depth(spark):
+    from openapi_to_rdf_spark.operators.betweenness import (
+        harmonic_centrality)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([("a",)], ["id"])
+    got = {r.node: (r.n_sources, r.harmonic_e6)
+           for r in harmonic_centrality(e, s, max_depth=3).collect()}
+    # d(a,b)=1, d(a,c)=2, d(a,d)=3; e beyond the horizon
+    assert got == {"b": (1, 1_000_000), "c": (1, 500_000),
+                   "d": (1, 333_333)}
+
+
+def test_harmonic_vs_reference(spark):
+    from openapi_to_rdf_spark.operators.betweenness import (
+        harmonic_centrality)
+
+    edges = [(str(i % 13), str((i * 7 + 3) % 13)) for i in range(40)]
+    edges += [(str(i % 13), str((i * 5 + 1) % 13)) for i in range(40)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in ["0", "1", "2", "5"]], ["id"])
+    got = {r.node: (r.n_sources, r.harmonic_e6)
+           for r in harmonic_centrality(e, s, max_depth=3).collect()}
+    assert got == harmonic_ref(edges, ["0", "1", "2", "5"], 3)
