@@ -21,8 +21,13 @@ import time
 from pyspark.sql import functions as F
 
 # transcript volume for the KG stage: ~5.5 turns/conv; sized so the sf0.1 run
-# measures sustained throughput (~30s) rather than session startup
-N_CONVS = {"0.001": 2_000, "0.01": 20_000, "0.1": 120_000}
+# measures SUSTAINED throughput rather than session startup. At 120k convs
+# (600k turns) the 32-thread extraction finished in ~1s of compute under
+# ~4s of fixed cost, underreporting sustained rate ~6x (measured: 5M turns
+# run at 630k turns/s in a steal-free window vs the 104-118k/s the 600k-turn
+# input reported); 600k convs (~3M turns) keeps the fixed share small while
+# staying ~25s even when hypervisor steal is active.
+N_CONVS = {"0.001": 2_000, "0.01": 20_000, "0.1": 600_000}
 
 
 def _sf_of(sf_dir: str) -> str:
