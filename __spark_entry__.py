@@ -4290,6 +4290,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         srcs = spark.createDataFrame([(str(i),) for i in range(5)], ["id"])
         return betweenness(edges, srcs, max_depth=3)
 
+    def q_quality_clf(spark, sf_dir):
+        """Hashed logistic-regression quality classifier (operators/
+        qualityclf): two full-batch GD iterations on uni+bigram bucket
+        frequencies (y = lang=='en'), then one codegen scoring pass.
+        Margins e9-quantize before the sigmoid and steps e9-quantize
+        after the lr multiply, so the weight trajectory is integer
+        states — DuckDB unrolls both iterations and matches every
+        score."""
+        from openapi_to_rdf_spark.operators.qualityclf import (
+            score_quality, train_quality_lr)
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "y", (F.col("lang") == "en").cast("int"))
+        w, b = train_quality_lr(docs, "y", n_buckets=4096, iters=2,
+                                lr=4.0)
+        return score_quality(docs, w, b, n_buckets=4096)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4578,6 +4595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "boilerplate_turns": q_boilerplate_turns,
         "graph_harmonic": q_graph_harmonic,
+        "quality_clf": q_quality_clf,
     }
 
 
@@ -9117,6 +9135,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT person, 'http://example.com/kg#eligible', 'literal',
                    'true', 'http://www.w3.org/2001/XMLSchema#boolean'
             FROM c WHERE k % 3 = 0
+        """,
+        "quality_clf": f"""
+            WITH t AS (SELECT doc_id, {_NORM} AS toks,
+                              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                                AS y
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(toks || [toks[i] || ' ' || toks[i+1]
+                                FOR i IN range(1, greatest(len(toks), 1))])
+                           AS gram
+                  FROM t),
+            bk AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                               % 4096 AS BIGINT) AS bucket
+                   FROM g),
+            f0 AS (SELECT doc_id, bucket, COUNT(*) AS c
+                   FROM bk GROUP BY 1, 2),
+            f AS (SELECT f0.doc_id, bucket, c, s.n_grams
+                  FROM f0 JOIN (SELECT doc_id, SUM(c) AS n_grams
+                                FROM f0 GROUP BY 1) s USING (doc_id)),
+            nd AS (SELECT COUNT(*) AS n_docs FROM t),
+            r1 AS (SELECT doc_id, 0.5 - y AS r FROM t),
+            w1 AS (SELECT bucket,
+                          -CAST(ROUND(SUM((c * 1.0 / n_grams) * r)
+                                      * 4000000000.0 / n_docs) AS BIGINT)
+                            AS w_e9
+                   FROM f JOIN r1 USING (doc_id), nd
+                   GROUP BY bucket, n_docs),
+            b1 AS (SELECT -CAST(ROUND(SUM(r) * 4000000000.0 / n_docs)
+                                AS BIGINT) AS bias_e9
+                   FROM r1, nd GROUP BY n_docs),
+            m2 AS (SELECT t.doc_id, t.y,
+                          CAST(ROUND((COALESCE(d.dot, 0)
+                                      + b1.bias_e9 / 1e9) * 1e9)
+                               AS BIGINT) AS m_e9
+                   FROM t LEFT JOIN (
+                       SELECT doc_id,
+                              SUM((c * 1.0 / n_grams) * (w_e9 / 1e9))
+                                AS dot
+                       FROM f JOIN w1 USING (bucket) GROUP BY 1) d
+                     USING (doc_id), b1),
+            r2 AS (SELECT doc_id,
+                          1.0 / (1.0 + exp(-m_e9 / 1e9)) - y AS r
+                   FROM m2),
+            g2 AS (SELECT bucket,
+                          CAST(ROUND(SUM((c * 1.0 / n_grams) * r)
+                                     * 4000000000.0 / n_docs) AS BIGINT)
+                            AS step
+                   FROM f JOIN r2 USING (doc_id), nd
+                   GROUP BY bucket, n_docs),
+            w2 AS (SELECT g2.bucket,
+                          COALESCE(w1.w_e9, 0) - g2.step AS w_e9
+                   FROM g2 LEFT JOIN w1 USING (bucket)),
+            b2 AS (SELECT b1.bias_e9
+                          - CAST(ROUND(SUM(r) * 4000000000.0 / n_docs)
+                                 AS BIGINT) AS bias_e9
+                   FROM r2, nd, b1 GROUP BY n_docs, b1.bias_e9),
+            m3 AS (SELECT t.doc_id,
+                          CAST(ROUND((COALESCE(d.dot, 0)
+                                      + b2.bias_e9 / 1e9) * 1e9)
+                               AS BIGINT) AS m_e9
+                   FROM t LEFT JOIN (
+                       SELECT doc_id,
+                              SUM((c * 1.0 / n_grams) * (w_e9 / 1e9))
+                                AS dot
+                       FROM f JOIN w2 USING (bucket) GROUP BY 1) d
+                     USING (doc_id), b2)
+            SELECT doc_id, m_e9,
+                   CAST(ROUND(1e6 / (1.0 + exp(-m_e9 / 1e9))) AS BIGINT)
+                     AS prob_e6
+            FROM m3
         """,
         "graph_harmonic": """
             WITH RECURSIVE e0 AS (

@@ -192,7 +192,7 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "top_supplier", "part_supplier_counts", "small_qty_revenue",
              "promo_suppliers", "dsir_weights", "dsir_sample",
              "graph_betweenness", "kg_triple_rules", "sft_pairs",
-             "preference_pairs", "graph_harmonic"]
+             "preference_pairs", "graph_harmonic", "quality_clf"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -44,7 +44,7 @@ AUDIT = [
     "top_supplier", "part_supplier_counts", "small_qty_revenue",
     "promo_suppliers", "dsir_weights", "dsir_sample", "graph_betweenness",
     "kg_triple_rules", "sft_pairs", "sft_render", "preference_pairs",
-    "boilerplate_turns", "graph_harmonic",
+    "boilerplate_turns", "graph_harmonic", "quality_clf",
 ]
 
 
