@@ -4307,6 +4307,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 lr=4.0)
         return score_quality(docs, w, b, n_buckets=4096)
 
+    def _embed_store(spark, sf_dir):
+        """Shared triple store for the TransE queries: customer→nation
+        membership (custkey ≤ 200) plus nation→region — ~230 entities,
+        2 relations; small enough that the filtered-ranking oracle stays
+        tractable in DuckDB while every join shape is the real one."""
+        cc = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nn = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        c_tri = (cc.filter(F.col("c_custkey") <= 200)
+                 .select(F.concat(F.lit("c#"),
+                                  F.col("c_custkey").cast("string"))
+                         .alias("s"),
+                         F.lit("in_nation").alias("p"),
+                         F.concat(F.lit("n#"),
+                                  F.col("c_nationkey").cast("string"))
+                         .alias("o")))
+        n_tri = nn.select(
+            F.concat(F.lit("n#"), F.col("n_nationkey").cast("string"))
+            .alias("s"),
+            F.lit("in_region").alias("p"),
+            F.concat(F.lit("r#"), F.col("n_regionkey").cast("string"))
+            .alias("o"))
+        return c_tri.unionAll(n_tri).withColumn("o_kind", F.lit("iri"))
+
+    def _embed_tables(spark, sf_dir):
+        from openapi_to_rdf_spark.operators.kgembed import (
+            hash_embeddings, relation_index)
+        from openapi_to_rdf_spark.operators.negatives import entity_index
+
+        tri = _embed_store(spark, sf_dir)
+        ent = hash_embeddings(entity_index(tri), dim=8, span=8)
+        rel = hash_embeddings(relation_index(tri), name_col="name",
+                              dim=8, span=8)
+        return tri, ent, rel
+
+    def q_kg_embed_scores(spark, sf_dir):
+        """TransE L1 plausibility (operators/kgembed.transe_score) of
+        every triple in the customer/nation/region store under
+        deterministic hash-initialized INTEGER embeddings — scores are
+        BIGINT sums of absolute differences, so DuckDB rebuilds the
+        exact vectors from md5 and matches every score bit-for-bit."""
+        from openapi_to_rdf_spark.operators.kgembed import transe_score
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        return transe_score(tri, ent, rel)
+
+    def q_kg_embed_epoch(spark, sf_dir):
+        """One full-batch margin-SGD TransE epoch (kgembed.transe_epoch)
+        over content-hash corruption pairs: sign-based L1 gradients with
+        integer learning rate keep every updated coordinate a BIGINT
+        state DuckDB replays — the distributed-SGD counterpart of the
+        quality_clf logistic trainer. Output: exploded (name, dim, v)
+        entity embeddings after the epoch."""
+        from openapi_to_rdf_spark.operators.kgembed import (
+            corruption_pairs, embedding_rows, transe_epoch)
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        pairs = corruption_pairs(tri, k=1)
+        new_ent, _ = transe_epoch(pairs, ent, rel, margin=4, lr=1)
+        return embedding_rows(new_ent)
+
+    def q_kg_link_ranks(spark, sf_dir):
+        """Filtered link-prediction ranks (kgembed.link_prediction_ranks)
+        for the nation→region test slice against the full 230-entity
+        candidate set: rank = 1 + #{strictly better non-true corruption}
+        — integer and deterministic, so the DuckDB twin reproduces every
+        rank exactly."""
+        from openapi_to_rdf_spark.operators.kgembed import (
+            link_prediction_ranks)
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        test = tri.filter(F.col("p") == "in_region")
+        return link_prediction_ranks(test, tri, ent, rel)
+
+    def q_kg_lp_metrics(spark, sf_dir):
+        """Link-prediction metrics rollup (kgembed.lp_metrics): n,
+        hits@1/3/10 counts, sum of ranks, and MRR as sum(floor(1e6/rank))
+        — every column BIGINT, engine-reproducible to the last bit."""
+        from openapi_to_rdf_spark.operators.kgembed import (
+            link_prediction_ranks, lp_metrics)
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        test = tri.filter(F.col("p") == "in_region")
+        return lp_metrics(link_prediction_ranks(test, tri, ent, rel))
+
+    def _agent_turns(spark, sf_dir):
+        """_doc_turns plus a deterministic tool column: a tool call on 4
+        of every 5 turns, tool name cycling with (turn div 2 + conv) —
+        gives every conversation same-tool runs, varied chains, and
+        tool-free tails, all SQL-replayable."""
+        return _doc_turns(spark, sf_dir).withColumn(
+            "tool",
+            F.when(F.col("turn_idx") % 5 != 4,
+                   F.element_at(
+                       F.array(F.lit("search"), F.lit("browse"),
+                               F.lit("code")),
+                       ((F.expr("turn_idx div 2") + F.col("conv_id")) % 3
+                        + 1).cast("int"))))
+
+    def q_tool_transitions(spark, sf_dir):
+        """Agent action-graph edges (trajectory.tool_transitions):
+        first-order Markov transition counts over each conversation's
+        tool-call sequence with virtual ^/$ states — one conv-keyed
+        window + one vocabulary rollup."""
+        from openapi_to_rdf_spark.operators.trajectory import (
+            tool_transitions)
+
+        return tool_transitions(_agent_turns(spark, sf_dir))
+
+    def q_tool_chains(spark, sf_dir):
+        """Common action sequences (trajectory.tool_chains): sliding
+        length-3 tool n-grams per conversation — the pattern miner for
+        agentic SFT curation."""
+        from openapi_to_rdf_spark.operators.trajectory import tool_chains
+
+        return tool_chains(_agent_turns(spark, sf_dir), k=3)
+
+    def q_tool_retries(spark, sf_dir):
+        """Retry-loop detection (trajectory.retry_runs): maximal
+        same-tool runs ≥2 on consecutive tool-turns via gaps-and-islands
+        (row_number − per-tool row_number), entirely window algebra."""
+        from openapi_to_rdf_spark.operators.trajectory import retry_runs
+
+        return retry_runs(_agent_turns(spark, sf_dir), min_len=2)
+
+    def q_trajectory_stats(spark, sf_dir):
+        """Per-trajectory curation features (trajectory.
+        trajectory_stats): turns, tool calls, distinct tools, longest
+        run, tool share as an exact integer-div e6 — the filter columns
+        an agent-distillation pipeline thresholds on."""
+        from openapi_to_rdf_spark.operators.trajectory import (
+            trajectory_stats)
+
+        return trajectory_stats(_agent_turns(spark, sf_dir))
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4596,6 +4730,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns": q_boilerplate_turns,
         "graph_harmonic": q_graph_harmonic,
         "quality_clf": q_quality_clf,
+        "kg_embed_scores": q_kg_embed_scores,
+        "kg_embed_epoch": q_kg_embed_epoch,
+        "kg_link_ranks": q_kg_link_ranks,
+        "kg_lp_metrics": q_kg_lp_metrics,
+        "tool_transitions": q_tool_transitions,
+        "tool_chains": q_tool_chains,
+        "tool_retries": q_tool_retries,
+        "trajectory_stats": q_trajectory_stats,
     }
 
 
@@ -4605,6 +4747,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = ("list_filter(string_split_regex(regexp_replace(regexp_replace(lower(text), "
          "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'), '\\s+'), x -> x != '')")
+
+# TransE oracle scaffolding: the customer/nation/region triple store, the
+# md5-derived integer embeddings (dim 8, span 8 -> % 17 - 8), and per-triple
+# L1 scores — shared by the four kg_embed* oracles.
+_EMB_VEC = ("[CAST(('0x' || substr(md5({n} || chr(1) || CAST(j AS VARCHAR)), "
+            "1, 8))::UBIGINT % 17 AS BIGINT) - 8 FOR j IN range(0, 8)]")
+_EMB_BASE = f"""
+            tri AS (
+              SELECT 'c#' || CAST(c_custkey AS VARCHAR) AS s,
+                     'in_nation' AS p,
+                     'n#' || CAST(c_nationkey AS VARCHAR) AS o
+              FROM customer WHERE c_custkey <= 200
+              UNION ALL
+              SELECT 'n#' || CAST(n_nationkey AS VARCHAR),
+                     'in_region',
+                     'r#' || CAST(n_regionkey AS VARCHAR)
+              FROM nation),
+            pos AS (SELECT DISTINCT s, p, o FROM tri),
+            ents AS (SELECT s AS name FROM tri
+                     UNION SELECT o FROM tri),
+            ev AS (SELECT name, {_EMB_VEC.format(n='name')} AS vec
+                   FROM ents),
+            rv AS (SELECT name, {_EMB_VEC.format(n='name')} AS vec
+                   FROM (SELECT DISTINCT p AS name FROM tri)),
+            scored AS (
+              SELECT t.s, t.p, t.o,
+                     CAST(list_sum([abs(a.vec[j+1] + r.vec[j+1] - b.vec[j+1])
+                                    FOR j IN range(0, 8)]) AS BIGINT) AS score
+              FROM pos t
+              JOIN ev a ON a.name = t.s
+              JOIN ev b ON b.name = t.o
+              JOIN rv r ON r.name = t.p)"""
+# agent-trajectory oracle scaffolding: the _agent_turns fixture (doc-derived
+# conversations with a deterministic tool column) and its tool-turn slice
+_AGENT_TT = """
+            turns AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CAST(doc_id // 100 AS INT) AS turn_idx,
+                     CASE WHEN (doc_id // 100) % 5 != 4 THEN
+                       ['search', 'browse', 'code'][CAST(
+                         ((doc_id // 100) // 2 + doc_id % 100) % 3 + 1
+                         AS INT)]
+                     END AS tool
+              FROM documents),
+            tt AS (SELECT conv_id, turn_idx, tool FROM turns
+                   WHERE tool IS NOT NULL)"""
+
+_EMB_RANKS = f"""{_EMB_BASE},
+            gold AS (SELECT s, p, o, score AS gold_score
+                     FROM scored WHERE p = 'in_region'),
+            cscore AS (
+              SELECT g.s, g.p, g.o,
+                     CAST(list_sum([abs(a.vec[j+1] + r.vec[j+1] - e.vec[j+1])
+                                    FOR j IN range(0, 8)]) AS BIGINT)
+                       AS cscore
+              FROM gold g
+              JOIN ev e ON e.name != g.o
+              JOIN ev a ON a.name = g.s
+              JOIN rv r ON r.name = g.p
+              WHERE NOT EXISTS (SELECT 1 FROM pos
+                                WHERE pos.s = g.s AND pos.p = g.p
+                                  AND pos.o = e.name)),
+            ranks AS (
+              SELECT g.s, g.p, g.o,
+                     CAST(1 + COALESCE(SUM(CASE WHEN c.cscore < g.gold_score
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS "rank"
+              FROM gold g LEFT JOIN cscore c USING (s, p, o)
+              GROUP BY g.s, g.p, g.o, g.gold_score)"""
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')"
 
 _STOP_EN = "['the','and','of','to','a','in','is','it','for','on']"
@@ -9378,6 +9589,157 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
             ORDER BY key DESC, doc_id
             LIMIT 50
+        """,
+        "kg_embed_scores": f"""
+            WITH {_EMB_BASE}
+            SELECT s, p, o, score FROM scored
+        """,
+        "kg_link_ranks": f"""
+            WITH {_EMB_RANKS}
+            SELECT s, p, o, "rank" FROM ranks
+        """,
+        "kg_lp_metrics": f"""
+            WITH {_EMB_RANKS}
+            SELECT COUNT(*) AS n,
+                   CAST(SUM("rank") AS BIGINT) AS sum_rank,
+                   CAST(SUM(1000000 // "rank") AS BIGINT) AS sum_rr_e6,
+                   CAST(SUM(CASE WHEN "rank" <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_1,
+                   CAST(SUM(CASE WHEN "rank" <= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_3,
+                   CAST(SUM(CASE WHEN "rank" <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_10
+            FROM ranks
+        """,
+        "kg_embed_epoch": f"""
+            WITH {_EMB_BASE},
+            eidx AS (SELECT row_number() OVER (ORDER BY name) AS idx, name
+                     FROM ents),
+            nn AS (SELECT COUNT(*) AS n_ents FROM eidx),
+            cand AS (
+              SELECT s, p, o, side,
+                     CAST(('0x' || substr(md5(s || chr(1) || p || chr(1)
+                           || o || chr(1) || side || chr(1) || '0'),
+                           1, 8))::UBIGINT % n_ents AS BIGINT) + 1 AS idx
+              FROM pos, nn, (SELECT unnest(['s', 'o']) AS side) sides),
+            pr0 AS (
+              SELECT c.s, c.p, c.o,
+                     CASE WHEN c.side = 's' THEN e.name ELSE c.s END AS cs,
+                     CASE WHEN c.side = 'o' THEN e.name ELSE c.o END AS co,
+                     (CASE WHEN c.side = 's' THEN c.s ELSE c.o END)
+                       = e.name AS same
+              FROM cand c JOIN eidx e USING (idx)),
+            pairs AS (
+              SELECT s, p, o, cs, co FROM pr0
+              WHERE NOT same AND NOT EXISTS
+                (SELECT 1 FROM pos WHERE pos.s = pr0.cs
+                   AND pos.p = pr0.p AND pos.o = pr0.co)),
+            pv AS (
+              SELECT pr.s, pr.p, pr.o, pr.cs, pr.co,
+                     es.vec AS es, eo.vec AS eo, ecs.vec AS ecs,
+                     eco.vec AS eco, r.vec AS rp
+              FROM pairs pr
+              JOIN ev es ON es.name = pr.s
+              JOIN ev eo ON eo.name = pr.o
+              JOIN ev ecs ON ecs.name = pr.cs
+              JOIN ev eco ON eco.name = pr.co
+              JOIN rv r ON r.name = pr.p),
+            viol AS (
+              SELECT * FROM pv
+              WHERE list_sum([abs(es[j+1] + rp[j+1] - eo[j+1])
+                              FOR j IN range(0, 8)]) + 4
+                  > list_sum([abs(ecs[j+1] + rp[j+1] - eco[j+1])
+                              FOR j IN range(0, 8)])),
+            dims AS (SELECT unnest(range(0, 8)) AS dim),
+            upd AS (
+              SELECT s AS name, dim,
+                     -CAST(sign(es[dim+1] + rp[dim+1] - eo[dim+1])
+                           AS BIGINT) AS delta
+              FROM viol, dims
+              UNION ALL
+              SELECT o, dim,
+                     CAST(sign(es[dim+1] + rp[dim+1] - eo[dim+1]) AS BIGINT)
+              FROM viol, dims
+              UNION ALL
+              SELECT cs, dim,
+                     CAST(sign(ecs[dim+1] + rp[dim+1] - eco[dim+1])
+                          AS BIGINT)
+              FROM viol, dims
+              UNION ALL
+              SELECT co, dim,
+                     -CAST(sign(ecs[dim+1] + rp[dim+1] - eco[dim+1])
+                           AS BIGINT)
+              FROM viol, dims),
+            ds AS (SELECT name, dim, SUM(delta) AS d
+                   FROM upd GROUP BY 1, 2),
+            base AS (SELECT name, dim, vec[dim+1] AS v FROM ev, dims)
+            SELECT b.name, b.dim,
+                   CAST(b.v + COALESCE(ds.d, 0) AS BIGINT) AS v
+            FROM base b LEFT JOIN ds USING (name, dim)
+        """,
+        "tool_transitions": f"""
+            WITH {_AGENT_TT}
+            SELECT prev_tool, tool, COUNT(*) AS n
+            FROM (
+              SELECT lag(tool, 1, '^') OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx)
+                       AS prev_tool, tool
+              FROM tt
+              UNION ALL
+              SELECT arg_max(tool, turn_idx), '$'
+              FROM tt GROUP BY conv_id)
+            GROUP BY 1, 2
+        """,
+        "tool_chains": f"""
+            WITH {_AGENT_TT},
+            led AS (
+              SELECT tool AS t0,
+                     lead(tool, 1) OVER w AS t1,
+                     lead(tool, 2) OVER w AS t2
+              FROM tt
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT t0 || '>' || t1 || '>' || t2 AS chain, COUNT(*) AS n
+            FROM led WHERE t2 IS NOT NULL GROUP BY 1
+        """,
+        "tool_retries": f"""
+            WITH {_AGENT_TT},
+            r AS (
+              SELECT conv_id, tool, turn_idx,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                   - row_number() OVER (PARTITION BY conv_id, tool
+                                        ORDER BY turn_idx) AS grp
+              FROM tt)
+            SELECT conv_id, tool, MIN(turn_idx) AS start_idx,
+                   COUNT(*) AS run_len
+            FROM r GROUP BY conv_id, tool, grp
+            HAVING COUNT(*) >= 2
+        """,
+        "trajectory_stats": f"""
+            WITH {_AGENT_TT},
+            r AS (
+              SELECT conv_id, tool, turn_idx,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx)
+                   - row_number() OVER (PARTITION BY conv_id, tool
+                                        ORDER BY turn_idx) AS grp
+              FROM tt),
+            runs AS (
+              SELECT conv_id, MAX(cnt) AS max_run
+              FROM (SELECT conv_id, COUNT(*) AS cnt
+                    FROM r GROUP BY conv_id, tool, grp)
+              GROUP BY 1),
+            base AS (
+              SELECT conv_id, COUNT(*) AS n_turns,
+                     CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_tool_calls,
+                     COUNT(DISTINCT tool) AS n_tools
+              FROM turns GROUP BY 1)
+            SELECT b.conv_id, b.n_turns, b.n_tool_calls, b.n_tools,
+                   CAST(COALESCE(runs.max_run, 0) AS BIGINT) AS max_run,
+                   CAST(b.n_tool_calls * 1000000 // b.n_turns AS BIGINT)
+                     AS tool_share_e6
+            FROM base b LEFT JOIN runs USING (conv_id)
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

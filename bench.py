@@ -192,7 +192,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "top_supplier", "part_supplier_counts", "small_qty_revenue",
              "promo_suppliers", "dsir_weights", "dsir_sample",
              "graph_betweenness", "kg_triple_rules", "sft_pairs",
-             "preference_pairs", "graph_harmonic", "quality_clf"]
+             "preference_pairs", "graph_harmonic", "quality_clf",
+             # added r2 session 21
+             "kg_embed_scores", "kg_embed_epoch", "kg_link_ranks",
+             "tool_transitions", "tool_chains", "trajectory_stats"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -45,6 +45,8 @@ AUDIT = [
     "promo_suppliers", "dsir_weights", "dsir_sample", "graph_betweenness",
     "kg_triple_rules", "sft_pairs", "sft_render", "preference_pairs",
     "boilerplate_turns", "graph_harmonic", "quality_clf",
+    "kg_embed_scores", "kg_embed_epoch", "kg_link_ranks", "kg_lp_metrics",
+    "tool_transitions", "tool_chains", "tool_retries", "trajectory_stats",
 ]
 
 

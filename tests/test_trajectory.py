@@ -1,0 +1,86 @@
+"""Agent-trajectory analytics (operators/trajectory) against
+hand-computed fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openapi_to_rdf_spark.operators.trajectory import (
+    retry_runs, tool_chains, tool_transitions, trajectory_stats,
+)
+
+# conv A: tools  search, search, browse, None, code
+# conv B: tools  None, code, code, code
+# conv C: no tool calls at all
+TURNS = [
+    ("A", 0, "assistant", "t", "search"),
+    ("A", 1, "assistant", "t", "search"),
+    ("A", 2, "assistant", "t", "browse"),
+    ("A", 3, "user", "t", None),
+    ("A", 4, "assistant", "t", "code"),
+    ("B", 0, "user", "t", None),
+    ("B", 1, "assistant", "t", "code"),
+    ("B", 2, "assistant", "t", "code"),
+    ("B", 3, "assistant", "t", "code"),
+    ("C", 0, "user", "t", None),
+    ("C", 1, "assistant", "t", None),
+]
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return spark.createDataFrame(
+        TURNS, "conv_id string, turn_idx int, role string, text string, "
+               "tool string")
+
+
+def test_tool_transitions(turns):
+    got = {(r["prev_tool"], r["tool"]): r["n"]
+           for r in tool_transitions(turns).collect()}
+    assert got == {
+        ("^", "search"): 1, ("search", "search"): 1,
+        ("search", "browse"): 1, ("browse", "code"): 1,
+        ("code", "$"): 2,
+        ("^", "code"): 1, ("code", "code"): 2,
+    }
+
+
+def test_tool_chains(turns):
+    got = {r["chain"]: r["n"] for r in tool_chains(turns, k=3).collect()}
+    # A: search>search>browse, search>browse>code; B: code>code>code
+    assert got == {"search>search>browse": 1, "search>browse>code": 1,
+                   "code>code>code": 1}
+    got2 = {r["chain"]: r["n"] for r in tool_chains(turns, k=2).collect()}
+    assert got2 == {"search>search": 1, "search>browse": 1,
+                    "browse>code": 1, "code>code": 2}
+
+
+def test_retry_runs(turns):
+    got = {(r["conv_id"], r["tool"], r["start_idx"]): r["run_len"]
+           for r in retry_runs(turns).collect()}
+    assert got == {("A", "search", 0): 2, ("B", "code", 1): 3}
+    # min_len=1 includes singleton runs
+    all_runs = retry_runs(turns, min_len=1).collect()
+    assert len(all_runs) == 4  # A: search,browse,code ; B: code
+
+
+def test_trajectory_stats(turns):
+    got = {r["conv_id"]: r for r in trajectory_stats(turns).collect()}
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a["n_turns"], a["n_tool_calls"], a["n_tools"],
+            a["max_run"]) == (5, 4, 3, 2)
+    assert a["tool_share_e6"] == 800000
+    assert (b["n_turns"], b["n_tool_calls"], b["n_tools"],
+            b["max_run"]) == (4, 3, 1, 3)
+    assert b["tool_share_e6"] == 750000
+    assert (c["n_turns"], c["n_tool_calls"], c["n_tools"],
+            c["max_run"], c["tool_share_e6"]) == (2, 0, 0, 0, 0)
+
+
+def test_transitions_conserve_mass(turns):
+    """Σ out-edges from ^ == #convs with tool calls == Σ in-edges to $."""
+    tr = tool_transitions(turns)
+    starts = tr.filter(F.col("prev_tool") == "^") \
+        .agg(F.sum("n")).collect()[0][0]
+    ends = tr.filter(F.col("tool") == "$") \
+        .agg(F.sum("n")).collect()[0][0]
+    assert starts == ends == 2
