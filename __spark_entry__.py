@@ -4441,6 +4441,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return trajectory_stats(_agent_turns(spark, sf_dir))
 
+    def q_feature_propagation(spark, sf_dir):
+        """SGC-style graph feature smoothing (featprop.
+        propagate_features): two rounds of self-loop mean aggregation of
+        e3-quantized 8-dim embedding features over a chain+hub graph on
+        vec_ids. Integer division truncates toward zero in BOTH engines
+        (Spark div == DuckDB //), so the smoothed coordinates are
+        BIGINT states DuckDB unrolls round by round."""
+        from openapi_to_rdf_spark.operators.featprop import (
+            propagate_features, quantize_embeddings)
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        feats = quantize_embeddings(emb, dim=8, scale=1000)
+        e = (emb.select(F.col("vec_id").alias("src"),
+                        (F.col("vec_id") + 1).alias("dst"))
+             .unionAll(emb.filter(F.col("vec_id") >= 50)
+                       .select(F.col("vec_id").alias("src"),
+                               (F.col("vec_id") % 50).alias("dst"))))
+        return propagate_features(e, feats, rounds=2)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4738,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": q_tool_chains,
         "tool_retries": q_tool_retries,
         "trajectory_stats": q_trajectory_stats,
+        "feature_propagation": q_feature_propagation,
     }
 
 
@@ -9740,6 +9760,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_tool_calls * 1000000 // b.n_turns AS BIGINT)
                      AS tool_share_e6
             FROM base b LEFT JOIN runs USING (conv_id)
+        """,
+        "feature_propagation": """
+            WITH emb8 AS (
+              SELECT vec_id AS id,
+                     [CAST(FLOOR(CAST(embedding[j+1] AS DOUBLE) * 1000)
+                           AS BIGINT) FOR j IN range(0, 8)] AS vec
+              FROM embeddings),
+            d8 AS (SELECT unnest(range(0, 8)) AS dim),
+            x0 AS (SELECT id, dim, vec[dim+1] AS v FROM emb8, d8),
+            e AS (SELECT vec_id AS src, vec_id + 1 AS dst FROM embeddings
+                  UNION ALL
+                  SELECT vec_id, vec_id % 50 FROM embeddings
+                  WHERE vec_id >= 50),
+            deg AS (SELECT dst, COUNT(*) AS dg FROM e GROUP BY 1),
+            c1 AS (SELECT e.dst AS id, x.dim, SUM(x.v) AS s
+                   FROM e JOIN x0 x ON x.id = e.src GROUP BY 1, 2),
+            x1 AS (SELECT x0.id, x0.dim,
+                          CAST((x0.v + COALESCE(c1.s, 0))
+                               // (COALESCE(deg.dg, 0) + 1) AS BIGINT)
+                            AS v
+                   FROM x0 LEFT JOIN c1 USING (id, dim)
+                        LEFT JOIN deg ON deg.dst = x0.id),
+            c2 AS (SELECT e.dst AS id, x.dim, SUM(x.v) AS s
+                   FROM e JOIN x1 x ON x.id = e.src GROUP BY 1, 2),
+            x2 AS (SELECT x1.id, x1.dim,
+                          CAST((x1.v + COALESCE(c2.s, 0))
+                               // (COALESCE(deg.dg, 0) + 1) AS BIGINT)
+                            AS v
+                   FROM x1 LEFT JOIN c2 USING (id, dim)
+                        LEFT JOIN deg ON deg.dst = x1.id)
+            SELECT id, dim, v FROM x2
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
