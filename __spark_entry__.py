@@ -4460,6 +4460,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                (F.col("vec_id") % 50).alias("dst"))))
         return propagate_features(e, feats, rounds=2)
 
+    def q_graph_ppr(spark, sf_dir):
+        """Personalized PageRank (graphrank.personalized_pagerank): two
+        integer push rounds with restart from 5 seeds on the 60-node
+        orders graph — e9-scaled BIGINT mass, truncating division in
+        both engines, so DuckDB unrolls both rounds and matches every
+        mass exactly."""
+        from openapi_to_rdf_spark.operators.graphrank import (
+            personalized_pagerank)
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = ordr.select(
+            (F.col("o_orderkey") % 60).cast("string").alias("src"),
+            ((F.expr("o_orderkey div 7") + F.col("o_custkey")) % 60)
+            .cast("string").alias("dst"))
+        seeds = spark.createDataFrame([(str(i),) for i in range(5)],
+                                      ["id"])
+        return personalized_pagerank(edges, seeds, rounds=2)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4758,6 +4776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_retries": q_tool_retries,
         "trajectory_stats": q_trajectory_stats,
         "feature_propagation": q_feature_propagation,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -9791,6 +9810,43 @@ def oracle_sql() -> dict[str, str]:
                    FROM x1 LEFT JOIN c2 USING (id, dim)
                         LEFT JOIN deg ON deg.dst = x1.id)
             SELECT id, dim, v FROM x2
+        """,
+        "graph_ppr": """
+            WITH e0 AS (
+              SELECT CAST(o_orderkey % 60 AS VARCHAR) AS src,
+                     CAST((o_orderkey // 7 + o_custkey) % 60
+                          AS VARCHAR) AS dst
+              FROM orders),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+            sd AS (SELECT CAST(x AS VARCHAR) AS seed
+                   FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+            m0 AS (SELECT seed, seed AS node,
+                          CAST(1000000000 AS BIGINT) AS mass_e9
+                   FROM sd),
+            p1 AS (SELECT m.seed, e.dst AS node,
+                          SUM((m.mass_e9 * 850 // 1000) // od.outdeg) AS m
+                   FROM m0 m
+                   JOIN e ON e.src = m.node
+                   JOIN od ON od.src = e.src
+                   GROUP BY 1, 2),
+            m1 AS (SELECT seed, node, CAST(SUM(m) AS BIGINT) AS mass_e9
+                   FROM (SELECT seed, node, m FROM p1
+                         UNION ALL
+                         SELECT seed, seed, 150000000 FROM sd)
+                   GROUP BY 1, 2),
+            p2 AS (SELECT m.seed, e.dst AS node,
+                          SUM((m.mass_e9 * 850 // 1000) // od.outdeg) AS m
+                   FROM m1 m
+                   JOIN e ON e.src = m.node
+                   JOIN od ON od.src = e.src
+                   GROUP BY 1, 2),
+            m2 AS (SELECT seed, node, CAST(SUM(m) AS BIGINT) AS mass_e9
+                   FROM (SELECT seed, node, m FROM p2
+                         UNION ALL
+                         SELECT seed, seed, 150000000 FROM sd)
+                   GROUP BY 1, 2)
+            SELECT seed, node, mass_e9 FROM m2
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -526,3 +526,55 @@ def node_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
         num, den = threshold
         out = out.filter(F.col("shared") * den >= F.col("union_size") * num)
     return out
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          rounds: int = 2, damping_e3: int = 850,
+                          src_col: str = "src", dst_col: str = "dst",
+                          seed_col: str = "id") -> DataFrame:
+    """Per-seed personalized PageRank -> (seed, node, mass_e9) — the
+    GraphRAG / local-expansion workhorse: random walk with restart to
+    ONE seed, k fixed push rounds, INTEGER-EXACT by construction.
+
+    Mass is e9-scaled BIGINT: each round every (seed, u, m) pushes
+    (m * damping_e3 div 1000) div outdeg(u) along each out-edge (integer
+    division truncating toward zero — DuckDB's `//` agrees), and the
+    seed re-injects its restart share (1000 - damping_e3) e6-scaled.
+    Truncation remainders and dangling mass are DROPPED, so masses are
+    deterministic lower bounds — ranking consumers only compare them,
+    and any engine reproduces every value bit-for-bit (no float
+    summation order anywhere).
+
+    Scale shape: state is (seed, node) rows like betweenness; per round
+    one src-keyed join + one (seed, dst) rollup (seed multiplicity
+    spreads hot hubs exactly as the dim column does in featprop), then
+    the restart union. Out-degree table computed once. For deep walks
+    localCheckpoint every few rounds as pagerank does; the default 2
+    rounds needs none."""
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .dropDuplicates(["src", "dst"]))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    e_deg = (e.join(outdeg, e["src"] == outdeg["node"])
+             .select("src", "dst", "outdeg"))
+
+    restart = F.lit((1000 - damping_e3) * 1_000_000).cast("long")
+    mass = seeds.select(F.col(seed_col).cast("string").alias("seed"),
+                        F.col(seed_col).cast("string").alias("node"),
+                        F.lit(1_000_000_000).cast("long").alias("mass_e9"))
+    for _ in range(rounds):
+        pushed = (e_deg.join(mass, e_deg["src"] == mass["node"])
+                  .select("seed", F.col("dst").alias("node"),
+                          F.expr(f"(mass_e9 * {damping_e3} div 1000) "
+                                 "div outdeg").alias("m")))
+        inflow = pushed.groupBy("seed", "node").agg(
+            F.sum("m").cast("long").alias("m"))
+        mass = (inflow
+                .unionByName(seeds.select(
+                    F.col(seed_col).cast("string").alias("seed"),
+                    F.col(seed_col).cast("string").alias("node"),
+                    restart.alias("m")))
+                .groupBy("seed", "node")
+                .agg(F.sum("m").cast("long").alias("mass_e9")))
+    return mass

@@ -1,0 +1,65 @@
+"""Personalized PageRank (graphrank.personalized_pagerank) vs a pure-
+Python re-derivation of the integer push iteration."""
+
+import pytest
+
+from openapi_to_rdf_spark.operators.graphrank import personalized_pagerank
+
+# cycle a->b->c->a plus hub spokes a->d, b->d; dangling node d
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")]
+
+
+def idiv(a, b):
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def ref_ppr(edges, seeds, rounds, damping_e3=850):
+    out_adj = {}
+    for u, v in sorted(set(edges)):
+        out_adj.setdefault(u, []).append(v)
+    state = {s: {s: 1_000_000_000} for s in seeds}
+    restart = (1000 - damping_e3) * 1_000_000
+    for _ in range(rounds):
+        nxt = {s: {} for s in seeds}
+        for s, masses in state.items():
+            for u, m in masses.items():
+                outs = out_adj.get(u, [])
+                if not outs:
+                    continue  # dangling mass dropped
+                share = idiv(idiv(m * damping_e3, 1000), len(outs))
+                for v in outs:
+                    nxt[s][v] = nxt[s].get(v, 0) + share
+            nxt[s][s] = nxt[s].get(s, 0) + restart
+        state = nxt
+    return {(s, v): m for s, d in state.items() for v, m in d.items()}
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("c",)], ["id"])
+    return e, seeds
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 3])
+def test_ppr_matches_reference(graph, rounds):
+    e, seeds = graph
+    got = {(r["seed"], r["node"]): r["mass_e9"]
+           for r in personalized_pagerank(e, seeds, rounds=rounds)
+           .collect()}
+    assert got == ref_ppr(EDGES, ["a", "c"], rounds)
+
+
+def test_ppr_mass_is_lower_bound(graph):
+    """Total mass per seed never exceeds 1e9 (truncation+dangling only
+    ever drop mass) and the seed keeps its restart share."""
+    e, seeds = graph
+    rows = personalized_pagerank(e, seeds, rounds=3).collect()
+    per_seed = {}
+    for r in rows:
+        per_seed[r["seed"]] = per_seed.get(r["seed"], 0) + r["mass_e9"]
+    assert all(v <= 1_000_000_000 for v in per_seed.values())
+    got = {(r["seed"], r["node"]): r["mass_e9"] for r in rows}
+    assert got[("a", "a")] >= 150_000_000
+    assert got[("c", "c")] >= 150_000_000
