@@ -4478,6 +4478,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       ["id"])
         return personalized_pagerank(edges, seeds, rounds=2)
 
+    def q_kg_subgraph(spark, sf_dir):
+        """GraphRAG context retrieval (graphq.ppr_subgraph): integer PPR
+        over the undirected customer/nation/region entity graph from 5
+        nation seeds, top-10 nodes per seed by (mass DESC, node), then
+        the induced triples via two broadcast joins of the seed×10-row
+        node table — the per-query-batch local subgraph extractor."""
+        from openapi_to_rdf_spark.operators.graphq import ppr_subgraph
+
+        tri = _embed_store(spark, sf_dir)
+        seeds = spark.createDataFrame([(f"n#{i}",) for i in range(5)],
+                                      ["id"])
+        return ppr_subgraph(tri, seeds, rounds=2, top_n=10)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4777,6 +4790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": q_trajectory_stats,
         "feature_propagation": q_feature_propagation,
         "graph_ppr": q_graph_ppr,
+        "kg_subgraph": q_kg_subgraph,
     }
 
 
@@ -9847,6 +9861,47 @@ def oracle_sql() -> dict[str, str]:
                          SELECT seed, seed, 150000000 FROM sd)
                    GROUP BY 1, 2)
             SELECT seed, node, mass_e9 FROM m2
+        """,
+        "kg_subgraph": f"""
+            WITH {_EMB_BASE},
+            ue AS (SELECT DISTINCT src, dst FROM (
+                     SELECT s AS src, o AS dst FROM pos
+                     UNION ALL SELECT o, s FROM pos)),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM ue GROUP BY 1),
+            sd AS (SELECT 'n#' || CAST(x AS VARCHAR) AS seed
+                   FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+            m0 AS (SELECT seed, seed AS node,
+                          CAST(1000000000 AS BIGINT) AS mass_e9 FROM sd),
+            p1 AS (SELECT m.seed, e.dst AS node,
+                          SUM((m.mass_e9 * 850 // 1000) // od.outdeg) AS m
+                   FROM m0 m
+                   JOIN ue e ON e.src = m.node
+                   JOIN od ON od.src = e.src
+                   GROUP BY 1, 2),
+            m1 AS (SELECT seed, node, CAST(SUM(m) AS BIGINT) AS mass_e9
+                   FROM (SELECT seed, node, m FROM p1
+                         UNION ALL SELECT seed, seed, 150000000 FROM sd)
+                   GROUP BY 1, 2),
+            p2 AS (SELECT m.seed, e.dst AS node,
+                          SUM((m.mass_e9 * 850 // 1000) // od.outdeg) AS m
+                   FROM m1 m
+                   JOIN ue e ON e.src = m.node
+                   JOIN od ON od.src = e.src
+                   GROUP BY 1, 2),
+            m2 AS (SELECT seed, node, CAST(SUM(m) AS BIGINT) AS mass_e9
+                   FROM (SELECT seed, node, m FROM p2
+                         UNION ALL SELECT seed, seed, 150000000 FROM sd)
+                   GROUP BY 1, 2),
+            topn AS (SELECT seed, node FROM (
+                       SELECT seed, node,
+                              row_number() OVER (PARTITION BY seed
+                                ORDER BY mass_e9 DESC, node) AS rk
+                       FROM m2)
+                     WHERE rk <= 10)
+            SELECT a.seed, t.s, t.p, t.o
+            FROM pos t
+            JOIN topn a ON a.node = t.s
+            JOIN topn b ON b.seed = a.seed AND b.node = t.o
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

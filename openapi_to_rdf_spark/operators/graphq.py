@@ -193,3 +193,42 @@ def dangling_objects(triples: DataFrame, iri_prefix: str,
     return (n_refs.join(n_dang, "p", "left")
             .select("p", "n_refs",
                     F.coalesce("n_dangling", F.lit(0)).alias("n_dangling")))
+
+
+def ppr_subgraph(triples: DataFrame, seeds: DataFrame, rounds: int = 2,
+                 top_n: int = 10, damping_e3: int = 850,
+                 seed_col: str = "id") -> DataFrame:
+    """GraphRAG context retrieval -> (seed, s, p, o): run integer
+    personalized PageRank (graphrank.personalized_pagerank) over the
+    UNDIRECTED entity graph of the triple table, keep each seed's top_n
+    nodes by (mass_e9 DESC, node) — a deterministic tiebreak both
+    engines order identically — and return the triples INDUCED by each
+    seed's node set (both endpoints selected).
+
+    Scale shape: the PPR state is (seed, node) rows; the top-n window
+    partitions by seed (n_seeds × candidate nodes, never the corpus);
+    the induced-triples step joins the corpus against a seed×top_n-row
+    node table — broadcastable by construction — twice (subject arm,
+    then object arm constrained to the same seed). This is the
+    local-subgraph extractor an entity-centric RAG pipeline runs per
+    query batch."""
+    from pyspark.sql import Window
+
+    from openapi_to_rdf_spark.operators.graphrank import (
+        personalized_pagerank)
+
+    pos = triples.select("s", "p", "o").dropDuplicates()
+    edges = (pos.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+             .unionAll(pos.select(F.col("o").alias("src"),
+                                  F.col("s").alias("dst"))))
+    mass = personalized_pagerank(edges, seeds, rounds=rounds,
+                                 damping_e3=damping_e3,
+                                 seed_col=seed_col)
+    w = Window.partitionBy("seed").orderBy(F.desc("mass_e9"), "node")
+    top = (mass.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= top_n).select("seed", "node"))
+    a = top.select("seed", F.col("node").alias("s"))
+    b = top.select("seed", F.col("node").alias("o"))
+    return (pos.join(F.broadcast(a), "s")
+            .join(F.broadcast(b), ["seed", "o"])
+            .select("seed", "s", "p", "o"))

@@ -224,6 +224,24 @@ def transe_epoch(pairs: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame,
     return apply(ent_emb, "e"), apply(rel_emb, "r")
 
 
+def transe_train(pairs: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame,
+                 epochs: int = 2, margin: int = 4, lr: int = 1,
+                 broadcast_entities: bool = True
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Multi-epoch full-batch training: iterate transe_epoch over the
+    SAME pair set, localCheckpointing the embedding tables between
+    epochs so each round's plan stays flat (the components/pagerank
+    discipline for iterative DataFrame state). Still integer-exact —
+    the whole trajectory is a sequence of BIGINT states."""
+    for _ in range(epochs):
+        ent_emb, rel_emb = transe_epoch(
+            pairs, ent_emb, rel_emb, margin=margin, lr=lr,
+            broadcast_entities=broadcast_entities)
+        ent_emb = ent_emb.localCheckpoint(eager=False)
+        rel_emb = rel_emb.localCheckpoint(eager=False)
+    return ent_emb, rel_emb
+
+
 def embedding_rows(emb: DataFrame) -> DataFrame:
     """(name, dim, v): exploded embedding table — the flat, exactly
     comparable form (array columns don't hash portably across engines)."""

@@ -176,6 +176,42 @@ def test_lp_metrics_integer_exact(store):
         assert m[f"hits_{k}"] == sum(1 for r in ref.values() if r <= k)
 
 
+def test_transe_train_two_epochs_matches_numpy(store):
+    from openapi_to_rdf_spark.operators.kgembed import transe_train
+
+    df, ent_emb, rel_emb = store
+    pairs = corruption_pairs(df, k=1)
+    got_e, got_r = transe_train(pairs, ent_emb, rel_emb, epochs=2,
+                                margin=4, lr=1)
+
+    ref_pairs = _ref_pairs(1)
+    E, R = _ref_epoch(ref_pairs, margin=4, lr=1)
+
+    def ref_epoch_from(E, R, pairs, margin=4, lr=1):
+        dE = {e: np.zeros(DIM, dtype=np.int64) for e in E}
+        dR = {r: np.zeros(DIM, dtype=np.int64) for r in R}
+        for (s, p, o, side, j, cs, co) in pairs:
+            d_pos = int(np.abs(E[s] + R[p] - E[o]).sum())
+            d_neg = int(np.abs(E[cs] + R[p] - E[co]).sum())
+            if d_pos + margin > d_neg:
+                g = np.sign(E[s] + R[p] - E[o]).astype(np.int64)
+                gn = np.sign(E[cs] + R[p] - E[co]).astype(np.int64)
+                dE[s] -= lr * g
+                dE[o] += lr * g
+                dR[p] -= lr * g
+                dE[cs] += lr * gn
+                dE[co] -= lr * gn
+                dR[p] += lr * gn
+        return ({e: E[e] + dE[e] for e in E},
+                {r: R[r] + dR[r] for r in R})
+
+    E2, R2 = ref_epoch_from(E, R, ref_pairs)
+    assert {r["name"]: r["vec"] for r in got_e.collect()} == \
+        {k: list(v) for k, v in E2.items()}
+    assert {r["name"]: r["vec"] for r in got_r.collect()} == \
+        {k: list(v) for k, v in R2.items()}
+
+
 def test_epoch_reduces_violated_margin_loss(store):
     """Sanity: one epoch decreases the total hinge loss over the SAME
     pair set (full-batch sign step with small lr on this store)."""

@@ -51,6 +51,35 @@ def test_ppr_matches_reference(graph, rounds):
     assert got == ref_ppr(EDGES, ["a", "c"], rounds)
 
 
+TRIPLES = [("a", "likes", "b"), ("b", "knows", "c"), ("c", "likes", "d"),
+           ("d", "knows", "a"), ("x", "likes", "y")]
+
+
+def test_ppr_subgraph_matches_reference(spark):
+    from openapi_to_rdf_spark.operators.graphq import ppr_subgraph
+
+    tri = spark.createDataFrame(TRIPLES, "s string, p string, o string")
+    seeds = spark.createDataFrame([("a",), ("x",)], ["id"])
+    got = {(r["seed"], r["s"], r["p"], r["o"])
+           for r in ppr_subgraph(tri, seeds, rounds=2, top_n=3).collect()}
+
+    und = sorted({(s, o) for s, _, o in TRIPLES}
+                 | {(o, s) for s, _, o in TRIPLES})
+    mass = ref_ppr(und, ["a", "x"], 2)
+    exp = set()
+    for seed in ("a", "x"):
+        nodes = sorted(((n, m) for (sd, n), m in mass.items()
+                        if sd == seed),
+                       key=lambda t: (-t[1], t[0]))[:3]
+        keep = {n for n, _ in nodes}
+        exp |= {(seed, s, p, o) for s, p, o in TRIPLES
+                if s in keep and o in keep}
+    assert got == exp
+    # the x-component stays local: x's subgraph never contains a-d edges
+    assert all(s in ("x", "y") and o in ("x", "y")
+               for sd, s, p, o in got if sd == "x")
+
+
 def test_ppr_mass_is_lower_bound(graph):
     """Total mass per seed never exceeds 1e9 (truncation+dangling only
     ever drop mass) and the seed keeps its restart share."""
