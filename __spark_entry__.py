@@ -4491,6 +4491,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       ["id"])
         return ppr_subgraph(tri, seeds, rounds=2, top_n=10)
 
+    def q_doc_shards(spark, sf_dir):
+        """Deterministic global training shuffle (sampling.
+        shuffle_shards): content-hash shard assignment + dense in-shard
+        position by hash order — the epoch-reshufflable materialization
+        of 'shuffle the corpus, read shards sequentially'. md5-keyed, so
+        DuckDB re-deals the identical permutation."""
+        from openapi_to_rdf_spark.operators.sampling import shuffle_shards
+
+        return (shuffle_shards(_docs(spark, sf_dir), 8, "doc_id",
+                               seed="ep1")
+                .select("doc_id", "shard", "pos"))
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4791,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_propagation": q_feature_propagation,
         "graph_ppr": q_graph_ppr,
         "kg_subgraph": q_kg_subgraph,
+        "doc_shards": q_doc_shards,
     }
 
 
@@ -9902,6 +9915,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pos t
             JOIN topn a ON a.node = t.s
             JOIN topn b ON b.seed = a.seed AND b.node = t.o
+        """,
+        "doc_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || chr(1) || 'ep1') AS hh
+              FROM documents),
+            s AS (SELECT doc_id, hh,
+                         CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 8
+                              AS INT) AS shard
+                  FROM h)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY hh, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM s
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

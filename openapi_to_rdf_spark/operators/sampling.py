@@ -256,3 +256,27 @@ def mixture_upsample(docs: DataFrame, targets: dict[str, float],
             .withColumn("copy_idx",
                         F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
             .drop("grp", "rate", "_reps"))
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, key_col: str,
+                   seed: str = "0") -> DataFrame:
+    """Deterministic global training shuffle -> original columns +
+    (shard, pos): every row is assigned a shard by content hash of
+    (key, seed) and a dense 0-based position by the hash order WITHIN
+    its shard — the epoch-reshufflable, engine-portable materialization
+    of "globally shuffle 100 TB then read shard-sequentially".
+
+    Changing ``seed`` re-deals the entire permutation (epoch reshuffle);
+    identical inputs yield identical shards/positions in any engine with
+    md5 (ties broken by the key itself, so the order is total). The only
+    shuffle is the per-shard window sort; at corpus scale each shard
+    sorts independently (n_shards ≫ executors spreads the sort), and a
+    writer partitions the output by shard for sequential reads."""
+    h = F.md5(F.concat_ws("\x01", F.col(key_col).cast("string"),
+                          F.lit(seed)))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (df.withColumn("_h", h).withColumn("shard", shard)
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("_h"))

@@ -47,7 +47,7 @@ AUDIT = [
     "boilerplate_turns", "graph_harmonic", "quality_clf",
     "kg_embed_scores", "kg_embed_epoch", "kg_link_ranks", "kg_lp_metrics",
     "tool_transitions", "tool_chains", "tool_retries", "trajectory_stats",
-    "feature_propagation", "graph_ppr", "kg_subgraph",
+    "feature_propagation", "graph_ppr", "kg_subgraph", "doc_shards",
 ]
 
 
