@@ -63,3 +63,58 @@ def track_conversations(stream: DataFrame, quiet_ms: int = 30_000) -> DataFrame:
     return (stream.groupBy("conv_id").applyInPandasWithState(
         update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.ProcessingTimeTimeout))
+
+
+TRANSITION_SCHEMA = StructType([
+    StructField("conv_id", StringType(), False),
+    StructField("prev_tool", StringType(), False),
+    StructField("tool", StringType(), False),
+    StructField("turn_idx", IntegerType(), False),
+])
+
+TRANSITION_STATE = StructType([
+    StructField("last_tool", StringType(), True),
+    StructField("last_idx", IntegerType(), True),
+])
+
+
+def stream_tool_transitions(stream: DataFrame) -> DataFrame:
+    """Streaming agent-trajectory edges: one (conv_id, prev_tool, tool,
+    turn_idx) row per tool-call turn, with the previous tool carried in
+    per-conversation state across micro-batches ('^' when the
+    conversation has no earlier tool call) — the stream counterpart of
+    operators/trajectory.tool_transitions (whose '$' end rows a stream
+    cannot know; close them at quiet-timeout downstream if needed, as
+    track_conversations does).
+
+    Contract: a conversation's turns arrive in non-decreasing turn_idx
+    order across batches (the pipeline's stable (conv_id, turn_idx)
+    ordering invariant); within a batch the group is sorted. Late
+    (lower-idx) rows are DROPPED, never reordered — state is one
+    (last_tool, last_idx) pair per conversation, O(active convs)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        conv_id = key[0]
+        last_tool, last_idx = state.get if state.exists else (None, None)
+        rows = []
+        for pdf in pdfs:
+            t = pdf[pdf["tool"].notna()].sort_values("turn_idx")
+            for idx, tool in zip(t["turn_idx"], t["tool"]):
+                idx = int(idx)
+                if last_idx is not None and idx <= last_idx:
+                    continue  # late arrival: dropped by contract
+                rows.append((conv_id,
+                             last_tool if last_tool is not None else "^",
+                             tool, idx))
+                last_tool, last_idx = tool, idx
+        if last_idx is not None:
+            state.update((last_tool, last_idx))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TRANSITION_SCHEMA.fields])
+
+    return (stream.groupBy("conv_id").applyInPandasWithState(
+        update, TRANSITION_SCHEMA, TRANSITION_STATE, "append",
+        GroupStateTimeout.NoTimeout))

@@ -84,3 +84,40 @@ def test_transitions_conserve_mass(turns):
     ends = tr.filter(F.col("tool") == "$") \
         .agg(F.sum("n")).collect()[0][0]
     assert starts == ends == 2
+
+
+def test_stream_tool_transitions_matches_batch(spark, tmp_path):
+    """Stateful streaming transitions == batch tool_transitions (minus
+    the '$' end rows a stream cannot emit), with conversations SPLIT
+    across micro-batches so boundary transitions require state."""
+    import pyspark.sql.functions as SF
+
+    from openapi_to_rdf_spark.streaming.stateful import (
+        stream_tool_transitions)
+
+    turns = spark.createDataFrame(
+        TURNS, "conv_id string, turn_idx int, role string, text string, "
+               "tool string")
+    src = tmp_path / "src"
+    turns.filter(SF.col("turn_idx") < 2).coalesce(1) \
+        .write.parquet(str(src / "c0"))
+    turns.filter(SF.col("turn_idx") >= 2).coalesce(1) \
+        .write.parquet(str(src / "c1"))
+
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    q = (stream_tool_transitions(stream).writeStream
+         .format("memory").queryName("ttrans").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["prev_tool"], r["tool"]): r["n"]
+           for r in spark.table("ttrans")
+           .groupBy("prev_tool", "tool")
+           .agg(SF.count(SF.lit(1)).alias("n")).collect()}
+    exp = {(r["prev_tool"], r["tool"]): r["n"]
+           for r in tool_transitions(turns).collect()
+           if r["tool"] != "$"}
+    assert got == exp
