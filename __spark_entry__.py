@@ -4503,6 +4503,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                seed="ep1")
                 .select("doc_id", "shard", "pos"))
 
+    def q_maxsim_topk(spark, sf_dir):
+        """Late-interaction MaxSim retrieval (retrieval.maxsim_topk):
+        each embedding row split into 4 token vectors of 4 e3-quantized
+        integer dims; 5 query docs broadcast against one corpus pass;
+        score = Σ per query token of max dot vs any doc token — BIGINT
+        everywhere, deterministic (score DESC, doc_id) ranking."""
+        from openapi_to_rdf_spark.operators.retrieval import maxsim_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        toks = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "transform(sequence(0, 3), t -> transform("
+                "slice(embedding, t * 4 + 1, 4), "
+                "x -> CAST(floor(CAST(x AS double) * 1000) AS long)))"
+            ).alias("d_vecs"))
+        qs = (toks.filter(F.col("doc_id") < 5)
+              .select(F.col("doc_id").alias("q_id"),
+                      F.col("d_vecs").alias("q_vecs")))
+        return maxsim_topk(qs, toks, k=10)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4804,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "kg_subgraph": q_kg_subgraph,
         "doc_shards": q_doc_shards,
+        "maxsim_topk": q_maxsim_topk,
     }
 
 
@@ -9930,6 +9952,29 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY hh, doc_id) - 1
                         AS BIGINT) AS pos
             FROM s
+        """,
+        "maxsim_topk": """
+            WITH tk AS (
+              SELECT vec_id AS doc_id,
+                     [[CAST(FLOOR(CAST(embedding[t*4 + i + 1] AS DOUBLE)
+                                  * 1000) AS BIGINT)
+                       FOR i IN range(0, 4)] FOR t IN range(0, 4)]
+                       AS d_vecs
+              FROM embeddings),
+            q AS (SELECT doc_id AS q_id, d_vecs AS q_vecs
+                  FROM tk WHERE doc_id < 5),
+            sc AS (
+              SELECT q.q_id, d.doc_id,
+                     CAST(list_sum(
+                       [list_max([list_sum([qt[i+1] * dt[i+1]
+                                            FOR i IN range(0, 4)])
+                                  FOR dt IN d.d_vecs])
+                        FOR qt IN q.q_vecs]) AS BIGINT) AS score
+              FROM q, tk d)
+            SELECT q_id, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id) AS INT) AS "rank"
+            FROM sc QUALIFY "rank" <= 10
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

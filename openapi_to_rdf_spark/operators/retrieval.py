@@ -125,3 +125,38 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60,
     from pyspark.sql import Window
     w = Window.partitionBy(*gc).orderBy(F.desc("rrf_e6"), F.col(id_col))
     return fused.withColumn("fused_rank", F.row_number().over(w))
+
+
+def maxsim_topk(queries: DataFrame, docs: DataFrame, k: int = 10,
+                q_id: str = "q_id", q_vecs: str = "q_vecs",
+                d_id: str = "doc_id", d_vecs: str = "d_vecs") -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval -> (q_id,
+    doc_id, score, rank): score(q, d) = Σ over query token vectors of
+    the max dot product against any document token vector, over INTEGER
+    token embeddings (quantize floats upstream, e.g. featprop.
+    quantize_embeddings per token) — so every score is a BIGINT both
+    engines agree on, and top-k ordering ties break on doc_id.
+
+    Scale shape: the query table is request-sized — broadcast against
+    one corpus pass (exactly cosine_topk's shape; never a corpus
+    self-join); the MaxSim itself is a nested fold entirely inside
+    whole-stage codegen (no Python). Token counts are small constants
+    (ColBERT uses ~32), so per-pair work is O(|q_toks|·|d_toks|·dim).
+    At 10^9 docs you put an ANN/IVF prefilter in front (similarity.py)
+    and MaxSim only the survivors — the standard two-stage deployment."""
+    pair = docs.select(d_id, d_vecs).crossJoin(
+        F.broadcast(queries.select(q_id, q_vecs)))
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    score = F.aggregate(
+        F.transform(F.col(q_vecs),
+                    lambda qt: F.array_max(
+                        F.transform(F.col(d_vecs), lambda dt: dot(qt, dt)))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(d_id))
+    return (pair.select(q_id, d_id, score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
