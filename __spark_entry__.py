@@ -4524,6 +4524,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.col("d_vecs").alias("q_vecs")))
         return maxsim_topk(qs, toks, k=10)
 
+    def q_kg_distmult_scores(spark, sf_dir):
+        """DistMult plausibility (kgembed.distmult_score): trilinear
+        Σ e_s·r_p·e_o over the same hash-initialized integer embeddings
+        as kg_embed_scores — the multiplicative counterpart of TransE's
+        additive score, exact BIGINT in both engines."""
+        from openapi_to_rdf_spark.operators.kgembed import distmult_score
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        return distmult_score(tri, ent, rel)
+
+    def q_graph_ra_links(spark, sf_dir):
+        """Topological link prediction (graphrank.
+        resource_allocation_links): RA index Σ 1e9 div deg(z) over
+        common neighbors of non-adjacent pairs on the 60-node orders
+        graph — co-neighbor join keyed on the neighbor, existing edges
+        anti-joined, all integer."""
+        from openapi_to_rdf_spark.operators.graphrank import (
+            resource_allocation_links)
+
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = (ordr.filter(F.col("o_orderkey") % 7 == 0)
+                 .select(
+                     (F.col("o_orderkey") % 1000).cast("string")
+                     .alias("src"),
+                     ((F.expr("o_orderkey div 7") + F.col("o_custkey"))
+                      % 1000).cast("string").alias("dst")))
+        return resource_allocation_links(edges)
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4826,6 +4854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subgraph": q_kg_subgraph,
         "doc_shards": q_doc_shards,
         "maxsim_topk": q_maxsim_topk,
+        "kg_distmult_scores": q_kg_distmult_scores,
+        "graph_ra_links": q_graph_ra_links,
     }
 
 
@@ -9975,6 +10005,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY q_id
                           ORDER BY score DESC, doc_id) AS INT) AS "rank"
             FROM sc QUALIFY "rank" <= 10
+        """,
+        "kg_distmult_scores": f"""
+            WITH {_EMB_BASE}
+            SELECT t.s, t.p, t.o,
+                   CAST(list_sum([a.vec[j+1] * r.vec[j+1] * b.vec[j+1]
+                                  FOR j IN range(0, 8)]) AS BIGINT)
+                     AS score
+            FROM pos t
+            JOIN ev a ON a.name = t.s
+            JOIN ev b ON b.name = t.o
+            JOIN rv r ON r.name = t.p
+        """,
+        "graph_ra_links": """
+            WITH e0 AS (
+              SELECT CAST(o_orderkey % 1000 AS VARCHAR) AS src,
+                     CAST((o_orderkey // 7 + o_custkey) % 1000
+                          AS VARCHAR) AS dst
+              FROM orders WHERE o_orderkey % 7 = 0),
+            und AS (SELECT DISTINCT node, nbr FROM (
+                      SELECT src AS node, dst AS nbr FROM e0
+                      UNION ALL SELECT dst, src FROM e0)
+                    WHERE node != nbr),
+            dg AS (SELECT nbr, COUNT(*) AS d FROM und GROUP BY 1),
+            w AS (SELECT nbr, CAST(1000000000 // d AS BIGINT) AS w_e9
+                  FROM dg),
+            agg AS (
+              SELECT a.node AS node_a, b.node AS node_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared,
+                     CAST(SUM(w.w_e9) AS BIGINT) AS score_e9
+              FROM und a
+              JOIN und b ON a.nbr = b.nbr AND a.node < b.node
+              JOIN w ON w.nbr = a.nbr
+              GROUP BY 1, 2)
+            SELECT agg.node_a, agg.node_b, agg.shared, agg.score_e9
+            FROM agg
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.node = agg.node_a
+                                AND und.nbr = agg.node_b)
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

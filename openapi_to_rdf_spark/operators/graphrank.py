@@ -578,3 +578,46 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                 .groupBy("seed", "node")
                 .agg(F.sum("m").cast("long").alias("mass_e9")))
     return mass
+
+
+def resource_allocation_links(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              neighbor_cap: int | None = None,
+                              min_score_e9: int = 0) -> DataFrame:
+    """Topological link prediction -> (node_a, node_b, shared, score_e9):
+    the Resource-Allocation index Σ_{z ∈ N(a)∩N(b)} 1/deg(z) for
+    non-adjacent pairs, with each common neighbor's weight as the exact
+    integer 1e9 div deg(z) — no logs, no floats, every score a BIGINT
+    both engines agree on (RA is the float-free sibling of Adamic-Adar
+    and outperforms it on most benchmarks, Zhou et al. 2009).
+
+    Shape mirrors node_jaccard: undirected distinct adjacency, the
+    candidate pairs come from a co-neighbor self-join KEYED ON THE
+    NEIGHBOR (never node×node), existing edges anti-joined out.
+    ``neighbor_cap`` stop-lists celebrity hubs (documented undercount:
+    a dropped hub contributes at most 1e9/cap per pair — the same
+    bounded-skew trick as the n-gram stop list)."""
+    und = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .unionAll(edges.select(F.col(dst).alias("node"),
+                                  F.col(src).alias("nbr")))
+           .filter(F.col("node") != F.col("nbr"))
+           .dropDuplicates(["node", "nbr"]))
+    deg = und.groupBy("nbr").agg(F.count(F.lit(1)).alias("_deg"))
+    w = deg.select("nbr",
+                   F.expr("1000000000 div _deg").cast("long").alias("w_e9"),
+                   "_deg")
+    if neighbor_cap is not None:
+        w = w.filter(F.col("_deg") <= neighbor_cap)
+    a = und.select(F.col("node").alias("node_a"), "nbr")
+    b = und.select(F.col("node").alias("node_b"), "nbr")
+    cand = (a.join(b, "nbr").filter(F.col("node_a") < F.col("node_b"))
+            .join(w.select("nbr", "w_e9"), "nbr")
+            .groupBy("node_a", "node_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared"),
+                 F.sum("w_e9").cast("long").alias("score_e9")))
+    adj = und.select(F.col("node").alias("node_a"),
+                     F.col("nbr").alias("node_b"))
+    out = cand.join(adj, ["node_a", "node_b"], "left_anti")
+    if min_score_e9 > 0:
+        out = out.filter(F.col("score_e9") >= min_score_e9)
+    return out

@@ -110,6 +110,26 @@ def transe_score(triples: DataFrame, ent_emb: DataFrame,
                      .alias("score")))
 
 
+def distmult_score(triples: DataFrame, ent_emb: DataFrame,
+                   rel_emb: DataFrame,
+                   broadcast_entities: bool = True) -> DataFrame:
+    """(s, p, o, score): DistMult plausibility (Yang et al. 2015) —
+    Σ_j e_s[j]·r_p[j]·e_o[j] over the integer embeddings (HIGHER = more
+    plausible, unlike TransE's distance). The trilinear product of
+    BIGINTs is exact (|v| ≤ span³·dim ≪ 2^63), so DuckDB reproduces
+    every score; same two-entity-join + relation-broadcast shape as
+    transe_score."""
+    t = triples.select("s", "p", "o").dropDuplicates()
+    t = _with_vecs(t, ent_emb, rel_emb,
+                   {"s": "_es", "p": "_rp", "o": "_eo"}, broadcast_entities)
+    tri = F.zip_with(F.zip_with(F.col("_es"), F.col("_rp"),
+                                lambda x, y: x * y),
+                     F.col("_eo"), lambda x, y: x * y)
+    return t.select("s", "p", "o",
+                    F.aggregate(tri, F.lit(0).cast("long"),
+                                lambda acc, v: acc + v).alias("score"))
+
+
 def corruption_pairs(triples: DataFrame, k: int = 1,
                      entities: DataFrame | None = None) -> DataFrame:
     """(s, p, o, side, j, cs, co): each positive with its j-th corruption

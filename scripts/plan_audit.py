@@ -48,7 +48,7 @@ AUDIT = [
     "kg_embed_scores", "kg_embed_epoch", "kg_link_ranks", "kg_lp_metrics",
     "tool_transitions", "tool_chains", "tool_retries", "trajectory_stats",
     "feature_propagation", "graph_ppr", "kg_subgraph", "doc_shards",
-    "maxsim_topk",
+    "maxsim_topk", "kg_distmult_scores", "graph_ra_links",
 ]
 
 

@@ -92,3 +92,56 @@ def test_ppr_mass_is_lower_bound(graph):
     got = {(r["seed"], r["node"]): r["mass_e9"] for r in rows}
     assert got[("a", "a")] >= 150_000_000
     assert got[("c", "c")] >= 150_000_000
+
+
+def test_resource_allocation_matches_reference(spark):
+    from openapi_to_rdf_spark.operators.graphrank import (
+        resource_allocation_links)
+
+    edges = [("a", "z"), ("b", "z"), ("a", "w"), ("b", "w"), ("c", "z"),
+             ("a", "b")]  # a-b adjacent -> excluded from candidates
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["node_a"], r["node_b"]): (r["shared"], r["score_e9"])
+           for r in resource_allocation_links(e).collect()}
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    exp = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if y in adj[x]:
+                continue
+            shared = adj[x] & adj[y]
+            if shared:
+                exp[(x, y)] = (len(shared),
+                               sum(1_000_000_000 // len(adj[z])
+                                   for z in shared))
+    assert got == exp
+    # z has degree 4 (a,b,c + b? -> a,b,c); capping at 2 keeps only w
+    capped = {(r["node_a"], r["node_b"]): (r["shared"], r["score_e9"])
+              for r in resource_allocation_links(e, neighbor_cap=2)
+              .collect()}
+    assert all(s[0] <= got[k][0] for k, s in capped.items())
+
+
+def test_distmult_score_matches_numpy(spark):
+    import numpy as np
+
+    from openapi_to_rdf_spark.operators.kgembed import (
+        distmult_score, hash_embeddings, relation_index)
+    from openapi_to_rdf_spark.operators.negatives import entity_index
+    from tests.test_kgembed import DIM, SPAN, TRIPLES, ref_vec
+
+    import pyspark.sql.functions as SF
+    df = spark.createDataFrame(TRIPLES, "s string, p string, o string") \
+        .withColumn("o_kind", SF.lit("iri"))
+    ent = hash_embeddings(entity_index(df), dim=DIM, span=SPAN)
+    rel = hash_embeddings(relation_index(df), name_col="name",
+                          dim=DIM, span=SPAN)
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in distmult_score(df, ent, rel).collect()}
+    for (s, p, o), sc in got.items():
+        assert sc == int((ref_vec(s) * ref_vec(p) * ref_vec(o)).sum())
