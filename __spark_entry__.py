@@ -4552,6 +4552,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       % 1000).cast("string").alias("dst")))
         return resource_allocation_links(edges)
 
+    def q_kg_verbalize(spark, sf_dir):
+        """KG-to-text (verbalize.verbalize_triples): one sentence per
+        triple, custom template for in_nation + default fallback — a
+        broadcast template join into one codegen string projection,
+        byte-identical in both engines."""
+        from openapi_to_rdf_spark.operators.verbalize import (
+            verbalize_triples)
+
+        tri = _embed_store(spark, sf_dir)
+        return verbalize_triples(
+            tri, {"in_nation": "{s} lives in nation {o}."})
+
+    def q_kg_entity_cards(spark, sf_dir):
+        """RAG context cards (verbalize.entity_cards): per-entity
+        newline-joined fact block in (p, o) order, truncated to 8 —
+        one groupBy fold, deterministic under any partitioning."""
+        from openapi_to_rdf_spark.operators.verbalize import entity_cards
+
+        tri = _embed_store(spark, sf_dir)
+        return entity_cards(
+            tri, max_facts=8,
+            templates={"in_nation": "{s} lives in nation {o}."})
+
     def q_graph_harmonic(spark, sf_dir):
         """Sampled harmonic centrality (betweenness.harmonic_centrality):
         sum of 1/d(s, v) over 5 pivot sources, horizon 3, on the same
@@ -4856,6 +4879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_topk": q_maxsim_topk,
         "kg_distmult_scores": q_kg_distmult_scores,
         "graph_ra_links": q_graph_ra_links,
+        "kg_verbalize": q_kg_verbalize,
+        "kg_entity_cards": q_kg_entity_cards,
     }
 
 
@@ -4897,6 +4922,12 @@ _EMB_BASE = f"""
               JOIN ev a ON a.name = t.s
               JOIN ev b ON b.name = t.o
               JOIN rv r ON r.name = t.p)"""
+def _VLBL(col: str) -> str:
+    """DuckDB twin of verbalize._label: last [#/] segment, [_-]+ -> ' '."""
+    return (f"regexp_replace(list_extract(string_split_regex({col}, "
+            f"'[#/]'), -1), '[_-]+', ' ', 'g')")
+
+
 # agent-trajectory oracle scaffolding: the _agent_turns fixture (doc-derived
 # conversations with a deterministic tool column) and its tool-turn slice
 _AGENT_TT = """
@@ -10043,6 +10074,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM und
                               WHERE und.node = agg.node_a
                                 AND und.nbr = agg.node_b)
+        """,
+        "kg_verbalize": f"""
+            WITH {_EMB_BASE},
+            v AS (
+              SELECT s, p, o,
+                     CASE WHEN p = 'in_nation'
+                          THEN {_VLBL('s')} || ' lives in nation '
+                               || {_VLBL('o')} || '.'
+                          ELSE {_VLBL('s')} || ' has ' || {_VLBL('p')}
+                               || ' ' || {_VLBL('o')} || '.' END AS text
+              FROM pos)
+            SELECT s, p, o, text FROM v
+        """,
+        "kg_entity_cards": f"""
+            WITH {_EMB_BASE},
+            v AS (
+              SELECT s, p, o,
+                     CASE WHEN p = 'in_nation'
+                          THEN {_VLBL('s')} || ' lives in nation '
+                               || {_VLBL('o')} || '.'
+                          ELSE {_VLBL('s')} || ' has ' || {_VLBL('p')}
+                               || ' ' || {_VLBL('o')} || '.' END AS text
+              FROM pos),
+            r AS (SELECT s, p, o, text,
+                         row_number() OVER (PARTITION BY s
+                                            ORDER BY p, o) AS rn,
+                         COUNT(*) OVER (PARTITION BY s) AS nf
+                  FROM v)
+            SELECT s AS ent, CAST(ANY_VALUE(nf) AS BIGINT) AS n_facts,
+                   string_agg(text, chr(10) ORDER BY p, o)
+                     FILTER (WHERE rn <= 8) AS card
+            FROM r GROUP BY s
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
