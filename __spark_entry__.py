@@ -4534,6 +4534,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri, ent, rel = _embed_tables(spark, sf_dir)
         return distmult_score(tri, ent, rel)
 
+    def q_kg_complex_scores(spark, sf_dir):
+        """ComplEx plausibility (kgembed.complex_score): Re(<e_s, r_p,
+        conj(e_o)>) with the 8-dim integer embeddings split into 4 real
+        + 4 imaginary components — the asymmetric-relation member of
+        the TransE/DistMult/ComplEx trio, four exact integer products
+        per complex dim."""
+        from openapi_to_rdf_spark.operators.kgembed import complex_score
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        return complex_score(tri, ent, rel)
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4881,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ra_links": q_graph_ra_links,
         "kg_verbalize": q_kg_verbalize,
         "kg_entity_cards": q_kg_entity_cards,
+        "kg_complex_scores": q_kg_complex_scores,
     }
 
 
@@ -10106,6 +10118,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY p, o)
                      FILTER (WHERE rn <= 8) AS card
             FROM r GROUP BY s
+        """,
+        "kg_complex_scores": f"""
+            WITH {_EMB_BASE}
+            SELECT t.s, t.p, t.o,
+                   CAST(list_sum([
+                     a.vec[j+1] * r.vec[j+1] * b.vec[j+1]
+                     + a.vec[j+5] * r.vec[j+1] * b.vec[j+5]
+                     + a.vec[j+1] * r.vec[j+5] * b.vec[j+5]
+                     - a.vec[j+5] * r.vec[j+5] * b.vec[j+1]
+                     FOR j IN range(0, 4)]) AS BIGINT) AS score
+            FROM pos t
+            JOIN ev a ON a.name = t.s
+            JOIN ev b ON b.name = t.o
+            JOIN rv r ON r.name = t.p
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

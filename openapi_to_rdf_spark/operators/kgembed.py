@@ -130,6 +130,43 @@ def distmult_score(triples: DataFrame, ent_emb: DataFrame,
                                 lambda acc, v: acc + v).alias("score"))
 
 
+def complex_score(triples: DataFrame, ent_emb: DataFrame,
+                  rel_emb: DataFrame,
+                  broadcast_entities: bool = True) -> DataFrame:
+    """(s, p, o, score): ComplEx plausibility (Trouillon et al. 2016) —
+    Re(<e_s, r_p, conj(e_o)>) with each embedding's FIRST half as the
+    real part and SECOND half as the imaginary part (pass hash_embeddings
+    with an even ``dim``; the split is positional, so the same integer
+    table serves TransE/DistMult/ComplEx). Expanded per complex dim j:
+
+        re_s·re_r·re_o + im_s·re_r·im_o + re_s·im_r·im_o − im_s·im_r·re_o
+
+    — four integer products summed, exact BIGINT in both engines.
+    ComplEx is the member of the trio that models ASYMMETRIC relations
+    (DistMult forces score(s,p,o) == score(o,p,s); TransE can't score
+    symmetric ones well) — having all three over one embedding table is
+    the standard ensemble."""
+    t = triples.select("s", "p", "o").dropDuplicates()
+    t = _with_vecs(t, ent_emb, rel_emb,
+                   {"s": "_es", "p": "_rp", "o": "_eo"}, broadcast_entities)
+    half = lambda c, lo: F.expr(  # noqa: E731
+        f"slice({c}, {lo} * (size({c}) div 2) + 1, size({c}) div 2)")
+    prod3 = lambda a, b, c: F.zip_with(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), c, lambda x, y: x * y)
+    re_s, im_s = half("_es", 0), half("_es", 1)
+    re_r, im_r = half("_rp", 0), half("_rp", 1)
+    re_o, im_o = half("_eo", 0), half("_eo", 1)
+    total = F.zip_with(
+        F.zip_with(prod3(re_s, re_r, re_o), prod3(im_s, re_r, im_o),
+                   lambda x, y: x + y),
+        F.zip_with(prod3(re_s, im_r, im_o), prod3(im_s, im_r, re_o),
+                   lambda x, y: x - y),
+        lambda x, y: x + y)
+    return t.select("s", "p", "o",
+                    F.aggregate(total, F.lit(0).cast("long"),
+                                lambda acc, v: acc + v).alias("score"))
+
+
 def corruption_pairs(triples: DataFrame, k: int = 1,
                      entities: DataFrame | None = None) -> DataFrame:
     """(s, p, o, side, j, cs, co): each positive with its j-th corruption

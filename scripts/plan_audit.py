@@ -49,7 +49,7 @@ AUDIT = [
     "tool_transitions", "tool_chains", "tool_retries", "trajectory_stats",
     "feature_propagation", "graph_ppr", "kg_subgraph", "doc_shards",
     "maxsim_topk", "kg_distmult_scores", "graph_ra_links",
-    "kg_verbalize", "kg_entity_cards",
+    "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
 ]
 
 

@@ -242,3 +242,27 @@ def test_epoch_reduces_violated_margin_loss(store):
     new_e, new_r = transe_epoch(pairs, ent_emb, rel_emb, margin=4, lr=1)
     after = loss(new_e, new_r)
     assert after < before
+
+
+def test_complex_score_matches_numpy_and_asymmetry(store):
+    from openapi_to_rdf_spark.operators.kgembed import complex_score
+
+    df, ent_emb, rel_emb = store
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in complex_score(df, ent_emb, rel_emb).collect()}
+    h = DIM // 2
+    for (s, p, o), sc in got.items():
+        es, rp, eo = ref_vec(s), ref_vec(p), ref_vec(o)
+        re_s, im_s = es[:h], es[h:]
+        re_r, im_r = rp[:h], rp[h:]
+        re_o, im_o = eo[:h], eo[h:]
+        exp = int((re_s * re_r * re_o + im_s * re_r * im_o
+                   + re_s * im_r * im_o - im_s * im_r * re_o).sum())
+        assert sc == exp
+    # asymmetry: score(s,p,o) != score(o,p,s) somewhere (DistMult can't)
+    spark = df.sparkSession
+    rev = df.select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
+    rev_got = {(r["s"], r["p"], r["o"]): r["score"]
+               for r in complex_score(rev, ent_emb, rel_emb).collect()}
+    assert any(got[(s, p, o)] != rev_got[(o, p, s)]
+               for (s, p, o) in got)
