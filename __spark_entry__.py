@@ -4545,6 +4545,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tri, ent, rel = _embed_tables(spark, sf_dir)
         return complex_score(tri, ent, rel)
 
+    def q_kg_distmult_ranks(spark, sf_dir):
+        """Filtered link-prediction ranks under the DistMult scorer
+        (link_prediction_ranks(model='distmult')): same protocol as
+        kg_link_ranks but 'better' means HIGHER trilinear product —
+        the direction-aware evaluator works for every scorer in the
+        trio, all integer-exact."""
+        from openapi_to_rdf_spark.operators.kgembed import (
+            link_prediction_ranks)
+
+        tri, ent, rel = _embed_tables(spark, sf_dir)
+        test = tri.filter(F.col("p") == "in_region")
+        return link_prediction_ranks(test, tri, ent, rel,
+                                     model="distmult")
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4893,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_verbalize": q_kg_verbalize,
         "kg_entity_cards": q_kg_entity_cards,
         "kg_complex_scores": q_kg_complex_scores,
+        "kg_distmult_ranks": q_kg_distmult_ranks,
     }
 
 
@@ -10132,6 +10147,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN ev a ON a.name = t.s
             JOIN ev b ON b.name = t.o
             JOIN rv r ON r.name = t.p
+        """,
+        "kg_distmult_ranks": f"""
+            WITH {_EMB_BASE},
+            goldd AS (
+              SELECT t.s, t.p, t.o,
+                     CAST(list_sum([a.vec[j+1] * r.vec[j+1] * b.vec[j+1]
+                                    FOR j IN range(0, 8)]) AS BIGINT)
+                       AS gold_score
+              FROM pos t
+              JOIN ev a ON a.name = t.s
+              JOIN ev b ON b.name = t.o
+              JOIN rv r ON r.name = t.p
+              WHERE t.p = 'in_region'),
+            cscored AS (
+              SELECT g.s, g.p, g.o,
+                     CAST(list_sum([a.vec[j+1] * r.vec[j+1] * e.vec[j+1]
+                                    FOR j IN range(0, 8)]) AS BIGINT)
+                       AS cscore
+              FROM goldd g
+              JOIN ev e ON e.name != g.o
+              JOIN ev a ON a.name = g.s
+              JOIN rv r ON r.name = g.p
+              WHERE NOT EXISTS (SELECT 1 FROM pos
+                                WHERE pos.s = g.s AND pos.p = g.p
+                                  AND pos.o = e.name))
+            SELECT g.s, g.p, g.o,
+                   CAST(1 + COALESCE(SUM(CASE WHEN c.cscore > g.gold_score
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS "rank"
+            FROM goldd g LEFT JOIN cscored c USING (s, p, o)
+            GROUP BY g.s, g.p, g.o, g.gold_score
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -305,24 +305,35 @@ def embedding_rows(emb: DataFrame) -> DataFrame:
     return emb.select("name", F.posexplode("vec").alias("dim", "v"))
 
 
+_SCORERS = {
+    # name -> (score_fn(triples, ent, rel, broadcast), higher_is_better)
+    "transe": (lambda t, e, r, b: transe_score(t, e, r, b), False),
+    "distmult": (lambda t, e, r, b: distmult_score(t, e, r, b), True),
+    "complex": (lambda t, e, r, b: complex_score(t, e, r, b), True),
+}
+
+
 def link_prediction_ranks(test: DataFrame, all_pos: DataFrame,
                           ent_emb: DataFrame, rel_emb: DataFrame,
                           candidates: DataFrame | None = None,
-                          broadcast_entities: bool = True) -> DataFrame:
+                          broadcast_entities: bool = True,
+                          model: str = "transe") -> DataFrame:
     """(s, p, o, rank): filtered object-side link-prediction rank of each
     test triple — 1 + #{candidate entities c != o, (s,p,c) not a known
-    true triple, with strictly better (lower) corruption score}. The
-    optimistic tie rule is deterministic and integer-exact.
+    true triple, with strictly better corruption score} — where "better"
+    follows the model's direction (TransE: lower distance; DistMult /
+    ComplEx: higher product). The optimistic tie rule is deterministic
+    and integer-exact for every scorer in the trio.
 
     ``all_pos`` is the filter set (train + test truths); ``candidates``
     defaults to the full entity universe of ``all_pos`` — pass a sampled
     subset at scale (sampled-metrics protocol)."""
+    score_fn, higher = _SCORERS[model]
     cand = (candidates if candidates is not None
             else entity_index(all_pos).select(F.col("ent")))
     cand = cand.select(F.col("ent").alias("c")).dropDuplicates()
 
-    gold = transe_score(test, ent_emb, rel_emb,
-                        broadcast_entities=broadcast_entities) \
+    gold = score_fn(test, ent_emb, rel_emb, broadcast_entities) \
         .withColumnRenamed("score", "gold_score")
 
     cor = (test.select("s", "p", "o").dropDuplicates()
@@ -331,17 +342,19 @@ def link_prediction_ranks(test: DataFrame, all_pos: DataFrame,
                            F.col("o").alias("c")).dropDuplicates()
     cor = cor.join(known, ["s", "p", "c"], "left_anti")
 
-    cor = _with_vecs(cor, ent_emb, rel_emb,
-                     {"s": "_es", "p": "_rp", "c": "_ec"},
-                     broadcast_entities)
-    cor = cor.select("s", "p", "o",
-                     _l1(F.col("_es"), F.col("_rp"), F.col("_ec"))
-                     .alias("cscore"))
+    # score the corruptions with the same model over (s, p, c)
+    scored = score_fn(cor.selectExpr("s", "p", "c as o"),
+                      ent_emb, rel_emb, broadcast_entities) \
+        .withColumnRenamed("score", "cscore") \
+        .withColumnRenamed("o", "c")
+    cor = cor.join(scored, ["s", "p", "c"])
 
+    beats = (F.col("cscore") > F.col("gold_score") if higher
+             else F.col("cscore") < F.col("gold_score"))
     better = (gold.join(cor, ["s", "p", "o"], "left")
               .groupBy("s", "p", "o")
-              .agg(F.sum(F.when(F.col("cscore") < F.col("gold_score"), 1)
-                         .otherwise(0)).cast("long").alias("n_better")))
+              .agg(F.sum(F.when(beats, 1).otherwise(0))
+                   .cast("long").alias("n_better")))
     return better.select("s", "p", "o",
                          (F.col("n_better") + 1).alias("rank"))
 

@@ -266,3 +266,45 @@ def test_complex_score_matches_numpy_and_asymmetry(store):
                for r in complex_score(rev, ent_emb, rel_emb).collect()}
     assert any(got[(s, p, o)] != rev_got[(o, p, s)]
                for (s, p, o) in got)
+
+
+def _ref_ranks_model(score, higher):
+    ents = sorted({t[0] for t in TRIPLES} | {t[2] for t in TRIPLES})
+    pos = set(TRIPLES)
+    out = {}
+    for (s, p, o) in TRIPLES:
+        gold = score(s, p, o)
+        better = 0
+        for c in ents:
+            if c == o or (s, p, c) in pos:
+                continue
+            cs = score(s, p, c)
+            if (cs > gold) if higher else (cs < gold):
+                better += 1
+        out[(s, p, o)] = better + 1
+    return out
+
+
+@pytest.mark.parametrize("model,higher", [("transe", False),
+                                          ("distmult", True),
+                                          ("complex", True)])
+def test_link_prediction_ranks_all_models(store, model, higher):
+    df, ent_emb, rel_emb = store
+    got = {(r["s"], r["p"], r["o"]): r["rank"]
+           for r in link_prediction_ranks(df, df, ent_emb, rel_emb,
+                                          model=model).collect()}
+    h = DIM // 2
+
+    def sc(s, p, o):
+        es, rp, eo = ref_vec(s), ref_vec(p), ref_vec(o)
+        if model == "transe":
+            return int(np.abs(es + rp - eo).sum())
+        if model == "distmult":
+            return int((es * rp * eo).sum())
+        re_s, im_s = es[:h], es[h:]
+        re_r, im_r = rp[:h], rp[h:]
+        re_o, im_o = eo[:h], eo[h:]
+        return int((re_s * re_r * re_o + im_s * re_r * im_o
+                    + re_s * im_r * im_o - im_s * im_r * re_o).sum())
+
+    assert got == _ref_ranks_model(sc, higher)
