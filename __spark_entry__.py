@@ -4559,6 +4559,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return link_prediction_ranks(test, tri, ent, rel,
                                      model="distmult")
 
+    def q_conv_summaries(spark, sf_dir):
+        """Extractive conversation summarization (summarize.
+        extractive_summary): top-3 turns per conversation by integer
+        salience (opener/assistant/tool bonuses + capped length prior),
+        re-rendered in original turn order — one window + one fold,
+        byte-identical strings in both engines."""
+        from openapi_to_rdf_spark.operators.summarize import (
+            extractive_summary)
+
+        return extractive_summary(_agent_turns(spark, sf_dir), k=3)
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4908,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cards": q_kg_entity_cards,
         "kg_complex_scores": q_kg_complex_scores,
         "kg_distmult_ranks": q_kg_distmult_ranks,
+        "conv_summaries": q_conv_summaries,
     }
 
 
@@ -10178,6 +10190,41 @@ def oracle_sql() -> dict[str, str]:
                      AS "rank"
             FROM goldd g LEFT JOIN cscored c USING (s, p, o)
             GROUP BY g.s, g.p, g.o, g.gold_score
+        """,
+        "conv_summaries": f"""
+            WITH {_AGENT_TT},
+            t2 AS (
+              SELECT conv_id, turn_idx, tool,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     substr(text, 1, 80) AS text
+              FROM (SELECT doc_id, text, doc_id % 100 AS conv_id,
+                           CAST(doc_id // 100 AS INT) AS turn_idx,
+                           CASE WHEN (doc_id // 100) % 5 != 4 THEN
+                             ['search', 'browse', 'code'][CAST(
+                               ((doc_id // 100) // 2 + doc_id % 100)
+                               % 3 + 1 AS INT)]
+                           END AS tool
+                    FROM documents)),
+            sal AS (
+              SELECT conv_id, turn_idx, role, text,
+                     (CASE WHEN turn_idx = 0 THEN 2000 ELSE 0 END)
+                     + (CASE WHEN role = 'assistant' THEN 1000
+                        ELSE 0 END)
+                     + (CASE WHEN tool IS NOT NULL THEN 500 ELSE 0 END)
+                     + least(len(string_split_regex(trim(text),
+                                                    '\\s+')), 50) * 20
+                       AS salience
+              FROM t2),
+            kept AS (
+              SELECT conv_id, turn_idx, role, text,
+                     row_number() OVER (PARTITION BY conv_id
+                       ORDER BY salience DESC, turn_idx) AS rn
+              FROM sal)
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS summary
+            FROM kept WHERE rn <= 3 GROUP BY conv_id
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /
