@@ -4570,6 +4570,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return extractive_summary(_agent_turns(spark, sf_dir), k=3)
 
+    def q_tool_latencies(spark, sf_dir):
+        """Per-tool round-trip latency (trajectory.tool_latency): wait
+        from each tool call to its conversation's next turn, as exact
+        integer seconds over a deterministic synthetic clock (epoch +
+        conv*100 + turn*7 s) — lead window + tool rollup; the DuckDB
+        twin computes the same diffs from the affine clock."""
+        from openapi_to_rdf_spark.operators.trajectory import tool_latency
+
+        t = _agent_turns(spark, sf_dir).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1767225600)
+                                      + F.col("conv_id") * 100
+                                      + F.col("turn_idx") * 7))
+        return tool_latency(t)
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4920,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_complex_scores": q_kg_complex_scores,
         "kg_distmult_ranks": q_kg_distmult_ranks,
         "conv_summaries": q_conv_summaries,
+        "tool_latencies": q_tool_latencies,
     }
 
 
@@ -10225,6 +10240,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(role || ': ' || text, chr(10)
                               ORDER BY turn_idx) AS summary
             FROM kept WHERE rn <= 3 GROUP BY conv_id
+        """,
+        "tool_latencies": f"""
+            WITH {_AGENT_TT},
+            clk AS (
+              SELECT conv_id, turn_idx, tool,
+                     conv_id * 100 + turn_idx * 7 AS s,
+                     lead(conv_id * 100 + turn_idx * 7)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS next_s
+              FROM turns)
+            SELECT tool,
+                   CAST(SUM(CASE WHEN next_s IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_calls,
+                   CAST(SUM(CASE WHEN next_s IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_unanswered,
+                   CAST(COALESCE(SUM(next_s - s), 0) AS BIGINT)
+                     AS sum_wait_s,
+                   CAST(COALESCE(MAX(next_s - s), 0) AS BIGINT)
+                     AS max_wait_s
+            FROM clk WHERE tool IS NOT NULL GROUP BY tool
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -102,3 +102,31 @@ def trajectory_stats(turns: DataFrame) -> DataFrame:
                     # integer div: exact in any engine, no float rounding
                     F.expr("n_tool_calls * 1000000 div n_turns")
                     .cast("long").alias("tool_share_e6")))
+
+
+def tool_latency(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(tool, n_calls, sum_wait_s, max_wait_s): how long each tool call
+    waits for the NEXT turn of its conversation (the tool's visible
+    round-trip in the trace) — latencies as exact integer seconds
+    (unix-timestamp difference), rolled up per tool. Calls that end
+    their conversation (no next turn) are excluded from the rollup and
+    reported via n_unanswered.
+
+    One window per conversation (lead over ALL turns, then filter to
+    tool rows) + one tool-vocabulary rollup — same shape as every other
+    trajectory operator."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (turns.select("conv_id", "turn_idx", "tool", ts_col)
+         .withColumn("_next_ts", F.lead(ts_col).over(w))
+         .filter(F.col("tool").isNotNull()))
+    lat = (F.unix_timestamp("_next_ts")
+           - F.unix_timestamp(ts_col)).cast("long")
+    return (t.groupBy("tool")
+            .agg(F.sum(F.col("_next_ts").isNotNull().cast("long"))
+                 .alias("n_calls"),
+                 F.sum(F.col("_next_ts").isNull().cast("long"))
+                 .alias("n_unanswered"),
+                 F.coalesce(F.sum(lat), F.lit(0)).cast("long")
+                 .alias("sum_wait_s"),
+                 F.coalesce(F.max(lat), F.lit(0)).cast("long")
+                 .alias("max_wait_s")))

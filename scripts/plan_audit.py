@@ -50,7 +50,7 @@ AUDIT = [
     "feature_propagation", "graph_ppr", "kg_subgraph", "doc_shards",
     "maxsim_topk", "kg_distmult_scores", "graph_ra_links",
     "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
-    "kg_distmult_ranks", "conv_summaries",
+    "kg_distmult_ranks", "conv_summaries", "tool_latencies",
 ]
 
 

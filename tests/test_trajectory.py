@@ -121,3 +121,33 @@ def test_stream_tool_transitions_matches_batch(spark, tmp_path):
            for r in tool_transitions(turns).collect()
            if r["tool"] != "$"}
     assert got == exp
+
+
+def test_tool_latency(spark):
+    from datetime import datetime
+
+    from openapi_to_rdf_spark.operators.trajectory import tool_latency
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        ("A", 0, "assistant", "t", "search", ts(0)),
+        ("A", 1, "assistant", "t", None, ts(5)),      # search waits 5s
+        ("A", 2, "assistant", "t", "search", ts(9)),
+        ("A", 3, "user", "t", None, ts(21)),          # search waits 12s
+        ("B", 0, "assistant", "t", "code", ts(0)),    # unanswered
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = {r["tool"]: r for r in tool_latency(df).collect()}
+    s = got["search"]
+    assert (s["n_calls"], s["n_unanswered"], s["sum_wait_s"],
+            s["max_wait_s"]) == (2, 0, 17, 12)
+    c = got["code"]
+    assert (c["n_calls"], c["n_unanswered"], c["sum_wait_s"],
+            c["max_wait_s"]) == (0, 1, 0, 0)
+    assert t0  # quiet lint
