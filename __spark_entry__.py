@@ -4584,6 +4584,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       + F.col("turn_idx") * 7))
         return tool_latency(t)
 
+    def q_scripted_convs(spark, sf_dir):
+        """Scripted-traffic detection (trajectory.
+        scripted_conversations): md5 fingerprint of each conversation's
+        ordered (role, tool) structure, grouped — template bots share a
+        fingerprint regardless of wording; one order-pinned fold + one
+        fingerprint rollup, md5-portable to DuckDB."""
+        from openapi_to_rdf_spark.operators.trajectory import (
+            scripted_conversations)
+
+        return scripted_conversations(_agent_turns(spark, sf_dir),
+                                      min_convs=3)
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4935,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult_ranks": q_kg_distmult_ranks,
         "conv_summaries": q_conv_summaries,
         "tool_latencies": q_tool_latencies,
+        "scripted_convs": q_scripted_convs,
     }
 
 
@@ -10260,6 +10273,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(MAX(next_s - s), 0) AS BIGINT)
                      AS max_wait_s
             FROM clk WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        "scripted_convs": """
+            WITH t2 AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CAST(doc_id // 100 AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN (doc_id // 100) % 5 != 4 THEN
+                       ['search', 'browse', 'code'][CAST(
+                         ((doc_id // 100) // 2 + doc_id % 100) % 3 + 1
+                         AS INT)]
+                     END AS tool
+              FROM documents),
+            fp AS (
+              SELECT conv_id,
+                     md5(string_agg(role || chr(2)
+                                    || COALESCE(tool, '-'), chr(1)
+                                    ORDER BY turn_idx)) AS fp
+              FROM t2 GROUP BY conv_id)
+            SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   MIN(conv_id) AS sample_conv
+            FROM fp GROUP BY fp HAVING COUNT(*) >= 3
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

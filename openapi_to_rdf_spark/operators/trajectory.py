@@ -130,3 +130,34 @@ def tool_latency(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
                  .alias("sum_wait_s"),
                  F.coalesce(F.max(lat), F.lit(0)).cast("long")
                  .alias("max_wait_s")))
+
+
+def trajectory_fingerprints(turns: DataFrame) -> DataFrame:
+    """(conv_id, fp): md5 fingerprint of each conversation's ordered
+    (role, tool) sequence — text-independent, so two conversations with
+    identical ACTION structure collide even when their wording differs.
+    One conv-keyed fold (array_sort on (turn_idx, ...) structs — the
+    order-pinned groupBy discipline, no window)."""
+    step = F.concat_ws("\x02", F.col("role"),
+                       F.coalesce(F.col("tool"), F.lit("-")))
+    return (turns.groupBy("conv_id")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("turn_idx"), step.alias("s")))),
+                    lambda x: x.s),
+                "\x01")).alias("fp")))
+
+
+def scripted_conversations(turns: DataFrame,
+                           min_convs: int = 3) -> DataFrame:
+    """(fp, n_convs, sample_conv): action-structure fingerprints shared
+    by ≥ min_convs conversations — the scripted-bot / template-traffic
+    detector agentic curation drops or downsamples (the trajectory-level
+    sibling of sftpairs.boilerplate_turns' verbatim-text check).
+    sample_conv = lexicographic min conv_id, a deterministic exemplar."""
+    fp = trajectory_fingerprints(turns)
+    return (fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_convs"),
+                 F.min("conv_id").alias("sample_conv"))
+            .filter(F.col("n_convs") >= min_convs))

@@ -151,3 +151,34 @@ def test_tool_latency(spark):
     assert (c["n_calls"], c["n_unanswered"], c["sum_wait_s"],
             c["max_wait_s"]) == (0, 1, 0, 0)
     assert t0  # quiet lint
+
+
+def test_trajectory_fingerprints_and_scripted(spark):
+    from openapi_to_rdf_spark.operators.trajectory import (
+        scripted_conversations, trajectory_fingerprints)
+
+    rows = []
+    # convs 1..3: identical (role, tool) structure, different text
+    for c in ("c1", "c2", "c3"):
+        rows += [(c, 0, "user", f"{c} hello", None),
+                 (c, 1, "assistant", f"{c} reply", "search")]
+    # conv 4: different structure (extra turn)
+    rows += [("c4", 0, "user", "x", None),
+             ("c4", 1, "assistant", "y", "search"),
+             ("c4", 2, "user", "z", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string")
+
+    fps = {r["conv_id"]: r["fp"]
+           for r in trajectory_fingerprints(df).collect()}
+    assert fps["c1"] == fps["c2"] == fps["c3"]
+    assert fps["c4"] != fps["c1"]
+
+    got = scripted_conversations(df, min_convs=3).collect()
+    assert len(got) == 1
+    assert (got[0]["n_convs"], got[0]["sample_conv"]) == (3, "c1")
+    # determinism under repartition
+    again = scripted_conversations(df.repartition(5), min_convs=3) \
+        .collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
