@@ -4596,6 +4596,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scripted_conversations(_agent_turns(spark, sf_dir),
                                       min_convs=3)
 
+    def q_trajectory_dup_pairs(spark, sf_dir):
+        """Fuzzy trajectory dedup: render each conversation's tool
+        sequence as a 1-char-per-call string, then the PassJoin
+        edit-distance join (operators/editjoin) finds conversation
+        pairs within Levenshtein 1 — near-identical agent behavior with
+        one inserted/changed action; composition of two exact
+        operators, brute-force levenshtein oracle."""
+        from openapi_to_rdf_spark.operators.editjoin import (
+            edit_distance_pairs)
+
+        t = _agent_turns(spark, sf_dir).filter(F.col("tool").isNotNull())
+        seq = (t.groupBy("conv_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct(
+                           F.col("turn_idx"),
+                           F.substring("tool", 1, 1).alias("ch")))),
+                       lambda x: x.ch),
+                   "").alias("text")))
+        return edit_distance_pairs(
+            seq.select(F.col("conv_id").alias("id"), "text"), k=1)
+
     def q_graph_ra_links(spark, sf_dir):
         """Topological link prediction (graphrank.
         resource_allocation_links): RA index Σ 1e9 div deg(z) over
@@ -4948,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_summaries": q_conv_summaries,
         "tool_latencies": q_tool_latencies,
         "scripted_convs": q_scripted_convs,
+        "trajectory_dup_pairs": q_trajectory_dup_pairs,
     }
 
 
@@ -10295,6 +10318,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_convs,
                    MIN(conv_id) AS sample_conv
             FROM fp GROUP BY fp HAVING COUNT(*) >= 3
+        """,
+        "trajectory_dup_pairs": """
+            WITH t2 AS (
+              SELECT doc_id % 100 AS conv_id,
+                     CAST(doc_id // 100 AS INT) AS turn_idx,
+                     CASE WHEN (doc_id // 100) % 5 != 4 THEN
+                       ['search', 'browse', 'code'][CAST(
+                         ((doc_id // 100) // 2 + doc_id % 100) % 3 + 1
+                         AS INT)]
+                     END AS tool
+              FROM documents),
+            seq AS (
+              SELECT conv_id AS id,
+                     string_agg(substr(tool, 1, 1), ''
+                                ORDER BY turn_idx) AS text
+              FROM t2 WHERE tool IS NOT NULL GROUP BY conv_id)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS INT) AS dist
+            FROM seq a JOIN seq b ON a.id < b.id
+            WHERE abs(length(a.text) - length(b.text)) <= 1
+              AND levenshtein(a.text, b.text) <= 1
         """,
         # shacl_rules: rows-only (requires running the spec converter)
         # minhash_clusters / simhash_pairs / ann_topk / convert_specs / bpe_merges /

@@ -51,7 +51,7 @@ AUDIT = [
     "maxsim_topk", "kg_distmult_scores", "graph_ra_links",
     "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
     "kg_distmult_ranks", "conv_summaries", "tool_latencies",
-    "scripted_convs",
+    "scripted_convs", "trajectory_dup_pairs",
 ]
 
 
