@@ -21,7 +21,11 @@ def _docs(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # dim stamped as schema metadata at ingest: LSH/IVF builders read it
+    # via similarity.embedding_dim with ZERO driver round-trips (r2 #7)
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.withColumn(
+        "embedding", F.col("embedding").alias("embedding", metadata={"dim": 64}))
 
 
 def _e6(col):

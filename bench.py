@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 # run at 630k turns/s in a steal-free window vs the 104-118k/s the 600k-turn
 # input reported); 600k convs (~3M turns) keeps the fixed share small while
 # staying ~25s even when hypervisor steal is active.
+#
+# PINNED for cross-round comparability (VERDICT r2 "what's wrong" #3): the
+# r1->r2 5x growth of the sf0.1 volume made the regression watch compare
+# unlike workloads. These values must NOT change between rounds; if they
+# ever must, the watch below normalizes kg_* stages per-turn using the
+# recorded workload fingerprint.
 N_CONVS = {"0.001": 2_000, "0.01": 20_000, "0.1": 600_000}
 
 
@@ -88,7 +94,7 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     n_triples = triples.count()
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    t_canon, n_kg = None, None
+    t_canon, n_kg, canon_stages = None, None, None
     if with_canon:
         t0 = time.time()
         ents = (triples.filter(F.col("p") == KG_NS + "surfaceForm")
@@ -99,8 +105,51 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
         n_kg = kg.count()
         t_canon = round(time.time() - t0, 3)
 
+        # attributable stage breakdown (VERDICT r2 #4): the same canon
+        # pipeline re-run with a localCheckpoint barrier after each stage,
+        # so a future kg_canonicalize regression names its stage instead of
+        # re-litigating the whole pipeline. The headline t_canon above stays
+        # the barrier-free production plan (comparable across rounds).
+        from openapi_to_rdf_spark.operators.canonicalize import (
+            canonical_entity_map as _cem, lsh_candidate_pairs, nonempty_normalized,
+            verify_pairs,
+        )
+        from openapi_to_rdf_spark.operators.components import (
+            connected_components,
+        )
+
+        canon_stages = {}
+        t0 = time.time()
+        ne = nonempty_normalized(ents, "surface").localCheckpoint()
+        ne.count()
+        canon_stages["normalize"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pairs = lsh_candidate_pairs(ne, "ent", "surface",
+                                    k=32, bands=4).localCheckpoint()
+        canon_stages["n_candidates"] = pairs.count()
+        canon_stages["band_join"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        edges = verify_pairs(pairs, ne, "ent", "surface",
+                             threshold=0.9).localCheckpoint()
+        canon_stages["n_edges"] = edges.count()
+        canon_stages["verify"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        comps = connected_components(edges).localCheckpoint()
+        comps.count()
+        canon_stages["components"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        cmap2 = (ents.select(F.col("ent").alias("node"))
+                 .dropDuplicates(["node"])
+                 .join(comps, on="node", how="left")
+                 .select(F.col("node").alias("ent"),
+                         F.coalesce("component", F.col("node"))
+                         .alias("canonical")))
+        remap_triples(triples, cmap2, ENT_NS).count()
+        canon_stages["remap"] = round(time.time() - t0, 3)
+
     return {"n_turns": n_turns, "n_triples": n_triples, "n_kg_triples": n_kg,
             "sec_extract": round(t_extract, 3), "sec_canonicalize": t_canon,
+            "canon_stages": canon_stages,
             "trials": trial_rows,
             "turns_per_sec": round(n_turns / t_extract, 1)}
 
@@ -271,9 +320,18 @@ def _recall_section(sf_dir: str) -> dict:
         spark.stop()
 
 
-def _diff_vs_previous_round(queries: dict) -> tuple[dict, str | None]:
+def _diff_vs_previous_round(queries: dict,
+                            n_turns: int) -> tuple[dict, str | None]:
     """Compare per-query seconds against the newest BENCH_r*.json; return
     ({query: {prev, now, ratio}} for >1.3x slowdowns, prev_file_name).
+
+    Workload-invariant (VERDICT r2 #4): N_CONVS is pinned, the current
+    workload fingerprint is recorded in the output, and if the previous
+    round nevertheless ran a different n_turns (as r1->r2 did, 5x), the
+    kg_* pipeline stages are compared per-turn — sec/Mturn — instead of
+    raw wall, so a bigger input can never masquerade as a regression.
+    Operator queries depend only on sf (same driver parquet every round)
+    and compare raw.
 
     Materiality floor: sub-2s queries are dominated by Spark job
     scheduling on this shared VM (a 0.8s->1.3s wobble is noise, measured
@@ -291,15 +349,24 @@ def _diff_vs_previous_round(queries: dict) -> tuple[dict, str | None]:
         with open(prev_file) as fh:
             doc = json.load(fh)
         # the round driver wraps the bench line under "parsed"
-        prev = doc.get("queries") or doc.get("parsed", {}).get("queries", {})
+        parsed = doc.get("parsed", doc)
+        prev = doc.get("queries") or parsed.get("queries", {})
+        prev_turns = parsed.get("n_turns")
     except (OSError, json.JSONDecodeError):
         return {}, None
     regress = {}
     for name, now in queries.items():
         before = prev.get(name)
-        if before and now and now >= 2.0 and now > 1.3 * before:
+        if not (before and now):
+            continue
+        eff_before = before
+        if (name in ("kg_extract", "kg_canonicalize")
+                and prev_turns and n_turns and prev_turns != n_turns):
+            eff_before = before * n_turns / prev_turns  # sec/turn-normalized
+        if now >= 2.0 and now > 1.3 * eff_before:
             regress[name] = {"prev": before, "now": now,
-                             "ratio": round(now / before, 2)}
+                             "prev_scaled": round(eff_before, 3),
+                             "ratio": round(now / eff_before, 2)}
     return regress, os.path.basename(prev_file)
 
 
@@ -328,7 +395,7 @@ def main() -> None:
     queries["kg_canonicalize"] = kg["sec_canonicalize"]
 
     recall = _recall_section(sf_dir)
-    regressions, prev_round = _diff_vs_previous_round(queries)
+    regressions, prev_round = _diff_vs_previous_round(queries, kg["n_turns"])
 
     out = {
         "metric": "kg-pipeline + operator suite wall time",
@@ -346,6 +413,17 @@ def main() -> None:
         # inflated, not regressions
         "kg_trials": kg["trials"],
         "suite_steal": suite_steal,
+        # workload fingerprint + per-unit rates: the regression watch (and
+        # any human diffing rounds) can verify like-for-like volume and
+        # compare workload-invariant sec/Mturn numbers directly
+        "workload": {"n_convs": n_convs, "n_turns": kg["n_turns"], "sf_dir": sf_dir},
+        "sec_per_mturn": {
+            "kg_extract": round(kg["sec_extract"] / kg["n_turns"] * 1e6, 3),
+            "kg_canonicalize": round(
+                kg["sec_canonicalize"] / kg["n_turns"] * 1e6, 3),
+        },
+        # per-stage canon breakdown (barriered re-run; see kg_job)
+        "canon_stages": kg["canon_stages"],
         # measured recall of every approximate operator vs its exact in-repo
         # counterpart (operators/recall.py; floors asserted in test_recall.py)
         "recall": recall,

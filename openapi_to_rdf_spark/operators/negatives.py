@@ -30,10 +30,17 @@ def _uint32_md5(*cols) -> F.Column:
 
 def entity_index(triples: DataFrame) -> DataFrame:
     """(idx, ent): 1-based dense index over the distinct entity universe
-    (subjects + IRI objects), deterministic via a lexicographic sort."""
+    (subjects + IRI objects), deterministic via a lexicographic sort.
+
+    Bare (s, p, o) tables without an ``o_kind`` column are accepted —
+    every object is treated as an IRI then (ADVICE r2: the default
+    entity universe of kgembed.corruption_pairs / link_prediction_ranks
+    must not require the typed-triple schema its positives tolerate
+    missing)."""
+    objs = (triples.filter(F.col("o_kind") == "iri")
+            if "o_kind" in triples.columns else triples)
     ents = (triples.select(F.col("s").alias("ent"))
-            .unionByName(triples.filter(F.col("o_kind") == "iri")
-                         .select(F.col("o").alias("ent")))
+            .unionByName(objs.select(F.col("o").alias("ent")))
             .dropDuplicates())
     return ents.select(
         F.row_number().over(Window.orderBy("ent")).alias("idx"), "ent")
@@ -44,12 +51,15 @@ def corrupt_triples(triples: DataFrame, k: int = 2,
     """k corruptions per side per positive -> (s, p, o, side, j), false
     negatives and identity corruptions removed.
 
-    ``triples`` needs (s, p, o, o_kind); only iri-object rows are corrupted
-    on the o side (literals are attributes, not graph edges). ``entities``
-    overrides the derived index table (columns idx, ent, 1-based).
+    ``triples`` carries (s, p, o) and optionally ``o_kind``; with it, only
+    iri-object rows are corrupted on the o side (literals are attributes,
+    not graph edges) — without it every object counts as an IRI, matching
+    entity_index. ``entities`` overrides the derived index table (columns
+    idx, ent, 1-based).
     """
     pos = (triples.filter(F.col("o_kind") == "iri")
-           .select("s", "p", "o").dropDuplicates())
+           if "o_kind" in triples.columns else triples) \
+        .select("s", "p", "o").dropDuplicates()
     idx = entities if entities is not None else entity_index(triples)
     n = F.broadcast(idx.agg(F.count(F.lit(1)).alias("n_ents")))
 

@@ -115,11 +115,11 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserted separately in tests. Both ends of the cost/recall curve are
     # reported: the fast default and the high-recall configuration.
     rows.append(("ann_lsh_topk@10 L=1",
-                 topk_recall(exact_topk, ann_lsh_topk(emb, queries, k=10)),
+                 topk_recall(exact_topk, ann_lsh_topk(emb, queries, k=10, dim=64)),
                  n_exact))
     rows.append(("ann_lsh_topk@10 L=8",
                  topk_recall(exact_topk,
-                             ann_lsh_topk(emb, queries, k=10, n_tables=8)),
+                             ann_lsh_topk(emb, queries, k=10, n_tables=8, dim=64)),
                  n_exact))
     rows.append(("ivf_topk@10 probe=2",
                  topk_recall(exact_topk, ivf_topk(emb, queries, k=10)),
@@ -143,13 +143,13 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + 100000).alias("id_b"))
     rows.append(("embedding_lsh_pairs@0.999",
                  pair_recall(truth_twin,
-                             embedding_dup_pairs_lsh(twins, threshold=0.999)),
+                             embedding_dup_pairs_lsh(twins, threshold=0.999, dim=64)),
                  truth_twin.count()))
 
     wild_truth = embedding_dup_pairs(emb, threshold=0.4, exact=True).localCheckpoint()
     rows.append(("embedding_lsh_pairs@0.4",
                  pair_recall(wild_truth,
-                             embedding_dup_pairs_lsh(emb, threshold=0.4)),
+                             embedding_dup_pairs_lsh(emb, threshold=0.4, dim=64)),
                  wild_truth.count()))
 
     # SemDeDup: recall loss is exactly the pairs split across k-means cells.

@@ -31,32 +31,48 @@ def _label(col: F.Column) -> F.Column:
     return F.regexp_replace(local, "[_-]+", " ")
 
 
+def _tokenize(pattern: str) -> list[str]:
+    """Split a template ONCE at build time into literal segments and
+    placeholder markers (\\x00s/\\x00p/\\x00o). Single-pass expansion:
+    literal segments are emitted verbatim and substituted labels are
+    never rescanned, so a label that itself contains '{o}' survives
+    as-is (ADVICE r2: sequential F.replace re-substituted it)."""
+    import re
+
+    return [("\x00" + part[1]) if re.fullmatch(r"\{[spo]\}", part) else part
+            for part in re.split(r"(\{[spo]\})", pattern) if part]
+
+
 def verbalize_triples(triples: DataFrame,
                       templates: dict[str, str] | None = None) -> DataFrame:
     """(s, p, o, text): one sentence per distinct triple. ``templates``
     maps predicate -> pattern with {s}/{p}/{o} placeholders; unmapped
     predicates fall back to DEFAULT_TEMPLATE. The template table is
-    vocabulary-sized -> broadcast join; substitution compiles to a
-    concat chain (placeholders split the pattern at build time, so the
-    corpus pass is pure whole-stage codegen)."""
+    vocabulary-sized -> broadcast join carrying the pre-tokenized
+    segment array; rendering is one fold over the segments (JVM
+    aggregate + concat — still a single codegen projection)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
     spark = triples.sparkSession
     t = triples.select("s", "p", "o").dropDuplicates()
-    rows = [(p, pat) for p, pat in (templates or {}).items()]
-    tpl = spark.createDataFrame(rows or [("", DEFAULT_TEMPLATE)],
-                                "p string, pattern string")
+    rows = [(p, _tokenize(pat)) for p, pat in (templates or {}).items()]
+    schema = StructType([StructField("p", StringType()),
+                         StructField("toks", ArrayType(StringType()))])
+    tpl = spark.createDataFrame(rows or [("", [])], schema)
     if not rows:
         tpl = tpl.limit(0)
+    default_toks = F.array(*[F.lit(x) for x in _tokenize(DEFAULT_TEMPLATE)])
     t = (t.join(F.broadcast(tpl), "p", "left")
-         .withColumn("pattern",
-                     F.coalesce(F.col("pattern"),
-                                F.lit(DEFAULT_TEMPLATE))))
-    # build the sentence by replacing placeholders with labeled terms;
-    # replace() on a bound column keeps this one codegen projection
-    text = F.col("pattern")
-    for ph, col in (("{s}", _label(F.col("s"))),
-                    ("{p}", _label(F.col("p"))),
-                    ("{o}", _label(F.col("o")))):
-        text = F.replace(text, F.lit(ph), col)
+         .withColumn("toks", F.coalesce(F.col("toks"), default_toks)))
+    s_lab, p_lab, o_lab = (_label(F.col(c)) for c in ("s", "p", "o"))
+    text = F.aggregate(
+        F.col("toks"), F.lit(""),
+        lambda acc, tok: F.concat(
+            acc,
+            F.when(tok == "\x00s", s_lab)
+            .when(tok == "\x00p", p_lab)
+            .when(tok == "\x00o", o_lab)
+            .otherwise(tok)))
     return t.select("s", "p", "o", text.alias("text"))
 
 

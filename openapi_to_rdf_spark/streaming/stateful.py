@@ -78,25 +78,39 @@ TRANSITION_STATE = StructType([
 ])
 
 
-def stream_tool_transitions(stream: DataFrame) -> DataFrame:
+def stream_tool_transitions(stream: DataFrame,
+                            quiet_ms: int = 30_000) -> DataFrame:
     """Streaming agent-trajectory edges: one (conv_id, prev_tool, tool,
     turn_idx) row per tool-call turn, with the previous tool carried in
     per-conversation state across micro-batches ('^' when the
     conversation has no earlier tool call) — the stream counterpart of
-    operators/trajectory.tool_transitions (whose '$' end rows a stream
-    cannot know; close them at quiet-timeout downstream if needed, as
-    track_conversations does).
+    operators/trajectory.tool_transitions. When a conversation goes
+    quiet for ``quiet_ms`` the batch operator's virtual '$' end edge is
+    emitted and the state row is EVICTED (ProcessingTimeTimeout, the
+    track_conversations discipline — ADVICE r2: NoTimeout made state
+    grow with every conversation ever seen). State is therefore
+    O(conversations active within the quiet window), not O(all convs).
 
     Contract: a conversation's turns arrive in non-decreasing turn_idx
     order across batches (the pipeline's stable (conv_id, turn_idx)
     ordering invariant); within a batch the group is sorted. Late
-    (lower-idx) rows are DROPPED, never reordered — state is one
-    (last_tool, last_idx) pair per conversation, O(active convs)."""
+    (lower-idx) rows are DROPPED, never reordered. A conversation that
+    resumes AFTER its quiet-timeout eviction starts a fresh episode
+    ('^' again) — '$'/'^' bracket quiet-separated episodes, exactly the
+    sessionization batch pipelines apply downstream."""
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         conv_id = key[0]
+        cols = [f.name for f in TRANSITION_SCHEMA.fields]
+        if state.hasTimedOut:
+            last_tool, last_idx = state.get
+            state.remove()
+            yield pd.DataFrame([(conv_id, last_tool, "$", last_idx)],
+                               columns=cols)
+            return
+
         last_tool, last_idx = state.get if state.exists else (None, None)
         rows = []
         for pdf in pdfs:
@@ -111,10 +125,10 @@ def stream_tool_transitions(stream: DataFrame) -> DataFrame:
                 last_tool, last_idx = tool, idx
         if last_idx is not None:
             state.update((last_tool, last_idx))
+            state.setTimeoutDuration(quiet_ms)
         if rows:
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in TRANSITION_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=cols)
 
     return (stream.groupBy("conv_id").applyInPandasWithState(
         update, TRANSITION_SCHEMA, TRANSITION_STATE, "append",
-        GroupStateTimeout.NoTimeout))
+        GroupStateTimeout.ProcessingTimeTimeout))

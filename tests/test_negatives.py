@@ -68,3 +68,22 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, corrupt_triples(g, k=2).collect()))
     b = sorted(map(tuple, corrupt_triples(g, k=2).collect()))
     assert a == b
+
+
+def test_entity_index_and_corrupt_on_bare_triples(spark):
+    """ADVICE r2: a bare (s, p, o) table (no o_kind column) must work end
+    to end — every object counts as an IRI."""
+    from openapi_to_rdf_spark.operators.negatives import (
+        corrupt_triples, entity_index)
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")],
+        "s string, p string, o string")
+    idx = {r["ent"]: r["idx"] for r in entity_index(tri).collect()}
+    assert set(idx) == {"a", "b", "c"}
+    assert sorted(idx.values()) == [1, 2, 3]
+    neg = corrupt_triples(tri, k=2)
+    assert neg.count() > 0
+    # no corruption reproduces a positive
+    pos = {("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")}
+    assert all((r["s"], r["p"], r["o"]) not in pos for r in neg.collect())

@@ -53,8 +53,8 @@ def exact_topk(spark, emb):
 
 def test_ann_recall_floors_and_table_scaling(emb, exact_topk):
     q, exact = exact_topk
-    r1 = topk_recall(exact, ann_lsh_topk(emb, q, k=10, n_tables=1))
-    r8 = topk_recall(exact, ann_lsh_topk(emb, q, k=10, n_tables=8))
+    r1 = topk_recall(exact, ann_lsh_topk(emb, q, k=10, n_tables=1, dim=64))
+    r8 = topk_recall(exact, ann_lsh_topk(emb, q, k=10, n_tables=8, dim=64))
     assert r1 >= 0.10          # measured 0.12 (weak-neighbor regime)
     assert r8 >= 0.50          # measured 0.60
     assert r8 >= r1            # more tables never hurt recall
@@ -76,7 +76,7 @@ def test_ann_planted_twin_recall_is_total(emb):
     q = (twins.filter(F.col("vec_id") >= 100000)
          .select((F.col("vec_id") - 100000).alias("query_id"),
                  F.col("embedding").alias("vector")))
-    top1 = (ann_lsh_topk(twins, q, k=1).filter(F.col("rank") == 1)
+    top1 = (ann_lsh_topk(twins, q, k=1, dim=64).filter(F.col("rank") == 1)
             .filter(F.col("neighbor_id") == F.col("query_id") + 100000))
     assert top1.count() == 30
 
@@ -87,7 +87,7 @@ def test_embedding_lsh_planted_recall(emb):
     twins = _planted_twin_corpus(emb, n=60)
     truth = twins.filter(F.col("vec_id") < 100000).select(
         F.col("vec_id").alias("id_a"), (F.col("vec_id") + 100000).alias("id_b"))
-    r = pair_recall(truth, embedding_dup_pairs_lsh(twins, threshold=0.999))
+    r = pair_recall(truth, embedding_dup_pairs_lsh(twins, threshold=0.999, dim=64))
     assert r >= 0.95           # measured 1.00
 
 

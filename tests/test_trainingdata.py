@@ -135,7 +135,7 @@ def test_ann_finds_planted_near_neighbor(emb, spark):
          .select(F.col("vec_id").alias("query_id"),
                  F.transform(F.col("embedding").cast("array<double>"),
                              lambda x: x * 2.0).alias("vector")))
-    r = ann_lsh_topk(emb, q, k=3)
+    r = ann_lsh_topk(emb, q, k=3, dim=64)
     top1 = {x.query_id: x.neighbor_id for x in r.filter("rank = 1").collect()}
     # excluding self by id, but the scaled twin has cosine 1.0 with vec_id==query_id
     # which is filtered; so just assert each query got k candidates from its bucket
@@ -256,7 +256,7 @@ def test_embedding_lsh_dedup_recall_on_planted_dups(emb, spark):
     exact = {(r.id_a, r.id_b)
              for r in embedding_dup_pairs(corpus, threshold=0.999).collect()}
     approx = {(r.id_a, r.id_b)
-              for r in embedding_dup_pairs_lsh(corpus, threshold=0.999).collect()}
+              for r in embedding_dup_pairs_lsh(corpus, threshold=0.999, dim=64).collect()}
     assert len(exact) >= 60                    # the planted twins
     assert approx <= exact                     # perfect precision (verified)
     assert len(approx & exact) / len(exact) >= 0.95  # scaled twin = identical

@@ -182,3 +182,43 @@ def test_trajectory_fingerprints_and_scripted(spark):
     again = scripted_conversations(df.repartition(5), min_convs=3) \
         .collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_stream_tool_transitions_evicts_state_with_end_edge(spark, tmp_path):
+    """ADVICE r2: quiet conversations must be EVICTED (ProcessingTime
+    timeout), emitting the batch operator's virtual '$' end edge — state
+    is O(active convs), not O(all convs ever seen)."""
+    import time
+
+    import pyspark.sql.functions as SF
+
+    from openapi_to_rdf_spark.streaming.stateful import (
+        stream_tool_transitions)
+
+    turns = spark.createDataFrame(
+        TURNS, "conv_id string, turn_idx int, role string, text string, "
+               "tool string")
+    src = tmp_path / "src"
+    turns.coalesce(1).write.parquet(str(src / "c0"))
+
+    stream = (spark.readStream.schema(turns.schema)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream_tool_transitions(stream, quiet_ms=500).writeStream
+         .format("memory").queryName("ttrans_evict").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    try:
+        # wait for the quiet-timeout batch to fire the '$' edges
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            ends = {(r["conv_id"], r["prev_tool"], r["turn_idx"])
+                    for r in spark.table("ttrans_evict")
+                    .filter(SF.col("tool") == "$").collect()}
+            if len(ends) == 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    # conv A last tool 'code' at idx 4; conv B last tool 'code' at idx 3;
+    # conv C never entered state (no tool calls)
+    assert ends == {("A", "code", 4), ("B", "code", 3)}

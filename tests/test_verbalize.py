@@ -46,3 +46,26 @@ def test_deterministic_under_repartition(spark):
     a = entity_cards(_df(spark)).collect()
     b = entity_cards(_df(spark).repartition(7)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_single_pass_expansion_label_containing_placeholder(spark):
+    """ADVICE r2: a term label that itself contains a later placeholder
+    string must survive literally — substituted text is never rescanned
+    (single-pass segment expansion, not sequential replace)."""
+    tri = spark.createDataFrame(
+        [("http://x/e#{o}", "http://x/p#rel", "http://x/e#obj")],
+        "s string, p string, o string")
+    tpl = {"http://x/p#rel": "{s} maps to {o}."}
+    [row] = verbalize_triples(tri, tpl).collect()
+    # _label of the subject is the literal "{o}" — it must NOT be
+    # re-substituted into "obj"
+    assert row["text"] == "{o} maps to obj."
+
+
+def test_adjacent_and_repeated_placeholders(spark):
+    tri = spark.createDataFrame(
+        [("http://x/e#a", "http://x/p#rel", "http://x/e#b")],
+        "s string, p string, o string")
+    tpl = {"http://x/p#rel": "{s}{o} and again {o}"}
+    [row] = verbalize_triples(tri, tpl).collect()
+    assert row["text"] == "ab and again b"
