@@ -144,25 +144,64 @@ def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
         "round-trip per LSH build is not acceptable job setup)")
 
 
+def _bit_flip_probes(bucket_col, n_planes: int, bits: int) -> F.Column:
+    """Array of probe buckets within Hamming distance <= ``bits`` of the
+    home bucket (the home bucket itself first). bits=0 -> [home];
+    bits=1 -> 1 + n_planes probes; bits=2 adds the C(n_planes, 2)
+    two-bit flips — the classic multiprobe ladder, all pure string
+    codegen on the (small) probing side."""
+    from itertools import combinations
+
+    def flip(positions: tuple[int, ...]) -> F.Column:
+        parts, prev = [], 0
+        for i in positions:
+            if i > prev:
+                parts.append(F.substring(bucket_col, prev + 1, i - prev))
+            parts.append(
+                F.when(F.substring(bucket_col, i + 1, 1) == "1",
+                       F.lit("0")).otherwise(F.lit("1")))
+            prev = i + 1
+        if prev < n_planes:
+            parts.append(F.substring(bucket_col, prev + 1, n_planes - prev))
+        return F.concat(*parts)
+
+    probes = [bucket_col]
+    for r in range(1, bits + 1):
+        probes.extend(flip(c) for c in combinations(range(n_planes), r))
+    return F.array(*probes)
+
+
 def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 13,
                  multiprobe: bool = True, dim: int | None = None,
-                 n_tables: int = 1) -> DataFrame:
-    """Approximate top-k via hyperplane-LSH buckets + (optional) 1-bit probes.
+                 n_tables: int = 1, multiprobe_bits: int | None = None) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH buckets + multiprobe.
 
     Corpus is bucketed once (reusable across query batches — materialize the
     bucketed table); each query joins only matching buckets. Equi-join on
     bucket → hash shuffle on the corpus side only at first build.
 
-    ``n_tables`` is the recall lever (classic multi-table LSH): L
-    independently-seeded plane sets, candidates unioned across tables.
-    Probed corpus fraction (and therefore cost) scales ~L×; recall rises as
-    1-(1-p)^L per neighbor. Measured on the driver testdata (random vectors,
-    so top-10 neighbors are WEAK, the hardest regime — see BENCH.md):
-    recall@10 ≈ 0.11 at L=1 vs ≈ 0.5 at L=4, while scanning ~4% / ~15% of
-    the corpus per query. Pass ``dim`` to skip the one-off driver lookup.
+    Two recall levers, both measured per-round (operators/recall.py,
+    BENCH.md cost/recall curve):
+
+    - ``n_tables`` (classic multi-table LSH): L independently-seeded plane
+      sets, candidates unioned across tables. Probed corpus fraction (and
+      therefore cost) scales ~L×; recall rises as 1-(1-p)^L per neighbor.
+    - ``multiprobe_bits`` (Lv et al. multiprobe): probe every bucket within
+      Hamming distance b of the query's home bucket — b=1 is the r1
+      default (1+n_planes probes/table), b=2 adds the C(n_planes,2)
+      two-bit flips. Multiprobe multiplies only the probing side of the
+      join (queries are the broadcast side), so it is the cheap lever —
+      the corpus is bucketed exactly once regardless.
+
+    HIGH-RECALL named config (VERDICT r2 #1, driver-measured ≥0.9 on the
+    hardest workload — random vectors, weak neighbors): ``n_tables=8,
+    multiprobe_bits=2``. Pass ``dim`` explicitly (or stamp 'dim' schema
+    metadata); builders never touch the driver.
     """
+    if multiprobe_bits is None:
+        multiprobe_bits = 1 if multiprobe else 0
     if dim is None:
         dim = embedding_dim(emb, vec_col)
 
@@ -180,14 +219,8 @@ def ann_lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                       "neighbor_id", "_v", "v")
     q = bucketed(queries.select("query_id", F.col("vector").alias("_v")),
                  "query_id", "_v", "qv")
-    if multiprobe:
-        # probe home bucket + each 1-bit-flip neighbor bucket (per table)
-        probes = F.array(F.col("bucket"), *[
-            F.concat(
-                F.substring("bucket", 1, i),
-                F.when(F.substring("bucket", i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
-                F.substring("bucket", i + 2, n_planes - i - 1))
-            for i in range(n_planes)])
+    if multiprobe_bits > 0:
+        probes = _bit_flip_probes(F.col("bucket"), n_planes, multiprobe_bits)
         q = q.select("query_id", "qv", "table", F.explode(probes).alias("bucket"))
 
     scored = (corpus.join(F.broadcast(q), ["table", "bucket"])
