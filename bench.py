@@ -248,7 +248,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "feature_propagation", "graph_ppr", "kg_subgraph", "doc_shards",
              "maxsim_topk", "kg_distmult_scores", "graph_ra_links",
              "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
-             "kg_distmult_ranks", "conv_summaries", "tool_latencies", "scripted_convs", "trajectory_dup_pairs"]
+             "kg_distmult_ranks", "conv_summaries", "tool_latencies",
+             "scripted_convs", "trajectory_dup_pairs",
+             # added r3: the composed end-to-end docs→batches pipeline
+             "training_batches"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -12,10 +12,15 @@ metadata struct. Three tiers of realness:
 2. The Spark-side contract (schema, partition sizing, Arrow batch shape,
    column-pruned payload projection, mapInPandas signatures) is real and
    tested for every kind.
-3. COMPRESSED codec calls are STUBBED (Pillow/librosa/ffmpeg are not in
-   this container): jpeg/png/audio/video decode raises NotImplementedError
-   unless ``fake=True``, which switches to a clearly-marked deterministic
-   stand-in (payload-byte-derived) preserving batch shape and schema.
+3. **PNG is decoded FOR REAL too** (r3): ``image/png`` payloads go
+   through the in-repo pure-stdlib codec (functions/png.py — zlib +
+   spec scanline filters), so one genuinely compressed format exercises
+   the whole decode -> feature/resize path with no external library.
+4. Remaining COMPRESSED codec calls are STUBBED (Pillow/librosa/ffmpeg are
+   not in this container): jpeg/audio/video decode raises
+   NotImplementedError unless ``fake=True``, which switches to a
+   clearly-marked deterministic stand-in (payload-byte-derived)
+   preserving batch shape and schema.
 
 Scale notes: binary payloads dominate row size, so feature extraction first
 projects (id, payload[, meta]) only — column pruning keeps the rest of the
@@ -30,6 +35,8 @@ from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
+
+from ..functions.png import decode_png
 
 IMAGE_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
@@ -46,7 +53,17 @@ FRAME_SAMPLE_SCHEMA = StructType([
 
 
 RAW_RGB_MIME = "image/x-raw-rgb8"
+PNG_MIME = "image/png"
 RAW_W, RAW_H = 16, 12  # synthetic raw frames: 16x12x3 = 576 bytes
+
+
+def _to_rgb(img):
+    """(h, w, 1|3|4) uint8 -> (h, w, 3): grey broadcast, alpha dropped."""
+    import numpy as np
+
+    if img.shape[2] == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
 
 
 def synth_media(docs: DataFrame, id_col: str = "doc_id",
@@ -108,19 +125,25 @@ def decode_image_features(media: DataFrame, fake: bool = False,
                     feats = (buf.astype(np.float64) / 255.0).tolist()
                     rows.append((mid, int(payload[0]) + 1,
                                  int(payload[1]) + 1, feats))
-                elif mime == RAW_RGB_MIME:
-                    w, h = int(w), int(h)
-                    img = (np.frombuffer(payload, dtype=np.uint8)[:w * h * 3]
-                           .reshape(h, w, 3).astype(np.float64) / 255.0)
+                elif mime in (RAW_RGB_MIME, PNG_MIME):
+                    if mime == PNG_MIME:
+                        # in-repo pure-stdlib codec (functions/png.py):
+                        # the one compressed format decoded FOR REAL
+                        img, w, h = decode_png(bytes(payload))
+                        img = _to_rgb(img).astype(np.float64) / 255.0
+                    else:
+                        w, h = int(w), int(h)
+                        img = (np.frombuffer(payload, dtype=np.uint8)[:w * h * 3]
+                               .reshape(h, w, 3).astype(np.float64) / 255.0)
                     luma = img @ np.array([0.299, 0.587, 0.114])
                     feats = [*img.mean(axis=(0, 1)), *img.std(axis=(0, 1)),
                              float(luma.mean()), float(luma.std())]
-                    rows.append((mid, w, h, feats))
+                    rows.append((mid, int(w), int(h), feats))
                 else:
                     raise NotImplementedError(
                         f"decode of {mime} requires Pillow; not installed — "
-                        "raw-rgb8 payloads decode natively, or pass "
-                        "fake=True for the deterministic stub")
+                        "raw-rgb8 and image/png payloads decode natively, "
+                        "or pass fake=True for the deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -192,10 +215,14 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 if fake:
                     rows.append((mid, width, height,
                                  min(len(p), width * height), None))
-                elif mime == RAW_RGB_MIME:
-                    w, h = int(w), int(h)
-                    img = (np.frombuffer(p, dtype=np.uint8)[:w * h * 3]
-                           .reshape(h, w, 3))
+                elif mime in (RAW_RGB_MIME, PNG_MIME):
+                    if mime == PNG_MIME:
+                        img, w, h = decode_png(bytes(p))
+                        img = _to_rgb(img)
+                    else:
+                        w, h = int(w), int(h)
+                        img = (np.frombuffer(p, dtype=np.uint8)[:w * h * 3]
+                               .reshape(h, w, 3))
                     iy = (np.arange(height) * h) // height
                     ix = (np.arange(width) * w) // width
                     out = img[iy][:, ix].tobytes()
@@ -203,8 +230,8 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 else:
                     raise NotImplementedError(
                         f"resize of {mime} requires Pillow; not installed — "
-                        "raw-rgb8 payloads resize natively, or pass "
-                        "fake=True for the deterministic stub")
+                        "raw-rgb8 and image/png payloads resize natively, "
+                        "or pass fake=True for the deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "payload_len", "payload"])
 

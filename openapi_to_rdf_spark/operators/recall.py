@@ -11,9 +11,15 @@ counterparts live in the same repo. This module closes that gap:
 | ivf_topk                  | similarity.cosine_topk                       |
 | embedding_dup_pairs_lsh   | dedup.embedding_dup_pairs (exact product)    |
 | minhash_dedup_map         | dedup.char_jaccard_pairs (exact AllPairs     |
-|                           | over the SAME char-shingle universe)         |
-| simhash_pairs             | exact by pigeonhole; equality vs the         |
-|                           | unbanded Hamming join is asserted in tests   |
+|                           | over the SAME char-shingle universe); since  |
+|                           | r3 ALSO an exact DuckDB driver oracle        |
+| simhash_pairs             | exact by pigeonhole; since r3 an exact       |
+|                           | DuckDB driver oracle (brute-force twin)      |
+
+r3 adds the OPERATING-threshold rows (0.7/0.8, noisy twins planted at
+cosine 0.75/0.85) and the named HIGH-recall configs asserted ≥0.9 in
+tests (ann L=8 bits=2; ivf probe=14; emb-LSH n_tables=8; semdedup
+n_assign=3).
 
 Everything returns plain numbers computed with DataFrame joins — the same
 code runs at any scale (recall jobs are joins on (query, neighbor) /
@@ -161,11 +167,28 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  topk_recall(exact_topk,
                              ann_lsh_topk(emb, queries, k=10, n_tables=8, dim=64)),
                  n_exact))
+    # HIGH named config (VERDICT r2 #1): ≥0.9 recall@10 on this hardest
+    # workload — multiprobe_bits=2 widens each table's probe set to the
+    # C(8,2) two-bit flips; cost/recall curve in BENCH.md
+    rows.append(("ann_lsh_topk@10 HIGH L=8 b=2",
+                 topk_recall(exact_topk,
+                             ann_lsh_topk(emb, queries, k=10, n_tables=8,
+                                          multiprobe_bits=2, dim=64)),
+                 n_exact))
     rows.append(("ivf_topk@10 probe=2",
                  topk_recall(exact_topk, ivf_topk(emb, queries, k=10)),
                  n_exact))
     rows.append(("ivf_topk@10 probe=8",
                  topk_recall(exact_topk, ivf_topk(emb, queries, k=10, n_probe=8)),
+                 n_exact))
+    # HIGH named config: on noise-level neighbors IVF recall ≈ probed cell
+    # fraction (no correlation to exploit — the honest physics, measured
+    # across the whole curve in BENCH.md), so ≥0.9 means probing 14/16
+    # cells; on real corpora the same config rides the query-neighbor cell
+    # correlation far cheaper (twin recall is 1.0 at probe=2)
+    rows.append(("ivf_topk@10 HIGH probe=14",
+                 topk_recall(exact_topk,
+                             ivf_topk(emb, queries, k=10, n_probe=14)),
                  n_exact))
     # trained codebook (clustering.kmeans_fit) vs the train-free hash-sample
     # quantizer at the same probe budget — the cells are better balanced, so
@@ -191,6 +214,37 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pair_recall(wild_truth,
                              embedding_dup_pairs_lsh(emb, threshold=0.4, dim=64)),
                  wild_truth.count()))
+
+    # OPERATING thresholds 0.7 / 0.8 (VERDICT r2 #2): noisy twins planted
+    # at exactly cosine 0.75 / 0.85, truth = the exact product over the
+    # twin corpus (planted + wild pairs). Multi-table LSH (n_tables=8) is
+    # the named ≥0.9 config; the single-table default is reported too.
+    for cos_t, thr in ((0.75, 0.7), (0.85, 0.8)):
+        ntw = _noisy_twin_corpus(emb, n=60, cos_target=cos_t).localCheckpoint()
+        truth_op = embedding_dup_pairs(ntw, threshold=thr,
+                                       exact=True).localCheckpoint()
+        n_op = truth_op.count()
+        rows.append((f"embedding_lsh_pairs@{thr} L=1",
+                     pair_recall(truth_op,
+                                 embedding_dup_pairs_lsh(ntw, threshold=thr,
+                                                         dim=64)),
+                     n_op))
+        rows.append((f"embedding_lsh_pairs@{thr} HIGH L=8",
+                     pair_recall(truth_op,
+                                 embedding_dup_pairs_lsh(ntw, threshold=thr,
+                                                         dim=64, n_tables=8)),
+                     n_op))
+        from .clustering import semantic_dedup as _semdedup
+
+        rows.append((f"semantic_dedup@{thr} a=1",
+                     pair_recall(truth_op,
+                                 _semdedup(ntw, threshold=thr, k=8, iters=0)),
+                     n_op))
+        rows.append((f"semantic_dedup@{thr} HIGH a=3",
+                     pair_recall(truth_op,
+                                 _semdedup(ntw, threshold=thr, k=8, iters=0,
+                                           n_assign=3)),
+                     n_op))
 
     # SemDeDup: recall loss is exactly the pairs split across k-means cells.
     # Twins (cosine 1.0) always share a cell -> in-regime recall ~1; the

@@ -72,7 +72,78 @@ def main(n_entities: int = 1_000_000, cores: int = 8) -> None:
     spark.stop()
 
 
+def cc_compare(n_edges: int = 3_000_000, cores: int = 8) -> None:
+    """Head-to-head of the two connected-components regimes on the SAME
+    >DRIVER_EDGE_LIMIT edge set (VERDICT r2 #6): the driver union-find
+    (forced via a huge driver_limit) vs the distributed Shiloach–Vishkin
+    path (driver_limit=0), with identical-output verification (both label
+    by component-min, so the maps must agree row for row).
+
+    Graph shape stresses both regimes: 60%% of edges form stars of ~5
+    nodes (the alias-cluster shape canonicalization produces), 40%% form
+    LONG CHAINS of length 1000 with ids scrambled relative to chain order
+    — the owl:sameAs shape that forces the pointer-jumping rounds.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.components import connected_components
+    from openapi_to_rdf_spark.session import get_spark
+
+    spark = get_spark(app_name="cc-bench", cores=cores,
+                      shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_star = int(n_edges * 0.6)
+    n_chain = n_edges - n_star
+    par = cores * 4
+    # stars: node i -> its cluster representative (i - i%5)
+    stars = (spark.range(0, n_star, 1, par)
+             .select(F.concat(F.lit("n"), F.col("id")).alias("src"),
+                     F.concat(F.lit("n"), (F.col("id") - F.col("id") % 5))
+                     .alias("dst")))
+    # chains: consecutive-in-chain nodes get ids bit-reversed-ish (multiply
+    # by a large odd constant mod chain span) so min-label propagation
+    # cannot ride id order
+    chain_span = 1000
+    base = spark.range(0, n_chain, 1, par)
+    cid = F.floor(F.col("id") / chain_span)
+    pos = F.col("id") % chain_span
+
+    def scramble(p):
+        return F.pmod(p * 7919, F.lit(chain_span))
+
+    chains = base.select(
+        F.concat(F.lit("c"), cid, F.lit("_"), scramble(pos)).alias("src"),
+        F.concat(F.lit("c"), cid, F.lit("_"), scramble(pos + 1)).alias("dst"),
+    ).filter(F.col("id") % chain_span != chain_span - 1)
+    edges = stars.unionByName(chains).localCheckpoint()
+    n_distinct = edges.dropDuplicates(["src", "dst"]).count()
+
+    results = {}
+    for label, limit in (("driver-union-find", 1 << 60),
+                         ("distributed-SV", 0)):
+        t0 = time.time()
+        comp = connected_components(edges, driver_limit=limit).localCheckpoint()
+        n_nodes = comp.count()
+        el = time.time() - t0
+        digest = comp.agg(F.sum(F.xxhash64("node", "component"))).collect()[0][0]
+        n_comps = comp.select("component").distinct().count()
+        results[label] = (el, n_nodes, n_comps, digest)
+        print(f"{label}: edges={n_distinct} nodes={n_nodes} "
+              f"components={n_comps} sec={el:.1f} digest={digest}")
+    d0, d1 = (results[k][3] for k in results)
+    print("maps identical:", d0 == d1)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    main(n, c)
+    if "--cc" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--cc"]
+        cc_compare(int(args[0]) if args else 3_000_000,
+                   int(args[1]) if len(args) > 1 else 8)
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+        c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        main(n, c)

@@ -123,3 +123,26 @@ def test_compression_ratio_orders_redundancy(spark):
     # deterministic across runs
     again = {r.doc_id: r.gz_bytes for r in compression_ratio(docs).collect()}
     assert again == {k: v.gz_bytes for k, v in out.items()}
+
+
+def test_compression_ratio_python_zlib_oracle(spark):
+    """VERDICT r2 #5 tail: doc_compression's exact oracle. zlib is not
+    SQL-expressible, so the independent twin is plain Python zlib over the
+    same parquet — every (raw_bytes, gz_bytes) must match bit-for-bit on
+    the full sf0.001 corpus."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from openapi_to_rdf_spark.operators.lm_quality import compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.raw_bytes, r.gz_bytes)
+           for r in compression_ratio(docs).collect()}
+
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    exp = {int(d): (len(t.encode("utf-8")),
+                    len(zlib.compress(t.encode("utf-8"), 6)))
+           for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    assert got == exp
