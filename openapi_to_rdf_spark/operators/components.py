@@ -177,6 +177,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
 
     for _ in range(max_iter):
+        # FUSED round (r3 — the cc-compare bench showed per-round
+        # materialization/count jobs, not shuffle bytes, dominate the
+        # distributed path's constants): hook + JUMPS_PER_PASS pointer
+        # jumps compose into ONE plan, ONE localCheckpoint, ONE changed
+        # count per round, instead of r2's (hook mat + count) + per-pass
+        # (mat + count) — ~2-4 fewer jobs per round at identical shuffle
+        # volume. Convergence still O(log n) rounds: each round's jumps
+        # at least halve remaining label-tree depth.
+        #
         # hook: per edge, the larger endpoint ROOT adopts the smallest
         # smaller root among its edges (two label lookups + salted min)
         la = labels.select(F.col("node").alias("a"), F.col("component").alias("ra"))
@@ -191,26 +200,26 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("node", "salt").agg(F.min("cand").alias("cand"))
             .groupBy("node").agg(F.min("cand").alias("cand"))
         )
-        hooked = (
+        cur = (
             labels.join(hooks, "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce("cand", F.col("component")))
-                    .alias("new_component"),
-                    "component")
-        ).localCheckpoint()
-        hook_changed = hooked.filter(
-            F.col("new_component") != F.col("component")).count()
-        labels = hooked.select("node",
-                               F.col("new_component").alias("component"))
+                    .alias("component"),
+                    F.col("component").alias("orig"))
+        )
+        for _ in range(JUMPS_PER_PASS):
+            cur = _jump(cur)
+        nxt = cur.localCheckpoint()
+        changed = nxt.filter(F.col("component") != F.col("orig")).count()
+        labels = nxt.select("node", "component")
 
-        # compress to fixpoint (batched pointer jumping)
-        labels, comp_changed = _compress(labels, max_iter)
-
-        # if NEITHER pass changed a label, every edge is label-uniform:
+        # if the fused round changed nothing, every edge is label-uniform:
         # an edge with labels x < y would have hooked y's root below y
-        # or given y's endpoint a strictly smaller jump target.
-        if hook_changed == 0 and comp_changed == 0:
+        # (hook unchanged) or given y's endpoint a strictly smaller jump
+        # target (jumps unchanged) — the r2 two-flag termination proof,
+        # collapsed into one count.
+        if changed == 0:
             return labels
 
     raise RuntimeError(

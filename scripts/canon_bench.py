@@ -81,7 +81,7 @@ def cc_compare(n_edges: int = 3_000_000, cores: int = 8) -> None:
 
     Graph shape stresses both regimes: 60%% of edges form stars of ~5
     nodes (the alias-cluster shape canonicalization produces), 40%% form
-    LONG CHAINS of length 1000 with ids scrambled relative to chain order
+    LONG CHAINS of length 100 with ids scrambled relative to chain order
     — the owl:sameAs shape that forces the pointer-jumping rounds.
     """
     import time
@@ -106,7 +106,7 @@ def cc_compare(n_edges: int = 3_000_000, cores: int = 8) -> None:
     # chains: consecutive-in-chain nodes get ids bit-reversed-ish (multiply
     # by a large odd constant mod chain span) so min-label propagation
     # cannot ride id order
-    chain_span = 1000
+    chain_span = 100
     base = spark.range(0, n_chain, 1, par)
     cid = F.floor(F.col("id") / chain_span)
     pos = F.col("id") % chain_span
@@ -128,7 +128,8 @@ def cc_compare(n_edges: int = 3_000_000, cores: int = 8) -> None:
         comp = connected_components(edges, driver_limit=limit).localCheckpoint()
         n_nodes = comp.count()
         el = time.time() - t0
-        digest = comp.agg(F.sum(F.xxhash64("node", "component"))).collect()[0][0]
+        digest = comp.agg(F.sum(F.xxhash64("node", "component")
+                                .cast("decimal(38,0)"))).collect()[0][0]
         n_comps = comp.select("component").distinct().count()
         results[label] = (el, n_nodes, n_comps, digest)
         print(f"{label}: edges={n_distinct} nodes={n_nodes} "
