@@ -296,7 +296,8 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
                         exact: bool | None = None,
-                        max_exact_rows: int = 100_000) -> DataFrame:
+                        max_exact_rows: int = 100_000,
+                        dim: int | None = None) -> DataFrame:
     """Cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
     Routing guard (VERDICT r1 #3): the exact path is an O(n^2) self-product
@@ -314,7 +315,7 @@ def embedding_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
         exact = emb.count() <= max_exact_rows
     if not exact:
         return embedding_dup_pairs_lsh(emb, id_col=id_col, vec_col=vec_col,
-                                       threshold=threshold)
+                                       threshold=threshold, dim=dim)
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"),

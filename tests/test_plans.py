@@ -74,7 +74,8 @@ def test_embedding_guard_routes_to_lsh(spark):
     from openapi_to_rdf_spark.operators.dedup import embedding_dup_pairs
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    routed = embedding_dup_pairs(emb, threshold=0.95, max_exact_rows=100)
+    routed = embedding_dup_pairs(emb, threshold=0.95, max_exact_rows=100,
+                                 dim=64)
     plan = _plan(routed)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

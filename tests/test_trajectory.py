@@ -107,7 +107,10 @@ def test_stream_tool_transitions_matches_batch(spark, tmp_path):
     stream = (spark.readStream.schema(turns.schema)
               .option("recursiveFileLookup", "true")
               .option("maxFilesPerTrigger", "1").parquet(str(src)))
-    q = (stream_tool_transitions(stream).writeStream
+    # generous quiet_ms: under full-suite load the default 30s CAN elapse
+    # between availableNow micro-batches, firing the '$'-and-evict path
+    # mid-test and restarting conversations with spurious '^' edges
+    q = (stream_tool_transitions(stream, quiet_ms=600_000).writeStream
          .format("memory").queryName("ttrans").outputMode("append")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
