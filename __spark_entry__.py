@@ -724,6 +724,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_pairs(spark, sf_dir):
         return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("id_a", "id_b")
 
+    def q_quantized_topk(spark, sf_dir):
+        """Two-stage int8-scan + exact-rescore top-k
+        (similarity.cosine_topk_quantized): the scan-bandwidth lever made
+        an operator. EXACT DuckDB oracle (dequantization arithmetic
+        replicated term-for-term; emitted cosines are full-precision)."""
+        from openapi_to_rdf_spark.operators.similarity import (
+            cosine_topk_quantized)
+
+        e = _emb(spark, sf_dir)
+        q = (e.filter(F.col("vec_id") < 5)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("vector")))
+        r = cosine_topk_quantized(e, q, k=10, rescore=50)
+        return r.select("query_id", "neighbor_id",
+                        _e6(F.col("cosine")).alias("cosine_e6"), "rank")
+
     def q_ann_topk(spark, sf_dir):
         e = _emb(spark, sf_dir)
         q = (e.filter(F.col("vec_id") < 5)
@@ -4803,6 +4819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_relations": q_pmi_relations,
         "related_docs": q_related_docs,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
@@ -10541,6 +10558,57 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(text, chr(30) ORDER BY doc_id))
                      AS content_sha
             FROM walk GROUP BY lang, pack_id
+        """,
+        # quantized_topk: the two-stage int8-coarse + exact-rescore top-k;
+        # the dequantization (ROUND((x-mn)/(mx-mn)*255)/255*(mx-mn)+mn)
+        # replicates Spark's (q+128)/255*(mx-mn)+mn term-for-term (the
+        # +128 cancels the -128 code offset), constant vectors dequantize
+        # to all-mn exactly as q=0 does
+        "quantized_topk": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+                   FROM base),
+            hat AS (
+              SELECT vec_id,
+                     list_transform(v, x -> CASE WHEN mx = mn THEN mn
+                       ELSE (ROUND((x - mn) / (mx - mn) * 255) / 255.0)
+                            * (mx - mn) + mn END) AS vhat
+              FROM mm),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            approx AS (
+              SELECT query_id, h.vec_id AS neighbor_id,
+                     ROUND(list_dot_product(qv, vhat) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(vhat, vhat))), 6) AS acos
+              FROM q JOIN hat h ON h.vec_id != q.query_id),
+            cand AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY acos DESC, neighbor_id ASC) AS ar
+                FROM approx) WHERE ar <= 50),
+            exact AS (
+              SELECT c.query_id, c.neighbor_id,
+                     ROUND(list_dot_product(qv, e.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))), 6)
+                       AS cosine
+              FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+                          JOIN q ON q.query_id = c.query_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM exact)
+            SELECT query_id, neighbor_id,
+                   CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
         """,
         # Still rows-only (non-SQL-expressible, each with its own measured
         # evidence): shacl_rules / convert_specs / bpe_merges / kg_extract /

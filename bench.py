@@ -250,8 +250,9 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
              "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
              "kg_distmult_ranks", "conv_summaries", "tool_latencies",
              "scripted_convs", "trajectory_dup_pairs",
-             # added r3: the composed end-to-end docs→batches pipeline
-             "training_batches"]
+             # added r3: the composed end-to-end docs→batches pipeline +
+             # the int8-coarse/exact-rescore two-stage top-k
+             "training_batches", "quantized_topk"]
     # edit_dup_pairs is correctness-gated at sf0.01 only: the synthetic
     # customer names share a 9-char constant prefix, so its PassJoin hot
     # segment degenerates to near-all-pairs on THIS fixture (the skew case

@@ -175,6 +175,15 @@ def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ann_lsh_topk(emb, queries, k=10, n_tables=8,
                                           multiprobe_bits=2, dim=64)),
                  n_exact))
+    # quantized two-stage path: int8 coarse scan + exact rescore — recall
+    # loss bounded by quantization error vs the margin at rank `rescore`
+    from .similarity import cosine_topk_quantized
+
+    rows.append(("cosine_topk_quantized@10 rescore=50",
+                 topk_recall(exact_topk,
+                             cosine_topk_quantized(emb, queries, k=10,
+                                                   rescore=50)),
+                 n_exact))
     rows.append(("ivf_topk@10 probe=2",
                  topk_recall(exact_topk, ivf_topk(emb, queries, k=10)),
                  n_exact))

@@ -52,8 +52,8 @@ AUDIT = [
     "kg_verbalize", "kg_entity_cards", "kg_complex_scores",
     "kg_distmult_ranks", "conv_summaries", "tool_latencies",
     "scripted_convs", "trajectory_dup_pairs",
-    # r3: the composed end-to-end pipeline
-    "training_batches",
+    # r3: the composed end-to-end pipeline + quantized two-stage top-k
+    "training_batches", "quantized_topk",
 ]
 
 

@@ -136,6 +136,7 @@ def test_recall_report_shape(spark):
     rep = {r.op: r for r in recall_report(spark, SF).collect()}
     assert set(rep) == {"ann_lsh_topk@10 L=1", "ann_lsh_topk@10 L=8",
                         "ann_lsh_topk@10 HIGH L=8 b=2",
+                        "cosine_topk_quantized@10 rescore=50",
                         "ivf_topk@10 probe=2", "ivf_topk@10 probe=8",
                         "ivf_topk@10 HIGH probe=14",
                         "ivf_topk@10 probe=2 trained",
@@ -157,6 +158,7 @@ def test_recall_report_shape(spark):
     # the r3 named HIGH configs (VERDICT r2 #1/#2): >=0.9 in the report
     # the driver records per round, not just in dedicated tests
     assert rep["ann_lsh_topk@10 HIGH L=8 b=2"].recall_e6 >= 900_000
+    assert rep["cosine_topk_quantized@10 rescore=50"].recall_e6 >= 900_000
     assert rep["ivf_topk@10 HIGH probe=14"].recall_e6 >= 900_000
     assert rep["embedding_lsh_pairs@0.7 HIGH L=8"].recall_e6 >= 900_000
     assert rep["embedding_lsh_pairs@0.8 HIGH L=8"].recall_e6 >= 900_000
@@ -243,3 +245,22 @@ def test_noisy_twin_cosine_is_exact(spark, emb):
     vals = [r["cosine"] for r in pairs.collect()]
     assert len(vals) == 20
     assert all(abs(v - 0.75) < 1e-5 for v in vals)
+
+
+def test_quantized_topk_recall_and_exact_values(emb, exact_topk):
+    """Two-stage int8+rescore top-k: near-total recall at 1/4 scan
+    bandwidth, and every emitted cosine is the EXACT full-precision value
+    (stage 2 rescoring), so overlapping pairs match cosine_topk's numbers
+    bit-for-bit."""
+    from openapi_to_rdf_spark.operators.similarity import (
+        cosine_topk_quantized)
+
+    q, exact = exact_topk
+    qz = cosine_topk_quantized(emb, q, k=10, rescore=50).localCheckpoint()
+    assert topk_recall(exact, qz) >= 0.9
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in exact.collect()}
+    for r in qz.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert r["cosine"] == ex[key]
