@@ -717,7 +717,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- rows-only (not ANSI-SQL-expressible) ----
 
     def q_minhash_clusters(spark, sf_dir):
-        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.8)
+        # hash_mode='md5': the DuckDB twin replays signatures gram-by-gram,
+        # so this query pins the oracle-portable universe; the default fast
+        # (numpy multiply-shift) universe is what production paths run
+        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.8,
+                              hash_mode="md5")
         return (m.filter(F.col("doc_id") != F.col("canonical"))
                 .orderBy("doc_id"))
 
@@ -773,13 +777,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("file", "graph"))
 
     def q_kg_extract(spark, sf_dir):
-        from openapi_to_rdf_spark.operators.extract import extract_transcript_triples
-        from openapi_to_rdf_spark.sources.transcripts import (
-            class_vocab_df, synth_transcripts,
-        )
-
-        turns = synth_transcripts(spark, 300, seed=42)
-        tr = extract_transcript_triples(turns, class_vocab_df(spark))
+        """Flagship extraction, now EXACT-oracled (VERDICT r3 #3): the
+        SQL-replayable transcript table through the REAL extractor,
+        aggregated per predicate. The DuckDB twin wraps the
+        kg_extract_exact replay in the same GROUP BY — so this name (the
+        one the bench reports) carries a value-checked oracle instead of
+        rows-only, and kg_extract_exact still pins the full triple table.
+        (The prior synth_transcripts input used Spark-private xxhash64 —
+        not replayable in any other engine.)"""
+        tr = _sql_replayable_kg(spark, sf_dir)
         return (tr.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples"))
                 .orderBy("p"))
 
@@ -2010,23 +2016,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         _e6(F.col("sim")).alias("sim_e6"),
                         _e6(F.col("score")).alias("score_e6")))
 
-    def q_kg_canonicalize(spark, sf_dir):
-        from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
+    def _sql_replayable_kg_alias(spark, sf_dir):
+        """REAL extractor output over an orders-derived transcript table
+        whose entity keys carry SEPARATOR VARIANTS ('srv-12' / 'srv.12' /
+        'srv_12', picked by engine-portable md5 arithmetic) — so
+        canonicalization has genuine J=1.0 alias groups to merge AND the
+        input is replayable in DuckDB. Kept separate from
+        _sql_replayable_kg: that generator's exact-extraction oracles pin
+        its byte-exact text format."""
         from openapi_to_rdf_spark.operators.extract import (
-            KG_NS, extract_transcript_triples,
+            extract_transcript_triples,
         )
-        from openapi_to_rdf_spark.sources.transcripts import (
-            class_vocab_df, synth_transcripts,
-        )
+        from openapi_to_rdf_spark.sources.transcripts import class_vocab_df
 
-        turns = synth_transcripts(spark, 300, seed=42)
-        tr = extract_transcript_triples(turns, class_vocab_df(spark))
+        ordr = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        okey = F.col("o_orderkey")
+        md5 = F.md5(okey.cast("string"))
+        h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        w = Window.partitionBy(F.pmod(okey, F.lit(211))).orderBy(okey)
+        turn_idx = (F.row_number().over(w) - 1).cast("int")
+        conv_id = F.concat(F.lit("c"), F.pmod(okey, F.lit(211)).cast("string"))
+
+        sep3 = F.array(F.lit("-"), F.lit("."), F.lit("_"))
+        sep2 = F.array(F.lit("-"), F.lit("."))
+        key1 = F.concat(F.lit("srv"),
+                        F.element_at(sep3, (F.pmod(h2, F.lit(3)) + 1).cast("int")),
+                        F.pmod(F.col("o_custkey"), F.lit(97)).cast("string"))
+        key2 = F.concat(F.lit("node"),
+                        F.element_at(sep2, (F.pmod(h2, F.lit(2)) + 1).cast("int")),
+                        F.pmod(okey, F.lit(53)).cast("string"))
+        n_m = F.pmod(h1, F.lit(3))
+        base = ordr.select(
+            conv_id.alias("conv_id"), turn_idx.alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit("turn "), turn_idx.cast("string"), F.lit(" of "),
+                conv_id,
+                F.when(n_m >= 1, F.concat(F.lit(" discussing AlarmRecord#"),
+                                          key1)).otherwise(F.lit("")),
+                F.when(n_m >= 2, F.concat(F.lit(" see TraceJob#"), key2))
+                .otherwise(F.lit("")),
+                F.lit(" end")).alias("text"),
+            F.col("o_orderdate").cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("tool"))
+        return extract_transcript_triples(base, class_vocab_df(spark))
+
+    def q_kg_canonicalize(spark, sf_dir):
+        """Flagship canonicalization with an EXACT end-state oracle
+        (VERDICT r3 #3): separator-variant keys -> REAL extractor ->
+        canonical_entity_map(0.9) in its PRODUCTION (fast-hash)
+        configuration, returning the full (ent, canonical) map.
+
+        Why the oracle is exact without replaying MinHash: at threshold
+        0.9 on this key universe the true cluster relation is precisely
+        'same [a-z0-9]-normalized key' — J=1.0 alias pairs have
+        IDENTICAL signatures in ANY MinHash universe (they band-collide
+        with certainty), and every cross-key Jaccard is < 0.9 (3-gram
+        sets of 'srvNN'/'nodeNN' strings differ in >=1/3 of grams), so
+        the exact JVM verify eliminates all LSH false positives. The
+        DuckDB twin therefore computes ground-truth SEMANTICS (group by
+        normalized key, canonical = min ent IRI) rather than replaying
+        the mechanism — any missed merge, spurious merge, or wrong
+        canonical pick hash-mismatches."""
+        from openapi_to_rdf_spark.operators.canonicalize import (
+            canonical_entity_map,
+        )
+        from openapi_to_rdf_spark.operators.extract import KG_NS
+
+        tr = _sql_replayable_kg_alias(spark, sf_dir)
         ents = (tr.filter(F.col("p") == KG_NS + "surfaceForm")
                 .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
                 .dropDuplicates(["ent"]))
         cmap = canonical_entity_map(ents, threshold=0.9)
-        return (cmap.groupBy((F.col("ent") != F.col("canonical")).alias("merged"))
-                .agg(F.count(F.lit(1)).alias("n_entities")).orderBy("merged"))
+        return cmap.orderBy("ent")
 
     def q_corpus_curation(spark, sf_dir):
         """The composed training-data curation pipeline — quality filter →
@@ -5304,7 +5367,7 @@ _MINHASH_ORACLE = _minhash_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
@@ -10611,12 +10674,56 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         # Still rows-only (non-SQL-expressible, each with its own measured
-        # evidence): shacl_rules / convert_specs / bpe_merges / kg_extract /
-        # kg_canonicalize / media_features (spec converter + synthetic
-        # generators), ann_topk / ivf_topk (recall-graded vs exact
-        # cosine_topk, operators/recall.py), doc_compression (zlib ratio;
-        # exact pytest oracle vs Python zlib in test_lm_quality).
+        # evidence): shacl_rules / convert_specs / bpe_merges /
+        # media_features (spec converter + synthetic generators),
+        # ann_topk / ivf_topk (recall-graded vs exact cosine_topk,
+        # operators/recall.py), doc_compression (zlib ratio; exact pytest
+        # oracle vs Python zlib in test_lm_quality).
     }
+
+    # kg_extract (VERDICT r3 #3): the flagship name's oracle is the full
+    # kg_extract_exact replay wrapped in the query's per-predicate GROUP BY
+    # — one source of truth for the generation+extraction SQL.
+    sql["kg_extract"] = f"""
+        SELECT p, COUNT(*) AS n_triples
+        FROM ({sql["kg_extract_exact"]})
+        GROUP BY p ORDER BY p
+    """
+
+    # kg_canonicalize (VERDICT r3 #3): ground-truth SEMANTICS oracle — on
+    # the separator-variant key universe at threshold 0.9, the true cluster
+    # relation is exactly 'same [a-z0-9]-normalized key' (see
+    # q_kg_canonicalize's docstring for the argument), so the twin replays
+    # GENERATION (same md5 picks) and groups by normalized key with
+    # canonical = min ent IRI, singletons self-mapped.
+    sql["kg_canonicalize"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 8))::UBIGINT AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      9, 8))::UBIGINT AS BIGINT) AS h2
+          FROM orders),
+        keys AS (
+          SELECT DISTINCT
+                 'srv' || (['-','.','_'])[(h2 % 3) + 1]
+                       || CAST(o_custkey % 97 AS VARCHAR) AS k
+          FROM o WHERE h1 % 3 >= 1
+          UNION
+          SELECT DISTINCT
+                 'node' || (['-','.'])[(h2 % 2) + 1]
+                        || CAST(o_orderkey % 53 AS VARCHAR)
+          FROM o WHERE h1 % 3 >= 2),
+        ents AS (
+          SELECT 'http://ericsson.com/models/3gpp/entity#' || k AS ent,
+                 regexp_replace(lower(k), '[^a-z0-9]', '', 'g') AS nk
+          FROM keys),
+        canon AS (SELECT nk, MIN(ent) AS canonical FROM ents GROUP BY nk)
+        SELECT e.ent AS ent, c.canonical AS canonical
+        FROM ents e JOIN canon c USING (nk)
+        ORDER BY ent
+    """
+    return sql
 
 
 if __name__ == "__main__":

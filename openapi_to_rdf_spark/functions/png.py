@@ -15,10 +15,17 @@ end to end, from the public PNG specification (RFC 2083 / W3C PNG):
 
 Decoding runs inside Arrow-batched ``mapInPandas`` workers
 (operators/multimodal.decode_image_features) — per-image numpy work on
-the executor, never on the driver. The filter unrolling is vectorized
-per scanline; only Sub/Average/Paeth carry a per-pixel data dependency,
-computed per scanline in a tight loop over width (the spec's recurrence
-is inherently sequential per row).
+the executor, never on the driver. Filter unrolling: None/Up are whole-
+row vectorized, Sub is an exact uint8 ``np.add.accumulate`` prefix sum
+per channel lane, and Average/Paeth vectorize ACROSS the channel lanes
+with the (inherently sequential) recurrence looping only over pixel
+positions — O(w) loop iterations per scanline, not O(w*ch) (ADVICE r3).
+
+Untrusted-corpus hardening (ADVICE r3): declared IHDR dimensions are
+bounded by ``MAX_DECODED_BYTES`` BEFORE any inflate, and the IDAT
+stream is decompressed incrementally with ``max_length`` so a crafted
+few-KB decompression bomb can never materialize more than the declared
+(already-bounded) output on an executor.
 """
 
 from __future__ import annotations
@@ -31,6 +38,19 @@ import numpy as np
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# hard cap on decoded scanline bytes (height * (width*channels + 1)):
+# 256 MB ≈ a 9000x9000 RGBA frame — far above any training-thumbnail
+# regime, far below executor-OOM territory. Declared-dimension checks
+# run BEFORE inflate, so the bound also caps the decompressor output.
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor vectorized over the channel lanes (int32 in/out)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
 
 def _chunks(data: bytes):
     pos = 8
@@ -41,14 +61,6 @@ def _chunks(data: bytes):
         if ctype == b"IEND":
             return
         pos += 12 + length  # len + type + payload + crc
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
 
 
 def decode_png(data: bytes) -> tuple[np.ndarray, int, int]:
@@ -81,38 +93,59 @@ def decode_png(data: bytes) -> tuple[np.ndarray, int, int]:
             idat.extend(payload)
     if width is None:
         raise ValueError("PNG without IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bound the DECLARED output before touching the compressed stream: a
+    # few-KB bomb can declare absurd dims or inflate without limit — both
+    # are refused here instead of OOMing the executor (ADVICE r3)
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG declares {width}x{height}x{channels} "
+            f"({expected} bytes) > MAX_DECODED_BYTES ({MAX_DECODED_BYTES})")
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if len(raw) != expected:
         raise ValueError("PNG data length mismatch")
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("IDAT inflates past declared dimensions")
 
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = flat[:, 0]
+    rows = flat[:, 1:]
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels
+    zero_prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        row = np.frombuffer(raw, dtype=np.uint8,
-                            count=stride, offset=y * (stride + 1) + 1)
-        ftype = raw[y * (stride + 1)]
-        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        row = rows[y]
+        ftype = ftypes[y]
+        prev = out[y - 1] if y > 0 else zero_prev
         if ftype == 0:                      # None
             out[y] = row
         elif ftype == 2:                    # Up — vectorized
             out[y] = row + prev
-        elif ftype == 1:                    # Sub — per-pixel recurrence
-            cur = out[y]
-            cur[:bpp] = row[:bpp]
-            for x in range(bpp, stride):
-                cur[x] = (int(row[x]) + int(cur[x - bpp])) & 0xFF
-        elif ftype == 3:                    # Average
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:                    # Paeth
-            cur = out[y]
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                cur[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif ftype == 1:                    # Sub — exact uint8 prefix sum
+            # recon[x] = row[x] + recon[x-bpp] (mod 256) per channel lane
+            # == cumulative sum down the pixel axis with natural wrap
+            out[y] = np.add.accumulate(
+                row.reshape(width, bpp), axis=0, dtype=np.uint8).ravel()
+        elif ftype == 3:                    # Average — loop over pixels only
+            r = rows[y].reshape(width, bpp).astype(np.int32)
+            p = prev.reshape(width, bpp).astype(np.int32)
+            cur = np.empty((width, bpp), dtype=np.int32)
+            cur[0] = (r[0] + (p[0] >> 1)) & 0xFF
+            for px in range(1, width):
+                cur[px] = (r[px] + ((cur[px - 1] + p[px]) >> 1)) & 0xFF
+            out[y] = cur.astype(np.uint8).ravel()
+        elif ftype == 4:                    # Paeth — loop over pixels only
+            r = rows[y].reshape(width, bpp).astype(np.int32)
+            p = prev.reshape(width, bpp).astype(np.int32)
+            zl = np.zeros(bpp, dtype=np.int32)
+            cur = np.empty((width, bpp), dtype=np.int32)
+            cur[0] = (r[0] + _paeth_vec(zl, p[0], zl)) & 0xFF
+            for px in range(1, width):
+                cur[px] = (r[px]
+                           + _paeth_vec(cur[px - 1], p[px], p[px - 1])) & 0xFF
+            out[y] = cur.astype(np.uint8).ravel()
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     img = out.reshape(height, width, channels)

@@ -36,6 +36,15 @@ def _hash_params(k: int, seed: int):
 
 
 def _shingles(text: str, n: int) -> np.ndarray:
+    """md5 gram universe — the ORACLE-PORTABLE mode only (hash_mode='md5').
+
+    Gram id = big-endian uint64 of md5's first 8 bytes — identical to
+    DuckDB's ('0x' || substr(md5(g), 1, 16))::UBIGINT, so the driver
+    oracle recomputes whole signatures exactly. This costs a Python
+    hashlib call PER GRAM (measured ~2.2x per-surface vs r2's crc32,
+    BENCH.md), which is why it is no longer the default: VERDICT r3 #2
+    quarantined it behind hash_mode='md5' and made the numpy-vectorized
+    multiply-shift path (:func:`_batch_minhash_fast`) the default."""
     import hashlib
     import re
 
@@ -43,9 +52,6 @@ def _shingles(text: str, n: int) -> np.ndarray:
     # the LSH banding and the exact-Jaccard verify operate on the same
     # shingle universe, or non-Latin texts that normalize differently could
     # band-collide yet verify against a different gram set (ADVICE r1).
-    # Gram id = big-endian uint64 of md5's first 8 bytes — identical to
-    # DuckDB's ('0x' || substr(md5(g), 1, 16))::UBIGINT, so the oracle
-    # shares the shingle universe too (r2 used crc32, absent from DuckDB).
     s = re.sub(r"[^a-z0-9]", "", text.lower())
     if len(s) < n:
         s = s.ljust(n, "_")
@@ -55,31 +61,133 @@ def _shingles(text: str, n: int) -> np.ndarray:
         dtype=np.uint64))
 
 
-def minhash_udf(k: int = 32, shingle: int = 3, seed: int = 7):
+# ---- fast (default) gram hashing: numpy byte-view polynomial + splitmix ----
+# Gram id = splitmix64-finalized FNV-prime polynomial over the gram's ASCII
+# bytes. Any 64-bit hash family works for MinHash — the md5 universe is only
+# needed when a DuckDB oracle must replay signatures — so the default path
+# keeps every byte inside numpy array ops: zero per-gram Python.
+
+_FNV = 1099511628211  # FNV-1a 64-bit prime (public constant)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)  # MurmurHash3 fmix64 constants
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _gram_pows(n: int) -> np.ndarray:
+    if n not in _POW_CACHE:
+        p = [1]
+        for _ in range(n - 1):
+            p.append((p[-1] * _FNV) % (1 << 64))
+        _POW_CACHE[n] = np.array(p[::-1], dtype=np.uint64)
+    return _POW_CACHE[n]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 fmix64 finalizer, vectorized (decorrelates the weak
+    polynomial so multiply-shift permutations see uniform gram ids)."""
+    x = x.copy()
+    x ^= x >> np.uint64(33)
+    x *= _MIX1
+    x ^= x >> np.uint64(33)
+    x *= _MIX2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _normalize_batch(texts: pd.Series, n: int) -> pd.Series:
+    """Batch [a-z0-9] normalization + '_'-pad-to-n — pandas C string ops,
+    byte-for-byte the same result as _shingles' per-row normalize."""
+    return (texts.fillna("").astype(str).str.lower()
+            .str.replace("[^a-z0-9]", "", regex=True)
+            .str.pad(n, side="right", fillchar="_"))
+
+
+def _shingles_fast(text: str, n: int) -> np.ndarray:
+    """Per-row fast-universe twin of _shingles (unique mixed gram ids);
+    used by jaccard_udf's default mode and as the batch path's test
+    reference."""
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", (text or "").lower())
+    if len(s) < n:
+        s = s.ljust(n, "_")
+    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, n)
+    return np.unique(_mix64((win * _gram_pows(n)).sum(axis=1, dtype=np.uint64)))
+
+
+def _batch_minhash_fast(texts: pd.Series, n: int, a: np.ndarray,
+                        b: np.ndarray) -> np.ndarray:
+    """(batch of texts) -> (len(texts), k) uint64 MinHash signatures with
+    NO per-row Python: one concatenated byte buffer, one sliding-window
+    gram-id pass, then per-permutation segment-min via
+    ``np.minimum.reduceat``. Duplicate grams within a row are harmless
+    (min over duplicates == min over the distinct set), so no per-row
+    unique pass is needed. Memory is O(total_grams) per permutation —
+    the k-loop trades k tiny numpy calls for never materializing the
+    (k, total_grams) matrix on document-sized batches."""
+    s = _normalize_batch(texts, n)
+    lens = s.str.len().to_numpy(np.int64)
+    buf = np.frombuffer("".join(s.tolist()).encode("ascii"),
+                        dtype=np.uint8).astype(np.uint64)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    counts = lens - n + 1                      # >=1: every row padded to >=n
+    cumc = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(counts, out=cumc[1:])
+    rows = np.repeat(np.arange(len(lens)), counts)
+    pos = offs[rows] + (np.arange(cumc[-1]) - cumc[rows])
+    win = np.lib.stride_tricks.sliding_window_view(buf, n)
+    grams = _mix64((win * _gram_pows(n)).sum(axis=1, dtype=np.uint64))[pos]
+    sig = np.empty((len(lens), len(a)), dtype=np.uint64)
+    for j in range(len(a)):
+        sig[:, j] = np.minimum.reduceat(a[j] * grams + b[j], cumc[:-1])
+    return sig
+
+
+def minhash_udf(k: int = 32, shingle: int = 3, seed: int = 7,
+                hash_mode: str = "fast"):
+    """Arrow-vectorized MinHash signature UDF.
+
+    hash_mode='fast' (default): numpy batch path, zero per-gram Python.
+    hash_mode='md5': DuckDB-replayable gram universe for exact oracles
+    (per-gram hashlib — measurably slower; oracle/parity use only)."""
     a, b = _hash_params(k, seed)
+
+    if hash_mode == "md5":
+        @pandas_udf(ArrayType(LongType()))
+        def minhash(col: pd.Series) -> pd.Series:
+            out = []
+            for text in col:
+                sh = _shingles(text or "", shingle)
+                # (k, n_shingles) matrix of permuted hashes -> row-min;
+                # uint64 wrap IS the hash's mod-2^64, then a bit-reinterpret
+                # to int64 for Spark's LongType (equality-only downstream)
+                hashes = a[:, None] * sh[None, :] + b[:, None]
+                out.append(hashes.min(axis=1).view(np.int64))
+            return pd.Series(out)
+
+        return minhash
 
     @pandas_udf(ArrayType(LongType()))
     def minhash(col: pd.Series) -> pd.Series:
-        out = []
-        for text in col:
-            sh = _shingles(text or "", shingle)
-            # (k, n_shingles) matrix of permuted hashes -> row-min; uint64
-            # wrap IS the hash's mod-2^64, then a bit-reinterpret to int64
-            # for Spark's LongType (equality-only use downstream)
-            hashes = a[:, None] * sh[None, :] + b[:, None]
-            out.append(hashes.min(axis=1).view(np.int64))
-        return pd.Series(out)
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        sig = _batch_minhash_fast(col, shingle, a, b).view(np.int64)
+        return pd.Series(list(sig))
 
     return minhash
 
 
-def jaccard_udf(shingle: int = 3):
+def jaccard_udf(shingle: int = 3, hash_mode: str = "fast"):
+    grams_of = _shingles if hash_mode == "md5" else _shingles_fast
+
     @pandas_udf(DoubleType())
     def jac(left: pd.Series, right: pd.Series) -> pd.Series:
         out = np.empty(len(left))
         for i, (x, y) in enumerate(zip(left, right)):
-            sx = set(_shingles(x or "", shingle).tolist())
-            sy = set(_shingles(y or "", shingle).tolist())
+            sx = set(grams_of(x or "", shingle).tolist())
+            sy = set(grams_of(y or "", shingle).tolist())
             u = len(sx | sy)
             out[i] = (len(sx & sy) / u) if u else 1.0
         return pd.Series(out)
@@ -89,15 +197,15 @@ def jaccard_udf(shingle: int = 3):
 
 def band_table(df: DataFrame, id_col: str, text_col: str,
                k: int = 32, bands: int = 8, shingle: int = 3,
-               seed: int = 7) -> DataFrame:
+               seed: int = 7, hash_mode: str = "fast") -> DataFrame:
     """(id, band, band_hash): one row per LSH band per entity. Deterministic
-    in (k, bands, shingle, seed), so a band table materialized earlier can
-    be equi-joined against bands of NEWLY arriving entities — the
-    incremental-canonicalization path (streaming.incremental) never
+    in (k, bands, shingle, seed, hash_mode), so a band table materialized
+    earlier can be equi-joined against bands of NEWLY arriving entities —
+    the incremental-canonicalization path (streaming.incremental) never
     recomputes signatures for already-seen entities."""
     rows = k // bands
     sigs = df.select(id_col, text_col).withColumn(
-        "sig", minhash_udf(k, shingle, seed)(F.col(text_col)))
+        "sig", minhash_udf(k, shingle, seed, hash_mode)(F.col(text_col)))
     return sigs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*[
@@ -109,10 +217,10 @@ def band_table(df: DataFrame, id_col: str, text_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 32, bands: int = 8, shingle: int = 3,
-                        seed: int = 7) -> DataFrame:
+                        seed: int = 7, hash_mode: str = "fast") -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >=1 LSH band."""
     banded = band_table(df, id_col, text_col, k=k, bands=bands,
-                        shingle=shingle, seed=seed)
+                        shingle=shingle, seed=seed, hash_mode=hash_mode)
     left = banded.select("band", "band_hash", F.col("id").alias("id_a"))
     right = banded.select("band", "band_hash", F.col("id").alias("id_b"))
     return (
@@ -161,7 +269,8 @@ def verify_pairs(pairs: DataFrame, entities: DataFrame, id_col: str,
 def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
                          text_col: str = "surface", threshold: float = 0.6,
                          k: int | None = None, bands: int | None = None,
-                         shingle: int = 3) -> DataFrame:
+                         shingle: int = 3,
+                         hash_mode: str = "fast") -> DataFrame:
     """(ent, surface) -> (ent, canonical) covering every input entity.
 
     Pipeline: LSH candidates -> exact-Jaccard filter -> connected components
@@ -192,6 +301,13 @@ def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
     Entities whose normalized text is empty (no [a-z0-9] characters) are
     excluded from LSH entirely and self-map: their padded shingle sets would
     be degenerate-identical ('___'), merging unrelated non-Latin strings.
+
+    ``hash_mode`` selects the gram-id universe for the MinHash signatures
+    only (the exact-Jaccard verify is always JVM xxhash64 and hash-
+    invariant): 'fast' (default) is the numpy batch path; 'md5' is the
+    DuckDB-replayable universe for exact oracles (VERDICT r3 #2). Both are
+    valid MinHash families — clusters can differ only on marginal-J pairs
+    whose band collision is probabilistic in EITHER universe.
     """
     if k is None:
         k = 32 if threshold >= 0.85 else 64
@@ -199,7 +315,7 @@ def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
         bands = k // 8 if threshold >= 0.85 else k // 4
     nonempty = nonempty_normalized(entities, text_col)
     pairs = lsh_candidate_pairs(nonempty, id_col, text_col, k=k, bands=bands,
-                                shingle=shingle)
+                                shingle=shingle, hash_mode=hash_mode)
     edges = verify_pairs(pairs, nonempty, id_col, text_col,
                          threshold=threshold, shingle=shingle)
     comps = connected_components(edges)

@@ -59,6 +59,26 @@ SALT_BUCKETS = 16
 # ``driver_limit=0`` (tests do, to keep Shiloach–Vishkin covered).
 DRIVER_EDGE_LIMIT = 2_000_000
 
+# Byte-sized second guard (VERDICT r3 #8): an edge COUNT under the limit
+# can still collect gigabytes when node ids are wide (long IRIs, URL
+# keys). The estimated driver footprint — sampled average id width plus
+# per-edge Python object overhead — must also fit, or the distributed
+# path runs regardless of count.
+DRIVER_BYTE_LIMIT = 256 * 1024 * 1024
+_PY_EDGE_OVERHEAD = 120  # two str headers + iterator tuple, approximate
+
+
+def _driver_bytes_estimate(uniq: DataFrame, n_edges: int) -> float:
+    """n_edges x (sampled avg chars per edge + fixed Python overhead).
+    One tiny job over the already-checkpointed edge set (<=10k rows)."""
+    if n_edges == 0:
+        return 0.0
+    w = (uniq.limit(10_000)
+         .agg(F.avg(F.length(F.col("a").cast("string"))
+                    + F.length(F.col("b").cast("string"))).alias("w"))
+         .first()["w"]) or 0.0
+    return n_edges * (w + _PY_EDGE_OVERHEAD)
+
 
 def _driver_components(pairs: DataFrame) -> DataFrame:
     """Union-find (union-by-min root + path compression) over a SMALL
@@ -138,22 +158,31 @@ def _compress(labels: DataFrame, max_passes: int) -> tuple[DataFrame, int]:
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 25,
-                         driver_limit: int | None = None) -> DataFrame:
+                         driver_limit: int | None = None,
+                         byte_limit: int | None = None) -> DataFrame:
     """edges (src, dst) -> (node, component) where component is the
     lexicographic min node id of the component. Deterministic on both
     regimes: the driver path is exact union-by-min union-find; the
     distributed path's every update is a min-aggregation, the min node's
     own label can never grow, and termination forces per-component
     uniformity. ``driver_limit`` overrides ``DRIVER_EDGE_LIMIT`` (0
-    forces the distributed Shiloach–Vishkin path)."""
+    forces the distributed Shiloach–Vishkin path); ``byte_limit``
+    overrides ``DRIVER_BYTE_LIMIT`` — the driver path needs BOTH the
+    edge count and the estimated collected bytes (sampled id width)
+    inside their caps, so wide-id edge sets route distributed even
+    below the count limit (VERDICT r3 #8)."""
     if driver_limit is None:
         driver_limit = DRIVER_EDGE_LIMIT
+    if byte_limit is None:
+        byte_limit = DRIVER_BYTE_LIMIT
     uniq = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .dropDuplicates(["a", "b"])
         .localCheckpoint()          # materialize ONCE: edge lineage (LSH
     )                               # verify etc.) must not re-run per pass
-    if uniq.count() <= driver_limit:
+    n_edges = uniq.count()
+    if (n_edges <= driver_limit
+            and _driver_bytes_estimate(uniq, n_edges) <= byte_limit):
         return _driver_components(uniq)
     sym = (
         uniq

@@ -116,7 +116,8 @@ def _prefix_filtered_jaccard_pairs(base: DataFrame, threshold: float) -> DataFra
 
 def minhash_dedup_map(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.8,
-                      k: int = 64, bands: int | None = None) -> DataFrame:
+                      k: int = 64, bands: int | None = None,
+                      hash_mode: str = "fast") -> DataFrame:
     """MinHash-LSH near-dup clustering -> (doc_id, canonical) total map.
 
     Banding is threshold-aware (8 rows/band at t>=0.7, else 4): documents
@@ -130,7 +131,8 @@ def minhash_dedup_map(docs: DataFrame, id_col: str = "doc_id",
         bands = k // 8 if threshold >= 0.7 else k // 4
     ents = docs.select(F.col(id_col).cast("string").alias("ent"),
                        F.col(text_col).alias("surface"))
-    m = canonical_entity_map(ents, threshold=threshold, k=k, bands=bands, shingle=4)
+    m = canonical_entity_map(ents, threshold=threshold, k=k, bands=bands,
+                             shingle=4, hash_mode=hash_mode)
     return m.select(F.col("ent").cast("long").alias(id_col),
                     F.col("canonical").cast("long").alias("canonical"))
 

@@ -621,6 +621,31 @@ def test_connected_components_regimes_agree(spark):
     assert local == dist and local
 
 
+def test_connected_components_byte_guard_routes_wide_ids(spark, monkeypatch):
+    """VERDICT r3 #8: an edge set UNDER the count limit but with wide node
+    ids must take the distributed path (the driver guard is now sized in
+    estimated collected bytes, not edges). Observed by making the driver
+    path un-runnable and checking the job still completes — then checking
+    narrow ids DO hit the driver path under the same monkeypatch."""
+    from openapi_to_rdf_spark.operators import components as C
+
+    def boom(pairs):
+        raise AssertionError("driver path must not run")
+
+    monkeypatch.setattr(C, "_driver_components", boom)
+    wide = spark.createDataFrame(
+        [("A" * 4000 + str(i), "A" * 4000 + str(i + 1)) for i in range(40)],
+        ["src", "dst"])
+    comp = {r.node: r.component
+            for r in C.connected_components(
+                wide, byte_limit=100_000).collect()}
+    assert len(set(comp.values())) == 1          # one 41-node chain
+
+    narrow = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    with pytest.raises(AssertionError, match="driver path"):
+        C.connected_components(narrow, byte_limit=100_000).collect()
+
+
 def test_canonicalization_ground_truth(spark):
     turns = synth_transcripts(spark, 300, 42)
     tr = extract_transcript_triples(turns, class_vocab_df(spark))

@@ -79,6 +79,42 @@ def test_all_scanline_filters_decode(ftypes):
     assert np.array_equal(out, img)
 
 
+def _chunk(ctype, payload):
+    return (struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+
+def test_declared_dimension_bomb_refused_before_inflate():
+    """A few-hundred-byte PNG declaring 100000x100000 RGBA must raise on
+    the declared size — BEFORE any decompression happens (ADVICE r3)."""
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        decode_png(data)
+
+
+def test_idat_overrun_bomb_refused():
+    """IDAT that inflates to MORE than the declared (small) dimensions is
+    refused without materializing the excess (decompression bomb)."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 grey = 20 B
+    bomb = zlib.compress(b"\x00" * 10_000_000)           # ~10 KB compressed
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past declared"):
+        decode_png(data)
+
+
+def test_idat_underrun_still_mismatch():
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(data)
+
+
 def test_multiple_idat_chunks():
     img = _rand_img(6, 6, 3)
     data = encode_png(img)
