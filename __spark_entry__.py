@@ -10726,6 +10726,38 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+def python_oracles() -> dict:
+    """Engine-independent PYTHON twins for queries whose oracle needs a
+    library DuckDB lacks (VERDICT r3 #9 — shrinks the rows-only set).
+    Each callable takes sf_dir and returns a pandas DataFrame with the
+    query's exact output schema; scripts/oracle_sweep.py hash-compares it
+    under the same normalize discipline as the SQL oracles. Pure
+    stdlib+pandas — no Spark, no shared code with the operator under
+    test (the pytest twin in test_lm_quality stays as the third leg)."""
+
+    def doc_compression(sf_dir: str):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        enc = docs["text"].map(lambda t: t.encode("utf-8")
+                               if isinstance(t, str) else None)
+        out = pd.DataFrame({
+            "doc_id": docs["doc_id"],
+            "raw_bytes": enc.map(len).astype("int64"),
+            "gz_bytes": enc.map(
+                lambda b: len(zlib.compress(b, 6))).astype("int64"),
+        })
+        out["ratio"] = np.where(out["raw_bytes"] > 0,
+                                out["gz_bytes"] / out["raw_bytes"], np.nan)
+        return out
+
+    return {"doc_compression": doc_compression}
+
+
 if __name__ == "__main__":
     from openapi_to_rdf_spark.session import get_spark
 

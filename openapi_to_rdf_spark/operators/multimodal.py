@@ -12,10 +12,12 @@ metadata struct. Three tiers of realness:
 2. The Spark-side contract (schema, partition sizing, Arrow batch shape,
    column-pruned payload projection, mapInPandas signatures) is real and
    tested for every kind.
-3. **PNG is decoded FOR REAL too** (r3): ``image/png`` payloads go
-   through the in-repo pure-stdlib codec (functions/png.py — zlib +
-   spec scanline filters), so one genuinely compressed format exercises
-   the whole decode -> feature/resize path with no external library.
+3. **PNG and BMP are decoded FOR REAL too** (r3/r4): ``image/png`` and
+   ``image/bmp`` payloads go through the in-repo pure-stdlib codecs
+   (functions/png.py — zlib + spec scanline filters; functions/bmp.py —
+   BI_RGB strided slice), so two genuinely compressed container formats
+   exercise the whole decode -> feature/resize path with no external
+   library.
 4. Remaining COMPRESSED codec calls are STUBBED (Pillow/librosa/ffmpeg are
    not in this container): jpeg/audio/video decode raises
    NotImplementedError unless ``fake=True``, which switches to a
@@ -36,6 +38,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+from ..functions.bmp import decode_bmp
 from ..functions.png import decode_png
 
 IMAGE_FEATURES_SCHEMA = StructType([
@@ -54,6 +57,7 @@ FRAME_SAMPLE_SCHEMA = StructType([
 
 RAW_RGB_MIME = "image/x-raw-rgb8"
 PNG_MIME = "image/png"
+BMP_MIME = "image/bmp"
 RAW_W, RAW_H = 16, 12  # synthetic raw frames: 16x12x3 = 576 bytes
 
 
@@ -125,12 +129,16 @@ def decode_image_features(media: DataFrame, fake: bool = False,
                     feats = (buf.astype(np.float64) / 255.0).tolist()
                     rows.append((mid, int(payload[0]) + 1,
                                  int(payload[1]) + 1, feats))
-                elif mime in (RAW_RGB_MIME, PNG_MIME):
+                elif mime in (RAW_RGB_MIME, PNG_MIME, BMP_MIME):
                     if mime == PNG_MIME:
-                        # in-repo pure-stdlib codec (functions/png.py):
-                        # the one compressed format decoded FOR REAL
+                        # in-repo pure-stdlib codecs (functions/png.py,
+                        # functions/bmp.py): the compressed container
+                        # formats decoded FOR REAL
                         img, w, h = decode_png(bytes(payload))
                         img = _to_rgb(img).astype(np.float64) / 255.0
+                    elif mime == BMP_MIME:
+                        img, w, h = decode_bmp(bytes(payload))
+                        img = img.astype(np.float64) / 255.0
                     else:
                         w, h = int(w), int(h)
                         img = (np.frombuffer(payload, dtype=np.uint8)[:w * h * 3]
@@ -142,8 +150,9 @@ def decode_image_features(media: DataFrame, fake: bool = False,
                 else:
                     raise NotImplementedError(
                         f"decode of {mime} requires Pillow; not installed — "
-                        "raw-rgb8 and image/png payloads decode natively, "
-                        "or pass fake=True for the deterministic stub")
+                        "raw-rgb8, image/png and image/bmp payloads "
+                        "decode natively, or pass fake=True for the "
+                        "deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "features"])
 
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -215,10 +224,12 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 if fake:
                     rows.append((mid, width, height,
                                  min(len(p), width * height), None))
-                elif mime in (RAW_RGB_MIME, PNG_MIME):
+                elif mime in (RAW_RGB_MIME, PNG_MIME, BMP_MIME):
                     if mime == PNG_MIME:
                         img, w, h = decode_png(bytes(p))
                         img = _to_rgb(img)
+                    elif mime == BMP_MIME:
+                        img, w, h = decode_bmp(bytes(p))
                     else:
                         w, h = int(w), int(h)
                         img = (np.frombuffer(p, dtype=np.uint8)[:w * h * 3]
@@ -230,8 +241,9 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 else:
                     raise NotImplementedError(
                         f"resize of {mime} requires Pillow; not installed — "
-                        "raw-rgb8 and image/png payloads resize natively, "
-                        "or pass fake=True for the deterministic stub")
+                        "raw-rgb8, image/png and image/bmp payloads "
+                        "resize natively, or pass fake=True for the "
+                        "deterministic stub")
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "payload_len", "payload"])
 

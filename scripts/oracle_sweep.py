@@ -51,6 +51,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # python twins for library-bound queries (zlib etc. — VERDICT r3 #9);
+    # same comparison discipline, flagged oracle_kind='python' in the row
+    py_oracles = (entrymod.python_oracles()
+                  if hasattr(entrymod, "python_oracles") else {})
     results: dict[str, dict] = {}
     n_fail = 0
     t_start = time.time()
@@ -66,7 +70,7 @@ def main() -> int:
             n_fail += 1
             print(f"[{i}] ERROR {name}: {rec['err']}", flush=True)
             continue
-        if name not in oracles:
+        if name not in oracles and name not in py_oracles:
             rec["no_oracle"] = True
             rec["err"] = None
             results[name] = rec
@@ -74,7 +78,11 @@ def main() -> int:
                   f"({time.time() - t0:.1f}s)", flush=True)
             continue
         try:
-            theirs = con.execute(oracles[name]).df()
+            if name in oracles:
+                theirs = con.execute(oracles[name]).df()
+            else:
+                theirs = py_oracles[name](sf_dir)
+                rec["oracle_kind"] = "python"
         except Exception as e:  # noqa: BLE001
             rec["err"] = f"oracle: {type(e).__name__}: {e}"[:300]
             results[name] = rec

@@ -54,6 +54,10 @@ AUDIT = [
     "scripted_convs", "trajectory_dup_pairs",
     # r3: the composed end-to-end pipeline + quantized two-stage top-k
     "training_batches", "quantized_topk",
+    # r4 (VERDICT r3 #6): every query whose r3 wall exceeded 3s is audited
+    # — including the single most expensive one (owl_cls_entail, 20.7s)
+    "owl_cls_entail", "shape_drift", "kg_hits", "lm_perplexity",
+    "url_curation", "infer_shapes", "kg_extract_exact",
 ]
 
 

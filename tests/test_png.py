@@ -190,3 +190,74 @@ def test_spark_decode_and_resize_png(spark):
     for i in imgs:
         assert rs[i]["payload_len"] == 8 * 6 * 3
         assert bytes(rs[i]["payload"]) == bytes(rs[100 + i]["payload"])
+
+
+# ---- BMP codec (functions/bmp.py, VERDICT r3 #9) ----
+
+from openapi_to_rdf_spark.functions.bmp import decode_bmp, encode_bmp  # noqa: E402
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (12, 16, 3), (3, 3, 3)])
+def test_bmp_roundtrip(shape):
+    img = _rand_img(*shape) if len(shape) == 3 else \
+        np.random.RandomState(9).randint(0, 256, size=shape, dtype=np.uint8)
+    out, w, h = decode_bmp(encode_bmp(img))
+    assert (w, h) == (shape[1], shape[0])
+    want = img if len(shape) == 3 else np.repeat(img[:, :, None], 3, axis=2)
+    assert np.array_equal(out, want)
+
+
+def test_bmp_row_padding_and_orientation():
+    """Width 3 (stride 9 -> padded to 12) with a distinct top row proves
+    bottom-up storage is un-flipped and padding bytes are dropped."""
+    img = np.zeros((2, 3, 3), dtype=np.uint8)
+    img[0, :, 0] = 255          # top row pure red
+    out, w, h = decode_bmp(encode_bmp(img))
+    assert np.array_equal(out, img)
+
+
+def test_bmp_dimension_bomb_refused():
+    data = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    import struct as _s
+    data[18:26] = _s.pack("<ii", 100_000, 100_000)   # declared dims
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        decode_bmp(bytes(data))
+
+
+def test_bmp_truncated_refused():
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_bmp(good[:-10])
+
+
+def test_bmp_unsupported_depth_named():
+    data = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    data[28] = 8                                     # bit depth field
+    with pytest.raises(NotImplementedError, match="bit depth 8"):
+        decode_bmp(bytes(data))
+
+
+def test_bmp_spark_decode_and_resize(spark):
+    """The Spark plumbing: image/bmp payloads through decode_image_features
+    and resize_images for real (no fake flag)."""
+    from openapi_to_rdf_spark.operators.multimodal import (
+        decode_image_features, resize_images,
+    )
+
+    img = _rand_img(12, 16, 3, seed=21)
+    payload = encode_bmp(img)
+    rows = [(1, "image", bytearray(payload),
+             {"mime": "image/bmp", "width": None, "height": None})]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int>")
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 1 and feats[0].width == 16 and feats[0].height == 12
+    exp = img.astype(np.float64) / 255.0
+    np.testing.assert_allclose(feats[0].features[:3], exp.mean(axis=(0, 1)),
+                               atol=1e-12)
+    rs = resize_images(media, width=8, height=6).collect()
+    assert rs[0].payload_len == 8 * 6 * 3
+    iy, ix = (np.arange(6) * 12) // 6, (np.arange(8) * 16) // 8
+    want = img[iy][:, ix].tobytes()
+    assert bytes(rs[0].payload) == want
