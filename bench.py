@@ -411,12 +411,44 @@ def _diff_vs_previous_round(queries: dict,
     return regress, os.path.basename(prev_file)
 
 
+def _scaling_section() -> dict:
+    """N vs 4N: identical input/job, separate cold subprocess per level,
+    warmup pass inside each so JIT is off the clock. Defaults are
+    local[2] vs local[8]: this sandbox advertises 32 vCPUs but
+    hypervisor steal reaches ~26% when >8 threads spin (measured via
+    /proc/stat; see BENCH.md), so 8 is the largest honest level.
+
+    2M convs (~10M turns): the hi level then runs ~20s, so best-of-3
+    rides above JVM noise — at 1M the 8-core job is ~11s and a ±1.5s
+    pause swings measured efficiency by ~0.1 (observed 0.79 vs 0.85
+    back-to-back); bigger inputs also amortize fixed costs, the
+    honest direction for a 10^12-turn claim."""
+    lo_cores = _argval("scale-lo", 2)
+    hi_cores = _argval("scale-hi", max(lo_cores * 4, 4))
+    n_scale = _argval("n-convs", 2_000_000)
+    lo = _subprocess_kg(lo_cores, n_scale)
+    hi = _subprocess_kg(hi_cores, n_scale)
+    t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]
+    return {
+        "cores_lo": lo_cores, "cores_hi": hi_cores, "n_turns": hi["n_turns"],
+        "turns_per_sec_lo": t_lo, "turns_per_sec_hi": t_hi,
+        "trials_lo": lo["trials"], "trials_hi": hi["trials"],
+        "speedup": round(t_hi / t_lo, 3),
+        "efficiency": round(t_hi / t_lo / (hi_cores / lo_cores), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
     n_convs = N_CONVS.get(sf, 20_000)
     scaling = "--scaling" in sys.argv
+
+    if "--scaling-only" in sys.argv:
+        # standalone N-vs-4N run (needs an idle machine; skips the suite)
+        print(json.dumps({"scaling": _scaling_section()}))
+        return
 
     if "--kg-only" in sys.argv:
         cores = _argval("cores", cpus)
@@ -538,28 +570,7 @@ def main() -> None:
     }
 
     if scaling:
-        # N vs 4N: identical input/job, separate cold subprocess per level,
-        # warmup pass inside each so JIT is off the clock. Defaults are
-        # local[2] vs local[8]: this sandbox advertises 32 vCPUs but
-        # hypervisor steal reaches ~26% when >8 threads spin (measured via
-        # /proc/stat; see BENCH.md), so 8 is the largest honest level.
-        lo_cores = _argval("scale-lo", 2)
-        hi_cores = _argval("scale-hi", max(lo_cores * 4, 4))
-        # 2M convs (~10M turns): the hi level then runs ~20s, so best-of-3
-        # rides above JVM noise — at 1M the 8-core job is ~11s and a ±1.5s
-        # pause swings measured efficiency by ~0.1 (observed 0.79 vs 0.85
-        # back-to-back); bigger inputs also amortize fixed costs, the
-        # honest direction for a 10^12-turn claim
-        n_scale = _argval("n-convs", 2_000_000)
-        lo = _subprocess_kg(lo_cores, n_scale)
-        hi = _subprocess_kg(hi_cores, n_scale)
-        t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]
-        out["scaling"] = {
-            "cores_lo": lo_cores, "cores_hi": hi_cores, "n_turns": hi["n_turns"],
-            "turns_per_sec_lo": t_lo, "turns_per_sec_hi": t_hi,
-            "speedup": round(t_hi / t_lo, 3),
-            "efficiency": round(t_hi / t_lo / (hi_cores / lo_cores), 3),
-        }
+        out["scaling"] = _scaling_section()
 
     print(json.dumps(out))
 
