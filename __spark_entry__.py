@@ -1958,20 +1958,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_kg_entity_rank(spark, sf_dir):
         """Entity importance: PageRank over the KG co-mention graph (top 10,
-        deterministic tie-break). Rows-only (the transcript generator is not
-        ANSI-SQL-expressible); the pagerank operator itself is hash-verified
-        via doc_pagerank."""
-        from openapi_to_rdf_spark.operators.extract import (
-            KG_NS, extract_transcript_triples,
-        )
+        deterministic tie-break) — EXACT-oracled since r4: the input is the
+        SQL-replayable extraction and the DuckDB twin replays the fixed
+        3-iteration rank recurrence (doc_pagerank's proven structure) over
+        the same symmetric co-mention edges."""
+        from openapi_to_rdf_spark.operators.extract import KG_NS
         from openapi_to_rdf_spark.operators.graphq import co_mention_edges
         from openapi_to_rdf_spark.operators.graphrank import pagerank
-        from openapi_to_rdf_spark.sources.transcripts import (
-            class_vocab_df, synth_transcripts,
-        )
 
-        turns = synth_transcripts(spark, 300, seed=42)
-        g = extract_transcript_triples(turns, class_vocab_df(spark))
+        g = _sql_replayable_kg(spark, sf_dir)
         co = co_mention_edges(g, KG_NS)
         edges = (co.select(F.col("ent_a").alias("src"), F.col("ent_b").alias("dst"))
                  .unionAll(co.select(F.col("ent_b").alias("src"),
@@ -2718,18 +2713,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                a_name="user", b_name="day")
 
     def q_kg_graph_stats(spark, sf_dir):
-        from openapi_to_rdf_spark.operators.extract import (
-            KG_NS, extract_transcript_triples,
-        )
+        """Graph statistics rollup over the REAL extractor's output —
+        EXACT-oracled since r4 by running over the SQL-replayable
+        transcript table (the DuckDB twin wraps the kg_extract_exact
+        replay and recomputes co-mention/degree/class aggregates)."""
+        from openapi_to_rdf_spark.operators.extract import KG_NS
         from openapi_to_rdf_spark.operators.graphq import (
             class_histogram, co_mention_edges, entity_degree,
         )
-        from openapi_to_rdf_spark.sources.transcripts import (
-            class_vocab_df, synth_transcripts,
-        )
 
-        turns = synth_transcripts(spark, 300, seed=42)
-        g = extract_transcript_triples(turns, class_vocab_df(spark))
+        g = _sql_replayable_kg(spark, sf_dir)
         co = co_mention_edges(g, KG_NS).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("n_cooccur").alias("m")).select(
@@ -10722,6 +10715,78 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.ent AS ent, c.canonical AS canonical
         FROM ents e JOIN canon c USING (nk)
         ORDER BY ent
+    """
+
+    # kg_graph_stats / kg_entity_rank (r4): both now run over the
+    # SQL-replayable extraction, so their DuckDB twins wrap the FULL
+    # kg_extract_exact replay (nested WITH in a subquery — one source of
+    # truth for generation+extraction) and recompute the downstream graph
+    # analytics relationally. PageRank reuses doc_pagerank's proven
+    # fixed-3-iteration recurrence; symmetric edges mean zero dangling
+    # mass, exactly as in the operator.
+    _mention_p = "'http://ericsson.com/models/3gpp/kg#mentions'"
+    _type_p = "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'"
+    sql["kg_graph_stats"] = f"""
+        WITH g AS ({sql["kg_extract_exact"]}),
+        m AS (SELECT s AS turn, o AS ent FROM g WHERE p = {_mention_p}),
+        co AS (
+          SELECT a.ent AS ea, b.ent AS eb, COUNT(*) AS n_cooccur
+          FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+          GROUP BY 1, 2),
+        deg AS (SELECT ent, COUNT(*) AS n_mentions FROM m GROUP BY ent),
+        cls AS (SELECT o AS class_iri, COUNT(DISTINCT s) AS n_entities
+                FROM g WHERE p = {_type_p} GROUP BY o)
+        SELECT 'class_histogram' AS stat, COUNT(*)::BIGINT AS n,
+               SUM(n_entities)::BIGINT AS m FROM cls
+        UNION ALL
+        SELECT 'co_mention', COUNT(*)::BIGINT, SUM(n_cooccur)::BIGINT FROM co
+        UNION ALL
+        SELECT 'entity_degree', COUNT(*)::BIGINT, SUM(n_mentions)::BIGINT
+        FROM deg
+        ORDER BY stat
+    """
+    sql["kg_entity_rank"] = f"""
+        WITH g AS ({sql["kg_extract_exact"]}),
+        m AS (SELECT s AS turn, o AS ent FROM g WHERE p = {_mention_p}),
+        co AS (
+          SELECT a.ent AS ea, b.ent AS eb
+          FROM m a JOIN m b ON a.turn = b.turn AND a.ent < b.ent
+          GROUP BY 1, 2),
+        e AS (SELECT ea AS src, eb AS dst FROM co
+              UNION ALL SELECT eb, ea FROM co),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node, 1.0e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        r1 AS (SELECT nodes.node,
+                      (1.0e0 - 0.85e0) / nn.n
+                      + 0.85e0 * COALESCE(s.insum, 0) AS rank
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN (SELECT e.dst AS node,
+                                 SUM(r.rank / d.outdeg) AS insum
+                          FROM e JOIN r0 r ON e.src = r.node
+                                 JOIN deg d ON e.src = d.node
+                          GROUP BY 1) s ON nodes.node = s.node),
+        r2 AS (SELECT nodes.node,
+                      (1.0e0 - 0.85e0) / nn.n
+                      + 0.85e0 * COALESCE(s.insum, 0) AS rank
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN (SELECT e.dst AS node,
+                                 SUM(r.rank / d.outdeg) AS insum
+                          FROM e JOIN r1 r ON e.src = r.node
+                                 JOIN deg d ON e.src = d.node
+                          GROUP BY 1) s ON nodes.node = s.node),
+        r3 AS (SELECT nodes.node,
+                      (1.0e0 - 0.85e0) / nn.n
+                      + 0.85e0 * COALESCE(s.insum, 0) AS rank
+               FROM nodes CROSS JOIN nn
+               LEFT JOIN (SELECT e.dst AS node,
+                                 SUM(r.rank / d.outdeg) AS insum
+                          FROM e JOIN r2 r ON e.src = r.node
+                                 JOIN deg d ON e.src = d.node
+                          GROUP BY 1) s ON nodes.node = s.node)
+        SELECT node, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_e6
+        FROM r3 ORDER BY rank_e6 DESC, node ASC LIMIT 10
     """
     return sql
 

@@ -266,7 +266,10 @@ def _keyed_closure(edges: DataFrame, max_rounds: int) -> DataFrame:
                .localCheckpoint())
         if nxt.isEmpty():
             return reached
-        reached = reached.unionByName(nxt).localCheckpoint()
+        # lazy union of checkpointed deltas (r4): materializing the full
+        # cumulative closure each round copies O(|closure|) rows per round;
+        # the union tree stays depth <= max_rounds with checkpointed leaves
+        reached = reached.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(
         f"transitive-property closure did not converge in {max_rounds} "
@@ -684,8 +687,13 @@ def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
                    .localCheckpoint())
         if delta_t.isEmpty() and delta_p.isEmpty():
             break
-        types = types.unionByName(delta_t).localCheckpoint()
-        props = props.unionByName(delta_p).localCheckpoint()
+        # cumulative sets grow as LAZY unions of already-checkpointed
+        # deltas (r4): re-materializing the full instance-sized sets every
+        # round copied ~|types|+|props| rows per round for nothing — the
+        # union tree stays flat (depth <= max_rounds) and every leaf is a
+        # checkpoint, so downstream joins re-read blocks, not lineage
+        types = types.unionByName(delta_t)
+        props = props.unionByName(delta_p)
         new_t, new_p = delta_t, delta_p
     else:
         raise RuntimeError(
@@ -821,7 +829,7 @@ def owl_chain_entail(triples: DataFrame, *,
         # a derived predicate only matters further if it's some chain's hop
         touched = ({r.p for r in delta.select("p").distinct().collect()}
                    & set(hop_preds))
-        reached = reached.unionByName(delta).localCheckpoint()
+        reached = reached.unionByName(delta)  # lazy union (leaves ckpt'd)
         if not touched:
             break
     else:

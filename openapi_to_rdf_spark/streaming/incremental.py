@@ -56,6 +56,31 @@ def _read_or_empty(spark, path: pathlib.Path, schema: str,
     return spark.read.schema(schema).parquet(*[str(d) for d in dirs])
 
 
+def _check_banding_config(sd: pathlib.Path, cfg: dict) -> None:
+    """Persist the banding configuration on first use and REFUSE a resume
+    under a different one. Band tables are append-only state keyed by the
+    (k, bands, shingle, hash_mode) gram/signature universe — mixing
+    universes across batches would silently LOSE cross-batch candidates
+    (new-universe bands never equi-join old-universe bands). Became a
+    live hazard in r4 when the default gram universe changed from md5 to
+    the numpy fast path; the stamp turns silent recall loss into a loud
+    error naming both configurations."""
+    import json
+
+    p = sd / "banding.json"
+    if p.exists():
+        prior = json.loads(p.read_text())
+        if prior != cfg:
+            raise ValueError(
+                f"incremental state at {sd} was built with banding config "
+                f"{prior}, but this run uses {cfg}: band tables from "
+                "different signature universes cannot be joined — rebuild "
+                "the state dir or pass the original configuration")
+    else:
+        sd.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(cfg, sort_keys=True))
+
+
 def batch_entities(turns: DataFrame, class_vocab: DataFrame | None = None) -> DataFrame:
     """(conv_id, turn_idx, ...) -> distinct (ent, surface) for one batch."""
     tr = extract_transcript_triples(turns, class_vocab)
@@ -75,6 +100,9 @@ def merge_batch(spark, state_dir: str | pathlib.Path, ents: DataFrame,
     if bands is None:
         bands = k // 8 if threshold >= 0.85 else k // 4
     sd = pathlib.Path(state_dir)
+    _check_banding_config(sd, {"k": k, "bands": bands, "shingle": shingle,
+                               "seed": 7, "hash_mode": "fast",
+                               "threshold": threshold})
 
     seen = _read_or_empty(spark, sd / "entities", _ENT_SCHEMA,
                           exclude_batch=batch_id)
@@ -277,6 +305,9 @@ def merge_dedup_batch(spark, state_dir: str | pathlib.Path, docs: DataFrame,
     if bands is None:
         bands = k // 8 if threshold >= 0.85 else k // 4
     sd = pathlib.Path(state_dir)
+    _check_banding_config(sd, {"k": k, "bands": bands, "shingle": shingle,
+                               "seed": 7, "hash_mode": "fast",
+                               "threshold": threshold})
 
     seen = _read_or_empty(spark, sd / "docs", _DOC_SCHEMA,
                           exclude_batch=batch_id)

@@ -513,3 +513,21 @@ def test_stream_validation_matches_batch(spark, tmp_path):
     assert got.exceptAll(expected).isEmpty()
     assert expected.exceptAll(got).isEmpty()
     assert got.filter(F.col("violation") == "notInList").count() > 0
+
+
+def test_incremental_state_refuses_banding_config_change(spark, tmp_path):
+    """r4: band tables are universe-keyed state — resuming a state dir
+    under a different (k, bands, shingle, hash_mode) configuration must
+    raise loudly instead of silently losing cross-batch candidates."""
+    import pytest as _pytest
+
+    from openapi_to_rdf_spark.streaming.incremental import merge_batch
+
+    ents = spark.createDataFrame([("e1", "srv-1"), ("e2", "srv.1")],
+                                 ["ent", "surface"])
+    sd = tmp_path / "state"
+    merge_batch(spark, sd, ents, batch_id=0, threshold=0.9, k=64)
+    # same config replays fine (idempotent path already tested elsewhere)
+    merge_batch(spark, sd, ents, batch_id=1, threshold=0.9, k=64)
+    with _pytest.raises(ValueError, match="banding config"):
+        merge_batch(spark, sd, ents, batch_id=2, threshold=0.9, k=32)
