@@ -5359,6 +5359,48 @@ def _minhash_oracle_sql() -> str:
 _MINHASH_ORACLE = _minhash_oracle_sql()
 
 
+def _lsh_pairs_oracle_sql(dim: int = 64, n_planes: int = 8,
+                          seed: int = 13, threshold: float = 0.4) -> str:
+    """DuckDB twin of q_embedding_dups_lsh (default config: one table,
+    8 planes, multiprobe_bits=1). Plane constants are the SAME numpy
+    Gaussians the Spark operator embeds as literal columns."""
+    from openapi_to_rdf_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        for row in planes)
+    return f"""
+        WITH b AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 {bits} AS bucket
+          FROM embeddings),
+        probes AS (
+          SELECT id, bucket AS home,
+                 CASE WHEN j = 0 THEN bucket
+                      ELSE substr(bucket, 1, j - 1)
+                           || (CASE WHEN substr(bucket, j, 1) = '1'
+                               THEN '0' ELSE '1' END)
+                           || substr(bucket, j + 1) END AS bucket
+          FROM b, range(0, {n_planes + 1}) t(j)),
+        cand AS (
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b
+          FROM probes l JOIN b r ON l.bucket = r.bucket AND l.id < r.id),
+        scored AS (
+          SELECT id_a, id_b,
+                 ROUND(list_dot_product(x.v, y.v) /
+                       (sqrt(list_dot_product(x.v, x.v)) *
+                        sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+          FROM cand JOIN b x ON x.id = cand.id_a
+                    JOIN b y ON y.id = cand.id_b)
+        SELECT id_a, id_b, CAST(ROUND(cosine * 1e6) AS BIGINT) AS cosine_e6
+        FROM scored WHERE cosine >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "pricing_summary": """
@@ -10716,6 +10758,16 @@ def oracle_sql() -> dict[str, str]:
         FROM ents e JOIN canon c USING (nk)
         ORDER BY ent
     """
+
+    # embedding_dups_lsh (r4): the random-hyperplane LSH path replayed
+    # relationally — the 8 Gaussian planes from similarity._hyperplanes(64,
+    # 8, 13) are interpolated as DOUBLE[] literals (full-precision repr, so
+    # both engines evaluate the SAME IEEE doubles), bucket = concatenated
+    # dot-product sign bits, multiprobe b=1 = home + the 8 one-bit flips on
+    # the probing side, then the proven exact-cosine verify. Sign parity is
+    # robust: a flip needs |dot| within float error of 0, and Gaussian dots
+    # on this corpus sit at O(1).
+    sql["embedding_dups_lsh"] = _lsh_pairs_oracle_sql()
 
     # kg_graph_stats / kg_entity_rank (r4): both now run over the
     # SQL-replayable extraction, so their DuckDB twins wrap the FULL
