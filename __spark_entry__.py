@@ -10872,7 +10872,74 @@ def python_oracles() -> dict:
                                 out["gz_bytes"] / out["raw_bytes"], np.nan)
         return out
 
-    return {"doc_compression": doc_compression}
+    def kmeans_cells(sf_dir: str):
+        """Numpy twin of the full TRAINED path (kmeans_fit k=8 iters=2 →
+        kmeans_cells): content-addressed md5 seeding, round-6 HALF_UP
+        cosine argmax with first-match (= smallest cell id) ties, NaN→-2
+        pinning, arithmetic-mean Lloyd update with empty-cell carry —
+        every discipline _best_cell documents, re-derived here without
+        Spark. round(x, 6) mirrors Catalyst's BigDecimal HALF_UP via
+        Decimal(repr(x)) (both sides quantize the double's shortest
+        decimal representation)."""
+        import hashlib
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        ids = emb["vec_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in emb["embedding"]])
+
+        def round6(arr: np.ndarray) -> np.ndarray:
+            q = Decimal("0.000001")
+            return np.array([float(Decimal(repr(float(x)))
+                                   .quantize(q, rounding=ROUND_HALF_UP))
+                             for x in arr.ravel()]).reshape(arr.shape)
+
+        order = sorted(range(len(ids)),
+                       key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                      .hexdigest(), ids[i]))
+        cents = sorted((int(ids[i]), V[i].copy()) for i in order[:8])
+
+        def assign(cents_list):
+            C = np.stack([c for _, c in cents_list])
+            dots = V @ C.T
+            nv = np.linalg.norm(V, axis=1, keepdims=True)
+            nc = np.linalg.norm(C, axis=1, keepdims=True).T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nv * nc)
+            cos = round6(cos)
+            cos = np.where(np.isnan(cos), -2.0, cos)
+            idx = cos.argmax(axis=1)          # first max = smallest cell id
+            return idx, cos[np.arange(len(V)), idx]
+
+        for _ in range(2):
+            idx, _cos = assign(cents)
+            new = []
+            for j, (cid, cv) in enumerate(cents):
+                mask = idx == j
+                new.append((cid, V[mask].mean(axis=0) if mask.any() else cv))
+            cents = new
+
+        idx, cos = assign(cents)
+        rows = []
+        for j, (cid, _) in enumerate(cents):
+            mask = idx == j
+            if not mask.any():
+                continue
+            avg = round6(np.array([cos[mask].mean()]))[0]
+            rows.append((cid, int(mask.sum()),
+                         int(Decimal(repr(float(avg) * 1e6))
+                             .quantize(Decimal("1"),
+                                       rounding=ROUND_HALF_UP))))
+        return pd.DataFrame(rows, columns=["cell", "n_vecs",
+                                           "avg_cosine_e6"])
+
+    return {"doc_compression": doc_compression,
+            "kmeans_cells": kmeans_cells}
 
 
 if __name__ == "__main__":
