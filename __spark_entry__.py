@@ -10938,8 +10938,86 @@ def python_oracles() -> dict:
         return pd.DataFrame(rows, columns=["cell", "n_vecs",
                                            "avg_cosine_e6"])
 
+    def _ref_bpe(sf_dir: str, n_merges: int = 12):
+        """Independent pure-python BPE (Sennrich et al. 2016): whitespace
+        word counts (Java-\\s ASCII class, mirroring functions.text.tokens),
+        per-round weighted adjacent-pair argmax with the documented
+        tie-break (count desc, pair lexicographic), greedy left-to-right
+        non-overlapping fold. No Spark, no shared code with operators/bpe."""
+        import re
+
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        freqs: dict = {}
+        for t in docs["text"]:
+            if not isinstance(t, str):
+                continue
+            for w in ws.split(t.strip(" \t\n\x0b\f\r")):
+                if w:
+                    freqs[w] = freqs.get(w, 0) + 1
+        words = [(list(w), f) for w, f in freqs.items()]
+        rules = []
+        for _ in range(n_merges):
+            counts: dict = {}
+            for syms, f in words:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + f
+            if not counts:
+                break
+            (a, b), n = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            rules.append((a, b, n))
+            nxt = []
+            for syms, f in words:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                nxt.append((out, f))
+            words = nxt
+        return freqs, rules
+
+    def bpe_merges(sf_dir: str):
+        import pandas as pd
+
+        _, rules = _ref_bpe(sf_dir)
+        return pd.DataFrame(
+            [(i + 1, a, b, a + b, int(n))
+             for i, (a, b, n) in enumerate(rules)],
+            columns=["rank", "left", "right", "merged", "weight"])
+
+    def bpe_encoded(sf_dir: str):
+        import pandas as pd
+
+        freqs, rules = _ref_bpe(sf_dir)
+        piece_counts: dict = {}
+        for w, c in freqs.items():
+            syms = list(w)
+            for a, b, _n in rules:
+                if len(syms) < 2:
+                    break
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            for p in syms:
+                piece_counts[p] = piece_counts.get(p, 0) + c
+        return pd.DataFrame(sorted(piece_counts.items()),
+                            columns=["piece", "n_occurrences"])
+
     return {"doc_compression": doc_compression,
-            "kmeans_cells": kmeans_cells}
+            "kmeans_cells": kmeans_cells,
+            "bpe_merges": bpe_merges,
+            "bpe_encoded": bpe_encoded}
 
 
 if __name__ == "__main__":
