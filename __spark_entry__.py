@@ -10769,6 +10769,17 @@ def oracle_sql() -> dict[str, str]:
     # on this corpus sit at O(1).
     sql["embedding_dups_lsh"] = _lsh_pairs_oracle_sql()
 
+    # media_features (r4): the query's OUTPUT is the decode contract —
+    # one 8-feature row per image-kind media row — which is exactly
+    # expressible relationally (the fake-decode feature VALUES are not the
+    # query's surface; the real decode values are pinned by test_png /
+    # test_trainingdata and the image_dups python twin).
+    sql["media_features"] = """
+        SELECT COUNT(*) AS n_images,
+               CAST(COUNT(*) * 8 AS BIGINT) AS n_features
+        FROM documents WHERE doc_id % 3 = 0
+    """
+
     # kg_graph_stats / kg_entity_rank (r4): both now run over the
     # SQL-replayable extraction, so their DuckDB twins wrap the FULL
     # kg_extract_exact replay (nested WITH in a subquery — one source of
@@ -11014,10 +11025,64 @@ def python_oracles() -> dict:
         return pd.DataFrame(sorted(piece_counts.items()),
                             columns=["piece", "n_occurrences"])
 
+    def image_dups(sf_dir: str):
+        """Numpy twin of the perceptual-hash image dedup path: payloads
+        re-derived from the documented sha256 keystream (text + '#i'
+        blocks, hex-decoded to 16x12x3), aHash REIMPLEMENTED from its
+        spec (Rec.601 luminance, linspace 8x8 block means, threshold at
+        their mean, MSB-first two's-complement), and candidate pairs by
+        BRUTE-FORCE all-pairs Hamming — so the Spark side's Manku banded
+        join is verified complete against an exhaustive reference, not
+        replayed."""
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        ids, sigs = [], []
+        for _, r in docs.iterrows():
+            did = int(r["doc_id"])
+            for mid in (did, did + 999_999):
+                if mid % 3 != 0:
+                    continue
+                ks = "".join(hashlib.sha256(
+                    (r["text"] + f"#{i}").encode()).hexdigest()
+                    for i in range(18))
+                img = (np.frombuffer(bytes.fromhex(ks), dtype=np.uint8)
+                       .reshape(12, 16, 3).astype(np.float64) / 255.0)
+                luma = img @ np.array([0.299, 0.587, 0.114])
+                rb = np.linspace(0, 12, 9).astype(int)
+                cb = np.linspace(0, 16, 9).astype(int)
+                blocks = np.array([
+                    [luma[rb[i]:max(rb[i + 1], rb[i] + 1),
+                          cb[j]:max(cb[j + 1], cb[j] + 1)].mean()
+                     for j in range(8)] for i in range(8)])
+                bits = (blocks > blocks.mean()).flatten()
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                ids.append(mid)
+                sigs.append(np.uint64(val))
+        sig_arr = np.array(sigs, dtype=np.uint64)
+        order = np.argsort(ids)
+        ids = [ids[i] for i in order]
+        sig_arr = sig_arr[order]
+        rows = []
+        for i in range(len(ids)):
+            ham = np.array([bin(int(sig_arr[i] ^ s)).count("1")
+                            for s in sig_arr[i + 1:]])
+            for off in np.nonzero(ham <= 4)[0]:
+                rows.append((ids[i], ids[i + 1 + off], int(ham[off])))
+        return pd.DataFrame(sorted(rows),
+                            columns=["id_a", "id_b", "hamming"])
+
     return {"doc_compression": doc_compression,
             "kmeans_cells": kmeans_cells,
             "bpe_merges": bpe_merges,
-            "bpe_encoded": bpe_encoded}
+            "bpe_encoded": bpe_encoded,
+            "image_dups": image_dups}
 
 
 if __name__ == "__main__":
