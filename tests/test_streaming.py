@@ -531,3 +531,51 @@ def test_incremental_state_refuses_banding_config_change(spark, tmp_path):
     merge_batch(spark, sd, ents, batch_id=1, threshold=0.9, k=64)
     with _pytest.raises(ValueError, match="banding config"):
         merge_batch(spark, sd, ents, batch_id=2, threshold=0.9, k=32)
+
+
+def test_incremental_state_refuses_unstamped_legacy_dir(spark, tmp_path):
+    """ADVICE r4 (medium): a state dir that already HOLDS state but lacks
+    banding.json predates stamping — its signature universe is unknown
+    (pre-r4 dirs are md5-universe), so merge_batch must refuse instead of
+    silently stamping the CURRENT config over it. An explicit
+    write_banding_stamp with the original configuration unblocks it."""
+    import pytest as _pytest
+
+    from openapi_to_rdf_spark.streaming.incremental import (
+        merge_batch, write_banding_stamp)
+
+    ents = spark.createDataFrame([("e1", "srv-1"), ("e2", "srv.1")],
+                                 ["ent", "surface"])
+    sd = tmp_path / "state"
+    merge_batch(spark, sd, ents, batch_id=0, threshold=0.9, k=64)
+    (sd / "banding.json").unlink()          # simulate a pre-stamp dir
+    with _pytest.raises(ValueError, match="no banding.json stamp"):
+        merge_batch(spark, sd, ents, batch_id=1, threshold=0.9, k=64)
+
+    # the operator who KNOWS the original universe stamps it explicitly —
+    # resume then works under the matching config and still refuses others
+    write_banding_stamp(sd, k=64, bands=8, shingle=3, threshold=0.9)
+    merge_batch(spark, sd, ents, batch_id=1, threshold=0.9, k=64)
+    with _pytest.raises(ValueError, match="banding config"):
+        merge_batch(spark, sd, ents, batch_id=2, threshold=0.9, k=64,
+                    hash_mode="md5")
+    # a second explicit stamp must not overwrite the first
+    with _pytest.raises(ValueError, match="refusing to overwrite"):
+        write_banding_stamp(sd, k=32, bands=4, shingle=3, threshold=0.9)
+
+
+def test_incremental_stamp_derives_from_band_table_args(spark, tmp_path):
+    """ADVICE r4: the stamp must reflect the ACTUAL band_table signature
+    universe, not hardcoded literals — a non-default seed/hash_mode must
+    land in banding.json verbatim."""
+    import json
+
+    from openapi_to_rdf_spark.streaming.incremental import merge_batch
+
+    ents = spark.createDataFrame([("e1", "srv-1")], ["ent", "surface"])
+    sd = tmp_path / "state"
+    merge_batch(spark, sd, ents, batch_id=0, threshold=0.9, k=64,
+                seed=11, hash_mode="md5")
+    stamp = json.loads((sd / "banding.json").read_text())
+    assert stamp["seed"] == 11 and stamp["hash_mode"] == "md5"
+    assert stamp["k"] == 64 and stamp["bands"] == 8
