@@ -725,6 +725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (m.filter(F.col("doc_id") != F.col("canonical"))
                 .orderBy("doc_id"))
 
+    def q_minhash_clusters_fast(spark, sf_dir):
+        # The PRODUCTION-DEFAULT signature universe (numpy fast path) under
+        # its own timed name (ADVICE r4: the md5-pinned query above no
+        # longer measures what the throughput work optimizes). No DuckDB
+        # oracle — the fast gram universe is not SQL-replayable — but the
+        # builder sweep hash-checks it against an INDEPENDENT python twin
+        # (python_oracles()["minhash_clusters_fast"]).
+        m = minhash_dedup_map(_docs(spark, sf_dir), threshold=0.8)
+        return (m.filter(F.col("doc_id") != F.col("canonical"))
+                .orderBy("doc_id"))
+
     def q_simhash_pairs(spark, sf_dir):
         return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy("id_a", "id_b")
 
@@ -2625,10 +2636,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Distant-supervision labeling (operators/distant.py): a literal
         7-term KB labels doc-term co-mentions as positives; unlinked
         co-mentions become the closed-world negative pool (p =
-        __no_relation__). One result set covers both functions."""
-        from openapi_to_rdf_spark.operators.distant import (
-            distant_labels, negative_candidates,
-        )
+        __no_relation__). r5: one distant_label_pool pass — the r4 shape
+        (distant_labels + negative_candidates unioned) rebuilt the mention
+        scan and the co-mention self-join twice for the same pair table;
+        pool == that union by construction (asserted in test_distant)."""
+        from openapi_to_rdf_spark.operators.distant import distant_label_pool
         from openapi_to_rdf_spark.operators.graphq import doc_term_edges
 
         mentions = doc_term_edges(_docs(spark, sf_dir), _TERM_PAT)
@@ -2639,12 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              ("stream", "feeds", "window"),
              ("merge", "follows", "join")],
             "s string, p string, o string")
-        pos = distant_labels(mentions, kb)
-        neg = negative_candidates(mentions, kb).select(
-            "container", F.col("ent_s").alias("s"),
-            F.lit("__no_relation__").alias("p"),
-            F.col("ent_o").alias("o"))
-        return pos.unionByName(neg)
+        return distant_label_pool(mentions, kb)
 
     def q_context_windows(spark, sf_dir):
         """Sliding-context training-pair assembly (packing.context_windows)
@@ -4878,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_clusters": q_minhash_clusters,
+        "minhash_clusters_fast": q_minhash_clusters_fast,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -10891,7 +10899,19 @@ def python_oracles() -> dict:
         every discipline _best_cell documents, re-derived here without
         Spark. round(x, 6) mirrors Catalyst's BigDecimal HALF_UP via
         Decimal(repr(x)) (both sides quantize the double's shortest
-        decimal representation)."""
+        decimal representation).
+
+        TOLERANCE ASSUMPTION (ADVICE r4): centroid means are computed
+        with numpy pairwise summation while Spark's F.avg accumulates in
+        partition order, so the two sides' doubles can differ in the last
+        ulps (~1e-14 on unit-norm cosines). The round-6 quantization
+        absorbs that wobble EXCEPT when an unrounded cosine lands within
+        it of a .5e-6 rounding boundary AND the row's assignment decision
+        hinges on which way it rounds. Rather than silently producing an
+        order-sensitive answer, the twin detects that hazard (boundary
+        proximity < _BOUNDARY_EPS on a value whose flip would change the
+        argmax winner) and raises loudly — a failed oracle run names the
+        row instead of flapping with core count / partitioning."""
         import hashlib
         from decimal import ROUND_HALF_UP, Decimal
 
@@ -10915,16 +10935,40 @@ def python_oracles() -> dict:
                                       .hexdigest(), ids[i]))
         cents = sorted((int(ids[i]), V[i].copy()) for i in order[:8])
 
+        # on the cos*1e6 scale: ~1e-13 in cosine, orders of magnitude
+        # above any dot/mean accumulation-order wobble (~1e-14 absolute)
+        _BOUNDARY_EPS = 1e-7
+
         def assign(cents_list):
             C = np.stack([c for _, c in cents_list])
             dots = V @ C.T
             nv = np.linalg.norm(V, axis=1, keepdims=True)
             nc = np.linalg.norm(C, axis=1, keepdims=True).T
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / (nv * nc)
-            cos = round6(cos)
+                raw = dots / (nv * nc)
+            cos = round6(raw)
             cos = np.where(np.isnan(cos), -2.0, cos)
             idx = cos.argmax(axis=1)          # first max = smallest cell id
+            # tie-window hazard check (ADVICE r4): any unrounded cosine
+            # within _BOUNDARY_EPS of a .5e-6 HALF_UP boundary gets both
+            # roundings tried — if either flips the row's winner, the twin
+            # refuses rather than emit an order-sensitive assignment
+            with np.errstate(invalid="ignore"):
+                scaled = raw * 1e6
+                frac = np.abs(scaled - np.floor(scaled) - 0.5)
+            near = np.isfinite(raw) & (frac < _BOUNDARY_EPS)
+            for r, c in zip(*np.nonzero(near)):
+                alt = cos[r].copy()
+                lo = np.floor(scaled[r, c]) / 1e6
+                for v in (lo, lo + 1e-6):
+                    alt[c] = v
+                    if alt.argmax() != idx[r]:
+                        raise ValueError(
+                            f"kmeans_cells twin: vec_id {ids[r]} cosine vs "
+                            f"cell {c} sits within {_BOUNDARY_EPS} of a "
+                            "round-6 boundary and its rounding direction "
+                            "decides the assignment — result would be "
+                            "accumulation-order-sensitive; refusing")
             return idx, cos[np.arange(len(V)), idx]
 
         for _ in range(2):
@@ -10941,7 +10985,17 @@ def python_oracles() -> dict:
             mask = idx == j
             if not mask.any():
                 continue
-            avg = round6(np.array([cos[mask].mean()]))[0]
+            avg_raw = cos[mask].mean()
+            # same boundary-hazard refusal for the emitted average: a mean
+            # hugging a .5e-6 boundary would hash-flap with Spark's
+            # partition-order accumulation even when assignments agree
+            if abs(avg_raw * 1e6 - np.floor(avg_raw * 1e6) - 0.5) \
+                    < _BOUNDARY_EPS:
+                raise ValueError(
+                    f"kmeans_cells twin: cell {cid} avg cosine sits within "
+                    f"{_BOUNDARY_EPS} of a round-6 boundary — emitted "
+                    "value would be accumulation-order-sensitive; refusing")
+            avg = round6(np.array([avg_raw]))[0]
             rows.append((cid, int(mask.sum()),
                          int(Decimal(repr(float(avg) * 1e6))
                              .quantize(Decimal("1"),
@@ -11078,11 +11132,103 @@ def python_oracles() -> dict:
         return pd.DataFrame(sorted(rows),
                             columns=["id_a", "id_b", "hamming"])
 
+    def minhash_clusters_fast(sf_dir: str):
+        """Independent python/numpy twin of the PRODUCTION-DEFAULT (fast
+        gram universe) MinHash-LSH dedup map — every stage re-derived from
+        its public definition rather than imported from the operator:
+        [a-z0-9] normalization + '_'-pad, gram ids as the FNV-1a-prime
+        polynomial over gram bytes finalized with MurmurHash3's fmix64
+        (public constants), Dietzfelbinger multiply-shift permutations
+        seeded from RandomState(7), min-per-permutation signatures,
+        8x8 banding compared on RAW signature slices (Spark's xxhash64
+        band key is an equality-compression of the same tuple), exact
+        distinct-gram Jaccard verification at 0.8, and min-string-id
+        union-find for components (canonical_entity_map clusters on the
+        STRING form of doc_id, so '100' < '99')."""
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        k, n_bands, rows_per, n, thr = 64, 8, 8, 4, 0.8
+        rng = np.random.RandomState(7)
+        A = ((rng.randint(0, 1 << 62, size=k).astype(np.uint64)
+              << np.uint64(1)) | np.uint64(1))
+        B = rng.randint(0, 1 << 62, size=k).astype(np.uint64)
+        pw = np.array([pow(1099511628211, n - 1 - i, 1 << 64)
+                       for i in range(n)], dtype=np.uint64)
+
+        grams: dict = {}
+        sigs: dict = {}
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            e = str(int(did))
+            s = re.sub(r"[^a-z0-9]", "",
+                       (text if isinstance(text, str) else "").lower())
+            if not s:
+                continue                   # empty-normalized: self-maps
+            if len(s) < n:
+                s = s.ljust(n, "_")
+            bv = np.frombuffer(s.encode("ascii"),
+                               dtype=np.uint8).astype(np.uint64)
+            acc = np.zeros(len(bv) - n + 1, dtype=np.uint64)
+            for i in range(n):             # polynomial, natural uint64 wrap
+                acc += bv[i:len(bv) - n + 1 + i] * pw[i]
+            x = acc
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xC4CEB9FE1A85EC53)
+            x ^= x >> np.uint64(33)
+            g = np.unique(x)
+            grams[e] = g
+            sigs[e] = (A[:, None] * g[None, :] + B[:, None]).min(axis=1)
+
+        buckets: dict = {}
+        for e, sig in sigs.items():
+            for bi in range(n_bands):
+                key = (bi, tuple(int(v) for v in
+                                 sig[bi * rows_per:(bi + 1) * rows_per]))
+                buckets.setdefault(key, []).append(e)
+        cand = set()
+        for members in buckets.values():
+            members = sorted(members)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((members[i], members[j]))
+
+        parent: dict = {}
+
+        def find(e):
+            r = e
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(e, e) != r:
+                parent[e], e = r, parent[e]
+            return r
+
+        for ea, eb in cand:
+            ga, gb = grams[ea], grams[eb]
+            common = len(np.intersect1d(ga, gb, assume_unique=True))
+            if common / (len(ga) + len(gb) - common) >= thr:
+                ra, rb = find(ea), find(eb)
+                if ra != rb:
+                    if rb < ra:            # min STRING stays the root
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+
+        rows = sorted((int(e), int(find(e))) for e in sigs
+                      if find(e) != e)
+        return pd.DataFrame(rows, columns=["doc_id", "canonical"]) \
+            .astype({"doc_id": "int64", "canonical": "int64"})
+
     return {"doc_compression": doc_compression,
             "kmeans_cells": kmeans_cells,
             "bpe_merges": bpe_merges,
             "bpe_encoded": bpe_encoded,
-            "image_dups": image_dups}
+            "image_dups": image_dups,
+            "minhash_clusters_fast": minhash_clusters_fast}
 
 
 if __name__ == "__main__":

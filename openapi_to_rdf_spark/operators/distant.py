@@ -55,6 +55,43 @@ def distant_labels(mentions: DataFrame, kb: DataFrame,
             .select("container", "s", "p", "o"))
 
 
+def distant_label_pool(mentions: DataFrame, kb: DataFrame,
+                       container_col: str = "doc", ent_col: str = "term",
+                       negative_label: str = "__no_relation__") -> DataFrame:
+    """Positives AND closed-world negatives in ONE co-mention pass
+    (r5: calling distant_labels + negative_candidates separately rebuilt
+    the mention scan and the container self-join twice — the two outputs
+    share one pair table, so labeling them is two cheap KB lookups, not
+    two pipelines).
+
+    Per ordered co-mention pair: a directed KB hit emits one positive per
+    matching relation (the fan-out IS the distant-supervision signal); a
+    pair with no KB edge in EITHER direction emits one negative labeled
+    ``negative_label``; reverse-only-linked pairs emit nothing (they are
+    neither evidence for the relation nor presumed-unrelated — the same
+    closed-world rule negative_candidates applies). Equivalent to
+    ``distant_labels UNION negative_candidates`` by construction; the
+    equivalence is asserted in tests. Both KB lookups broadcast when the
+    KB is dimension-sized (the common case — it is the pipeline's own
+    alias-resolved fact table, not the corpus)."""
+    pairs = co_mention_pairs(mentions, container_col, ent_col)
+    # explicit membership flag (not p IS NULL) so a degenerate NULL-p KB
+    # fact still counts as linked, exactly like the anti-join it replaces
+    fwd = kb.select(F.col("s").alias("ent_s"), F.col("o").alias("ent_o"),
+                    "p", F.lit(True).alias("_fwd"))
+    rev = (kb.select(F.col("o").alias("ent_s"), F.col("s").alias("ent_o"))
+           .distinct().withColumn("_rev", F.lit(True)))
+    return (pairs.join(fwd, ["ent_s", "ent_o"], "left")
+            .join(rev, ["ent_s", "ent_o"], "left")
+            .filter(F.col("_fwd").isNotNull()
+                    | (F.col("_fwd").isNull() & F.col("_rev").isNull()))
+            .select("container",
+                    F.col("ent_s").alias("s"),
+                    F.when(F.col("_fwd").isNotNull(), F.col("p"))
+                    .otherwise(F.lit(negative_label)).alias("p"),
+                    F.col("ent_o").alias("o")))
+
+
 def negative_candidates(mentions: DataFrame, kb: DataFrame,
                         container_col: str = "doc",
                         ent_col: str = "term") -> DataFrame:

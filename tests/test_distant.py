@@ -57,3 +57,35 @@ def test_negative_candidates_closed_world(spark, corpus):
     assert ("d1", "seine", "france") in neg
     assert ("d3", "berlin", "france") in neg
     assert len(neg) == 2 + 2  # d1 seine<->france, d3 berlin<->france
+
+
+def test_pool_equals_union_of_positives_and_negatives(spark, corpus):
+    """r5: distant_label_pool computes both label sets in ONE co-mention
+    pass; it must equal distant_labels UNION relabeled negative_candidates
+    exactly — including the multi-relation fan-out and the reverse-only
+    exclusion rule."""
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.distant import distant_label_pool
+
+    mentions, kb = corpus
+    # widen the KB: a second relation on the same pair (fan-out) and a
+    # reverse-only link (must emit NOTHING for the reverse pair)
+    kb2 = kb.unionByName(spark.createDataFrame(
+        [("paris", "located_in", "france"),
+         ("france", "contains_city", "berlin")],
+        "s string, p string, o string"))
+    pool = {(r["container"], r["s"], r["p"], r["o"])
+            for r in distant_label_pool(mentions, kb2).collect()}
+    pos = {(r["container"], r["s"], r["p"], r["o"])
+           for r in distant_labels(mentions, kb2).collect()}
+    neg = {(r["container"], r["ent_s"], "__no_relation__", r["ent_o"])
+           for r in negative_candidates(mentions, kb2).collect()}
+    assert pool == pos | neg
+    # fan-out present
+    assert ("d1", "paris", "located_in", "france") in pool
+    # reverse-only link (berlin -> france has only france->berlin in KB):
+    # neither positive nor negative
+    assert not any(c == "d3" and s == "berlin" and o == "france"
+                   and p == "__no_relation__" for c, s, p, o in pool)
+    assert ("d3", "france", "contains_city", "berlin") in pool

@@ -139,3 +139,26 @@ def test_jaccard_udf_modes_agree_with_reference(spark, hash_mode):
         .orderBy("l").collect()]
     want = [_ref_jaccard_row(x, y, 3) for x, y in sorted(pairs)]
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fast_cluster_python_twin_matches_spark(spark):
+    """r5 (ADVICE r4): the production-default fast-universe dedup map is
+    now a benched query of its own (minhash_clusters_fast); its oracle is
+    an INDEPENDENT python twin in __spark_entry__.python_oracles() —
+    polynomial/fmix64 gram ids, multiply-shift signatures, raw-slice
+    banding, exact-Jaccard verify and min-string union-find re-derived
+    from their public definitions. Lock twin == Spark at sf0.001 here
+    (the builder sweep re-checks at sf0.01)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_twin", "/root/repo/__spark_entry__.py")
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    sf = "/root/testdata/sf0.001"
+    got = (em.queries()["minhash_clusters_fast"](spark, sf)
+           .toPandas().sort_values(["doc_id"]).reset_index(drop=True))
+    want = em.python_oracles()["minhash_clusters_fast"](sf) \
+        .sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
