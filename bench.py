@@ -198,6 +198,10 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
     names = ["pricing_summary", "revenue_by_nation", "latest_event_per_user",
              "doc_quality", "exact_dedup", "ngram_dup_pairs",
              "minhash_clusters", "simhash_pairs", "cosine_topk", "ann_topk",
+             # added r5 (ADVICE r4): the PRODUCTION-DEFAULT fast-universe
+             # dedup map timed under its own name; plain minhash_clusters
+             # stays pinned to the md5 oracle-parity universe
+             "minhash_clusters_fast",
              # added r2 (regression diff only compares overlapping names).
              # related_docs is excluded: the synthetic corpus is degenerate
              # for doc-similarity via its 7 shared terms (every doc pairs

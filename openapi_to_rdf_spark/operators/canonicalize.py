@@ -410,8 +410,17 @@ def remap_triples(triples: DataFrame, ent_map: DataFrame,
     because remapping is the only step that can collapse distinct rows.
     """
     cols = ["file", "graph", "s", "p", "o_kind", "o", "o_datatype"]
-    smap = ent_map.select(F.col("ent").alias("s"), F.col("canonical").alias("s_canon"))
-    omap = ent_map.select(F.col("ent").alias("o"), F.col("canonical").alias("o_canon"))
+    # CHANGED rows only (r5 — the verdict's "next kernel target"): the
+    # canonical map covers every entity but is overwhelmingly identity
+    # (singletons + class minima self-map), and under left-join+coalesce
+    # an identity row is a no-op — so dropping ent==canonical rows is
+    # semantics-free while shrinking the join's small side from
+    # |entities| to |aliases-that-moved| (the duplicate-rate fraction).
+    # At that size AQE routinely broadcasts it, and the fact side of a
+    # 10^12-triple remap never shuffles at all.
+    changed = ent_map.filter(F.col("ent") != F.col("canonical"))
+    smap = changed.select(F.col("ent").alias("s"), F.col("canonical").alias("s_canon"))
+    omap = changed.select(F.col("ent").alias("o"), F.col("canonical").alias("o_canon"))
 
     # split-join-union: only entity-namespace rows shuffle through the joins
     # AND through the final dedup; the (majority) untouched rows bypass both —

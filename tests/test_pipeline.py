@@ -1081,3 +1081,34 @@ def test_snapshot_history_time_travel_rollback_expire(spark, tmp_path):
     again = materialize(lambda: spark.range(10).withColumn("v", F.lit(1)),
                         spark, td, fps[0])
     assert again.count() == 10
+
+
+def test_remap_triples_ignores_identity_map_rows(spark):
+    """r5: remap_triples pre-filters the canonical map to CHANGED rows
+    (identity entries are no-ops under left-join+coalesce) — the output
+    must be invariant to how many self-mappings the map carries, and a
+    rewrite that collapses onto an untouched-entity row must still dedup."""
+    from openapi_to_rdf_spark.operators.canonicalize import remap_triples
+
+    E = "urn:ent:"
+    cols = "file string, graph string, s string, p string, o_kind string, " \
+           "o string, o_datatype string"
+    triples = spark.createDataFrame(
+        [("f", "g", E + "a", "p1", "iri", E + "b", None),
+         ("f", "g", E + "b", "p1", "iri", E + "b", None),   # a->b collapses onto this
+         ("f", "g", E + "c", "p2", "literal", "x", "xsd:string"),
+         ("f", "g", "urn:other:k", "p3", "literal", "y", None)],
+        cols)
+    full_map = spark.createDataFrame(
+        [(E + "a", E + "b"),                 # changed
+         (E + "b", E + "b"), (E + "c", E + "c")],  # identity noise
+        "ent string, canonical string")
+    changed_only = full_map.filter("ent != canonical")
+
+    want = {tuple(r) for r in remap_triples(triples, changed_only, E).collect()}
+    got = {tuple(r) for r in remap_triples(triples, full_map, E).collect()}
+    assert got == want
+    assert ("f", "g", E + "b", "p1", "iri", E + "b", None) in got
+    assert len([r for r in got if r[2] == E + "b" and r[3] == "p1"]) == 1
+    assert ("f", "g", "urn:other:k", "p3", "literal", "y", None) in got
+    assert len(got) == 3
