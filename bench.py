@@ -72,7 +72,7 @@ def _extract_stage_timings(spark, turns, extract_stages: dict,
 
 
 def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
-           with_canon: bool = True) -> dict:
+           with_canon: bool = True, sink: str = "parquet") -> dict:
     """The flagship pipeline: synth -> extract -> canonicalize -> remap.
     Returns timings + turn count (the BASELINE.json throughput metric).
     ``warmup=True`` runs extraction on a small prefix first so JIT/codegen
@@ -102,13 +102,21 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     # The host is a shared VM with SPORADIC hypervisor steal (see BENCH.md),
     # so each trial also records the steal fraction over its window and
     # best-of-N is reported (least-contended trial ~ true machine speed).
+    # ``sink='noop'`` (r5, scaling attribution made reproducible): times the
+    # identical extraction plan into Spark's noop sink — the compute-path
+    # number the r4 scaling table hand-measured; ``--sink=noop`` now drives
+    # it from the CLI so the parquet-vs-compute split is a flag, not an edit.
     out_dir = tempfile.mkdtemp(prefix="bench_triples_")
     trial_rows = []
     for _ in range(max(trials, 1)):
         a0, s0 = _steal_snapshot()
         t0 = time.time()
-        extract_transcript_triples(turns, class_vocab_df(spark)) \
-            .write.mode("overwrite").parquet(out_dir)
+        w = extract_transcript_triples(turns, class_vocab_df(spark)).write \
+            .mode("overwrite")
+        if sink == "noop":
+            w.format("noop").save()
+        else:
+            w.parquet(out_dir)
         el = time.time() - t0
         a1, s1 = _steal_snapshot()
         trial_rows.append({"sec": round(el, 3),
@@ -124,6 +132,14 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     extract_stages = {}
     if with_canon:
         _extract_stage_timings(spark, turns, extract_stages, t_extract)
+
+    if sink == "noop":
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {"n_turns": n_turns, "n_triples": None, "n_kg_triples": None,
+                "sec_extract": round(t_extract, 3), "sec_canonicalize": None,
+                "canon_stages": None, "extract_stages": {},
+                "trials": trial_rows,
+                "turns_per_sec": round(n_turns / t_extract, 1)}
 
     triples = spark.read.parquet(out_dir).localCheckpoint()
     n_triples = triples.count()
@@ -311,7 +327,7 @@ def data_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def run_once(cores: int, sf_dir: str, n_convs: int, with_queries: bool,
              warmup: bool = False, trials: int = 1,
-             with_canon: bool = True) -> dict:
+             with_canon: bool = True, sink: str = "parquet") -> dict:
     from openapi_to_rdf_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench-{cores}", cores=cores,
@@ -319,7 +335,7 @@ def run_once(cores: int, sf_dir: str, n_convs: int, with_queries: bool,
     spark.sparkContext.setLogLevel("ERROR")
     try:
         res = {"kg": kg_job(spark, n_convs, warmup=warmup, trials=trials,
-                            with_canon=with_canon)}
+                            with_canon=with_canon, sink=sink)}
         if with_queries:
             res["queries"] = data_queries(spark, sf_dir)
         return res
@@ -328,13 +344,13 @@ def run_once(cores: int, sf_dir: str, n_convs: int, with_queries: bool,
 
 
 def _subprocess_kg(cores: int, n_convs: int, trials: int = 3,
-                   with_canon: bool = False) -> dict:
+                   with_canon: bool = False, sink: str = "parquet") -> dict:
     """Run the KG job in a COLD subprocess (own JVM) so the two scaling
     levels see identical JIT/startup conditions."""
     import subprocess
 
     args = [sys.executable, __file__, "--kg-only", f"--cores={cores}",
-            f"--n-convs={n_convs}", f"--trials={trials}"]
+            f"--n-convs={n_convs}", f"--trials={trials}", f"--sink={sink}"]
     if not with_canon:
         args.append("--no-canon")
     out = subprocess.run(args, capture_output=True, text=True, check=True)
@@ -430,15 +446,46 @@ def _scaling_section() -> dict:
     lo_cores = _argval("scale-lo", 2)
     hi_cores = _argval("scale-hi", max(lo_cores * 4, 4))
     n_scale = _argval("n-convs", 2_000_000)
-    lo = _subprocess_kg(lo_cores, n_scale)
-    hi = _subprocess_kg(hi_cores, n_scale)
-    t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]
+
+    def _loadavg():
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+
+    def _pair(sink: str) -> dict:
+        # 1-min loadavg before each level: repeated GB-scale parquet trials
+        # leave writeback kworkers running (D-state counts into load) that
+        # depress the NEXT measurement — the r5 discovery that explained a
+        # phantom 10% efficiency swing; the artifact records the evidence
+        load_lo = _loadavg()
+        lo = _subprocess_kg(lo_cores, n_scale, sink=sink)
+        load_hi = _loadavg()
+        hi = _subprocess_kg(hi_cores, n_scale, sink=sink)
+        t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]
+        return {
+            "n_turns": hi["n_turns"],
+            "turns_per_sec_lo": t_lo, "turns_per_sec_hi": t_hi,
+            "trials_lo": lo["trials"], "trials_hi": hi["trials"],
+            "loadavg_before_lo": load_lo, "loadavg_before_hi": load_hi,
+            "speedup": round(t_hi / t_lo, 3),
+            "efficiency": round(t_hi / t_lo / (hi_cores / lo_cores), 3),
+        }
+
+    # end-to-end (production parquet sink) AND compute-path (noop sink)
+    # pairs, both from cold subprocesses — the r4 attribution table as a
+    # single reproducible artifact
+    parquet = _pair("parquet")
+    noop = _pair("noop")
     return {
-        "cores_lo": lo_cores, "cores_hi": hi_cores, "n_turns": hi["n_turns"],
-        "turns_per_sec_lo": t_lo, "turns_per_sec_hi": t_hi,
-        "trials_lo": lo["trials"], "trials_hi": hi["trials"],
-        "speedup": round(t_hi / t_lo, 3),
-        "efficiency": round(t_hi / t_lo / (hi_cores / lo_cores), 3),
+        "cores_lo": lo_cores, "cores_hi": hi_cores,
+        "n_turns": parquet["n_turns"],
+        "turns_per_sec_lo": parquet["turns_per_sec_lo"],
+        "turns_per_sec_hi": parquet["turns_per_sec_hi"],
+        "trials_lo": parquet["trials_lo"], "trials_hi": parquet["trials_hi"],
+        "loadavg_before_lo": parquet["loadavg_before_lo"],
+        "loadavg_before_hi": parquet["loadavg_before_hi"],
+        "speedup": parquet["speedup"],
+        "efficiency": parquet["efficiency"],
+        "compute_path": noop,
     }
 
 
@@ -456,10 +503,12 @@ def main() -> None:
 
     if "--kg-only" in sys.argv:
         cores = _argval("cores", cpus)
+        sink = "noop" if "--sink=noop" in sys.argv else "parquet"
         kg = run_once(cores, sf_dir, _argval("n-convs", n_convs),
                       with_queries=False, warmup=True,
                       trials=_argval("trials", 1),
-                      with_canon="--no-canon" not in sys.argv)["kg"]
+                      with_canon="--no-canon" not in sys.argv,
+                      sink=sink)["kg"]
         print(json.dumps({**kg, "cores": cores}))
         return
 
@@ -491,21 +540,33 @@ def main() -> None:
         flagged_suite = [n for n in regressions
                          if n not in ("kg_extract", "kg_canonicalize")]
         if flagged_suite:
-            spark = get_spark(app_name="bench-recheck", cores=cpus,
-                              shuffle_partitions=max(cpus * 2, 16))
-            spark.sparkContext.setLogLevel("ERROR")
-            try:
-                qs = em.queries()
-                for name in flagged_suite:
-                    t0 = time.time()
-                    qs[name](spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
-                    re_t = round(time.time() - t0, 3)
-                    queries_recheck[name] = {"suite": queries[name],
-                                             "recheck": re_t}
-                    queries[name] = min(queries[name], re_t)
-            finally:
-                spark.stop()
+            # VERDICT r4 #1: the full best-of-3 FRESH-SESSION protocol
+            # (the one that cleared kg_extract's r3 false positive) now
+            # applies to suite queries too — three sessions, one timing
+            # each, min wins. One noisy window on this shared VM can no
+            # longer keep an unchanged query flagged: a genuine regression
+            # must reproduce in three independent cold-ish sessions.
+            trials_by_name = {n: [] for n in flagged_suite}
+            for _trial in range(3):
+                spark = get_spark(app_name=f"bench-recheck-{_trial}",
+                                  cores=cpus,
+                                  shuffle_partitions=max(cpus * 2, 16))
+                spark.sparkContext.setLogLevel("ERROR")
+                try:
+                    qs = em.queries()
+                    for name in flagged_suite:
+                        t0 = time.time()
+                        qs[name](spark, sf_dir).write.format("noop") \
+                            .mode("overwrite").save()
+                        trials_by_name[name].append(
+                            round(time.time() - t0, 3))
+                finally:
+                    spark.stop()
+            for name, ts in trials_by_name.items():
+                queries_recheck[name] = {"suite": queries[name],
+                                         "recheck": min(ts),
+                                         "trials": ts}
+                queries[name] = min(queries[name], *ts)
 
         # VERDICT r3 #1: the flagship kg stages get the SAME second-chance
         # protocol — a COLD subprocess (own JVM, warmup pass, best-of-3

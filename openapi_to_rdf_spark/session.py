@@ -54,6 +54,14 @@ def get_spark(app_name: str = "openapi-to-rdf-spark", cores: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()))
+        # v2 file-output commit: task-side renames land directly in the
+        # destination, so job commit is O(1) instead of a driver-serial
+        # walk of every task directory — the parquet-sink share of the
+        # N-vs-4N scaling gap is commit serialization, not encode (r5;
+        # BENCH.md "scaling"). Semantics note: concurrent writers to one
+        # path lose all-or-nothing job atomicity; the engine's sinks are
+        # single-writer-per-path (snapshot dirs are batch_id-partitioned).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
