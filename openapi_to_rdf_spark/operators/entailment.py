@@ -594,9 +594,15 @@ def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
     non-convergence within ``max_rounds`` raises loudly rather than
     returning a silently-partial closure.
     """
+    from .rdflists import RDF_FIRST as LIST_FIRST
+    from .rdflists import RDF_REST as LIST_REST
     from .rdflists import list_members
 
-    t = triples.select("s", "p", "o").dropDuplicates()
+    # materialize the deduped input ONCE (r5 profile: every schema harvest
+    # below — onp/hv/svf, the list walk, eqc closure, type/prop seeds —
+    # re-ran the caller's full input lineage, ~5s of the fixture's wall
+    # before the loop even started); all of them now read checkpoint blocks
+    t = triples.select("s", "p", "o").dropDuplicates().localCheckpoint()
     spark = t.sparkSession
 
     onp = (t.filter(F.col("p") == OWL_ONP)
@@ -610,14 +616,15 @@ def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
     # list_members expects the wide store schema; synthesize o_kind (and
     # datatype) for bare (s, p, o) frames — class-list members are terms,
     # bnode-ness recoverable from the "_:" convention
-    wide = triples
-    if "o_kind" not in wide.columns:
-        wide = wide.withColumn(
-            "o_kind", F.when(F.col("o").startswith("_:"), "bnode")
-            .otherwise("iri"))
+    wide = triples if "o_kind" in triples.columns else t.withColumn(
+        "o_kind", F.when(F.col("o").startswith("_:"), "bnode")
+        .otherwise("iri"))
     if "o_datatype" not in wide.columns:
         wide = wide.withColumn("o_datatype", F.lit(None).cast("string"))
-    members = list_members(wide)
+    # list_members touches only rdf:first/rest rows — pre-filtering keeps
+    # its pointer-doubling walk off the instance-sized frame entirely
+    members = list_members(
+        wide.filter(F.col("p").isin(LIST_FIRST, LIST_REST)))
 
     def _list_classes(pred, out):
         heads = (t.filter(F.col("p") == pred)
@@ -667,9 +674,18 @@ def owl_cls_entail(triples: DataFrame, *, type_pred: str = RDF_TYPE,
             .unionAll(new_p.join(b(svf), new_p["p"] == svf["prop"])
                       .select(F.col("s").alias("x"),
                               F.col("r").alias("c")))
-            # cls-int1 over the CUMULATIVE type set (semi-join-pruned)
+            # cls-int1 over the CUMULATIVE type set, pruned to subjects
+            # the FRONTIER touched (r5 profile: this recount was ~2.8s of
+            # every round). Round one's frontier IS the seed set, so every
+            # base case is counted; afterwards a subject's member count
+            # can only change by gaining a member type in the delta —
+            # recount exactly those subjects
             .unionAll(types.join(b(int_mem),
                                  types["c"] == int_mem["mem"])
+                      .join(new_t.join(b(int_mem),
+                                       new_t["c"] == int_mem["mem"])
+                            .select("x").dropDuplicates(),
+                            "x", "left_semi")
                       .groupBy("x", "ic")
                       .agg(F.countDistinct("mem").alias("k"))
                       .join(b(int_n), "ic")

@@ -126,21 +126,34 @@ def list_members(triples: DataFrame, max_rounds: int = 16) -> DataFrame:
     """
     cons = _cells(triples)
     cells = cons.select("cell").distinct()
+    # parents is probed for convergence EVERY pass below — materialize it
+    # once or each probe re-runs the caller's full lineage (r5 profile:
+    # the probe cost as much as the jump itself on instance-sized chains)
     parents = (cons.filter((F.col("p") == RDF_REST)
                            & (F.col("target") != RDF_NIL))
                .select(F.col("target").alias("child"),
                        F.col("cell").alias("parent"))
                .join(cells.withColumnRenamed("cell", "child"), "child",
                      "left_semi")
-               .groupBy("child").agg(F.min("parent").alias("anc")))
-    anc = parents.select(F.col("child").alias("cell"), "anc") \
-        .localCheckpoint()
-    for _ in range(max_rounds):
-        up = anc.select(F.col("cell").alias("anc"),
-                        F.col("anc").alias("anc2"))
-        nxt = (anc.join(up, "anc", "left")
-               .select("cell", F.coalesce("anc2", "anc").alias("anc"))
+               .groupBy("child").agg(F.min("parent").alias("anc"))
                .localCheckpoint())
+    anc = parents.select(F.col("child").alias("cell"), "anc")
+    # BATCHED pointer jumping (r5, the components.py lesson applied here):
+    # compose JUMPS_PER_PASS jumps into ONE plan per materialization —
+    # chain depth divides by 2^(jumps) per pass, and the driver pays one
+    # localCheckpoint + one convergence probe per PASS instead of per
+    # jump. Job count, not shuffle volume, throttles iterative DataFrame
+    # walks: the 711-element list_member_check stress dropped from ~10
+    # materialized rounds to 4.
+    jumps_per_pass = 3
+    for _ in range(max_rounds):
+        cur = anc
+        for _ in range(jumps_per_pass):
+            up = cur.select(F.col("cell").alias("anc"),
+                            F.col("anc").alias("anc2"))
+            cur = (cur.join(up, "anc", "left")
+                   .select("cell", F.coalesce("anc2", "anc").alias("anc")))
+        nxt = cur.localCheckpoint()
         # converged when no pointer still has an ancestor of its own
         still = nxt.join(parents.withColumnRenamed("child", "anc"),
                          "anc", "left_semi")
