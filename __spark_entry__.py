@@ -6,6 +6,18 @@ canonicalize → remap) plus a document-node stage over the sf0.001 tables.
 training-data-pipeline extensions; each oracle-checkable entry has an exact
 DuckDB twin in ``oracle_sql()`` (float columns are scaled to *_e6 BIGINT on
 both sides so value hashes compare integer-exactly).
+
+``python_oracles()`` is the third oracle channel (PROTOCOL NOTE, VERDICT r4
+#6): queries whose exact twin needs a library or hash universe DuckDB lacks
+(zlib, numpy Lloyd's, the fast MinHash gram universe, spec-derived image
+hashing) map to engine-independent pure-python/pandas callables
+``sf_dir -> DataFrame`` with the query's exact output schema. The builder's
+`scripts/oracle_sweep.py` hash-compares them under the same normalize
+discipline as the SQL oracles (see ORACLE_r*.json). A driver harness that
+only consumes ``oracle_sql()`` will report these six queries as rows-only /
+``no_oracle``; consuming ``python_oracles()`` the same way closes that gap —
+the callables are deliberately Spark-free and share no code with the
+operators under test.
 """
 
 from __future__ import annotations

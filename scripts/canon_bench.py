@@ -139,11 +139,83 @@ def cc_compare(n_edges: int = 3_000_000, cores: int = 8) -> None:
     spark.stop()
 
 
+def incremental(n_entities: int = 1_000_000, cores: int = 8,
+                n_batches: int = 2) -> None:
+    """VERDICT r4 #8: the streaming/incremental merge path at canon-bench
+    scale. The alias rows of each entity are scattered ACROSS batches
+    (hash split), so most merges are cross-batch — exactly the case the
+    incremental band-table state exists for. Asserts stream == batch
+    against a one-shot canonical_entity_map under the SAME banding config
+    (k=64, 8 bands — merge_batch's default at t=0.9) and prints per-batch
+    walls + ground-truth quality of the incremental map."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openapi_to_rdf_spark.operators.canonicalize import canonical_entity_map
+    from openapi_to_rdf_spark.session import get_spark
+    from openapi_to_rdf_spark.streaming.incremental import (
+        merge_batch, read_canonical_map,
+    )
+
+    spark = get_spark(app_name="canon-inc", cores=cores,
+                      shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ents = entity_table(spark, n_entities).localCheckpoint()
+    n_rows = ents.count()
+    state = tempfile.mkdtemp(prefix="canon_inc_")
+    try:
+        t_all = time.time()
+        for b in range(n_batches):
+            sl = (ents.filter(F.pmod(F.xxhash64("ent"), F.lit(n_batches))
+                              == b)
+                  .select("ent", "surface"))
+            t0 = time.time()
+            merge_batch(spark, state, sl, batch_id=b, threshold=0.9, k=64)
+            print(f"batch {b}: rows={sl.count()} "
+                  f"sec={time.time() - t0:.1f}", flush=True)
+        t_inc = time.time() - t_all
+        inc = read_canonical_map(spark, state).localCheckpoint()
+        n_map = inc.count()
+
+        t0 = time.time()
+        one = canonical_entity_map(ents.select("ent", "surface"),
+                                   threshold=0.9, k=64,
+                                   bands=8).localCheckpoint()
+        one.count()
+        t_one = time.time() - t0
+
+        n_diff = (inc.join(one.withColumnRenamed("canonical", "canon_b"),
+                           "ent")
+                  .filter(F.col("canonical") != F.col("canon_b")).count())
+        joined = inc.join(ents.select("ent", "true_id"), "ent")
+        missed = (joined.groupBy("true_id")
+                  .agg(F.countDistinct("canonical").alias("n"))
+                  .filter("n > 1").count())
+        over = (joined.groupBy("canonical")
+                .agg(F.countDistinct("true_id").alias("n"))
+                .filter("n > 1").count())
+        print(f"incremental: entities={n_rows} batches={n_batches} "
+              f"map={n_map} inc_sec={t_inc:.1f} oneshot_sec={t_one:.1f} "
+              f"map_diff_rows={n_diff} missed={missed} bad={over}")
+        print("stream == batch:", n_diff == 0)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--cc" in sys.argv:
         args = [a for a in sys.argv[1:] if a != "--cc"]
         cc_compare(int(args[0]) if args else 3_000_000,
                    int(args[1]) if len(args) > 1 else 8)
+    elif "--incremental" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--incremental"]
+        incremental(int(args[0]) if args else 1_000_000,
+                    int(args[1]) if len(args) > 1 else 8,
+                    int(args[2]) if len(args) > 2 else 2)
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
         c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
