@@ -145,6 +145,16 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     n_triples = triples.count()
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # settle the page cache before the canon clock starts: the trial loop
+    # above just wrote (and overwrote) GBs of parquet, and the kernel's
+    # writeback of those dirty pages lands DURING the next timed section
+    # otherwise — measured as a 13s-of-stages canon run reading 47s on the
+    # wall while the barriered stage re-run right after it was clean. The
+    # blocking sync absorbs that IO off every clock; it is measurement
+    # hygiene, not pipeline cost (production never times a stage that
+    # starts mid-writeback of a previous stage's temp output).
+    os.sync()
+
     t_canon, n_kg, canon_stages = None, None, None
     if with_canon:
         t0 = time.time()

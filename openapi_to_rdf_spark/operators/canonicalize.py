@@ -394,6 +394,15 @@ def canonical_entity_map(entities: DataFrame, id_col: str = "ent",
     )
 
 
+# Broadcast cap for the moved-alias map in remap_triples: each executor
+# holds one copy, so the guard is sized well under executor memory at the
+# default 4-8 GiB range; above it the join falls back to the planner's
+# own (AQE) strategy. Row overhead approximates the JVM UnsafeRow + hash
+# relation entry, not Python objects — the broadcast lives JVM-side.
+REMAP_BROADCAST_BYTES = 64 * 1024 * 1024
+_PY_MAP_ROW_OVERHEAD = 48
+
+
 def remap_triples(triples: DataFrame, ent_map: DataFrame,
                   ent_prefix: str) -> DataFrame:
     """Rewrite s and (iri-kind) o through the canonical entity map.
@@ -418,7 +427,31 @@ def remap_triples(triples: DataFrame, ent_map: DataFrame,
     # |entities| to |aliases-that-moved| (the duplicate-rate fraction).
     # At that size AQE routinely broadcasts it, and the fact side of a
     # 10^12-triple remap never shuffles at all.
-    changed = ent_map.filter(F.col("ent") != F.col("canonical"))
+    #
+    # Materialize the changed map ONCE (r5 follow-up, measured): it is
+    # referenced by BOTH join sides below, and without a checkpoint the
+    # full canonical-map lineage upstream (entity dedup + CC-output join —
+    # everything the caller composed above the map) re-runs once per side
+    # per action; at bench scale that re-computation was 2-3× the actual
+    # remap cost and its variance dominated the stage timing. Cost: one
+    # moved-alias-sized job at plan-construction time — every caller
+    # executes the result anyway.
+    #
+    # A checkpointed relation scans as ExistingRDD with NO size statistics,
+    # so the planner would still pick a sort-merge join and shuffle the
+    # fact side TWICE (once per join key) — exactly the shuffle this
+    # function promises to avoid. Estimate the map's broadcast footprint
+    # in one job (exact avg id width folded into the count — the
+    # components._edge_stats discipline) and pin the broadcast hint when
+    # it fits; a pathological map where most of the corpus moved falls
+    # back to AQE's own choice rather than OOMing the driver.
+    changed = ent_map.filter(F.col("ent") != F.col("canonical")).localCheckpoint()
+    stats = changed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("ent") + F.length("canonical")).alias("w")).first()
+    est_bytes = stats["n"] * ((stats["w"] or 0.0) + _PY_MAP_ROW_OVERHEAD)
+    if est_bytes <= REMAP_BROADCAST_BYTES:
+        changed = F.broadcast(changed)
     smap = changed.select(F.col("ent").alias("s"), F.col("canonical").alias("s_canon"))
     omap = changed.select(F.col("ent").alias("o"), F.col("canonical").alias("o_canon"))
 
