@@ -131,6 +131,12 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     # throughput only and must not pay two extra corpus passes.
     extract_stages = {}
     if with_canon:
+        # settle writeback from the trial loop FIRST — the attribution
+        # stages are single-shot (no best-of), so a dirty-page flush
+        # landing inside them misattributes IO to compute (observed:
+        # full_extract_noop reading 33s against a 6s best-of-3 full-sink
+        # trial). Same hygiene as the canon-clock sync below.
+        os.sync()
         _extract_stage_timings(spark, turns, extract_stages, t_extract)
 
     if sink == "noop":
@@ -138,7 +144,7 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
         return {"n_turns": n_turns, "n_triples": None, "n_kg_triples": None,
                 "sec_extract": round(t_extract, 3), "sec_canonicalize": None,
                 "canon_stages": None, "extract_stages": {},
-                "trials": trial_rows,
+                "trials": trial_rows, "canon_trials": [],
                 "turns_per_sec": round(n_turns / t_extract, 1)}
 
     triples = spark.read.parquet(out_dir).localCheckpoint()
@@ -156,15 +162,31 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     os.sync()
 
     t_canon, n_kg, canon_stages = None, None, None
+    canon_trials = []
     if with_canon:
-        t0 = time.time()
-        ents = (triples.filter(F.col("p") == KG_NS + "surfaceForm")
-                .select(F.col("s").alias("ent"), F.col("o").alias("surface"))
-                .dropDuplicates(["ent"]))
-        cmap = canonical_entity_map(ents, threshold=0.9)
-        kg = remap_triples(triples, cmap, ENT_NS)
-        n_kg = kg.count()
-        t_canon = round(time.time() - t0, 3)
+        # best-of-N, same protocol as the extract trials above (r5): the
+        # one-shot canon clock swung 8.8-47s across otherwise-identical
+        # idle-machine runs while its barriered stage breakdown stayed at
+        # ~6s — sporadic host-level stalls land somewhere inside the
+        # multi-job map build and a single sample has no defense. Each
+        # trial runs the FULL map-build + remap + count pipeline cold
+        # (nothing persists between trials except the input checkpoint,
+        # which is off the clock by design).
+        for _ in range(max(trials, 1)):
+            a0, s0 = _steal_snapshot()
+            t0 = time.time()
+            ents = (triples.filter(F.col("p") == KG_NS + "surfaceForm")
+                    .select(F.col("s").alias("ent"),
+                            F.col("o").alias("surface"))
+                    .dropDuplicates(["ent"]))
+            cmap = canonical_entity_map(ents, threshold=0.9)
+            kg = remap_triples(triples, cmap, ENT_NS)
+            n_kg = kg.count()
+            el = time.time() - t0
+            a1, s1 = _steal_snapshot()
+            canon_trials.append({"sec": round(el, 3),
+                                 "steal": round((s1 - s0) / max(a1 - a0, 1), 3)})
+        t_canon = min(r["sec"] for r in canon_trials)
 
         # attributable stage breakdown (VERDICT r2 #4): the same canon
         # pipeline re-run with a localCheckpoint barrier after each stage,
@@ -211,7 +233,7 @@ def kg_job(spark, n_convs: int, warmup: bool = False, trials: int = 1,
     return {"n_turns": n_turns, "n_triples": n_triples, "n_kg_triples": n_kg,
             "sec_extract": round(t_extract, 3), "sec_canonicalize": t_canon,
             "canon_stages": canon_stages, "extract_stages": extract_stages,
-            "trials": trial_rows,
+            "trials": trial_rows, "canon_trials": canon_trials,
             "turns_per_sec": round(n_turns / t_extract, 1)}
 
 
@@ -618,6 +640,7 @@ def main() -> None:
         # phase — high values mean the per-query seconds are hypervisor-
         # inflated, not regressions
         "kg_trials": kg["trials"],
+        "canon_trials": kg["canon_trials"],
         "suite_steal": suite_steal,
         # workload fingerprint + per-unit rates: the regression watch (and
         # any human diffing rounds) can verify like-for-like volume and
