@@ -483,13 +483,32 @@ def _scaling_section() -> dict:
         with open("/proc/loadavg") as fh:
             return float(fh.read().split()[0])
 
+    def _settle():
+        # MITIGATE the writeback-kworker interference, don't just record
+        # it: each leg's trials write (and overwrite) GBs of parquet, and
+        # the kernel flushes those dirty pages DURING the next leg's
+        # timed window otherwise — measured as the hi-parquet leg losing
+        # ~15% throughput with loadavg_before_hi at 4+ while steal read
+        # 0.0. The blocking sync completes the flush off every clock; the
+        # bounded loadavg wait then lets the run-queue average decay so
+        # the recorded before-level loadavg actually describes the
+        # machine the leg ran on.
+        os.sync()
+        for _ in range(24):
+            if _loadavg() < 1.5:
+                break
+            time.sleep(5)
+
     def _pair(sink: str) -> dict:
         # 1-min loadavg before each level: repeated GB-scale parquet trials
         # leave writeback kworkers running (D-state counts into load) that
         # depress the NEXT measurement — the r5 discovery that explained a
-        # phantom 10% efficiency swing; the artifact records the evidence
+        # phantom 10% efficiency swing; _settle() now absorbs it between
+        # legs and the artifact still records the before-level evidence
+        _settle()
         load_lo = _loadavg()
         lo = _subprocess_kg(lo_cores, n_scale, sink=sink)
+        _settle()
         load_hi = _loadavg()
         hi = _subprocess_kg(hi_cores, n_scale, sink=sink)
         t_hi, t_lo = hi["turns_per_sec"], lo["turns_per_sec"]
