@@ -138,3 +138,54 @@ def test_owl_alias_emission_broadcasts_alias_map(spark):
         spark.createDataFrame(rows, ["s", "p", "o"])))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _remap_fixture(spark):
+    E = "http://ex/entity#"
+    triples = spark.createDataFrame(
+        [("f", "g", f"{E}a", "p", "iri", f"{E}b", None),
+         ("f", "g", f"{E}b", "p", "iri", f"{E}c", None),
+         ("f", "g", "http://ex/doc#1", "p", "literal", "x", None)],
+        "file string, graph string, s string, p string, o_kind string, "
+        "o string, o_datatype string")
+    ent_map = spark.createDataFrame(
+        [(f"{E}a", f"{E}a"), (f"{E}b", f"{E}a"), (f"{E}c", f"{E}c")],
+        "ent string, canonical string")
+    return triples, ent_map, E
+
+
+def test_remap_broadcasts_changed_map_no_fact_shuffle(spark):
+    """r5: the moved-alias map is materialized once and broadcast-pinned,
+    so the fact side joins with ZERO exchanges — the only shuffle in the
+    whole remap is the remapped-partition dedup. At 10^12 triples this is
+    the difference between shuffling the fact table twice and never."""
+    from openapi_to_rdf_spark.operators.canonicalize import remap_triples
+
+    import re
+
+    triples, ent_map, E = _remap_fixture(spark)
+    plan = _plan(remap_triples(triples, ent_map, E))
+    # formatted explain prints each node once in the tree and once in the
+    # detail section — count the detail headers, one per physical node
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("BroadcastHashJoin") == 2   # s side + o side
+    assert "SortMergeJoin" not in plan
+    # exactly one non-broadcast exchange: the dedup of the remapped
+    # partition (broadcast exchanges are the map shipping, not a shuffle)
+    assert nodes.count("Exchange") == 1, plan
+
+
+def test_remap_oversized_map_falls_back_without_broadcast_pin(spark, monkeypatch):
+    """The broadcast pin is size-guarded: a map estimated over the cap is
+    left to the planner (no forced driver-side hash relation) and the
+    result is unchanged."""
+    from openapi_to_rdf_spark.operators import canonicalize as cz
+
+    triples, ent_map, E = _remap_fixture(spark)
+    want = {tuple(r) for r in cz.remap_triples(triples, ent_map, E).collect()}
+    monkeypatch.setattr(cz, "REMAP_BROADCAST_BYTES", 0)
+    got_df = cz.remap_triples(triples, ent_map, E)
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
+    s_canon = f"{E}a"
+    assert sum(1 for r in got if r[2] == s_canon) == 2   # a and b remapped
