@@ -904,7 +904,11 @@ def owl_consistency(triples: DataFrame, *,
     (s, o) for prp-pdw restricted to the declared predicate slice).
     sameAs / differentFrom edge sets are identity assertions — orders of
     magnitude smaller than the corpus."""
-    t = triples.select("s", "p", "o")
+    # materialize the input ONCE (r5, the owl_cls_entail lesson): the
+    # driver-side axiom harvests below plus one equi-join per rule each
+    # re-ran the caller's full lineage otherwise — ~10 evaluations of an
+    # arbitrarily expensive upstream plan for one report
+    t = triples.select("s", "p", "o").localCheckpoint()
     b = F.broadcast
     spark = t.sparkSession
 
